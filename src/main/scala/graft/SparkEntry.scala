@@ -1,13 +1,469 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
+import graft.streaming.EventStreams
+
+/**
+ * Driver contract (SURVEY.md §7): one entry per implemented operator
+ * from SURVEY §2, each with a DuckDB oracle where the semantics are
+ * ANSI-SQL-expressible (hash-based sketches and approximate ops are
+ * rows-only).
+ *
+ * Naming convention: `lmr_*` = reference pipeline-parity queries
+ * (SURVEY §2.1-2.3), `q_*` = relational gap-table operators (SURVEY
+ * §2.4), `dedup_*`/`ann_*`/`text_*`/`multimodal_*`/`stream_*` =
+ * north-star LLM-pipeline operators.
+ *
+ * Oracle-compatibility rules used throughout (driver hashes values
+ * after sorting columns by name):
+ *  - every computed integer column is cast to BIGINT on both sides
+ *    (DuckDB len()/count() are BIGINT; Spark size()/rank() are INT);
+ *  - every computed double is round()ed identically on both sides;
+ *  - raw `ts` values are never emitted (parquet is ns, Spark
+ *    truncates to µs) — only date_trunc'd derivatives.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Pipeline-parity queries (SURVEY §2.1-2.3) — built on the typed
+  // ExecutionBuilder facade (reader → map/filter/accumulate/reshuffle/collect).
+  // ---------------------------------------------------------------------------
+
+  /** `lmrtest.countkeys` analog: partial count per shard, collect, final sum. */
+  private def lmrCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = t(s, dir, "lineitem").select($"l_orderkey").as[Long]
+    ExecutionBuilder.reader(keys)
+      .accumulate(0L)((acc, _) => acc + 1L)  // per-partition partial (shard-local)
+      .collect()                             // gather to initiator
+      .accumulate(0L)((acc, n) => acc + n)   // final global sum
+      .toDF.withColumnRenamed("value", "cnt")
+  }
+
+  /** `readallstringkeys` analog: filter by type, map to a key string. */
+  private def lmrFilterMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+    ExecutionBuilder.reader(orders)
+      .filter(_._2 == "O")
+      .map(r => "order:" + r._1)
+      .toDF.withColumnRenamed("value", "key")
+  }
+
+  /** `replacekeysvalues` analog: read→filter→map→reshuffle→map→collect ETL. */
+  private def lmrReshuffleEtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      .as[(Long, String, String)]
+    implicit val byKey: MRRecord[(String, String)] = MRRecord(_._1)
+    ExecutionBuilder.reader(orders)
+      .filter(_._2 == "O")
+      .map(r => ("order:" + r._1, r._3.toUpperCase))
+      .reshuffle()                            // co-locate by CRC16 slot of key
+      .map(kv => (kv._1, kv._2 + "!"))        // per-slot write-back stage
+      .collect()
+      .toDataset.toDF("key", "value")
+  }
+
+  /** `lmrtest.dbsize` analog: per-shard size via RunOnAllShards, summed. */
+  private def lmrDbsize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").select($"c_custkey").as[Long]
+    val perShard = Remote.runOnAllShards(cust)(it => it.size.toLong)
+      .getOrElse(Seq.empty)
+    s.createDataset(Seq(perShard.sum)).toDF("dbsize")
+  }
+
+  /**
+   * Error-channel semantics (pytests/test_errors.py): every record
+   * errors in the map step; the execution still completes with
+   * [0 results, N errors].
+   */
+  private def lmrErrorChannel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders").select($"o_orderkey").as[Long]
+    val res = ExecutionBuilder.reader(orders)
+      .map[Long](k => throw new IllegalStateException("injected error for key " + k))
+      .collect()
+      .run()
+    s.createDataset(Seq((res.results.size.toLong, res.errors.size.toLong)))
+      .toDF("n_results", "n_errors")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Relational surface (SURVEY §2.4 gap table, exposed via Spark built-ins)
+  // ---------------------------------------------------------------------------
+
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count("*").as("count_order"))
+
+  private def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count("*").as("n_items"))
+  }
+
+  private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        round(col("o_totalprice"), 2).as("total"))
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count("*").as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+  }
+
+  private def qIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+
+  private def qExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n_customers_no_orders"))
+  }
+
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count("*").as("n_orders"))
+  }
+
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).cast("long").as("name_len"),
+      round(col("p_retailprice") * 1.1, 2).as("inflated"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("tag"),
+      abs(col("p_size") - 25).cast("long").as("size_dev"))
+
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+        month(col("l_shipdate")).cast("long").as("m"))
+      .agg(count("*").as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        count("*").as("n_items"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedCounts(t(s, dir, "events"))
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionCounts(t(s, dir, "events"))
+
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingSessions(t(s, dir, "events"))
+      .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
+        col("n_events"))
+
+  /** Redis-slot partitioning demo: CRC16 slot histogram (custom codegen'd expression). */
+  private def qCrc16Slots(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(crc16_slot(concat(lit("cust:"), col("c_custkey"))).as("slot"))
+      .groupBy((col("slot") % 32).as("bucket"))
+      .agg(count("*").as("n"))
+
+  // ---------------------------------------------------------------------------
+  // North-star LLM-pipeline operators
+  // ---------------------------------------------------------------------------
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(t(s, dir, "documents"))
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7)
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.7)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 3)
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
+
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"))
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(s, dir, "documents"))
+      .withColumn("ws_tokens", col("ws_tokens").cast("long"))
+      .withColumn("re_tokens", col("re_tokens").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(s, dir, "documents"))
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.attachBinary(t(s, dir, "documents"))
+      .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(Multimodal.attachBinary(t(s, dir, "documents")))
+
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pipeline parity
+    "lmr_count" -> (lmrCount _),
+    "lmr_filter_map" -> (lmrFilterMap _),
+    "lmr_reshuffle_etl" -> (lmrReshuffleEtl _),
+    "lmr_dbsize" -> (lmrDbsize _),
+    "lmr_error_channel" -> (lmrErrorChannel _),
+    // relational gap table
+    "q1_pricing" -> (q1Pricing _),
+    "q3_topk_revenue" -> (q3TopkRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q_window_latest_orders" -> (qWindowLatestOrders _),
+    "q_rollup" -> (qRollup _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "stream_sessions" -> (qStreamSessions _),
+    "q_crc16_slots" -> (qCrc16Slots _),
+    // north-star LLM ops
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_decode" -> (multimodalDecode _),
+  )
+
+  private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
+
+  def oracleSql: Map[String, String] = Map(
+    "lmr_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "lmr_filter_map" ->
+      "SELECT concat('order:', o_orderkey) AS key FROM orders WHERE o_orderstatus = 'O'",
+    "lmr_reshuffle_etl" ->
+      ("SELECT concat('order:', o_orderkey) AS key, concat(upper(o_orderpriority), '!') AS value " +
+        "FROM orders WHERE o_orderstatus = 'O'"),
+    "lmr_dbsize" -> "SELECT count(*) AS dbsize FROM customer",
+    "lmr_error_channel" ->
+      "SELECT CAST(0 AS BIGINT) AS n_results, count(*) AS n_errors FROM orders",
+    "q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q3_topk_revenue" ->
+      ("SELECT l_orderkey, o_orderpriority, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY l_orderkey, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_nation_revenue" ->
+      ("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"),
+    "q_window_latest_orders" ->
+      ("SELECT o_custkey, o_orderkey, rn, total FROM (" +
+        "SELECT o_custkey, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn, " +
+        "round(o_totalprice, 2) AS total FROM orders) WHERE rn <= 3"),
+    "q_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)"),
+    "q_intersect" ->
+      ("SELECT DISTINCT c_nationkey AS nationkey FROM customer " +
+        "INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier"),
+    "q_except" ->
+      ("SELECT DISTINCT c_nationkey AS nationkey FROM customer " +
+        "EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier"),
+    "q_anti_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers_no_orders FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment"),
+    "q_semi_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49) " +
+        "GROUP BY o_orderpriority"),
+    "q_scalar_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len, " +
+        "round(p_retailprice * 1.1, 2) AS inflated, substring(p_type, 1, 5) AS type5, " +
+        "concat_ws('#', p_brand, p_type) AS tag, " +
+        "CAST(abs(p_size - 25) AS BIGINT) AS size_dev FROM part"),
+    "q_date_funcs" ->
+      ("SELECT year(l_shipdate) AS y, month(l_shipdate) AS m, count(*) AS n, " +
+        "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY y, m"),
+    "q_distinct_agg" ->
+      ("SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items, " +
+        "round(avg(l_discount), 4) AS avg_disc FROM lineitem GROUP BY l_suppkey"),
+    "q_events_window" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY win_start, event_type"),
+    "q_sessionize" ->
+      ("WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
+        "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, " +
+        "count(*) AS n_events FROM d GROUP BY user_id"),
+    "stream_sessions" ->
+      ("WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) " +
+        "SELECT user_id, date_trunc('second', min(ts)) AS session_start, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, session_id"),
+    "dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
+    "dedup_ngram_jaccard" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"),
+    "ann_bruteforce" ->
+      ("SELECT query_id, rank, neighbor_id, cos FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, " +
+        "c.vec_id) AS BIGINT) AS rank " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
+        "WHERE q.vec_id < 10) WHERE rank <= 5"),
+    "text_quality" ->
+      ("WITH m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
+        "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) AS avg_token_len, " +
+        "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " + stopwordsSql + ")) " +
+        "* 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio, " +
+        "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) AS distinct_ratio FROM documents) " +
+        "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio, " +
+        "round(least(n_tokens / 64.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.2 " +
+        "+ distinct_ratio * 0.4, 4) AS quality FROM m"),
+    "text_langid" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','is','to','a'))) AS s_en, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des','un'))) AS s_fr, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','los','que','un'))) AS s_es, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ein','ist'))) AS s_de, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('de','shi','le','bu','wo','zai'))) AS s_zh " +
+        "FROM documents), m AS (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS mx FROM s) " +
+        "SELECT doc_id, CASE WHEN s_en = mx AND mx > 0 THEN 'en' " +
+        "WHEN s_fr = mx AND mx > 0 THEN 'fr' WHEN s_es = mx AND mx > 0 THEN 'es' " +
+        "WHEN s_de = mx AND mx > 0 THEN 'de' WHEN s_zh = mx AND mx > 0 THEN 'zh' " +
+        "ELSE 'und' END AS pred_lang FROM m"),
+    "text_tokens" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens, " +
+        "length(text) AS n_chars FROM documents"),
+    "multimodal_meta" ->
+      ("SELECT doc_id, 'text/plain' AS mime, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
+  )
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-sketch primitives for large-scale dedup, as native Catalyst
+ * expressions over a token array column (`array<string>`). The
+ * reference has no text operators (SURVEY §2.4); these are the
+ * north-star LLM-pipeline sketches:
+ *
+ *  - [[MinHashSigExpr]]: k-permutation MinHash signature — banded into
+ *    LSH buckets it finds near-duplicate documents without the O(n²)
+ *    pair scan.
+ *  - [[SimHashExpr]]: 64-bit Charikar simhash — hamming-close docs are
+ *    near-dups.
+ *  - [[RollingHashExpr]]: order-sensitive polynomial fingerprint —
+ *    exact-content identity cheaper than comparing full text.
+ *
+ * All hashing is seeded & deterministic (no RNG state on executors) so
+ * results are reproducible across runs and cluster sizes.
+ */
+object TextOps {
+  /** 64-bit avalanche mix (splitmix64 finalizer — public domain algorithm). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes, then avalanched. */
+  def hashToken(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /**
+   * MinHash signature of a token set: one base hash per token, k
+   * virtual permutations via seeded remixing. Returns array<long> of
+   * length k. Empty input → all Long.MaxValue (never matches a
+   * non-empty doc's band).
+   */
+  def minhashSig(tokens: ArrayData, k: Int, seed: Long): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val base = hashToken(tokens.getUTF8String(t))
+        var i = 0
+        while (i < k) {
+          val h = mix64(base ^ (seed + i * 0x9E3779B97F4A7C15L))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit simhash over token hashes (unweighted). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = hashToken(tokens.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Order-sensitive polynomial rolling hash over token hashes. */
+  def rollingHash(tokens: ArrayData): Long = {
+    var h = 1125899906842597L
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val th = if (tokens.isNullAt(t)) 0L else hashToken(tokens.getUTF8String(t))
+      h = h * 31L + th
+      t += 1
+    }
+    h
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(in: Any): Any =
+    TextOps.minhashSig(in.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.minhashSig($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(in: Any): Any =
+    TextOps.simhash64(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+}
+
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(in: Any): Any =
+    TextOps.rollingHash(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHashExpr = copy(child = c)
+}
+
+object TextFunctions {
+  /** k-long MinHash signature column over an `array<string>` tokens column. */
+  def minhash_sig(tokens: Column, k: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(tokens), k, seed))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  def rolling_hash(tokens: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(tokens)))
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Vector math over `array<float>` / `array<double>` embedding columns,
+ * as native Catalyst expressions (whole-stage codegen; double
+ * accumulation regardless of element type, so results are stable and
+ * oracle-comparable).
+ *
+ * The reference engine has no vector ops (SURVEY §2.4) — these are the
+ * north-star similarity-search primitives for LLM-scale data
+ * pipelines: cosine top-k, LSH bucketing (via [[RandomProjExpr]]), and
+ * embedding near-dup detection build on them.
+ */
+object VectorOps {
+  /** Called from generated code. Double-accumulated cosine similarity. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /**
+   * Sign-bit sketch of a vector against `k` deterministic random
+   * hyperplanes (seeded xorshift — no RNG state on executors): the
+   * classic random-projection LSH for cosine distance. Vectors with
+   * high cosine similarity agree on most bits, so equal sketch
+   * prefixes form ANN candidate buckets.
+   */
+  def randomProjBitsF(a: ArrayData, k: Int, seed: Long): Long = {
+    val n = a.numElements()
+    var bits = 0L
+    var h = 0
+    while (h < k) {
+      // per-(plane,dim) pseudo-random gaussian-ish weight in [-1,1)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        var z = seed + h.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val w = (z.toDouble / Long.MaxValue.toDouble) // [-1,1]
+        acc += w * a.getFloat(i)
+        i += 1
+      }
+      if (acc >= 0) bits |= (1L << h)
+      h += 1
+    }
+    bits
+  }
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two embedding arrays. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isFloat) VectorOps.cosineF(x, y) else VectorOps.cosineD(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "cosineF" else "cosineD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `rand_proj_bits(vec)` — k-bit random-hyperplane LSH sketch. */
+case class RandomProjExpr(child: Expression, k: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rand_proj_bits"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.randomProjBitsF(a.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.randomProjBitsF($a, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): RandomProjExpr = copy(child = c)
+}
+
+object VectorFunctions {
+  /** Cosine similarity as a Column function (codegen'd, no UDF). */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def rand_proj_bits(v: Column, k: Int = 16, seed: Long = 42L): Column =
+    ColumnBridge.column(RandomProjExpr(ColumnBridge.expression(v), k, seed))
+
+  def crc16_slot(c: Column): Column =
+    ColumnBridge.column(Crc16SlotExpr(ColumnBridge.expression(c)))
+}

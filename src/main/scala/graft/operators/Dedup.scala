@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/**
+ * Large-scale document deduplication — the north-star LLM-pipeline
+ * operators (SURVEY §2.4 "North-star additions"). The reference
+ * engine has none of these; each is designed for the 100 TB case:
+ * no O(n²) pair scan — candidates come from an inverted index
+ * (shingles), LSH bands (MinHash), chunk buckets (SimHash), or
+ * projection buckets (embeddings), so the expensive verification
+ * join only touches plausible pairs. All shuffles are keyed by
+ * content hashes, which are uniformly distributed → no skew.
+ */
+object Dedup {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /**
+   * Exact dedup via content hash: one hash-shuffle, map-side partial
+   * aggregation. Output: one row per duplicated content hash.
+   */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(count("*").as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Keep one representative (min id) per exact content hash. */
+  def dropExactDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    // one shingle per start position i in [1, len-n+1] (1-based slice)
+    val sh = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+   * docs sharing ≥1 shingle are candidates; jaccard = |∩|/|∪| over
+   * distinct shingle sets. The shingle join is the scale lever: with
+   * n≥5 shingles are near-unique, so posting lists stay short and the
+   * candidate set is ~linear in the number of true near-dups.
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val sizes = sh.groupBy("id").agg(count("*").as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * MinHash + LSH banding near-dup pairs (the scalable path at
+   * 100 TB): k-long signature per doc (one pass), split into `bands`
+   * bands; docs sharing any band hash are candidates; candidates are
+   * verified with exact token-set Jaccard. Probability a pair with
+   * jaccard s becomes a candidate: 1-(1-s^(k/bands))^bands.
+   */
+  def minhashNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, shingleN: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sh = shingles(docs, shingleN, textCol, idCol)
+    val shingleSets = sh.groupBy("id").agg(collect_list("shingle").as("sh_set"))
+    val sigs = shingleSets.select(col("id"), col("sh_set"),
+      minhash_sig(col("sh_set"), k).as("sig"))
+    // band index b -> hash of sig[b*r .. b*r+r)
+    val bandz = sigs.select(col("id"), col("sh_set"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val a = bandz.as("a"); val b = bandz.as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh_set").as("a_sh"), col("b.sh_set").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    // verify: exact jaccard over the carried shingle sets (no extra join)
+    cand
+      .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("n_inter") / (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit sketch; candidates share one of 4
+   * 16-bit chunks (any pair within hamming distance 3 must agree on
+   * ≥1 chunk — pigeonhole); verify hamming ≤ maxHamming.
+   */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sk"))
+    val chunks = sk.select(col("id"), col("sk"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sk"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /**
+   * Embedding near-dup pairs: random-projection LSH buckets (multiple
+   * independent sketches to boost recall), verify cosine ≥ threshold.
+   */
+  def embeddingNearDupPairs(embs: DataFrame, threshold: Double = 0.95,
+      bits: Int = 12, tables: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val buckets = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        rand_proj_bits(col(vecCol), bits, seed = 1000 + t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+}

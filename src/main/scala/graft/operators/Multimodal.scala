@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing (north-star, SURVEY §2.4): media
+ * payloads are opaque `binary` columns travelling next to a typed
+ * metadata struct; decode / feature-extraction runs as a
+ * partition-batched transform so a real decoder (image/audio libs)
+ * can drop in without changing the plan shape.
+ *
+ * STUB NOTE: this container has no media codecs, so `decodeStub`
+ * below is a clearly-marked deterministic fake (byte statistics in
+ * place of pixels). The Spark-side plumbing — schema, batch
+ * iteration, partitioning, output shape — is real and tested; a
+ * production deployment swaps `stubFeatures` for the actual codec
+ * call.
+ */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /**
+   * Promote a text corpus to the multimodal layout: payload =
+   * UTF-8 bytes (standing in for image/audio bytes), metadata
+   * struct alongside. At 100 TB payloads stay columnar in parquet;
+   * nothing here materializes them on the driver.
+   */
+  def attachBinary(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("source").as("source"),
+        octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
+
+  /** Output schema of the (stub) feature extractor. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false),
+    StructField("head_crc_slot", IntegerType, nullable = false)))
+
+  /**
+   * Batched "decode"/feature-extract over the binary payload —
+   * the `mapInPandas`-shaped stage of a media pipeline, expressed as
+   * `mapPartitions` (JVM-side; batch = partition iterator).
+   *
+   * STUB: `stubFeatures` computes deterministic byte statistics where
+   * a real implementation would decode pixels/samples. Swap the body,
+   * keep the signature.
+   */
+  def decodeStub(withBinary: DataFrame): DataFrame = {
+    val spark = withBinary.sparkSession
+    val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row.fromTuple(stubFeatures(id, bytes))
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Deterministic fake decoder: byte statistics standing in for real features. */
+  private def stubFeatures(id: Long, bytes: Array[Byte]): (Long, Long, Double, Int, Int) = {
+    var sum = 0L; var mx = 0; var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b; if (b > mx) mx = b; i += 1
+    }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val head = new String(bytes, 0, math.min(16, bytes.length), "UTF-8")
+    (id, bytes.length.toLong, math.rint(mean * 10000) / 10000, mx, graft.core.Slots.slot(head))
+  }
+
+  /**
+   * Frame sampling: every `stride`-th fixed-size chunk of the payload
+   * (the video-frame-sample shape: cheap slicing, no decode).
+   */
+  def frameSample(withBinary: DataFrame, chunk: Int = 64, stride: Int = 4): DataFrame =
+    withBinary.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (octet_length(col("payload")) / (chunk * stride)).cast(IntegerType)),
+        i => substring(col("payload"), i * chunk * stride + 1, lit(chunk)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .filter(octet_length(col("frame")) > 0)
+}

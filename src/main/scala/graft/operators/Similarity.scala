@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (north-star similarity-search operators, SURVEY §2.4).
+ *
+ * Scale design: the brute-force path broadcasts the (small) query
+ * set and scans the corpus once — a single narrow pass, no shuffle
+ * of the corpus, embarrassingly parallel at 100 TB. The LSH path
+ * buckets the corpus by random-projection sketch so each query only
+ * probes its own buckets — the corpus-side join key is the sketch,
+ * so the big side shuffles once and bucket skew is bounded by 2^bits
+ * uniformity.
+ */
+object Similarity {
+
+  /**
+   * Exact top-k neighbors for each query vector by cosine, via
+   * broadcast cross join + per-query window rank. Deterministic
+   * tiebreak on neighbor id.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /**
+   * LSH-bucketed ANN: probe `tables` independent random-projection
+   * sketches; union of bucket-mates forms the candidate set, ranked
+   * exactly. Recall < 1 by construction; raise `tables` / lower
+   * `bits` to trade cost for recall.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      bits: Int = 8, tables: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    def sketched(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(array((0 until tables).map(t =>
+          rand_proj_bits(col(vecCol), bits, seed = 2000 + t)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val c = sketched(corpus, "neighbor_id", "cv")
+    val q = sketched(queries, "query_id", "qv")
+    val cand = c.join(broadcast(q),
+        Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

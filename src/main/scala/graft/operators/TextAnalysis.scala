@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Text-analysis operators for training-data pipelines (north-star,
+ * SURVEY §2.4): token counting, quality scoring, language ID,
+ * fingerprinting. All are single-pass narrow transforms built from
+ * codegen'd built-ins (+ the custom sketch expressions) — they
+ * pipeline inside one stage and scale linearly.
+ *
+ * Every heuristic is deterministic and oracle-expressible where the
+ * function surface allows (see SparkEntry.oracleSql); the hash-based
+ * fingerprints are deterministic but engine-specific (rows-only
+ * verification).
+ */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count + a BPE-ish regex token count (letters / digits / other-symbol runs). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "or", "in", "on", "to", "is")
+
+  /**
+   * Quality metrics: token count, average token length, stopword
+   * ratio, distinct-token ratio, plus a composite [0,1] score
+   * (length-normalized, stopword-balanced, repetition-penalized) —
+   * the standard cheap pre-filters applied before expensive dedup in
+   * a training-data pipeline.
+   */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val nDistinct = size(array_distinct(toks))
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      round((length(col(textCol)) - (nTok - lit(1))) / nTok, 4).as("avg_token_len"),
+      round(nStop / nTok, 4).as("stopword_ratio"),
+      round(nDistinct / nTok, 4).as("distinct_ratio"))
+      .withColumn("quality",
+        round(least(col("n_tokens") / lit(64.0), lit(1.0)) * lit(0.4)
+          + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2)
+          + col("distinct_ratio") * lit(0.4), 4))
+  }
+
+  /**
+   * Language-marker table for the heuristic classifier: per language,
+   * a small set of high-frequency function words. Deterministic
+   * argmax with fixed priority order (en > fr > es > de > zh) on
+   * ties.
+   */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "la", "de", "los", "que", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  /**
+   * N-gram/stopword-heuristic language ID: score = count of
+   * language-marker tokens; predict the max-scoring language,
+   * "und" (undetermined) when every score is 0.
+   */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: langMarkers.map { case (lang, markers) =>
+        size(filter(toks, t => t.isin(markers: _*))).as(s"s_$lang")
+      }): _*)
+    val best = langMarkers.map(m => col(s"s_${m._1}"))
+    val maxScore = greatest(best: _*)
+    // fixed priority: first language reaching the max wins
+    val pred = langMarkers.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"s_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col(idCol), col("pred_lang"))
+  }
+
+  /** Deterministic document fingerprints: order-sensitive rolling hash + simhash sketch. */
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      rolling_hash(toks).as("fingerprint"),
+      simhash64(toks).as("simhash"))
+  }
+}

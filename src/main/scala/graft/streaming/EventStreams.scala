@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured-Streaming surface over the `events` table shape. The
+ * reference is batch-only (SURVEY §2.4: streaming absent); this is
+ * the north-star extension expressed the Spark-native way:
+ * `readStream` → watermark → windowed aggregation / session windows.
+ *
+ * Every streaming query here has a batch twin with identical
+ * semantics (used by the DuckDB oracle): the streaming plan is the
+ * same logical plan plus watermark-driven state eviction.
+ */
+object EventStreams {
+
+  /** On-disk schema: `ts` is parquet TIMESTAMP(NANOS), surfaced as long (see [[graft.Tables.events]]). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet (ns ts → µs TimestampType). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawEventSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /**
+   * Tumbling-window counts per event type with a watermark bounding
+   * state. Works on both a streaming and a batch DataFrame.
+   */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /**
+   * Session windows (gap-based) per user — streaming native via
+   * `session_window`; state size bounded by the watermark.
+   */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+  }
+
+  /**
+   * Batch sessionization via lag/cumsum (the oracle-friendly twin of
+   * `streamingSessions`): a new session starts after a gap >
+   * `gapMinutes`. Returns per-user session counts.
+   */
+  def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count("*").as("n_events"))
+  }
+}
