@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.Slots
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Custom Catalyst expressions: values, nulls, and codegen-path execution. */
+class ExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("crc16_slot matches the pure-Scala Slots.slot under codegen") {
+    val keys = Seq("a", "key:1", "foo{bar}", "123456789", "")
+    val got = keys.toDF("k").select(col("k"), crc16_slot(col("k")).as("s")).collect()
+    got.foreach(r => assert(r.getInt(1) === Slots.slot(r.getString(0))))
+  }
+
+  test("cosine_sim on float arrays: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "want")
+    df.select(cosine_sim(col("a"), col("b")).as("got"), col("want")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine_sim null propagates") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(cosine_sim(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("minhash signature: deterministic, k-long, permutation-invariant on token order") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")),   // same set, different order
+      (3L, Seq("x", "y", "z"))
+    ).toDF("id", "toks").select(col("id"), minhash_sig(col("toks"), k = 32).as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).size === 32)
+    assert(rows(1L) === rows(2L))     // set semantics
+    assert(rows(1L) !== rows(3L))
+  }
+
+  test("simhash of identical token lists is equal; near lists are hamming-close") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("id", "toks").select(col("id"), simhash64(col("toks")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(TextOps.hamming64(h(1L), h(3L)) <= 12)
+    assert(TextOps.hamming64(h(1L), h(4L)) > 12)
+  }
+
+  test("rolling_hash is order-sensitive, unlike minhash") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("b", "a"))).toDF("id", "toks")
+      .select(col("id"), rolling_hash(col("toks")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) !== h(2L))
+  }
+
+  test("rand_proj_bits: deterministic and similar vectors share more bits") {
+    val v = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val nearV = v.clone(); nearV(0) = v(0) + 0.01f
+    val farV = Array.tabulate(64)(i => math.cos(i * 3).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, nearV), (4L, farV)).toDF("id", "v")
+      .select(col("id"), rand_proj_bits(col("v"), k = 16).as("b"))
+    val b = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+    assert(TextOps.hamming64(b(1L), b(3L)) <= TextOps.hamming64(b(1L), b(4L)))
+  }
+}

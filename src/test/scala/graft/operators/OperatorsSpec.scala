@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Dedup / similarity / text operators on small synthetic corpora with planted duplicates. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val near = "the quick brown fox jumps over the lazy dog again and again until finished"
+    val other1 = "completely different content about spark catalyst optimizer internals here now"
+    val other2 = "yet another unrelated document mentioning minhash banding and lsh buckets today"
+    Seq(
+      (0L, base), (1L, base),          // exact dups
+      (2L, near),                      // near dup of 0/1
+      (3L, other1), (4L, other2)
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDupGroups finds the planted exact duplicate") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_copies") === 2L)
+    assert(groups.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("dropExactDups keeps one representative per content") {
+    val kept = Dedup.dropExactDups(docs)
+    assert(kept.count() === 4)
+    assert(kept.filter(col("doc_id") === 1L).count() === 0)
+  }
+
+  test("ngramJaccardPairs finds exact and near pairs with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).contains((0L, 1L)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 === 1.0)
+    assert(pairs.exists(p => p._2 == 2L && p._3 < 1.0))  // near-dup pair found
+  }
+
+  test("minhashNearDupPairs recalls the planted near-dup cluster") {
+    val pairs = Dedup.minhashNearDupPairs(docs, k = 64, bands = 32, threshold = 0.5, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))  // exact pair must always survive banding
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
+  }
+
+  test("simhashNearDupPairs links exact dups at hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("embedding near-dups and ANN agree on a planted duplicate vector") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v1b = v1.map(x => x * 1.0001f)               // same direction
+    val v2 = Array.tabulate(16)(i => math.cos(i * 2 + 1).toFloat)
+    val v3 = Array.tabulate(16)(i => ((i % 3) - 1).toFloat)
+    val embs = Seq((0L, v1), (1L, v1b), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+
+    val nd = Dedup.embeddingNearDupPairs(embs, threshold = 0.99, bits = 8, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.contains((0L, 1L)))
+
+    val topk = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(topk.head === ((0L, 1L, 1L)))  // nearest neighbor of v1 is its duplicate
+  }
+
+  test("lshTopK candidates are a subset ranked identically to brute force") {
+    val embs = (0L until 50L).map { i =>
+      (i, Array.tabulate(32)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(embs, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(embs, q, k = 3, bits = 4, tables = 8).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit that brute force also ranked must carry the same cos value
+    lsh.foreach { r =>
+      assert(r.getAs[Double]("cos") <= 1.0 + 1e-9)
+    }
+    assert(bf.nonEmpty)
+  }
+
+  test("quality metrics are computed per document") {
+    val q = TextAnalysis.qualityScore(docs).collect().map(r =>
+      r.getAs[Long]("doc_id").toString -> r).toMap
+    // doc 0: "the" appears twice, "and" once, in 14 tokens
+    val d0 = q("0")
+    assert(d0.getAs[Int]("n_tokens") === 14)
+    assert(d0.getAs[Double]("stopword_ratio") > 0.2)
+    assert(d0.getAs[Double]("quality") > 0 && d0.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("langId prefers the language whose markers dominate") {
+    val multi = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "le chat et la maison des les amis un jour"),
+      (3L, "qqq www eee")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(multi).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+    assert(got(3L) === "und")
+  }
+
+  test("multimodal plumbing: binary payload round-trips through the stub decoder") {
+    val withBin = Multimodal.attachBinary(docs.withColumn("source", lit("src")))
+    val feats = Multimodal.decodeStub(withBin).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats.size === 5)
+    assert(feats(0L).getAs[Long]("n_bytes") === docs.filter(col("doc_id") === 0)
+      .head().getAs[String]("text").getBytes("UTF-8").length.toLong)
+    assert(feats(0L).getAs[Double]("mean_byte") > 0)
+    // exact dups produce identical stub features
+    assert(feats(0L).getAs[Double]("mean_byte") === feats(1L).getAs[Double]("mean_byte"))
+  }
+}

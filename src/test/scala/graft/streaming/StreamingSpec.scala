@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/**
+ * Structured Streaming equivalence: the streaming windowed-count query
+ * over the events fixture must converge to exactly the batch result
+ * (memory sink + processAllAvailable drives the file stream to the end).
+ */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming windowed counts equal the batch twin") {
+    // FileStreamSource needs a directory; stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val agg = EventStreams.windowedCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.windowedCounts(Tables.events(spark, SparkTestSession.sfDir))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("session windows: every user session respects the gap") {
+    val sessions = EventStreams.streamingSessions(Tables.events(spark, SparkTestSession.sfDir))
+    val n = sessions.count()
+    assert(n > 0)
+    // session count per user equals the lag-based batch sessionizer's
+    val lagBased = EventStreams.sessionCounts(Tables.events(spark, SparkTestSession.sfDir))
+    val byUserStream = sessions.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUserLag = lagBased.collect().map(r => r.getLong(0) -> r.getAs[Long]("n_sessions")).toMap
+    assert(byUserStream === byUserLag)
+  }
+}
