@@ -445,7 +445,7 @@ object SparkEntry {
         "len(string_split(lower(text), ' ')), 4) AS distinct_ratio FROM documents) " +
         "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio, " +
         "round(least(n_tokens / 64.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.2 " +
-        "+ distinct_ratio * 0.4, 4) AS quality FROM m"),
+        "+ distinct_ratio * 0.4, 6) AS quality FROM m"),
     "text_langid" ->
       ("WITH s AS (SELECT doc_id, " +
         "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','is','to','a'))) AS s_en, " +

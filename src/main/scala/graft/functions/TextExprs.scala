@@ -109,6 +109,169 @@ object TextOps {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * MinHash signature over PRE-HASHED tokens (array<long>). At scale
+   * the token/shingle set is hashed to 8-byte keys before any shuffle
+   * (strings never leave the scan stage); this variant consumes those
+   * hashes directly.
+   */
+  def minhashSigFromHashes(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var t = 0
+    while (t < n) {
+      if (!hashes.isNullAt(t)) {
+        val base = hashes.getLong(t)
+        var i = 0
+        while (i < k) {
+          val h = mix64(base ^ (seed + i * 0x9E3779B97F4A7C15L))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/**
+ * Single-pass text sketching — tokenize / hash / shingle / sketch in
+ * one traversal of the UTF-8 bytes, no intermediate token arrays.
+ * Composed-builtin equivalents (`split` + `transform` + `slice` +
+ * `xxhash64`) re-evaluate the split per shingle position (Catalyst
+ * CollapseProject inlines the shared subexpression), going O(tokens²)
+ * per document; these stay O(bytes).
+ */
+object TextPass {
+  /** FNV-1a + avalanche over an ASCII-lowercased byte slice. */
+  @inline private def hashSlice(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      var b = bytes(i)
+      if (b >= 'A' && b <= 'Z') b = (b | 0x20).toByte
+      h ^= (b & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    TextOps.mix64(h)
+  }
+
+  /** Callback per n-token shingle hash over space-separated tokens. */
+  private def eachShingle(text: UTF8String, n: Int)(f: Long => Unit): Unit = {
+    val bytes = text.getBytes
+    val ring = new Array[Long](n)
+    var tokCount = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        ring(tokCount % n) = hashSlice(bytes, start, i)
+        tokCount += 1
+        if (tokCount >= n) {
+          // polynomial combine of the window, oldest token first
+          var h = 1125899906842597L
+          var j = 0
+          while (j < n) { h = h * 31L + ring((tokCount + j) % n); j += 1 }
+          f(h)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+
+  /** Distinct hashed n-gram shingles of a text. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    eachShingle(text, n) { h => if (seen.add(h)) out += h }
+    new GenericArrayData(out.toArray)
+  }
+
+  /**
+   * 64-bit simhash over n-gram shingle features, one pass. Shingles
+   * (not tokens) keep the sketch discriminative on low-entropy
+   * corpora: token sets of natural documents overlap heavily, and a
+   * token-level simhash degenerates into a handful of values.
+   */
+  def simhashDoc(text: UTF8String, n: Int): Long = {
+    val counts = new Array[Int](64)
+    eachShingle(text, n) { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature straight from text — duplicates can't change a min, so no distinct set. */
+  def minhashDoc(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    eachShingle(text, n) { base =>
+      var i = 0
+      while (i < k) {
+        val h = TextOps.mix64(base ^ (seed + i * 0x9E3779B97F4A7C15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `shingle_hashes(text, n)` — distinct hashed word-n-gram shingles, one pass. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.shingleHashes(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+/** `minhash_doc(text, n, k, seed)` — k-long MinHash signature computed in the scan stage. */
+case class MinHashDocExpr(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_doc"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.minhashDoc(in.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.minhashDoc($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashDocExpr = copy(child = c)
+}
+
+/** `simhash_doc(text, n)` — 64-bit simhash over shingle features, scan-stage. */
+case class SimHashDocExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_doc"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.simhashDoc(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.simhashDoc($c, $n)")
+  override protected def withNewChildInternal(c: Expression): SimHashDocExpr = copy(child = c)
+}
+
+case class MinHashSigLongExpr(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_long"
+  override protected def nullSafeEval(in: Any): Any =
+    TextOps.minhashSigFromHashes(in.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.minhashSigFromHashes($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigLongExpr = copy(child = c)
 }
 
 case class MinHashSigExpr(child: Expression, k: Int, seed: Long) extends UnaryExpression {
@@ -148,6 +311,22 @@ object TextFunctions {
   /** k-long MinHash signature column over an `array<string>` tokens column. */
   def minhash_sig(tokens: Column, k: Int = 64, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(tokens), k, seed))
+
+  /** MinHash signature over pre-hashed (array<long>) token/shingle sets. */
+  def minhash_sig_long(hashes: Column, k: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSigLongExpr(ColumnBridge.expression(hashes), k, seed))
+
+  /** Distinct hashed word-n-gram shingles, single pass over the text bytes. */
+  def shingle_hashes(text: Column, n: Int = 5): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+
+  /** k-long MinHash signature straight from text (scan-stage, zero shuffle). */
+  def minhash_doc(text: Column, n: Int = 5, k: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashDocExpr(ColumnBridge.expression(text), n, k, seed))
+
+  /** 64-bit simhash over shingle features, straight from text. */
+  def simhash_doc(text: Column, n: Int = 5): Column =
+    ColumnBridge.column(SimHashDocExpr(ColumnBridge.expression(text), n))
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))

@@ -50,18 +50,33 @@ object Dedup {
   }
 
   /**
+   * Distinct hashed shingles per doc: (id, sh: long). Tokenize +
+   * shingle + hash happen in ONE pass over the text bytes inside the
+   * scan stage ([[graft.functions.ShingleHashesExpr]]) — at 100 TB
+   * the shuffle moves 8-byte keys, never shingle text, and the scan
+   * stays O(bytes) per document.
+   */
+  def shinglesHashed(docs: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingle_hashes(col(textCol), n)).as("sh"))
+
+  /**
    * Exact n-gram Jaccard near-dup pairs via shingle inverted index:
    * docs sharing ≥1 shingle are candidates; jaccard = |∩|/|∪| over
    * distinct shingle sets. The shingle join is the scale lever: with
    * n≥5 shingles are near-unique, so posting lists stay short and the
-   * candidate set is ~linear in the number of true near-dups.
+   * candidate set is ~linear in the number of true near-dups. All
+   * join/group keys are 8-byte shingle hashes (see [[shinglesHashed]]).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, n, textCol, idCol)
-    val sizes = sh.groupBy("id").agg(count("*").as("n_sh"))
+    val sh = shinglesHashed(docs, n, textCol, idCol)
+    // set sizes come from the scan (size of the distinct-shingle array)
+    // — no groupBy shuffle
+    val sizes = docs.select(col(idCol).as("id"),
+      size(shingle_hashes(col(textCol), n)).cast("long").as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count("*").as("n_inter"))
     inter
@@ -84,12 +99,15 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sh = shingles(docs, shingleN, textCol, idCol)
-    val shingleSets = sh.groupBy("id").agg(collect_list("shingle").as("sh_set"))
-    val sigs = shingleSets.select(col("id"), col("sh_set"),
-      minhash_sig(col("sh_set"), k).as("sig"))
-    // band index b -> hash of sig[b*r .. b*r+r)
-    val bandz = sigs.select(col("id"), col("sh_set"),
+    // signatures AND shingle sets are scan-stage expressions — no
+    // shuffle until the band self-join
+    val shingleSets = docs.select(col(idCol).as("id"),
+      shingle_hashes(col(textCol), shingleN).as("sh_set"))
+    val sigs = docs.select(col(idCol).as("id"),
+      minhash_doc(col(textCol), shingleN, k).as("sig"))
+    // slim band table (id, band_idx, band_hash) — the self-join never
+    // carries shingle arrays, so the band shuffle is 24 bytes/row
+    val bandz = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
@@ -98,11 +116,12 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.sh_set").as("a_sh"), col("b.sh_set").as("b_sh"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // verify: exact jaccard over the carried shingle sets (no extra join)
+    // verify only the (few) candidates: join the shingle sets back
     cand
+      .join(shingleSets.select(col("id").as("a_id"), col("sh_set").as("a_sh")), "a_id")
+      .join(shingleSets.select(col("id").as("b_id"), col("sh_set").as("b_sh")), "b_id")
       .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",
         col("n_inter") / (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")))
@@ -111,19 +130,30 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: 64-bit sketch; candidates share one of 4
-   * 16-bit chunks (any pair within hamming distance 3 must agree on
-   * ≥1 chunk — pigeonhole); verify hamming ≤ maxHamming.
+   * SimHash near-dup pairs: 64-bit sketch over n-gram shingle
+   * features (scan-stage, [[graft.functions.SimHashDocExpr]]);
+   * candidates share one of 4 16-bit chunks (any pair within hamming
+   * ≤ 3 agrees on ≥1 chunk — pigeonhole); verify hamming ≤
+   * maxHamming. Shingle-feature sketches stay diverse even on
+   * low-entropy corpora, so chunk buckets are near-singleton; the
+   * `maxBucket` cap is a safety valve that keeps an adversarial
+   * corpus from turning a bucket quadratic at the 100 TB design
+   * point.
    */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500,
+      shingleN: Int = 5, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sk = docs.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sk"))
+      simhash_doc(col(textCol), shingleN).as("sk"))
     val chunks = sk.select(col("id"), col("sk"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sk"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val a = chunks.as("a"); val b = chunks.as("b")
+    val small = chunks
+      .withColumn("bucket_n",
+        count("*").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = small.as("a"); val b = small.as("b")
     a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&

@@ -50,10 +50,14 @@ object TextAnalysis {
       round((length(col(textCol)) - (nTok - lit(1))) / nTok, 4).as("avg_token_len"),
       round(nStop / nTok, 4).as("stopword_ratio"),
       round(nDistinct / nTok, 4).as("distinct_ratio"))
+      // round(…, 6) is an identity here (4-decimal inputs × {0.4,0.2}
+      // weights terminate by the 5th decimal) — rounding any tighter
+      // hits exact .5 boundaries where Spark (decimal HALF_UP) and
+      // DuckDB (binary rounding) legitimately disagree.
       .withColumn("quality",
         round(least(col("n_tokens") / lit(64.0), lit(1.0)) * lit(0.4)
           + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2)
-          + col("distinct_ratio") * lit(0.4), 4))
+          + col("distinct_ratio") * lit(0.4), 6))
   }
 
   /**
