@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -229,6 +229,109 @@ object SparkEntry {
       .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
         col("n_events"))
 
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))
+
+  private def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  private def qStringMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%a%") && col("p_type").rlike("[MN]"))
+      .groupBy("p_brand")
+      .agg(count("*").as("n"))
+
+  private def qDateArith(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(avg("delay_days"), 4).as("avg_delay"),
+        max("delay_days").as("max_delay"), count("*").as("n"))
+  }
+
+  /** As-of join (merge-based union+window — one shuffle, no range blowup). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+    // right side unique per (key, time): keep max orderkey
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.asofBackward(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("o_orderkey"))
+  }
+
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+
+  /** Sketch-based percentile (approximate — rows-only check). */
+  private def qPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2)
+        .as("approx_median"))
+
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
+  /** Deterministic content-hash sampling (reproducible across engines/cluster sizes). */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "0")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  private def qRankVariants(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(lag(col("p_retailprice"), 1).over(w), 2).as("prev_price"))
+      .filter(col("rn") <= 3)
+  }
+
+  private def qCorrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_discount")), 4).as("disc_stddev"),
+        round(var_samp(col("l_tax")), 4).as("tax_var"),
+        count("*").as("n"))
+
+  private def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"),
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("returned_value"),
+        round(avg(when(col("l_quantity") > 25, col("l_quantity"))), 4).as("avg_large_qty"))
+
   /** Redis-slot partitioning demo: CRC16 slot histogram (custom codegen'd expression). */
   private def qCrc16Slots(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -313,6 +416,19 @@ object SparkEntry {
     "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_cube" -> (qCube _),
+    "q_string_match" -> (qStringMatch _),
+    "q_date_arith" -> (qDateArith _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_percentile" -> (qPercentile _),
+    "q_percentile_approx" -> (qPercentileApprox _),
+    "q_pivot" -> (qPivot _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_rank_variants" -> (qRankVariants _),
+    "q_corr_stats" -> (qCorrStats _),
+    "q_conditional_agg" -> (qConditionalAgg _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
@@ -396,6 +512,63 @@ object SparkEntry {
     "q_distinct_agg" ->
       ("SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items, " +
         "round(avg(l_discount), 4) AS avg_disc FROM lineitem GROUP BY l_suppkey"),
+    "q_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k " +
+        "FROM events GROUP BY event_type"),
+    "q_outer_join" ->
+      ("SELECT coalesce(c_mktsegment, 'NO_CUSTOMER') AS segment, " +
+        "count(o_orderkey) AS n_orders, count(DISTINCT c_custkey) AS n_customers " +
+        "FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey GROUP BY segment"),
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+    "q_string_match" ->
+      ("SELECT p_brand, count(*) AS n FROM part " +
+        "WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '[MN]') GROUP BY p_brand"),
+    "q_date_arith" ->
+      ("SELECT o_orderstatus, round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay, " +
+        "CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay, " +
+        "count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus"),
+    "q_asof_join" ->
+      ("SELECT e.event_id, o.o_orderkey FROM events e ASOF LEFT JOIN " +
+        "(SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey " +
+        "FROM orders GROUP BY o_custkey, o_orderdate) o " +
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
+    "q_percentile" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median, " +
+        "round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders GROUP BY o_orderstatus"),
+    "q_pivot" ->
+      ("SELECT user_id, count(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS view, " +
+        "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, " +
+        "count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, " +
+        "count(CASE WHEN event_type = 'error' THEN 1 END) AS error " +
+        "FROM events GROUP BY user_id"),
+    "q_sample_hash" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'"),
+    "q_rank_variants" ->
+      ("SELECT p_brand, p_partkey, rn, rk, drk, prev_price FROM (" +
+        "SELECT p_brand, p_partkey, " +
+        "row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk, " +
+        "round(lag(p_retailprice, 1) OVER w, 2) AS prev_price FROM part " +
+        "WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)) " +
+        "WHERE rn <= 3"),
+    "q_corr_stats" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr, " +
+        "round(stddev_samp(l_discount), 4) AS disc_stddev, " +
+        "round(var_samp(l_tax), 4) AS tax_var, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q_conditional_agg" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted, " +
+        "round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value, " +
+        "round(avg(CASE WHEN l_quantity > 25 THEN l_quantity END), 4) AS avg_large_qty " +
+        "FROM lineitem GROUP BY l_linestatus"),
     "q_events_window" ->
       ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY win_start, event_type"),
