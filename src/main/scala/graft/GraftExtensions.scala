@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/**
+ * SQL surface of the engine: registers every custom Catalyst
+ * expression in the session's FunctionRegistry so `spark.sql(...)`
+ * and `expr(...)` users get the same operators as the Scala API.
+ *
+ * Two deployment paths (both idiomatic Spark):
+ *  - config: `spark.sql.extensions=graft.GraftExtensions`
+ *  - code:   `GraftExtensions.register(spark)` on an existing session.
+ *
+ * Literal-argument convention: the sketch parameters (k, n, seed) are
+ * plan-time constants — they must be foldable literals, mirroring how
+ * the reference bakes step args into the serialized execution
+ * (reference: src/mr.c:191-195,1259-1277).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a long literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** name -> (info, builder). Arity-checked builders over the custom expressions. */
+  val functions: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
+    "crc16_slot" -> (info("crc16_slot",
+      "crc16_slot(key) - Redis-cluster slot (CRC16(hashtag) mod 16384) of a string key"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k) => Crc16SlotExpr(k)
+        case _ => throw new IllegalArgumentException("crc16_slot(key)")
+      }),
+    "cosine_sim" -> (info("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double array columns"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimExpr(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+      }),
+    "rand_proj_bits" -> (info("rand_proj_bits",
+      "rand_proj_bits(vec[, k[, seed]]) - k-bit random-hyperplane LSH sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => RandomProjExpr(v, 16, 42L)
+        case Seq(v, k) => RandomProjExpr(v, intArg(k, "k", "rand_proj_bits"), 42L)
+        case Seq(v, k, s) => RandomProjExpr(v, intArg(k, "k", "rand_proj_bits"),
+          longArg(s, "seed", "rand_proj_bits"))
+        case _ => throw new IllegalArgumentException("rand_proj_bits(vec[, k[, seed]])")
+      }),
+    "minhash_sig" -> (info("minhash_sig",
+      "minhash_sig(tokens[, k[, seed]]) - k-long MinHash signature of a token array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSigExpr(t, 64, 42L)
+        case Seq(t, k) => MinHashSigExpr(t, intArg(k, "k", "minhash_sig"), 42L)
+        case Seq(t, k, s) => MinHashSigExpr(t, intArg(k, "k", "minhash_sig"),
+          longArg(s, "seed", "minhash_sig"))
+        case _ => throw new IllegalArgumentException("minhash_sig(tokens[, k[, seed]])")
+      }),
+    "minhash_doc" -> (info("minhash_doc",
+      "minhash_doc(text[, n[, k[, seed]]]) - scan-stage MinHash signature over word n-grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashDocExpr(t, 5, 64, 42L)
+        case Seq(t, n) => MinHashDocExpr(t, intArg(n, "n", "minhash_doc"), 64, 42L)
+        case Seq(t, n, k) => MinHashDocExpr(t, intArg(n, "n", "minhash_doc"),
+          intArg(k, "k", "minhash_doc"), 42L)
+        case Seq(t, n, k, s) => MinHashDocExpr(t, intArg(n, "n", "minhash_doc"),
+          intArg(k, "k", "minhash_doc"), longArg(s, "seed", "minhash_doc"))
+        case _ => throw new IllegalArgumentException("minhash_doc(text[, n[, k[, seed]]])")
+      }),
+    "shingle_hashes" -> (info("shingle_hashes",
+      "shingle_hashes(text[, n]) - distinct hashed word n-gram shingles, one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => ShingleHashesExpr(t, 5)
+        case Seq(t, n) => ShingleHashesExpr(t, intArg(n, "n", "shingle_hashes"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
+      }),
+    "simhash_doc" -> (info("simhash_doc",
+      "simhash_doc(text[, n]) - 64-bit simhash over word n-gram shingle features"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashDocExpr(t, 5)
+        case Seq(t, n) => SimHashDocExpr(t, intArg(n, "n", "simhash_doc"))
+        case _ => throw new IllegalArgumentException("simhash_doc(text[, n])")
+      }),
+    "simhash64" -> (info("simhash64",
+      "simhash64(tokens) - 64-bit simhash of a token array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashExpr(t)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }),
+    "rolling_hash" -> (info("rolling_hash",
+      "rolling_hash(tokens) - order-sensitive polynomial fingerprint of a token array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => RollingHashExpr(t)
+        case _ => throw new IllegalArgumentException("rolling_hash(tokens)")
+      }),
+  )
+
+  /** Register on an already-built session (alternative to spark.sql.extensions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Slots
+
+/** SQL surface: every custom expression callable from spark.sql after registration. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("crc16_slot from SQL matches the Scala implementation") {
+    val r = spark.sql("SELECT crc16_slot('foo{bar}') AS s, crc16_slot('123456789') AS v").head()
+    assert(r.getInt(0) === Slots.slot("bar"))
+    assert(r.getInt(1) === (0x31c3 & 16383))
+  }
+
+  test("cosine_sim and rand_proj_bits from SQL") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "rand_proj_bits(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 8, 7) AS b").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) >= 0)
+  }
+
+  test("text sketches from SQL: minhash_doc, simhash_doc, shingle_hashes, rolling_hash") {
+    val r = spark.sql(
+      "SELECT size(minhash_doc('a b c d e f g', 3, 16)) AS mk, " +
+        "simhash_doc('a b c d e f g', 3) AS sh, " +
+        "size(shingle_hashes('a b c d e f g', 3)) AS nsh, " +
+        "rolling_hash(array('a','b')) AS rh").head()
+    assert(r.getInt(0) === 16)
+    assert(r.getInt(2) === 5)   // 7 tokens -> 5 trigram shingles
+    assert(r.getLong(3) !== 0L)
+  }
+
+  test("sketch parameters must be literals") {
+    val docsView = spark.range(3).selectExpr("CAST(id AS INT) AS n", "'a b c' AS t")
+    docsView.createOrReplaceTempView("ext_docs")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(t, n) FROM ext_docs").collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+  }
+
+  test("extensions class wires the same functions via injectFunction") {
+    // builder-path smoke: the class applies cleanly to a fresh extensions object
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must not throw
+    assert(GraftExtensions.functions.map(_._1).distinct.size === GraftExtensions.functions.size)
+  }
+}
