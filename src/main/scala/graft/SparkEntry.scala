@@ -332,6 +332,61 @@ object SparkEntry {
           .otherwise(lit(0.0))), 2).as("returned_value"),
         round(avg(when(col("l_quantity") > 25, col("l_quantity"))), 4).as("avg_large_qty"))
 
+  /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin)
+  }
+
+  /** Correlated EXISTS + scalar subquery via the SQL surface. */
+  private def qSubqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_rich_active
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** Custom typed Aggregator (LibMR `accumulate` analog) as a registered UDAF. */
+  private def qUdafWeighted(s: SparkSession, dir: String): DataFrame = {
+    val wmean = udaf(graft.functions.Aggregators.WeightedMean)
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(wmean(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        count("*").as("n"))
+  }
+
+  private def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+
+  /** Running (cumulative) revenue per returnflag by ship month — window prefix sum. */
+  private def qCumulative(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("y"),
+        month(col("l_shipdate")).cast("long").as("m"))
+      .agg(sum("l_extendedprice").as("rev"))
+    val w = Window.partitionBy("l_returnflag").orderBy("y", "m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("cum_rev", round(sum("rev").over(w), 2))
+      .select(col("l_returnflag"), col("y"), col("m"), round(col("rev"), 2).as("rev"),
+        col("cum_rev"))
+  }
+
   /** Redis-slot partitioning demo: CRC16 slot histogram (custom codegen'd expression). */
   private def qCrc16Slots(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -416,6 +471,11 @@ object SparkEntry {
     "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_subqueries" -> (qSubqueries _),
+    "q_udaf_weighted" -> (qUdafWeighted _),
+    "q_array_agg" -> (qArrayAgg _),
+    "q_cumulative" -> (qCumulative _),
     "q_json_extract" -> (qJsonExtract _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cube" -> (qCube _),
@@ -512,6 +572,29 @@ object SparkEntry {
     "q_distinct_agg" ->
       ("SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items, " +
         "round(avg(l_discount), 4) AS avg_disc FROM lineitem GROUP BY l_suppkey"),
+    "q_grouping_sets" ->
+      ("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"),
+    "q_subqueries" ->
+      ("SELECT c_mktsegment, count(*) AS n_rich_active FROM customer " +
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) " +
+        "AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment"),
+    "q_udaf_weighted" ->
+      ("SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) " +
+        "AS wavg_price, count(*) AS n FROM lineitem GROUP BY l_returnflag"),
+    "q_array_agg" ->
+      ("SELECT o_orderstatus, array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') " +
+        "AS priorities, count(DISTINCT o_orderpriority) AS n_priorities " +
+        "FROM orders GROUP BY o_orderstatus"),
+    "q_cumulative" ->
+      ("WITH m AS (SELECT l_returnflag, year(l_shipdate) AS y, month(l_shipdate) AS m, " +
+        "sum(l_extendedprice) AS rev FROM lineitem GROUP BY 1, 2, 3) " +
+        "SELECT l_returnflag, y, m, round(rev, 2) AS rev, " +
+        "round(sum(rev) OVER (PARTITION BY l_returnflag ORDER BY y, m " +
+        "ROWS UNBOUNDED PRECEDING), 2) AS cum_rev FROM m"),
     "q_json_extract" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

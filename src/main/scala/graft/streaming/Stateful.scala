@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/**
+ * Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
+ * — the Structured-Streaming analog of the reference's stateful
+ * `accumulate` step (reference: src/mr.c:787-810), generalized to
+ * continuous updates: state lives per key across micro-batches
+ * instead of per execution.
+ */
+object Stateful {
+
+  case class UserState(n: Long, sum: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  private implicit val stateEnc: Encoder[UserState] = ExpressionEncoder[UserState]()
+  private implicit val totalsEnc: Encoder[UserTotals] = ExpressionEncoder[UserTotals]()
+  private implicit val kvEnc: Encoder[(Long, Double)] = ExpressionEncoder[(Long, Double)]()
+  private implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+  /**
+   * Running per-user totals. On a stream, every micro-batch emits the
+   * updated totals for the users it touched (output mode `update`);
+   * on a batch frame it degenerates to one pass and equals
+   * `groupBy(user).agg(count, sum)` — the equivalence the test suite
+   * asserts. Value totals are rounded to cents at emission so
+   * accumulation order can't leak into comparisons.
+   */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] =
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update(UserState(n, sum))
+          UserTotals(uid, n, math.rint(sum * 100) / 100)
+      }
+}

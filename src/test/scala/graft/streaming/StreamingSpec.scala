@@ -38,6 +38,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = Stateful.runningUserTotals(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("user_totals")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // last emitted row per user == final state
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fin = spark.table("user_totals")
+      .withColumn("_r", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("_r").desc)))
+      .filter(col("_rn") === 1)
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy("user_id")
+      .agg(count("*").as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), math.rint(r.getDouble(2) * 100) / 100))).toMap
+    assert(fin.nonEmpty)
+    assert(fin === batch)
+  }
+
+  test("streaming exact dedup: dropDuplicates on the stream equals batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupstream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_stream").count()
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .dropDuplicates("user_id", "event_type").count()
+    assert(streamed === batch)
+  }
+
   test("session windows: every user session respects the gap") {
     val sessions = EventStreams.streamingSessions(Tables.events(spark, SparkTestSession.sfDir))
     val n = sessions.count()
