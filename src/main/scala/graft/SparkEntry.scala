@@ -332,6 +332,16 @@ object SparkEntry {
           .otherwise(lit(0.0))), 2).as("returned_value"),
         round(avg(when(col("l_quantity") > 25, col("l_quantity"))), 4).as("avg_large_qty"))
 
+  /** Custom two-phase heap operator (LogicalPlan+Strategy+Exec): top-3 orders per status. */
+  private def qTopkCustom(s: SparkSession, dir: String): DataFrame =
+    graft.relational.Relational.topKPerKey(
+      t(s, dir, "orders"),
+      keys = Seq(col("o_orderstatus")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -471,6 +481,7 @@ object SparkEntry {
     "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_topk_custom" -> (qTopkCustom _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries" -> (qSubqueries _),
     "q_udaf_weighted" -> (qUdafWeighted _),
@@ -572,6 +583,11 @@ object SparkEntry {
     "q_distinct_agg" ->
       ("SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items, " +
         "round(avg(l_discount), 4) AS avg_disc FROM lineitem GROUP BY l_suppkey"),
+    "q_topk_custom" ->
+      ("SELECT o_orderstatus, o_orderkey, total FROM (" +
+        "SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS total, " +
+        "row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3"),
     "q_grouping_sets" ->
       ("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
