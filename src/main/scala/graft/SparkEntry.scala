@@ -342,6 +342,13 @@ object SparkEntry {
       .select(col("o_orderstatus"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("total"))
 
+  /** Custom DSv2 source (KeysReader analog): slot-range partitions + prefix pushdown. */
+  private def qKeysSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-keys")
+      .option("numKeys", 2000).option("shards", 8).load()
+      .filter(col("key").startsWith("user:"))   // consumed by the scan
+      .select(col("key"), col("payload"))
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -482,6 +489,7 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_topk_custom" -> (qTopkCustom _),
+    "q_keys_source" -> (qKeysSource _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_subqueries" -> (qSubqueries _),
     "q_udaf_weighted" -> (qUdafWeighted _),
@@ -583,6 +591,9 @@ object SparkEntry {
     "q_distinct_agg" ->
       ("SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items, " +
         "round(avg(l_discount), 4) AS avg_disc FROM lineitem GROUP BY l_suppkey"),
+    "q_keys_source" ->
+      ("SELECT concat('user:', i) AS key, concat('v(', reverse(concat('user:', i)), ')') " +
+        "AS payload FROM (SELECT unnest(generate_series(0, 1999)) AS i) WHERE i % 4 = 0"),
     "q_topk_custom" ->
       ("SELECT o_orderstatus, o_orderkey, total FROM (" +
         "SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS total, " +

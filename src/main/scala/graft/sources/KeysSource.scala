@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Slots
+
+/**
+ * DataSource V2 connector mirroring the reference's `KeysReader`
+ * (reference: tests/mr_test_module/src/lib.rs:822-916): a keyspace
+ * scanned shard-locally, where each "shard" owns a contiguous Redis
+ * slot range (reference: src/cluster.c:123-153) and an optional key
+ * prefix is applied inside the reader itself
+ * (lib.rs:855-859 — the reference's predicate-in-reader
+ * optimization ≡ DSv2 filter pushdown).
+ *
+ * Synthetic, deterministic keyspace (no external Redis in this
+ * environment): key i is `<pool>:<i>` over a small pool of prefixes;
+ * the payload derives from the key. The SCALE-RELEVANT part is real:
+ * partition planning = slot ranges (each InputPartition scans only
+ * its own slots, like a cluster node), and `StringStartsWith(key)`
+ * is consumed by the scan instead of a post-filter.
+ *
+ * Usage:
+ * {{{
+ *   spark.read.format("graft-keys")
+ *     .option("numKeys", 10000).option("shards", 8)
+ *     .load()                       // key, slot, payload
+ *     .filter(col("key").startsWith("user:"))  // pushed into the scan
+ * }}}
+ */
+class KeysSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-keys"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KeysSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KeysTable(
+      properties.getOrDefault("numKeys", "1000").toInt,
+      properties.getOrDefault("shards", "4").toInt)
+}
+
+object KeysSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("slot", IntegerType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  private val pools = Array("user", "order", "item", "session")
+
+  def keyAt(i: Int): String = s"${pools(i % pools.length)}:$i"
+  def payloadAt(key: String): String = s"v(${key.reverse})"
+}
+
+class KeysTable(numKeys: Int, shards: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_keys($numKeys,$shards)"
+  override def schema(): StructType = KeysSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeysScanBuilder(numKeys, shards)
+}
+
+class KeysScanBuilder(numKeys: Int, shards: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var prefix: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case StringStartsWith("key", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    prefix = accepted.collectFirst { case StringStartsWith(_, p) => p }
+    rejected // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new KeysScan(numKeys, shards, prefix)
+}
+
+class KeysScan(numKeys: Int, shards: Int, prefix: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = KeysSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")}"
+
+  /** One partition per shard = one contiguous slot range (Redis-cluster style). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = Slots.NumSlots / shards
+    (0 until shards).map { s =>
+      val lo = s * per
+      val hi = if (s == shards - 1) Slots.NumSlots - 1 else (s + 1) * per - 1
+      SlotRangePartition(lo, hi, numKeys, prefix): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new KeysReaderFactory
+}
+
+case class SlotRangePartition(slotLo: Int, slotHi: Int, numKeys: Int,
+    prefix: Option[String]) extends InputPartition
+
+class KeysReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SlotRangePartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var row: InternalRow = _
+
+      // pull-based, like ExecutionReader (reference: src/mr.h:80):
+      // advance until a key owned by this shard's slot range passes
+      // the pushed prefix, or the keyspace is exhausted
+      override def next(): Boolean = {
+        i += 1
+        while (i < p.numKeys) {
+          val key = KeysSource.keyAt(i)
+          if (p.prefix.forall(key.startsWith)) {
+            val slot = Slots.slot(key)
+            if (slot >= p.slotLo && slot <= p.slotHi) {
+              row = InternalRow(
+                UTF8String.fromString(key),
+                slot,
+                UTF8String.fromString(KeysSource.payloadAt(key)))
+              return true
+            }
+          }
+          i += 1
+        }
+        false
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.Slots
+
+/** DSv2 KeysReader analog: slot-range partitioning + prefix pushdown. */
+class KeysSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def read(n: Int = 1000, shards: Int = 4) =
+    spark.read.format("graft-keys")
+      .option("numKeys", n).option("shards", shards).load()
+
+  test("scans the whole keyspace exactly once across shard partitions") {
+    val df = read()
+    assert(df.count() === 1000)
+    assert(df.select("key").distinct().count() === 1000)
+  }
+
+  test("each partition only holds keys of its own slot range (shard locality)") {
+    val rows = read(500, 4)
+      .withColumn("pid", spark_partition_id())
+      .select("slot", "pid").collect()
+    val per = Slots.NumSlots / 4
+    rows.foreach { r =>
+      val (slot, pid) = (r.getInt(0), r.getInt(1))
+      assert(slot / per === math.min(pid, 3), s"slot $slot in partition $pid")
+    }
+  }
+
+  test("slot column matches the engine's CRC16 slot function") {
+    read(100).collect().foreach { r =>
+      assert(r.getInt(1) === Slots.slot(r.getString(0)))
+    }
+  }
+
+  test("prefix filter is pushed into the scan, not applied above it") {
+    val filtered = read().filter(col("key").startsWith("user:"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the scan's description carries the consumed prefix; no Filter node remains above it
+    assert(plan.contains("prefix=user:"), s"pushdown missing in:\n$plan")
+    assert(!plan.contains("Filter "), s"prefix not fully consumed by the scan:\n$plan")
+    val keys = filtered.select("key").collect().map(_.getString(0))
+    assert(keys.nonEmpty)
+    assert(keys.forall(_.startsWith("user:")))
+    assert(keys.length === 250)  // every 4th key is user:*
+  }
+
+  test("non-pushable filters still apply correctly above the scan") {
+    val df = read().filter(col("slot") < 100)
+    assert(df.collect().forall(_.getInt(1) < 100))
+  }
+}
