@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.functions.VectorFunctions.crc16_slot
+
+/** Skew-handling join + sink (write-back) parity. */
+class SkewAndSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 999L, s"l$i"))
+      .toDF("k", "lv")
+    val right = (0 to 1000).map(i => (i.toLong, s"r$i")).toDF("rk", "rv")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "lv", "rv").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted
+    assert(salted.length === plain.length)
+    assert(salted === plain)
+  }
+
+  test("hotKeys surfaces the heavy hitter") {
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 999L, s"l$i"))
+      .toDF("k", "lv")
+    val hot = SkewJoin.hotKeys(left, col("k"), minCount = 1000)
+      .collect().map(_.getLong(0))
+    assert(hot.toSeq === Seq(999L))
+  }
+
+  test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")
+      .select(concat(lit("order:"), col("o_orderkey")).as("key"),
+        upper(col("o_orderpriority")).as("value"))
+      .withColumn("bucket", (crc16_slot(col("key")) % 16).cast("int"))
+    orders.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === orders.count())
+    // partition pruning: reading one bucket scans only that directory
+    val one = back.filter(col("bucket") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    val expected = orders.filter(col("bucket") === 3).count()
+    assert(one.count() === expected)
+  }
+}
