@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.relational.Relational
+
+/**
+ * Scale probe: the sf fixtures top out at 5k documents / 2k vectors,
+ * far below where a quadratic candidate generator would show itself.
+ * This main synthesizes a deterministic corpus 40-100x larger
+ * IN SPARK (distributed generation off `spark.range` — nothing
+ * driver-side) and times the operators whose scaling behavior
+ * matters, so BASELINE.md can carry measured evidence that the LSH /
+ * inverted-index / heap designs hold as data grows.
+ *
+ * Synthetic shape mirrors the fixtures: ~100-token docs over a small
+ * vocabulary, every 50th doc a near-dup of its neighbor (one token
+ * edit); embeddings are hash-derived floats. All deterministic -
+ * rerunning gives identical inputs.
+ */
+object ScaleProbe {
+
+  private def synthDocs(spark: SparkSession, n: Int): DataFrame = {
+    val vocab = 400 // tokens; small vocab stresses bucket skew like the fixtures
+    spark.range(n.toLong).toDF("doc_id")
+      .withColumn("base_id",
+        when(col("doc_id") % 50 === 1, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
+          concat(lit("w"),
+            pmod(xxhash64(col("base_id") * 1000 + i +
+              // near-dups: one token differs from the base doc
+              when(col("doc_id") =!= col("base_id") && i === 7, lit(1)).otherwise(lit(0))),
+              lit(vocab))))))
+      .select("doc_id", "text")
+  }
+
+  private def synthEmbeddings(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n.toLong).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("vec_id") * 64 + i), lit(2000)) / 1000.0 - 1.0).cast("float")))
+      .select("vec_id", "embedding")
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "200000").toInt
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "100000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = synthDocs(spark, nDocs).repartition(cpus.toInt)
+    val embs = synthEmbeddings(spark, nVecs).repartition(cpus.toInt)
+    docs.count(); embs.count() // materialize-generation warm-up outside timings
+
+    def time(tag: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"== $tag%-22s $sec%7.2f s  ($rows rows)")
+      (tag, sec, rows)
+    }
+
+    val results = Seq(
+      time("dedup_exact")(Dedup.exactDupGroups(docs).count()),
+      time("dedup_minhash")(Dedup.minhashNearDupPairs(docs, k = 64, bands = 16,
+        threshold = 0.7).count()),
+      time("dedup_simhash")(Dedup.simhashNearDupPairs(docs, maxHamming = 3).count()),
+      time("dedup_ngram_jaccard")(Dedup.ngramJaccardPairs(docs, n = 5,
+        threshold = 0.7).count()),
+      time("ann_lsh")(Similarity.lshTopK(embs, embs.filter(col("vec_id") < 100),
+        k = 5, bits = 10, tables = 4).count()),
+      time("topk_per_key")(Relational.topKPerKey(
+        docs.withColumn("g", pmod(col("doc_id"), lit(97))),
+        Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count()))
+
+    val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","docs":$nDocs,"vecs":$nVecs,"queries":$qs}""")
+    spark.stop()
+  }
+}

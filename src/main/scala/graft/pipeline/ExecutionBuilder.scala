@@ -225,13 +225,37 @@ object ExecutionBuilder {
    * (src/mr.h:80, rust_api/libmr/reader.rs:39-54): one iterator per
    * partition, each partition reads its own slice — like each shard's
    * reader instance scanning local keys.
+   *
+   * Reader errors are per-record, like every other step (an erroring
+   * reader yields N errors and the execution completes,
+   * pytests/test_errors.py:5-36): an exception thrown by the
+   * iterator's `next` becomes one ErrorRecord and the pull continues;
+   * an exception from `hasNext` becomes one ErrorRecord and ends that
+   * partition's read (the reader's cursor itself is broken).
    */
   def reader[R: TypeTag: scala.reflect.ClassTag](spark: SparkSession, r: Reader[R]): ExecutionBuilder[R] = {
     val rdd = spark.sparkContext
       .parallelize(0 until r.numPartitions, r.numPartitions)
-      .flatMap(p => r.read(p))
-    new ExecutionBuilder[R](spark,
-      spark.createDataset(rdd)(enc[R]).map(v => Env[R](None, Some(v)))(envEncoder[R]))
+      .flatMap { p =>
+        val underlying = r.read(p)
+        new Iterator[Env[R]] {
+          private var broken = false
+          private var pendingError: Option[String] = None
+          override def hasNext: Boolean = pendingError.isDefined || (!broken && {
+            try underlying.hasNext
+            catch { case e: Exception =>
+              broken = true; pendingError = Some(errMsg(e)); true
+            }
+          })
+          override def next(): Env[R] = pendingError match {
+            case Some(msg) => pendingError = None; Env[R](Some(msg), None)
+            case None =>
+              try Env[R](None, Some(underlying.next()))
+              catch { case e: Exception => Env[R](Some(errMsg(e)), None) }
+          }
+        }
+      }
+    new ExecutionBuilder[R](spark, spark.createDataset(rdd)(envEncoder[R]))
   }
 
   /** Reader over a local Seq (test fixture analog of the 1000-key suites). */

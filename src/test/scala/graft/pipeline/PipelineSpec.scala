@@ -100,6 +100,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.errors === Seq("execution max idle reached"))
   }
 
+  test("erroring reader: per-record errors, execution completes (test_errors.py reader case)") {
+    val reader = new Reader[Long] {
+      def numPartitions = 2
+      def read(p: Int): Iterator[Long] = Iterator.range(0, 10).map { i =>
+        if (i % 3 == 0) throw new RuntimeException(s"read fail $p:$i") else p * 100L + i
+      }
+    }
+    val r = ExecutionBuilder.reader(spark, reader).collect().run()
+    // i=0 throws, then 1,2 ok, i=3 throws, ... per partition: 4 errors (0,3,6,9), 6 values
+    assert(r.errors.size === 8)
+    assert(r.results.size === 12)
+    assert(r.errors.forall(_.startsWith("read fail")))
+  }
+
+  test("reader whose cursor breaks mid-scan yields one error and completes") {
+    val reader = new Reader[Long] {
+      def numPartitions = 1
+      def read(p: Int): Iterator[Long] = new Iterator[Long] {
+        private var i = 0
+        override def hasNext: Boolean =
+          if (i >= 5) throw new IllegalStateException("cursor lost") else true
+        override def next(): Long = { i += 1; i.toLong }
+      }
+    }
+    val r = ExecutionBuilder.reader(spark, reader).run()
+    assert(r.results === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.errors === Seq("cursor lost"))
+  }
+
   test("generic Reader trait: one iterator per partition") {
     val reader = new Reader[Long] {
       def numPartitions = 3
