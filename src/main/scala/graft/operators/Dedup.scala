@@ -167,6 +167,43 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup pairs → cluster ids: the step
+   * that turns pairwise matches into dedup decisions (keep one doc
+   * per cluster). Min-label propagation to fixpoint — each iteration
+   * is one self-join+aggregate (GraphX-style CC), so total cost is
+   * O(graph diameter) shuffles over |edges| rows. Near-dup graphs
+   * have tiny components (diameter ~2-3), so this converges in a
+   * handful of rounds at any corpus size. `cluster_id` = min doc id
+   * reachable — deterministic regardless of execution order.
+   *
+   * Input: pair DataFrame with columns (a_id, b_id). Output:
+   * (doc_id, cluster_id) for every doc appearing in a pair.
+   */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(col("u").as("id2")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("id2"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("nbr_label"), col("label"))).as("label"))
+      val changed = updated.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = updated.localCheckpoint() // truncate the growing lineage each round
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * Embedding near-dup pairs: random-projection LSH buckets (multiple
    * independent sketches to boost recall), verify cosine ≥ threshold.
    */

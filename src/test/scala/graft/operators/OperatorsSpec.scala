@@ -89,6 +89,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("dupClusters: connected components with min-id labels") {
+    // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("quality metrics are computed per document") {
     val q = TextAnalysis.qualityScore(docs).collect().map(r =>
       r.getAs[Long]("doc_id").toString -> r).toMap
