@@ -440,6 +440,10 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** One k-means step over labeled embeddings: centroid + nearest-centroid confusion. */
+  private def annCentroid(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidAssign(t(s, dir, "embeddings"))
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -524,6 +528,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -737,6 +742,17 @@ object SparkEntry {
         "c.vec_id) AS BIGINT) AS rank " +
         "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
         "WHERE q.vec_id < 10) WHERE rank <= 5"),
+    "ann_centroid" ->
+      ("WITH d AS (SELECT label AS clabel, i, avg(embedding[i]) AS c FROM embeddings, " +
+        "UNNEST(generate_series(1, 64)) t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT clabel, list(c ORDER BY i) AS centroid FROM d GROUP BY 1), " +
+        "scored AS (SELECT e.vec_id, e.label, c.clabel, " +
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS cos " +
+        "FROM embeddings e, cent c), " +
+        "best AS (SELECT vec_id, label, clabel, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored) " +
+        "SELECT label AS label_true, clabel AS label_pred, count(*) AS n " +
+        "FROM best WHERE rn = 1 GROUP BY 1, 2"),
     "text_quality" ->
       ("WITH m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
         "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +

@@ -180,23 +180,31 @@ object Dedup {
    * (doc_id, cluster_id) for every doc appearing in a pair.
    */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the (small) edge list once — every iteration joins
+    // against it, and recomputing the upstream pair pipeline per
+    // round would dominate the whole operator
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels, edges("v") === labels("id"))
         .groupBy(col("u").as("id2")).agg(min("label").as("nbr_label"))
+      // checkpoint BEFORE the convergence probe so the round's work
+      // runs once (the probe and the next round both read the result)
       val updated = labels.join(neighborMin, labels("id") === neighborMin("id2"), "left")
         .select(col("id"), least(col("label"),
           coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
       val changed = updated.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = updated.localCheckpoint() // truncate the growing lineage each round
+      labels = updated
       converged = changed == 0
       i += 1
     }

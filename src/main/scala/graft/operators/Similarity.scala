@@ -39,6 +39,34 @@ object Similarity {
   }
 
   /**
+   * Per-label centroids + nearest-centroid assignment (one k-means
+   * step over a labeled embedding corpus). Centroid computation is a
+   * dimension-exploded aggregate — one shuffle of (label, dim)
+   * partials; assignment broadcasts the tiny centroid table and
+   * scans the corpus once. Output: (label_true, label_pred, n)
+   * confusion counts.
+   */
+  def centroidAssign(embs: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val dims = embs.select(col(labelCol).as("clabel"), posexplode(col(vecCol)))
+    val cent = dims.groupBy("clabel", "pos").agg(avg("col").as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    val scored = embs
+      .select(col(idCol).as("vid"), col(labelCol).as("label_true"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cent))
+      .withColumn("cos", cosine_sim(col("v"), col("centroid")))
+    val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("clabel"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label_true"), col("clabel").as("label_pred"))
+      .agg(count("*").as("n"))
+  }
+
+  /**
    * LSH-bucketed ANN: probe `tables` independent random-projection
    * sketches; union of bucket-mates forms the candidate set, ranked
    * exactly. Recall < 1 by construction; raise `tables` / lower

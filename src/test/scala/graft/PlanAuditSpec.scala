@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression tests: the properties that matter at 100 TB
+ * (pushdown reaches parquet, small sides broadcast, column pruning
+ * trims scans, top-k lowers to TakeOrderedAndProject, the as-of join
+ * stays at two exchanges) asserted on the physical plans of the
+ * driver-facing queries. A correctness-preserving change that breaks
+ * one of these is a scale regression, not a refactor.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_pricing: aggregate with pruned scan (no orderkey read)") {
+    val p = plan("q1_pricing")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q3_topk_revenue: dimension filter pushed, small side broadcast, top-k lowered") {
+    val p = plan("q3_topk_revenue")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "filter not pushed to parquet")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit did not lower to top-k")
+  }
+
+  test("q5_nation_revenue: every dimension join broadcasts") {
+    val p = plan("q5_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_semi_join: LEFT SEMI with the quantity filter pushed down") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49.0)"), "filter not pushed")
+  }
+
+  test("q_asof_join: merge-based as-of stays at two hash exchanges (no range join)") {
+    val p = plan("q_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of degenerated into a product join")
+  }
+
+  test("ann_bruteforce: query side broadcasts; corpus is scanned, not shuffled pre-score") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("dedup_minhash: band join is the only wide stage family (bounded exchanges)") {
+    val p = plan("dedup_minhash")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("lmr filter pipeline: typed-facade queries still prune the parquet scan") {
+    val p = plan("lmr_filter_map")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+      "typed pipeline read more than the two referenced columns")
+  }
+}
