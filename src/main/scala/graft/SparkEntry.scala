@@ -404,6 +404,28 @@ object SparkEntry {
         col("cum_rev"))
   }
 
+  /**
+   * Range(band) join: events bucketed into value bands via a BETWEEN
+   * join against a tiny broadcast band table (the scalable shape for
+   * small range dimensions — a band per row, broadcast NLJ).
+   */
+  private def qRangeBand(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(10).toDF("band")
+      .select(col("band"), (col("band") * 20.0).as("lo"), ((col("band") + 1) * 20.0).as("hi"))
+    t(s, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count("*").as("n"), round(avg("value"), 4).as("avg_value"))
+  }
+
+  /** UNION ALL + global ORDER BY + OFFSET/LIMIT paging. */
+  private def qUnionPaging(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("kind"))
+      .unionAll(t(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("kind")))
+      .orderBy(col("name"), col("kind"))
+      .offset(20)
+      .limit(20)
+
   /** Redis-slot partitioning demo: CRC16 slot histogram (custom codegen'd expression). */
   private def qCrc16Slots(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -503,6 +525,8 @@ object SparkEntry {
     "q_udaf_weighted" -> (qUdafWeighted _),
     "q_array_agg" -> (qArrayAgg _),
     "q_cumulative" -> (qCumulative _),
+    "q_range_band" -> (qRangeBand _),
+    "q_union_paging" -> (qUnionPaging _),
     "q_json_extract" -> (qJsonExtract _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cube" -> (qCube _),
@@ -632,6 +656,16 @@ object SparkEntry {
         "SELECT l_returnflag, y, m, round(rev, 2) AS rev, " +
         "round(sum(rev) OVER (PARTITION BY l_returnflag ORDER BY y, m " +
         "ROWS UNBOUNDED PRECEDING), 2) AS cum_rev FROM m"),
+    "q_range_band" ->
+      ("SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value FROM events " +
+        "JOIN (SELECT i AS band, i * 20.0 AS lo, (i + 1) * 20.0 AS hi FROM " +
+        "(SELECT unnest(generate_series(0, 9)) AS i)) b " +
+        "ON value >= lo AND value < hi GROUP BY band"),
+    "q_union_paging" ->
+      ("SELECT name, kind FROM (" +
+        "SELECT c_name AS name, 'customer' AS kind FROM customer " +
+        "UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier) " +
+        "ORDER BY name, kind LIMIT 20 OFFSET 20"),
     "q_json_extract" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

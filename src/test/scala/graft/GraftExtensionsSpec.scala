@@ -47,6 +47,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("literal"))
   }
 
+  test("Graft.attach wires functions and the TopK strategy onto an existing session") {
+    val s = Graft.attach(SparkTestSession.spark)
+    assert(s.sql("SELECT crc16_slot('x') AS s").head().getInt(0) === graft.core.Slots.slot("x"))
+    assert(s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+    Graft.attach(s) // idempotent
+    assert(s.experimental.extraStrategies.count(_ == graft.plans.TopKStrategy) === 1)
+  }
+
   test("extensions class wires the same functions via injectFunction") {
     // builder-path smoke: the class applies cleanly to a fresh extensions object
     val ext = new org.apache.spark.sql.SparkSessionExtensions

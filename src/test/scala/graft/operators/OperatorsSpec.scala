@@ -99,6 +99,19 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("frameSample: fixed-size strided chunks of the binary payload") {
+    val withBin = Multimodal.attachBinary(docs.withColumn("source", lit("src")))
+    val frames = Multimodal.frameSample(withBin, chunk = 16, stride = 2)
+    val f0 = frames.filter(col("doc_id") === 0L)
+      .orderBy("frame_idx").collect()
+    assert(f0.nonEmpty)
+    val text0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    // frame i covers bytes [i*chunk*stride, +chunk)
+    val first = new String(f0.head.getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(first === text0.substring(0, 16))
+    f0.foreach(r => assert(r.getAs[Array[Byte]]("frame").length <= 16))
+  }
+
   test("quality metrics are computed per document") {
     val q = TextAnalysis.qualityScore(docs).collect().map(r =>
       r.getAs[Long]("doc_id").toString -> r).toMap
