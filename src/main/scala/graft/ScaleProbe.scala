@@ -43,6 +43,16 @@ object ScaleProbe {
         (pmod(xxhash64(col("vec_id") * 64 + i), lit(2000)) / 1000.0 - 1.0).cast("float")))
       .select("vec_id", "embedding")
 
+  /** Synthetic orders-like table: hash-derived columns, fully distributed generation. */
+  private def synthOrders(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("o_orderkey")
+      .withColumn("o_custkey", pmod(xxhash64(col("o_orderkey")), lit(1000000L)))
+      .withColumn("o_totalprice",
+        (pmod(xxhash64(col("o_orderkey") + 7), lit(500000L)) / 100.0) + 1.0)
+      .withColumn("o_status",
+        element_at(array(lit("O"), lit("F"), lit("P")),
+          (pmod(xxhash64(col("o_orderkey") + 13), lit(3)) + 1).cast("int")))
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "200000").toInt
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "100000").toInt
@@ -78,7 +88,24 @@ object ScaleProbe {
         k = 5, bits = 10, tables = 4).count()),
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),
-        Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count()))
+        Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count())) ++ {
+      // relational probes at 10M rows (~17x the sf0.1 lineitem)
+      val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
+      val ord = synthOrders(spark, nOrd)
+      ord.count() // generation warm-up
+      Seq(
+        time("rel_agg_10m")(ord.groupBy("o_status")
+          .agg(count("*"), sum("o_totalprice"), avg("o_totalprice"),
+            approx_count_distinct("o_custkey")).count()),
+        time("rel_topk_custom_10m")(Relational.topKPerKey(ord,
+          Seq(col("o_status")), Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          10).count()),
+        time("rel_window_topk_10m") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+          ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).count()
+        })
+    }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }
       .mkString("{", ",", "}")
