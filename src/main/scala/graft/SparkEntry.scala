@@ -224,6 +224,10 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionCounts(t(s, dir, "events"))
 
+  /** Stream-stream-joinable click→purchase attribution (batch twin; streaming in StreamingSpec). */
+  private def qClickToPurchase(s: SparkSession, dir: String): DataFrame =
+    EventStreams.clickToPurchaseStats(t(s, dir, "events"))
+
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
     EventStreams.streamingSessions(t(s, dir, "events"))
       .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
@@ -543,6 +547,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
+    "stream_click_purchase" -> (qClickToPurchase _),
     "q_crc16_slots" -> (qCrc16Slots _),
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
@@ -740,6 +745,14 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) " +
         "SELECT user_id, date_trunc('second', min(ts)) AS session_start, count(*) AS n_events " +
         "FROM s GROUP BY user_id, session_id"),
+    "stream_click_purchase" ->
+      ("SELECT c.user_id, count(*) AS n_conversions, " +
+        "round(avg((epoch_ms(p.ts) - epoch_ms(c.ts)) / 1000.0), 4) AS avg_delay_s " +
+        "FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND epoch_ms(p.ts) - epoch_ms(c.ts) BETWEEN 1 AND 1800000 " +
+        "GROUP BY c.user_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),

@@ -58,6 +58,44 @@ object EventStreams {
   }
 
   /**
+   * Click→purchase attribution: for every click, purchases by the
+   * same user within `windowMinutes` after it. Works on batch and
+   * (with watermarks) as a stream-stream inner join — Spark bounds
+   * the join state by the event-time range condition. Comparisons
+   * run on epoch millis so the ns-parquet → µs-Spark truncation can
+   * never skew a boundary (see Tables.events).
+   */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined =
+      if (clicks.isStreaming)
+        c.withWatermark("click_ts", "2 hours").join(
+          p.withWatermark("p_ts", "2 hours"),
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      else
+        c.join(p,
+          col("user_id") === col("p_user") &&
+            (unix_millis(col("p_ts")) - unix_millis(col("click_ts")))
+              .between(1L, windowMinutes * 60000L))
+    joined.select(col("user_id"), col("click_ts"), col("p_ts"))
+  }
+
+  /** Oracle-friendly aggregate over [[clickToPurchase]]: conversions + mean delay per user. */
+  def clickToPurchaseStats(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val pairs = clickToPurchase(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"), windowMinutes)
+    pairs.groupBy("user_id")
+      .agg(count("*").as("n_conversions"),
+        round(avg((unix_millis(col("p_ts")) - unix_millis(col("click_ts"))) / 1000.0), 4)
+          .as("avg_delay_s"))
+  }
+
+  /**
    * Batch sessionization via lag/cumsum (the oracle-friendly twin of
    * `streamingSessions`): a new session starts after a gap >
    * `gapMinutes`. Returns per-user session counts.

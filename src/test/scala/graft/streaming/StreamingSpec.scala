@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -85,6 +86,26 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("dedup_stream").count()
     val batch = Tables.events(spark, SparkTestSession.sfDir)
       .dropDuplicates("user_id", "event_type").count()
+    assert(streamed === batch)
+  }
+
+  test("stream-stream join: click→purchase pairs equal the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val s1 = EventStreams.readEventStream(spark, dir).filter(col("event_type") === "click")
+    val s2 = EventStreams.readEventStream(spark, dir).filter(col("event_type") === "purchase")
+    val q = EventStreams.clickToPurchase(s1, s2).writeStream
+      .outputMode("append").format("memory").queryName("ss_join").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join").count()
+
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val batch = EventStreams.clickToPurchase(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")).count()
+    assert(streamed > 0)
     assert(streamed === batch)
   }
 
