@@ -32,6 +32,30 @@ class SkewAndSinkSpec extends AnyFunSuite {
     assert(hot.toSeq === Seq(999L))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = Tables.t(spark, SparkTestSession.sfDir, "orders")
+    val l = Tables.t(spark, SparkTestSession.sfDir, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    // disable broadcast so the co-location is what avoids the shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ===
+        o.join(l, o("o_orderkey") === l("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")
