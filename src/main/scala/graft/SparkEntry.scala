@@ -470,6 +470,12 @@ object SparkEntry {
   private def annCentroid(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidAssign(t(s, dir, "embeddings"))
 
+  /** IVF ANN: coarse-centroid posting lists, nprobe-bounded search (rows-only, approximate). */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), k = 5, nlist = 32, nprobe = 8)
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -559,6 +565,7 @@ object SparkEntry {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),

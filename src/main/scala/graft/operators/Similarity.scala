@@ -67,6 +67,60 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: the other classic scale path next to
+   * LSH. One k-means-style step builds `nlist` coarse centroids
+   * (seeded from deterministic hash buckets); every corpus vector is
+   * assigned to its nearest centroid's posting list; a query probes
+   * only its `nprobe` closest lists and ranks those candidates
+   * exactly.
+   *
+   * Scale shape: centroids are tiny and broadcast everywhere; the
+   * corpus is scanned once for assignment and shuffled once on
+   * list_id; query cost is nprobe/nlist of the corpus instead of all
+   * of it. Recall < 1 by construction — raise nprobe to trade cost
+   * for recall.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 64, nprobe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // 1. coarse centroids: deterministic hash-bucket seeding, one averaging step
+    val cent = corpus
+      .withColumn("_b", pmod(xxhash64(col(idCol)), lit(nlist)))
+      .select(col("_b"), posexplode(col(vecCol)))
+      .groupBy("_b", "pos").agg(avg("col").as("c"))
+      .groupBy("_b")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    // 2. posting lists: each corpus vector joins its nearest centroid
+    val wAssign = Window.partitionBy("cid").orderBy(col("ccos").desc, col("_b"))
+    val assigned = corpus
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .join(broadcast(cent))
+      .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("_b").as("list_id"), col("cid").as("neighbor_id"), col("cv"))
+    // 3. each query probes its nprobe nearest lists
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("_b"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .join(broadcast(cent))
+      .withColumn("qcos", cosine_sim(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("_b").as("list_id"))
+    // 4. exact ranking over the probed posting lists only
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(probes, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
    * LSH-bucketed ANN: probe `tables` independent random-projection
    * sketches; union of bucket-mates forms the candidate set, ranked
    * exactly. Recall < 1 by construction; raise `tables` / lower

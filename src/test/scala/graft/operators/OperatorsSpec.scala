@@ -112,6 +112,27 @@ class OperatorsSpec extends AnyFunSuite {
     f0.foreach(r => assert(r.getAs[Array[Byte]]("frame").length <= 16))
   }
 
+  test("ivfTopK finds the planted duplicate and stays consistent with brute force") {
+    val embsData = (0L until 200L).map { i =>
+      (i, Array.tabulate(32)(d => math.sin(i * 0.61 + d * 0.37).toFloat))
+    }
+    // vec 199 duplicates vec 0's direction
+    val withDup = embsData.updated(199, (199L, embsData.head._2.map(_ * 1.0001f)))
+    val embs = withDup.toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 0L)
+    val ivf = Similarity.ivfTopK(embs, q, k = 3, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    // nprobe == nlist probes everything -> must equal brute force exactly
+    val bf = Similarity.bruteForceTopK(embs, q, k = 3)
+      .collect().map(r => (r.getAs[Int]("rank").toLong, r.getAs[Long]("neighbor_id")))
+    assert(ivf.sortBy(_._1) === bf.sortBy(_._1))
+    assert(ivf.find(_._1 == 1L).map(_._2) === Some(199L))
+    // bounded probing still finds the duplicate (same posting list as its twin)
+    val narrow = Similarity.ivfTopK(embs, q, k = 3, nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(narrow.find(_._1 == 1L).map(_._2) === Some(199L))
+  }
+
   test("quality metrics are computed per document") {
     val q = TextAnalysis.qualityScore(docs).collect().map(r =>
       r.getAs[Long]("doc_id").toString -> r).toMap
