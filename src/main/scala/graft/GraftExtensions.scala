@@ -119,6 +119,24 @@ object GraftExtensions {
         case Seq(t) => RollingHashExpr(t)
         case _ => throw new IllegalArgumentException("rolling_hash(tokens)")
       }),
+    "md5lo64" -> (info("md5lo64",
+      "md5lo64(str) - first 8 bytes of MD5 as signed big-endian long (cross-engine base hash)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => Md5Lo64Expr(s)
+        case _ => throw new IllegalArgumentException("md5lo64(str)")
+      }),
+    "simhash_md5" -> (info("simhash_md5",
+      "simhash_md5(features) - 64-bit simhash over md5lo64 hashes of a string array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashMd5Expr(t)
+        case _ => throw new IllegalArgumentException("simhash_md5(features)")
+      }),
+    "poly_fingerprint" -> (info("poly_fingerprint",
+      "poly_fingerprint(tokens) - order-sensitive md5-based polynomial fingerprint mod 2^31-1"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => PolyFingerprintMd5Expr(t)
+        case _ => throw new IllegalArgumentException("poly_fingerprint(tokens)")
+      }),
   )
 
   /** Register on an already-built session (alternative to spark.sql.extensions). */

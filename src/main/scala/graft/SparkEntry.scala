@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -212,11 +212,19 @@ object SparkEntry {
         count("*").as("n_items"),
         round(avg("l_discount"), 4).as("avg_disc"))
 
+  /**
+   * HLL++ sketch with a self-validating assertion: the sketch value
+   * itself is engine-specific, so the oracled contract is "within 5%
+   * of exact" (deterministic — same data, same sketch, same bound).
+   */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("approx_ok"))
 
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     EventStreams.windowedCounts(t(s, dir, "events"))
@@ -287,12 +295,16 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("median"),
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
 
-  /** Sketch-based percentile (approximate — rows-only check). */
+  /** KLL-style sketch percentile with an oracled within-2% assertion (see qApproxDistinct). */
   private def qPercentileApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
-      .agg(round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2)
-        .as("approx_median"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+      .select(col("o_orderstatus"), round(col("exact_median"), 2).as("median"),
+        (abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.02)
+          .as("approx_ok"))
 
   private def qPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -430,12 +442,151 @@ object SparkEntry {
       .offset(20)
       .limit(20)
 
-  /** Redis-slot partitioning demo: CRC16 slot histogram (custom codegen'd expression). */
+  /**
+   * Redis-slot partitioning demo: CRC16 slot histogram (custom
+   * codegen'd expression). Oracled: the DuckDB side folds the same
+   * CRC16-CCITT table with `list_reduce` over the key's bytes.
+   */
   private def qCrc16Slots(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select(crc16_slot(concat(lit("cust:"), col("c_custkey"))).as("slot"))
-      .groupBy((col("slot") % 32).as("bucket"))
+      .groupBy((col("slot") % 32).cast("long").as("bucket"))
       .agg(count("*").as("n"))
+
+  // --- new in round 2: relational surface widening ---------------------------
+
+  /** UDTF shape: explode token arrays, re-aggregate (lateral-view analog). */
+  private def qExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count("*").as("n"))
+      .filter(col("n") > 1)
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist (top decile only). */
+  private def qNtileCume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("decile") === 10)
+  }
+
+  /** min_by / max_by aggregates over a unique ordering key (first/last event type per user). */
+  private def qMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+
+  /** Regexp group extraction: split '1-URGENT' style priorities into components. */
+  private def qRegexpExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        regexp_extract(col("o_orderpriority"), "^(\\d)-", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "-(.+)$", 1).as("prio_word"))
+      .agg(count("*").as("n"))
+
+  /** Higher-order array functions: transform / filter / aggregate over per-row arrays. */
+  private def qArrayLambda(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("sz"),
+        aggregate(transform(sequence(lit(1L), col("p_size").cast("long")), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("sum_sq"),
+        size(filter(sequence(lit(1L), col("p_size").cast("long")), x => x % 2 === 0))
+          .cast("long").as("n_even"))
+
+  /** Map functions: build per-user event-type→count map, inspect keys + lookups. */
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count("*").as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(col("user_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
+        size(map_keys(col("m"))).cast("long").as("n_types"))
+
+  /** Value-based (RANGE INTERVAL) window frame: 7-day trailing revenue per priority. */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS wk_sum
+        |FROM orders""".stripMargin)
+  }
+
+  /** `MR_RunOnKey` parity as a query: keyed point lookup through the remote-task facade. */
+  private def qPointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal").as[(Long, String, Double)]
+    val rows = Remote.runOnKey(cust, (r: (Long, String, Double)) => r._1 == 42L)(
+      it => it.toSeq).getOrElse(Seq.empty)
+    s.createDataset(rows).toDF("c_custkey", "c_name", "c_acctbal")
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+  }
+
+  /** Salted skew join (explicit hot-key spreading) — result ≡ the plain inner join. */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    SkewJoin.saltedInnerJoin(ev, cust, "user_id", "c_custkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** Time-series gap fill: dense month × status grid via sequence(), zeros for missing. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val m = o.groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
+      col("o_orderstatus")).agg(count("*").as("n"))
+    val months = o.agg(date_trunc("month", min("o_orderdate")).as("lo"),
+        date_trunc("month", max("o_orderdate")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("mon"))
+    val statuses = o.select("o_orderstatus").distinct()
+    months.crossJoin(broadcast(statuses))
+      .join(m, Seq("mon", "o_orderstatus"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("o_orderstatus"), col("mon"), col("n"))
+  }
+
+  /** Fixed-width numeric histogram (floor-bucketing — width_bucket portable form). */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count("*").as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+
+  /** Bitwise aggregates. */
+  private def qBitwiseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bit_and(l_linenumber)").cast("long").as("and_ln"),
+        expr("bit_or(l_linenumber)").cast("long").as("or_ln"),
+        expr("bit_xor(l_orderkey % 256)").cast("long").as("xor_ok"))
+
+  /** Streaming-dedup batch twin: duplicated input, exact-once output (drop by event id). */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.unionAll(ev)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count("*").as("n"))
+  }
+
+  /** Frame sampling over binary payloads: every 4th 64-byte chunk, content-hashed. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.attachBinary(t(s, dir, "documents")),
+        chunk = 64, stride = 4)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
 
   // ---------------------------------------------------------------------------
   // North-star LLM-pipeline operators
@@ -451,14 +602,28 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7))
 
+  /**
+   * k=128/b=32 banding: a jaccard-0.7 pair misses the candidate set
+   * with probability (1-0.7⁴)³² ≈ 1.5e-4, so the exact-jaccard
+   * verification step makes the output equal the exhaustive
+   * ngram-jaccard pairs — which is the oracle.
+   */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDupPairs(t(s, dir, "documents"), k = 64, bands = 16, threshold = 0.7)
+    Dedup.minhashNearDupPairs(t(s, dir, "documents"), k = 128, bands = 32, threshold = 0.7)
 
+  /** md5-compatible sketch (verification-grade) — DuckDB recomputes identical simhashes. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 3)
+    Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 3, md5Compat = true)
 
+  /**
+   * 16 LSH tables × 8 bits: a cos-0.95 pair (bit-agreement 0.899)
+   * misses all tables with probability (1-0.899⁸)¹⁶ ≈ 1.3e-4, so the
+   * exact-cosine verification makes the output equal the exhaustive
+   * threshold pairs — which is the oracle.
+   */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95,
+      bits = 8, tables = 16)
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -554,7 +719,20 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
     "stream_click_purchase" -> (qClickToPurchase _),
+    "stream_dedup" -> (qStreamDedup _),
     "q_crc16_slots" -> (qCrc16Slots _),
+    "q_explode_tokens" -> (qExplodeTokens _),
+    "q_ntile_cume" -> (qNtileCume _),
+    "q_minmax_by" -> (qMinmaxBy _),
+    "q_regexp_extract" -> (qRegexpExtract _),
+    "q_array_lambda" -> (qArrayLambda _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_window_range" -> (qWindowRange _),
+    "q_point_lookup" -> (qPointLookup _),
+    "q_skew_salted" -> (qSkewSalted _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_histogram" -> (qHistogram _),
+    "q_bitwise_agg" -> (qBitwiseAgg _),
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -572,7 +750,43 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frames" -> (qMultimodalFrames _),
   )
+
+  // ---------------------------------------------------------------------------
+  // Oracle-SQL building blocks for the cross-engine-hash queries
+  // ---------------------------------------------------------------------------
+
+  /** DuckDB: unsigned 64-bit value of the first 16 hex chars of md5(e). */
+  private def md5u(e: String): String = s"(('0x'||substr(md5($e),1,16))::UBIGINT)"
+
+  /** DuckDB: two's-complement wrap of an unsigned 64-bit expression to signed BIGINT. */
+  private def wrapSigned(u: String): String =
+    s"(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN (($u)::HUGEINT - " +
+      s"18446744073709551616::HUGEINT)::BIGINT ELSE ($u)::BIGINT END)"
+
+  /**
+   * DuckDB: CRC16-CCITT of a string key, folding the same 256-entry
+   * table as [[graft.core.Slots]] with `list_reduce` over the bytes.
+   */
+  private def crcSql(keyExpr: String): String = {
+    val tab = graft.core.Slots.crcTable.mkString("[", ",", "]")
+    s"list_reduce(list_prepend(0, [ord(substr($keyExpr, i, 1)) " +
+      s"for i in generate_series(1, length($keyExpr))]), " +
+      s"(crc, b) -> xor((crc << 8) & 65535, ($tab)[(xor(crc >> 8, b) & 255) + 1]))"
+  }
+
+  /** Exhaustive exact n-gram-jaccard pair SQL — oracle for both the inverted-index and MinHash paths. */
+  private val ngramJaccardSql: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+      "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+      "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+      "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
 
   private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
 
@@ -763,16 +977,27 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
-    "dedup_ngram_jaccard" ->
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // MinHash LSH + exact-jaccard verification ≡ the exhaustive pairs (see dedupMinhash note)
+    "dedup_minhash" -> ngramJaccardSql,
+    "dedup_simhash" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s " +
         "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
-        "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
-        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"),
+        "h AS (SELECT doc_id, " + md5u("s") + " AS u FROM sh), " +
+        "bits AS (SELECT doc_id, i, sum(CASE WHEN (u >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c " +
+        "FROM h, generate_series(0, 63) g(i) GROUP BY doc_id, i), " +
+        "sk AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::UBIGINT << i) " +
+        "ELSE 0::UBIGINT END)::UBIGINT AS u FROM bits GROUP BY doc_id) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming " +
+        "FROM sk a JOIN sk b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.u, b.u)) <= 3"),
+    "dedup_embedding" ->
+      ("SELECT a_id, b_id, round(raw, 4) AS cos FROM (" +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS raw " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
     "dedup_clusters" ->
       ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
@@ -837,5 +1062,98 @@ object SparkEntry {
     "multimodal_meta" ->
       ("SELECT doc_id, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
+    "text_fingerprint" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "fp AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+        "[((" + wrapSigned(md5u("t")) + " % 2147483647) + 2147483647) % 2147483647 for t in w]), " +
+        "(a, b) -> (a * 131 + b) % 2147483647) AS fingerprint FROM tok), " +
+        "h AS (SELECT doc_id, " + md5u("t") + " AS u FROM " +
+        "(SELECT doc_id, unnest(w) AS t FROM tok)), " +
+        "bits AS (SELECT doc_id, i, sum(CASE WHEN (u >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c " +
+        "FROM h, generate_series(0, 63) g(i) GROUP BY doc_id, i), " +
+        "sk AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::UBIGINT << i) " +
+        "ELSE 0::UBIGINT END)::UBIGINT AS u FROM bits GROUP BY doc_id) " +
+        "SELECT f.doc_id, f.fingerprint, " + wrapSigned("s.u") + " AS simhash " +
+        "FROM fp f JOIN sk s ON f.doc_id = s.doc_id"),
+    "multimodal_decode" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+        "CAST(list_sum([ord(substr(text, i, 1)) for i in generate_series(1, length(text))]) " +
+        "AS BIGINT) AS sum_bytes, " +
+        "CAST(list_max([ord(substr(text, i, 1)) for i in generate_series(1, length(text))]) " +
+        "AS BIGINT) AS max_byte, " +
+        "CAST(" + crcSql("substr(text, 1, 16)") + " & 16383 AS BIGINT) AS head_crc_slot " +
+        "FROM documents"),
+    "multimodal_frames" ->
+      ("SELECT doc_id, frame_idx, md5(frame) AS frame_md5 FROM (" +
+        "SELECT doc_id, i AS frame_idx, substr(text, CAST(i * 256 + 1 AS BIGINT), 64) AS frame " +
+        "FROM documents, UNNEST(generate_series(0, CAST(floor(length(text) / 256.0) AS BIGINT))) " +
+        "t(i)) WHERE length(frame) > 0"),
+    "q_crc16_slots" ->
+      ("SELECT CAST(slot % 32 AS BIGINT) AS bucket, count(*) AS n FROM (" +
+        "SELECT " + crcSql("k") + " & 16383 AS slot FROM " +
+        "(SELECT concat('cust:', c_custkey) AS k FROM customer)) GROUP BY bucket"),
+    "q_approx_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
+        "TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag"),
+    "q_percentile_approx" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median, " +
+        "TRUE AS approx_ok FROM orders GROUP BY o_orderstatus"),
+    "q_explode_tokens" ->
+      ("SELECT tok, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(p_name, ' ')) AS tok FROM part) " +
+        "GROUP BY tok HAVING count(*) > 1"),
+    "q_ntile_cume" ->
+      ("SELECT o_orderpriority, o_orderkey, decile, pr, cd FROM (" +
+        "SELECT o_orderpriority, o_orderkey, CAST(ntile(10) OVER w AS BIGINT) AS decile, " +
+        "round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey)) WHERE decile = 10"),
+    "q_minmax_by" ->
+      ("SELECT user_id, arg_min(event_type, event_id) AS first_type, " +
+        "arg_max(event_type, event_id) AS last_type, min(event_id) AS first_event, " +
+        "max(event_id) AS last_event FROM events GROUP BY user_id"),
+    "q_regexp_extract" ->
+      ("SELECT regexp_extract(o_orderpriority, '^(\\d)-', 1) AS prio_num, " +
+        "regexp_extract(o_orderpriority, '-(.+)$', 1) AS prio_word, count(*) AS n " +
+        "FROM orders GROUP BY prio_num, prio_word"),
+    "q_array_lambda" ->
+      ("SELECT p_partkey, CAST(p_size AS BIGINT) AS sz, " +
+        "CAST(list_sum([x * x for x in generate_series(1::BIGINT, p_size::BIGINT)]) AS BIGINT) " +
+        "AS sum_sq, " +
+        "CAST(len(list_filter(generate_series(1::BIGINT, p_size::BIGINT), x -> x % 2 = 0)) " +
+        "AS BIGINT) AS n_even FROM part"),
+    "q_map_funcs" ->
+      ("SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, " +
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks, " +
+        "count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"),
+    "q_window_range" ->
+      ("SELECT o_orderpriority, o_orderkey, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS wk_sum FROM orders"),
+    "q_point_lookup" ->
+      ("SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal " +
+        "FROM customer WHERE c_custkey = 42"),
+    "q_skew_salted" ->
+      ("SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment"),
+    "q_gap_fill" ->
+      ("WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo, " +
+        "date_trunc('month', max(o_orderdate)) AS hi FROM orders), " +
+        "months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mon FROM b), " +
+        "st AS (SELECT DISTINCT o_orderstatus FROM orders), " +
+        "agg AS (SELECT date_trunc('month', o_orderdate) AS mon, o_orderstatus, " +
+        "count(*) AS n FROM orders GROUP BY 1, 2) " +
+        "SELECT s.o_orderstatus, m.mon, coalesce(a.n, 0) AS n FROM months m " +
+        "CROSS JOIN st s LEFT JOIN agg a ON a.mon = m.mon AND a.o_orderstatus = s.o_orderstatus"),
+    "q_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n, " +
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY bucket"),
+    "q_bitwise_agg" ->
+      ("SELECT l_returnflag, CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln, " +
+        "CAST(bit_or(l_linenumber) AS BIGINT) AS or_ln, " +
+        "CAST(bit_xor(l_orderkey % 256) AS BIGINT) AS xor_ok " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
   )
 }

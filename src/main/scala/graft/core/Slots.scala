@@ -39,6 +39,9 @@ object Slots {
     t
   }
 
+  /** The 256-entry CRC16 table (for oracle-SQL generation / inspection). */
+  def crcTable: Array[Int] = table.clone()
+
   /** CRC16-CCITT over raw bytes (Redis `crc16`). */
   def crc16(bytes: Array[Byte]): Int = {
     var crc = 0

@@ -227,6 +227,113 @@ object TextPass {
   }
 }
 
+/**
+ * Cross-engine-reproducible hashing: every function here derives from
+ * MD5 (a published, universally implemented digest), so a DuckDB /
+ * Trino / Postgres oracle can recompute the identical sketch in plain
+ * SQL (`('0x' || substr(md5(x), 1, 16))::UBIGINT` + two's-complement
+ * wrap). The FNV-based sketches in [[TextOps]]/[[TextPass]] stay the
+ * throughput path (no digest per token); these are the
+ * verification-grade variants — same algorithms, portable base hash.
+ */
+object Md5Ops {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(s), big-endian, as a signed 64-bit value. */
+  def md5lo64(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** 64-bit simhash over md5lo64 feature hashes of a string array (duplicates weighted). */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = md5lo64(tokens.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Mersenne-prime modulus: products fit in 63 bits (2^31 * 131 + 2^31 < 2^39). */
+  final val PolyMod = 2147483647L // 2^31 - 1
+  final val PolyBase = 131L
+
+  /**
+   * Order-sensitive polynomial fingerprint over md5lo64 token hashes,
+   * mod 2^31-1 — the arithmetic stays in BIGINT range in any SQL
+   * engine, so an oracle can fold the identical recurrence with
+   * `list_reduce`.
+   */
+  def polyFingerprintMd5(tokens: ArrayData): Long = {
+    var h = 0L
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val th = if (tokens.isNullAt(t)) 0L
+        else ((md5lo64(tokens.getUTF8String(t)) % PolyMod) + PolyMod) % PolyMod
+      h = (h * PolyBase + th) % PolyMod
+      t += 1
+    }
+    h
+  }
+}
+
+/** `md5lo64(str)` — first 8 bytes of MD5 as signed big-endian long (cross-engine-reproducible). */
+case class Md5Lo64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5lo64"
+  override protected def nullSafeEval(in: Any): Any =
+    Md5Ops.md5lo64(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.md5lo64($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Lo64Expr = copy(child = c)
+}
+
+/** `simhash_md5(features)` — 64-bit simhash over md5lo64 hashes of a string array. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5"
+  override protected def nullSafeEval(in: Any): Any =
+    Md5Ops.simhashMd5(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5Expr = copy(child = c)
+}
+
+/** `poly_fingerprint(tokens)` — order-sensitive md5-based polynomial fingerprint mod 2^31-1. */
+case class PolyFingerprintMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_fingerprint"
+  override protected def nullSafeEval(in: Any): Any =
+    Md5Ops.polyFingerprintMd5(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.polyFingerprintMd5($c)")
+  override protected def withNewChildInternal(c: Expression): PolyFingerprintMd5Expr = copy(child = c)
+}
+
 /** `shingle_hashes(text, n)` — distinct hashed word-n-gram shingles, one pass. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -333,4 +440,16 @@ object TextFunctions {
 
   def rolling_hash(tokens: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(tokens)))
+
+  /** First 8 bytes of MD5 as signed big-endian long — cross-engine-reproducible base hash. */
+  def md5lo64(s: Column): Column =
+    ColumnBridge.column(Md5Lo64Expr(ColumnBridge.expression(s)))
+
+  /** 64-bit simhash over md5lo64 feature hashes (verification-grade variant). */
+  def simhash_md5(features: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(features)))
+
+  /** Order-sensitive md5-based polynomial fingerprint mod 2^31-1. */
+  def poly_fingerprint(tokens: Column): Column =
+    ColumnBridge.column(PolyFingerprintMd5Expr(ColumnBridge.expression(tokens)))
 }

@@ -129,6 +129,13 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** All word-n-gram shingle strings (non-distinct — simhash weights repeats). */
+  def shingleStringsAll(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
   /**
    * SimHash near-dup pairs: 64-bit sketch over n-gram shingle
    * features (scan-stage, [[graft.functions.SimHashDocExpr]]);
@@ -139,11 +146,24 @@ object Dedup {
    * `maxBucket` cap is a safety valve that keeps an adversarial
    * corpus from turning a bucket quadratic at the 100 TB design
    * point.
+   *
+   * `md5Compat = true` switches the feature hash to md5lo64 over
+   * shingle strings ([[graft.functions.Md5Ops]]) so a DuckDB oracle
+   * recomputes the identical sketches — the verification-grade
+   * configuration. Docs with zero shingles (< n tokens) are excluded
+   * there: their all-zero sketches would otherwise pair every pair of
+   * short docs with hamming 0 on no content evidence.
    */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 500,
-      shingleN: Int = 5, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sk = docs.select(col(idCol).as("id"),
-      simhash_doc(col(textCol), shingleN).as("sk"))
+      shingleN: Int = 5, textCol: String = "text", idCol: String = "doc_id",
+      md5Compat: Boolean = false): DataFrame = {
+    val sk =
+      if (md5Compat)
+        docs.select(col(idCol).as("id"), shingleStringsAll(col(textCol), shingleN).as("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("id"), simhash_md5(col("shs")).as("sk"))
+      else docs.select(col(idCol).as("id"),
+        simhash_doc(col(textCol), shingleN).as("sk"))
     val chunks = sk.select(col("id"), col("sk"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sk"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -161,7 +181,7 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sk").as("ska"), col("b.sk").as("skb"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))))
+      .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
@@ -178,8 +198,18 @@ object Dedup {
    *
    * Input: pair DataFrame with columns (a_id, b_id). Output:
    * (doc_id, cluster_id) for every doc appearing in a pair.
+   *
+   * Adaptive small-graph path: near-dup pair graphs are orders of
+   * magnitude smaller than the corpus (they only contain actual
+   * near-dups), so when the materialized edge list is under
+   * `smallGraphEdges` rows a single-pass driver union-find replaces
+   * the O(diameter)-round join loop — same result, one job instead of
+   * ~4×diameter. The distributed loop remains the path for graphs
+   * that don't fit (set `smallGraphEdges = 0` to force it; the spec
+   * asserts both paths agree).
    */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20,
+      smallGraphEdges: Long = 2000000L): DataFrame = {
     // materialize the (small) edge list once — every iteration joins
     // against it, and recomputing the upstream pair pipeline per
     // round would dominate the whole operator
@@ -187,6 +217,8 @@ object Dedup {
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct()
       .localCheckpoint()
+    if (smallGraphEdges > 0 && edges.count() <= smallGraphEdges)
+      return driverUnionFind(edges)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -209,6 +241,33 @@ object Dedup {
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Path-compressed union-find over a collected edge list (small-graph fast path). */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.getOrDefault(x, x)
+        parent.put(x, parent.getOrDefault(p, p))
+        x = p
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // min-root union keeps cluster_id = min reachable id, matching
+      // the distributed loop's labeling exactly
+      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+    spark.createDataset(out).toDF("doc_id", "cluster_id")
   }
 
   /**

@@ -41,13 +41,17 @@ object Multimodal {
         col("source").as("source"),
         octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
 
-  /** Output schema of the (stub) feature extractor. */
+  /**
+   * Output schema of the (stub) feature extractor. All-integer
+   * statistics (sum instead of mean) so the DuckDB oracle reproduces
+   * them exactly — float means would hit rounding-mode divergence.
+   */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false),
-    StructField("max_byte", IntegerType, nullable = false),
-    StructField("head_crc_slot", IntegerType, nullable = false)))
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_byte", LongType, nullable = false),
+    StructField("head_crc_slot", LongType, nullable = false)))
 
   /**
    * Batched "decode"/feature-extract over the binary payload —
@@ -71,15 +75,14 @@ object Multimodal {
   }
 
   /** Deterministic fake decoder: byte statistics standing in for real features. */
-  private def stubFeatures(id: Long, bytes: Array[Byte]): (Long, Long, Double, Int, Int) = {
-    var sum = 0L; var mx = 0; var i = 0
+  private def stubFeatures(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    var sum = 0L; var mx = 0L; var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
       sum += b; if (b > mx) mx = b; i += 1
     }
-    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
     val head = new String(bytes, 0, math.min(16, bytes.length), "UTF-8")
-    (id, bytes.length.toLong, math.rint(mean * 10000) / 10000, mx, graft.core.Slots.slot(head))
+    (id, bytes.length.toLong, sum, mx, graft.core.Slots.slot(head).toLong)
   }
 
   /**

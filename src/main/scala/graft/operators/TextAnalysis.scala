@@ -94,12 +94,18 @@ object TextAnalysis {
       .select(col(idCol), col("pred_lang"))
   }
 
-  /** Deterministic document fingerprints: order-sensitive rolling hash + simhash sketch. */
+  /**
+   * Deterministic document fingerprints: order-sensitive polynomial
+   * hash + simhash sketch, both over md5lo64 token hashes so any SQL
+   * engine can recompute them exactly (the DuckDB oracle folds the
+   * identical recurrence with `list_reduce`). The FNV single-pass
+   * variants (`rolling_hash`, `simhash64`) remain the throughput path.
+   */
   def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
       col(idCol),
-      rolling_hash(toks).as("fingerprint"),
-      simhash64(toks).as("simhash"))
+      poly_fingerprint(toks).as("fingerprint"),
+      simhash_md5(toks).as("simhash"))
   }
 }

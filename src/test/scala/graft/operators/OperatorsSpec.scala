@@ -53,8 +53,14 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("simhashNearDupPairs links exact dups at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
+  test("simhashNearDupPairs md5-compat path agrees with FNV path on exact dups") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3, md5Compat = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
   test("embedding near-dups and ANN agree on a planted duplicate vector") {
@@ -97,6 +103,11 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the distributed label-propagation path must agree with the
+    // small-graph driver union-find exactly
+    val distributed = Dedup.dupClusters(pairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === got)
   }
 
   test("frameSample: fixed-size strided chunks of the binary payload") {
@@ -162,8 +173,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.size === 5)
     assert(feats(0L).getAs[Long]("n_bytes") === docs.filter(col("doc_id") === 0)
       .head().getAs[String]("text").getBytes("UTF-8").length.toLong)
-    assert(feats(0L).getAs[Double]("mean_byte") > 0)
+    assert(feats(0L).getAs[Long]("sum_bytes") > 0L)
     // exact dups produce identical stub features
-    assert(feats(0L).getAs[Double]("mean_byte") === feats(1L).getAs[Double]("mean_byte"))
+    assert(feats(0L).getAs[Long]("sum_bytes") === feats(1L).getAs[Long]("sum_bytes"))
+    assert(feats(0L).getAs[Long]("head_crc_slot") === feats(1L).getAs[Long]("head_crc_slot"))
   }
 }
