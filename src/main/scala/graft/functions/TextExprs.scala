@@ -279,6 +279,55 @@ object Md5Ops {
   final val PolyBase = 131L
 
   /**
+   * Single-pass md5 simhash over word-n-gram shingles. Because
+   * `split(s, ' ')` tokens are joined by exactly one space, every
+   * n-token window is a contiguous byte slice of the input — so the
+   * sketch equals `simhashMd5(shingle-strings)` while reading the
+   * text once (the composed builtin pipeline re-evaluates the split
+   * per shingle position, going O(tokens²) per document). Input must
+   * already be lowercased (pass `lower(text)`); returns the sketch of
+   * zero windows (docs with < n tokens) as 0 — callers filter those.
+   */
+  def simhashMd5Doc(text: UTF8String, n: Int): Long = {
+    val bytes = text.getBytes
+    // token start offsets (a token begins at 0 and after every space)
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1 // sentinel: "start" after a virtual space
+    val counts = new Array[Int](64)
+    val md = md5.get()
+    var w = 0
+    while (w + n <= nTokens) {
+      val from = starts(w)
+      val until = starts(w + n) - 1 // end of last token in the window
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /**
    * Order-sensitive polynomial fingerprint over md5lo64 token hashes,
    * mod 2^31-1 — the arithmetic stays in BIGINT range in any SQL
    * engine, so an oracle can fold the identical recurrence with
@@ -308,6 +357,18 @@ case class Md5Lo64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.md5lo64($c)")
   override protected def withNewChildInternal(c: Expression): Md5Lo64Expr = copy(child = c)
+}
+
+/** `simhash_md5_doc(loweredText, n)` — single-pass md5 simhash over word-n-gram shingles. */
+case class SimHashMd5DocExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5_doc"
+  override protected def nullSafeEval(in: Any): Any =
+    Md5Ops.simhashMd5Doc(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.simhashMd5Doc($c, $n)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5DocExpr = copy(child = c)
 }
 
 /** `simhash_md5(features)` — 64-bit simhash over md5lo64 hashes of a string array. */
@@ -448,6 +509,10 @@ object TextFunctions {
   /** 64-bit simhash over md5lo64 feature hashes (verification-grade variant). */
   def simhash_md5(features: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(features)))
+
+  /** Single-pass md5 simhash over word-n-gram shingles of an already-lowercased text. */
+  def simhash_md5_doc(loweredText: Column, n: Int = 5): Column =
+    ColumnBridge.column(SimHashMd5DocExpr(ColumnBridge.expression(loweredText), n))
 
   /** Order-sensitive md5-based polynomial fingerprint mod 2^31-1. */
   def poly_fingerprint(tokens: Column): Column =

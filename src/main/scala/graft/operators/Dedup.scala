@@ -42,10 +42,13 @@ object Dedup {
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = tokens(col(textCol))
-    // one shingle per start position i in [1, len-n+1] (1-based slice)
-    val sh = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
+    // one shingle per start position i in [1, len-n+1] (1-based
+    // slice); the `when` guard matters — sequence(1, 0) is a
+    // DESCENDING [1, 0] in Spark, not empty
+    val sh = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
@@ -132,8 +135,10 @@ object Dedup {
   /** All word-n-gram shingle strings (non-distinct — simhash weights repeats). */
   def shingleStringsAll(text: Column, n: Int): Column = {
     val w = tokens(text)
-    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /**
@@ -159,9 +164,12 @@ object Dedup {
       md5Compat: Boolean = false): DataFrame = {
     val sk =
       if (md5Compat)
-        docs.select(col(idCol).as("id"), shingleStringsAll(col(textCol), shingleN).as("shs"))
-          .filter(size(col("shs")) > 0)
-          .select(col("id"), simhash_md5(col("shs")).as("sk"))
+        // single-pass fused expr ≡ simhash_md5(shingle strings); docs
+        // with < n tokens are excluded (zero-window sketches would
+        // pair all short docs at hamming 0 on no evidence)
+        docs.filter(size(tokens(col(textCol))) >= shingleN)
+          .select(col(idCol).as("id"),
+            simhash_md5_doc(lower(col(textCol)), shingleN).as("sk"))
       else docs.select(col(idCol).as("id"),
         simhash_doc(col(textCol), shingleN).as("sk"))
     val chunks = sk.select(col("id"), col("sk"),

@@ -66,6 +66,22 @@ class ExprSpec extends AnyFunSuite {
     assert(h(1L) !== h(2L))
   }
 
+  test("fused simhash_md5_doc equals simhash_md5 over composed shingle strings") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g"),
+      (3L, "exactly five tokens right here"),      // 5 tokens → 1 window
+      (4L, "double  space  tokens  here  survive  splitting"),
+      (5L, "Mixed CASE Words Should Lower The Same Way Everywhere"))
+    val df = texts.toDF("id", "text").select(col("id"),
+      graft.functions.TextFunctions.simhash_md5_doc(lower(col("text")), 5).as("fused"),
+      graft.functions.TextFunctions.simhash_md5(
+        graft.operators.Dedup.shingleStringsAll(col("text"), 5)).as("composed"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("rand_proj_bits: deterministic and similar vectors share more bits") {
     val v = Array.tabulate(64)(i => math.sin(i).toFloat)
     val nearV = v.clone(); nearV(0) = v(0) + 0.01f
