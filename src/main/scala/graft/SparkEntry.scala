@@ -620,10 +620,24 @@ object SparkEntry {
    * misses all tables with probability (1-0.899⁸)¹⁶ ≈ 1.3e-4, so the
    * exact-cosine verification makes the output equal the exhaustive
    * threshold pairs — which is the oracle.
+   *
+   * The synthetic embeddings are near-orthogonal (max pairwise cosine
+   * ≈ 0.6 at every sf), so the fixture alone has no pairs ≥ 0.95; the
+   * query plants deterministic near-dups (ids +100000, even dims
+   * ×1.1 / odd ×0.9 → cos ≈ 0.995 to the source vector) so the
+   * operator and its exhaustive-pair oracle are non-trivially
+   * exercised.
    */
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95,
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * when(i % 2 === 0, 1.1).otherwise(0.9)).as("embedding"))
+    Dedup.embeddingNearDupPairs(base.unionAll(planted), threshold = 0.95,
       bits = 8, tables = 16)
+  }
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -635,15 +649,20 @@ object SparkEntry {
   private def annCentroid(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidAssign(t(s, dir, "embeddings"))
 
-  /** IVF ANN: coarse-centroid posting lists, nprobe-bounded search (rows-only, approximate). */
+  /**
+   * IVF ANN: coarse-centroid posting lists, nprobe-bounded search.
+   * Fully deterministic (id-modulo seeding + one averaging step), so
+   * the DuckDB oracle replays the identical index build and probe.
+   */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), k = 5, nlist = 32, nprobe = 8)
   }
 
+  /** md5-plane LSH (verification-grade): DuckDB recomputes identical buckets. */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
-    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5, md5Compat = true)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -994,10 +1013,15 @@ object SparkEntry {
         "FROM sk a JOIN sk b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.u, b.u)) <= 3"),
     "dedup_embedding" ->
-      ("SELECT a_id, b_id, round(raw, 4) AS cos FROM (" +
+      ("WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "planted AS (SELECT vec_id + 100000 AS vec_id, " +
+        "[CASE WHEN (i - 1) % 2 = 0 THEN v[i] * 1.1 ELSE v[i] * 0.9 END " +
+        "for i in generate_series(1, len(v))] AS v FROM base WHERE vec_id < 50), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM planted) " +
+        "SELECT a_id, b_id, round(raw, 4) AS cos FROM (" +
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
-        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS raw " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
+        "list_cosine_similarity(a.v, b.v) AS raw " +
+        "FROM c a JOIN c b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
     "dedup_clusters" ->
       ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
@@ -1021,6 +1045,50 @@ object SparkEntry {
         "c.vec_id) AS BIGINT) AS rank " +
         "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
         "WHERE q.vec_id < 10) WHERE rank <= 5"),
+    // replays the deterministic IVF build: id%32 seed buckets → mean
+    // centroids → nearest-centroid posting lists → 8-probe search
+    "ann_ivf" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+        "assign AS (SELECT vec_id, v, _b FROM (" +
+        "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM v x, cent ct) WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS query_id, v AS qv, _b FROM (" +
+        "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM v x, cent ct WHERE x.vec_id < 10) WHERE rn <= 8), " +
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(p.qv, a.v) AS cos FROM probes p " +
+        "JOIN assign a ON p._b = a._b AND a.vec_id != p.query_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 4) AS cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM cand) WHERE rank <= 5"),
+    // replays the md5-plane LSH: ±1 weights from md5('lsh:t:b:i'),
+    // 4 tables × 8-bit buckets, candidates ranked by exact cosine
+    "ann_lsh" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "proj AS (SELECT t, b, list(CASE WHEN " +
+        "('0x'||substr(md5('lsh:'||t||':'||b||':'||(i-1)), 1, 16))::UBIGINT & 1 = 1 " +
+        "THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane " +
+        "FROM generate_series(0, 3) tt(t), generate_series(0, 7) bb(b), " +
+        "generate_series(1, 64) ii(i) GROUP BY t, b), " +
+        "sk AS (SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) " +
+        "ELSE 0 END) AS BIGINT) AS bucket FROM (" +
+        "SELECT x.vec_id, p.t, p.b, list_dot_product(x.v, p.plane) AS d " +
+        "FROM v x, proj p) GROUP BY vec_id, t), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        "FROM sk q JOIN sk c ON q.t = c.t AND q.bucket = c.bucket " +
+        "WHERE q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, " +
+        "list_cosine_similarity(qv.v, cv.v) AS cos FROM cand " +
+        "JOIN v qv ON qv.vec_id = cand.query_id " +
+        "JOIN v cv ON cv.vec_id = cand.neighbor_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 4) AS cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"),
     "ann_centroid" ->
       ("WITH d AS (SELECT label AS clabel, i, avg(embedding[i]) AS c FROM embeddings, " +
         "UNNEST(generate_series(1, 64)) t(i) GROUP BY 1, 2), " +

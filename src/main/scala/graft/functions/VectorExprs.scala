@@ -54,7 +54,13 @@ object VectorOps {
    * high cosine similarity agree on most bits, so equal sketch
    * prefixes form ANN candidate buckets.
    */
-  def randomProjBitsF(a: ArrayData, k: Int, seed: Long): Long = {
+  def randomProjBitsF(a: ArrayData, k: Int, seed: Long): Long =
+    randomProjBits(a, k, seed, isFloat = true)
+
+  def randomProjBitsD(a: ArrayData, k: Int, seed: Long): Long =
+    randomProjBits(a, k, seed, isFloat = false)
+
+  private def randomProjBits(a: ArrayData, k: Int, seed: Long, isFloat: Boolean): Long = {
     val n = a.numElements()
     var bits = 0L
     var h = 0
@@ -68,11 +74,72 @@ object VectorOps {
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z = z ^ (z >>> 31)
         val w = (z.toDouble / Long.MaxValue.toDouble) // [-1,1]
-        acc += w * a.getFloat(i)
+        acc += w * (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
         i += 1
       }
       if (acc >= 0) bits |= (1L << h)
       h += 1
+    }
+    bits
+  }
+}
+
+/**
+ * md5-derived random-projection planes (verification-grade LSH): the
+ * plane weight for (table, bit, dim) is ±1 by the low bit of the
+ * first 8 md5 bytes of "lsh:table:bit:dim". Deterministic with no RNG
+ * state, and exactly reproducible in any engine with an md5 function
+ * (DuckDB: `('0x'||substr(md5(s),1,16))::UBIGINT & 1`) — so LSH
+ * bucketing itself becomes oracle-checkable, like the md5 simhash
+ * (TextExprs.Md5Ops). Plane matrices are cached per (table, k).
+ */
+object Md5Proj {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(table: Int, k: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((table, k), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(k) { b =>
+        Array.tabulate(dims) { i =>
+          val d = md.digest(s"lsh:$table:$b:$i".getBytes("UTF-8"))
+          // low bit of the big-endian first-8-byte word = low bit of byte 7
+          if ((d(7) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** k-bit sketch of a float-array vector against table `table`'s md5 planes. */
+  def md5ProjBitsF(a: ArrayData, k: Int, table: Int): Long = {
+    val n = a.numElements()
+    val ps = planes(table, k, 64)
+    var bits = 0L
+    var b = 0
+    while (b < k) {
+      val p = ps(b)
+      val m = math.min(n, p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += p(i) * a.getFloat(i).toDouble; i += 1 }
+      if (acc >= 0) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** Double-array variant (same planes, same semantics). */
+  def md5ProjBitsD(a: ArrayData, k: Int, table: Int): Long = {
+    val n = a.numElements()
+    val ps = planes(table, k, 64)
+    var bits = 0L
+    var b = 0
+    while (b < k) {
+      val p = ps(b)
+      val m = math.min(n, p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += p(i) * a.getDouble(i); i += 1 }
+      if (acc >= 0) bits |= (1L << b)
+      b += 1
     }
     bits
   }
@@ -109,13 +176,41 @@ case class RandomProjExpr(child: Expression, k: Int, seed: Long)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rand_proj_bits"
 
+  private def fn: String = child.dataType match {
+    case ArrayType(FloatType, _) => "randomProjBitsF"
+    case _ => "randomProjBitsD"
+  }
+
   override protected def nullSafeEval(a: Any): Any =
-    VectorOps.randomProjBitsF(a.asInstanceOf[ArrayData], k, seed)
+    if (fn == "randomProjBitsF") VectorOps.randomProjBitsF(a.asInstanceOf[ArrayData], k, seed)
+    else VectorOps.randomProjBitsD(a.asInstanceOf[ArrayData], k, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.randomProjBitsF($a, $k, ${seed}L)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.$fn($a, $k, ${seed}L)")
 
   override protected def withNewChildInternal(c: Expression): RandomProjExpr = copy(child = c)
+}
+
+/** `md5_proj_bits(vec)` — k-bit md5-plane LSH sketch (cross-engine-reproducible). */
+case class Md5ProjExpr(child: Expression, k: Int, table: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_proj_bits"
+
+  private def fn: String = child.dataType match {
+    case ArrayType(FloatType, _) => "md5ProjBitsF"
+    case _ => "md5ProjBitsD"
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    if (fn == "md5ProjBitsF") Md5Proj.md5ProjBitsF(a.asInstanceOf[ArrayData], k, table)
+    else Md5Proj.md5ProjBitsD(a.asInstanceOf[ArrayData], k, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Md5Proj.$fn($a, $k, $table)")
+
+  override protected def withNewChildInternal(c: Expression): Md5ProjExpr = copy(child = c)
 }
 
 object VectorFunctions {
@@ -125,6 +220,9 @@ object VectorFunctions {
 
   def rand_proj_bits(v: Column, k: Int = 16, seed: Long = 42L): Column =
     ColumnBridge.column(RandomProjExpr(ColumnBridge.expression(v), k, seed))
+
+  def md5_proj_bits(v: Column, k: Int, table: Int): Column =
+    ColumnBridge.column(Md5ProjExpr(ColumnBridge.expression(v), k, table))
 
   def crc16_slot(c: Column): Column =
     ColumnBridge.column(Crc16SlotExpr(ColumnBridge.expression(c)))

@@ -83,9 +83,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nlist: Int = 64, nprobe: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // 1. coarse centroids: deterministic hash-bucket seeding, one averaging step
+    // 1. coarse centroids: deterministic id-modulo seeding (one
+    // averaging step). Round-robin over ids gives well-mixed seed
+    // groups on any id distribution, and — unlike a 64-bit mix hash —
+    // is exactly reproducible in the DuckDB oracle.
     val cent = corpus
-      .withColumn("_b", pmod(xxhash64(col(idCol)), lit(nlist)))
+      .withColumn("_b", pmod(col(idCol), lit(nlist)))
       .select(col("_b"), posexplode(col(vecCol)))
       .groupBy("_b", "pos").agg(avg("col").as("c"))
       .groupBy("_b")
@@ -125,14 +128,22 @@ object Similarity {
    * sketches; union of bucket-mates forms the candidate set, ranked
    * exactly. Recall < 1 by construction; raise `tables` / lower
    * `bits` to trade cost for recall.
+   *
+   * `md5Compat = true` switches the hyperplanes to md5-derived ±1
+   * weights ([[graft.functions.Md5Proj]]) so a DuckDB oracle
+   * recomputes identical buckets — the verification-grade
+   * configuration (same plan shape and cost either way).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       bits: Int = 8, tables: Int = 4,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      md5Compat: Boolean = false): DataFrame = {
+    def sketch(t: Int) =
+      if (md5Compat) md5_proj_bits(col(vecCol), bits, table = t)
+      else rand_proj_bits(col(vecCol), bits, seed = 2000 + t)
     def sketched(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        posexplode(array((0 until tables).map(t =>
-          rand_proj_bits(col(vecCol), bits, seed = 2000 + t)): _*)))
+        posexplode(array((0 until tables).map(sketch): _*)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val c = sketched(corpus, "neighbor_id", "cv")
     val q = sketched(queries, "query_id", "qv")

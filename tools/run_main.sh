@@ -6,4 +6,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
 exec java $ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dlog4j.configurationFile=/root/repo/src/test/resources/log4j2.properties \
-  -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" "$MAIN" "$@"
+  -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources" "$MAIN" "$@"
