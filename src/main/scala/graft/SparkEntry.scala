@@ -581,6 +581,38 @@ object SparkEntry {
       .agg(count("*").as("n"))
   }
 
+  /** Stable scratch dir per (format, fixture) for source/sink round-trips. */
+  private def rtPath(dir: String, fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_${math.abs(dir.hashCode)}"
+
+  /** CSV sink → CSV source round-trip (explicit schema reapplied on read). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.roundTrip(t(s, dir, "supplier"), "csv", rtPath(dir, "csv"))
+      .groupBy("s_nationkey")
+      .agg(count("*").as("n"), round(sum("s_acctbal"), 2).as("bal"))
+
+  /** JSON sink → JSON source round-trip (dates survive via the explicit schema). */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.roundTrip(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        "json", rtPath(dir, "json"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  /**
+   * Partitioned-parquet sink round-trip: hive-style `l_returnflag=R`
+   * directories; the post-read equality filter is satisfied by
+   * partition-directory pruning (only 1/3 of files scanned).
+   */
+  private def qPartitionedSink(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.roundTrip(
+        t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity"),
+        "parquet", rtPath(dir, "parquet"), partitionCols = Seq("l_returnflag"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_returnflag")
+      .agg(count("*").as("n"), round(sum("l_quantity"), 2).as("qty"))
+
   /** Frame sampling over binary payloads: every 4th 64-byte chunk, content-hashed. */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.attachBinary(t(s, dir, "documents")),
@@ -752,6 +784,9 @@ object SparkEntry {
     "q_gap_fill" -> (qGapFill _),
     "q_histogram" -> (qHistogram _),
     "q_bitwise_agg" -> (qBitwiseAgg _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_partitioned_sink" -> (qPartitionedSink _),
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1223,5 +1258,17 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag"),
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // round-trips re-read what was written, so the oracle is the
+    // same aggregate straight off the parquet fixture
+    "q_csv_roundtrip" ->
+      ("SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal " +
+        "FROM supplier GROUP BY s_nationkey"),
+    "q_json_roundtrip" ->
+      ("SELECT year(o_orderdate) AS y, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY y"),
+    "q_partitioned_sink" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag"),
   )
 }

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * File-format source/sink facade (SURVEY §2.4 scans/sinks rows):
+ * `df.write.{parquet,csv,json}` → `spark.read.*` round-trips.
+ *
+ * The reference's only "sink" is a side-effecting map step writing
+ * back to the keyspace (`tests/mr_test_module/src/lib.rs:744-764`);
+ * here sinks are first-class formats. The read side always reapplies
+ * the writer's schema explicitly — CSV/JSON carry no Spark types on
+ * the wire, and schema inference is both nondeterministic across
+ * files and a full extra pass at 100 TB.
+ *
+ * Partitioned writes (`partitionCols`) produce hive-style `col=v`
+ * directories; an equality filter on a partition column after
+ * re-read is satisfied by directory pruning, never touching
+ * non-matching files (asserted in PlanAuditSpec).
+ */
+object FileIO {
+
+  def roundTrip(df: DataFrame, format: String, path: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val w0 = df.write.mode("overwrite").format(format).option("header", "true")
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    w.save(path)
+    df.sparkSession.read.format(format)
+      .option("header", "true")
+      .schema(df.schema)
+      .load(path)
+  }
+}

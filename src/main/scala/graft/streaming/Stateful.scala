@@ -42,4 +42,33 @@ object Stateful {
           state.update(UserState(n, sum))
           UserTotals(uid, n, math.rint(sum * 100) / 100)
       }
+
+  case class LastType(t: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  private implicit val lastEnc: Encoder[LastType] = ExpressionEncoder[LastType]()
+  private implicit val transEnc: Encoder[Transition] = ExpressionEncoder[Transition]()
+  private implicit val rowEnc: Encoder[(Long, Long, String)] = ExpressionEncoder[(Long, Long, String)]()
+
+  /**
+   * Per-user event-type transitions via `flatMapGroupsWithState` —
+   * the 0..n-rows-out stateful shape (vs `mapGroupsWithState`'s
+   * exactly-one). State carries the last type seen so transitions
+   * spanning micro-batch boundaries are still emitted; rows are
+   * ordered by event_id inside the group (the group iterator itself
+   * has no order guarantee, batch or stream).
+   */
+  def typeTransitions(events: DataFrame): Dataset[Transition] =
+    events.selectExpr("user_id", "event_id", "event_type").as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[LastType]) =>
+          val types = rows.toSeq.sortBy(_._2).map(_._3)
+          val seq = state.getOption.map(_.t).toSeq ++ types
+          if (types.nonEmpty) state.update(LastType(types.last))
+          seq.sliding(2).collect { case Seq(a, b) => Transition(uid, a, b) }
+      }
 }

@@ -60,6 +60,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
   }
 
+  test("q_partitioned_sink: re-read filter is satisfied by partition-directory pruning") {
+    // run the query once so the partitioned scratch dir exists, then
+    // audit the re-read's plan: the returnflag predicate must land in
+    // PartitionFilters (directory pruning), not a data-level Filter
+    SparkEntry.queries("q_partitioned_sink")(spark, SparkTestSession.sfDir).count()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_rt_parquet_${math.abs(SparkTestSession.sfDir.hashCode)}"
+    val re = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val scan = re.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+        .contains("l_returnflag"),
+      s"returnflag filter not in PartitionFilters:\n$scan")
+  }
+
   test("lmr filter pipeline: typed-facade queries still prune the parquet scan") {
     val p = plan("lmr_filter_map")
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),

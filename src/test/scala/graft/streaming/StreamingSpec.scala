@@ -109,6 +109,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState: streaming type transitions equal the batch lag twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmgws").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = Stateful.typeTransitions(stream).writeStream
+      .outputMode("append").format("memory").queryName("transitions").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("transitions")
+      .groupBy("user_id", "from_type", "to_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("user_id"), col("from_type"), col("event_type").as("to_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("watermark drops late data from append-mode windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    val agg = EventStreams.windowedCounts(
+      ms.toDF.toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_drop").start()
+    try {
+      // batch 1: events at 01:30 and 05:30 → watermark advances to 04:30,
+      // finalizing (and emitting) every window before 04:00
+      ms.addData((ts(1), "click", 1.0), (ts(5), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 01:30 (behind the 04:30 watermark) plus
+      // a fresh one at 06:30 — the late one must not re-open hour 01:00
+      ms.addData((ts(1), "click", 99.0), (ts(6), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_drop")
+      .select(col("win_start"), col("n"), col("sum_value")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // hour-01 window was emitted once with the on-time row only; the
+    // late 99.0 never appears (no second hour-01 row, sum stays 1.0)
+    assert(out.count(_._1.startsWith("2026-01-01 01:00")) === 1)
+    assert(out.contains(("2026-01-01 01:00:00.0", 1L, 1.0)))
+  }
+
   test("session windows: every user session respects the gap") {
     val sessions = EventStreams.streamingSessions(Tables.events(spark, SparkTestSession.sfDir))
     val n = sessions.count()
