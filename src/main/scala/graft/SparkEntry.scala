@@ -721,6 +721,14 @@ object SparkEntry {
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(Multimodal.attachBinary(t(s, dir, "documents")))
 
+  /** Full multimodal→vector→ANN chain: byte_embed features, brute-force top-3. */
+  private def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val embedded = Multimodal.embedStub(Multimodal.attachBinary(t(s, dir, "documents")))
+    Similarity.bruteForceTopK(embedded, embedded.filter(col("doc_id") < 10), k = 3,
+        vecCol = "embedding", idCol = "doc_id")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -805,6 +813,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_embed" -> (multimodalEmbed _),
   )
 
   // ---------------------------------------------------------------------------
@@ -1186,6 +1195,17 @@ object SparkEntry {
         "AS BIGINT) AS max_byte, " +
         "CAST(" + crcSql("substr(text, 1, 16)") + " & 16383 AS BIGINT) AS head_crc_slot " +
         "FROM documents"),
+    "multimodal_embed" ->
+      ("WITH e AS (SELECT doc_id, [(coalesce(list_sum(" +
+        "[ord(substr(text, p, 1)) for p in generate_series(1, length(text)) " +
+        "if (p - 1) % 8 = j]), 0))::DOUBLE for j in generate_series(0, 7)] AS v " +
+        "FROM documents) " +
+        "SELECT query_id, rank, neighbor_id, cos FROM (" +
+        "SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.v, c.v), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q.doc_id " +
+        "ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.doc_id) AS BIGINT) AS rank " +
+        "FROM e q JOIN e c ON q.doc_id != c.doc_id WHERE q.doc_id < 10) WHERE rank <= 3"),
     "multimodal_frames" ->
       ("SELECT doc_id, frame_idx, md5(frame) AS frame_md5 FROM (" +
         "SELECT doc_id, i AS frame_idx, substr(text, CAST(i * 256 + 1 AS BIGINT), 64) AS frame " +

@@ -26,4 +26,34 @@ object Aggregators {
       Encoders.scalaDouble, Encoders.scalaDouble)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /**
+   * Element-wise vector sum over `array<double>` columns. The scale
+   * lever for centroid builds: `groupBy(k).agg(vec_sum(v))` shuffles
+   * ONE array row per (group, partition) instead of the
+   * posexplode-then-avg formulation's (rows × dims) scalar rows — at
+   * 1B vectors × 1K dims that is the difference between a 1B-row and
+   * a 1T-row shuffle. Empty buffer = zero-length array (adopts the
+   * first input's dimensionality).
+   */
+  object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(b: Array[Double], in: Seq[Double]): Array[Double] = {
+      if (b.isEmpty) in.toArray
+      else {
+        var i = 0
+        val n = math.min(b.length, in.length)
+        while (i < n) { b(i) += in(i); i += 1 }
+        b
+      }
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else { var i = 0; while (i < math.min(a.length, b.length)) { a(i) += b(i); i += 1 }; a }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -145,6 +145,37 @@ object Md5Proj {
   }
 }
 
+/**
+ * `byte_embed(payload, dim)` — deterministic pseudo-embedding of a
+ * binary payload: element j = sum of unsigned bytes at positions ≡ j
+ * (mod dim). The stub "feature extractor" of the multimodal pipeline
+ * (a real deployment swaps in a model encoder); integer sums make it
+ * exactly reproducible in the DuckDB oracle. Scan-stage, O(bytes).
+ */
+object ByteEmbedOps {
+  def byteEmbed(bytes: Array[Byte], dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff).toLong; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class ByteEmbedExpr(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_embed"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ByteEmbedOps.byteEmbed(a.asInstanceOf[Array[Byte]], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ByteEmbedOps.byteEmbed($a, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): ByteEmbedExpr = copy(child = c)
+}
+
 /** `cosine_sim(a, b)` — cosine similarity of two embedding arrays. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -223,6 +254,9 @@ object VectorFunctions {
 
   def md5_proj_bits(v: Column, k: Int, table: Int): Column =
     ColumnBridge.column(Md5ProjExpr(ColumnBridge.expression(v), k, table))
+
+  def byte_embed(payload: Column, dim: Int): Column =
+    ColumnBridge.column(ByteEmbedExpr(ColumnBridge.expression(payload), dim))
 
   def crc16_slot(c: Column): Column =
     ColumnBridge.column(Crc16SlotExpr(ColumnBridge.expression(c)))

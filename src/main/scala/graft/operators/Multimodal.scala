@@ -86,6 +86,18 @@ object Multimodal {
   }
 
   /**
+   * Media → embedding stage: deterministic pseudo-embedding per
+   * payload via [[graft.functions.ByteEmbedExpr]] (scan-stage; a real
+   * deployment swaps in a model encoder, same schema). Output feeds
+   * directly into the Similarity operators — the multimodal→vector→
+   * ANN pipeline end to end.
+   */
+  def embedStub(withBinary: DataFrame, dim: Int = 8): DataFrame =
+    withBinary.select(col("doc_id"),
+      graft.functions.VectorFunctions.byte_embed(col("payload"), dim)
+        .cast("array<double>").as("embedding"))
+
+  /**
    * Frame sampling: every `stride`-th fixed-size chunk of the payload
    * (the video-frame-sample shape: cheap slicing, no decode).
    */

@@ -49,11 +49,15 @@ object Similarity {
   def centroidAssign(embs: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
       labelCol: String = "label"): DataFrame = {
-    val dims = embs.select(col(labelCol).as("clabel"), posexplode(col(vecCol)))
-    val cent = dims.groupBy("clabel", "pos").agg(avg("col").as("c"))
+    // vec_sum aggregator: one array row per (label, partition) in the
+    // shuffle, not (rows × dims) exploded scalars — see
+    // [[graft.functions.Aggregators.VecSum]] for the scale math
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    val cent = embs
+      .select(col(labelCol).as("clabel"), col(vecCol).cast("array<double>").as("v"))
       .groupBy("clabel")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("centroid"))
+      .agg(vsum(col("v")).as("vs"), count("*").as("n"))
+      .select(col("clabel"), transform(col("vs"), x => x / col("n")).as("centroid"))
     val scored = embs
       .select(col(idCol).as("vid"), col(labelCol).as("label_true"),
         col(vecCol).cast("array<double>").as("v"))
@@ -87,13 +91,13 @@ object Similarity {
     // averaging step). Round-robin over ids gives well-mixed seed
     // groups on any id distribution, and — unlike a 64-bit mix hash —
     // is exactly reproducible in the DuckDB oracle.
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
     val cent = corpus
       .withColumn("_b", pmod(col(idCol), lit(nlist)))
-      .select(col("_b"), posexplode(col(vecCol)))
-      .groupBy("_b", "pos").agg(avg("col").as("c"))
+      .select(col("_b"), col(vecCol).cast("array<double>").as("v"))
       .groupBy("_b")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("centroid"))
+      .agg(vsum(col("v")).as("vs"), count("*").as("n"))
+      .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
     // 2. posting lists: each corpus vector joins its nearest centroid
     val wAssign = Window.partitionBy("cid").orderBy(col("ccos").desc, col("_b"))
     val assigned = corpus

@@ -98,6 +98,23 @@ final class ExecutionBuilder[R] private (
     new ExecutionBuilder[O](spark, env.map(g)(envEncoder[O]))
   }
 
+  /**
+   * 1→0..n transform (UDTF shape, SURVEY §2.4 gap table). The
+   * reference has no flatMap step — LibMR users emulate it with a
+   * map-to-list plus a consuming reader — but the Spark facade gets
+   * it for free and the error-channel contract is identical: a throw
+   * demotes the input record to one error.
+   */
+  def flatMap[O: TypeTag](f: R => IterableOnce[O]): ExecutionBuilder[O] = {
+    val g = (e: Env[R]) => e.value match {
+      case Some(v) =>
+        try f(v).iterator.map(o => Env[O](None, Some(o)))
+        catch { case ex: Exception => Iterator.single(Env[O](Some(ExecutionBuilder.errMsg(ex)), None)) }
+      case None => Iterator.single(Env[O](e.error, None))
+    }
+    new ExecutionBuilder[O](spark, env.flatMap(g)(envEncoder[O]))
+  }
+
   /** Predicate; keep/drop; a throw demotes the record to the error channel (src/mr.c:864-889). */
   def filter(p: R => Boolean)(implicit tt: TypeTag[R]): ExecutionBuilder[R] = {
     val g = (e: Env[R]) => e.value match {

@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.errors.size === 3)  // 3, 6, 9
   }
 
+  test("flatMap: 0..n records out, throw demotes the input to one error") {
+    val r = ExecutionBuilder.seqReader(spark, (1 to 10).map(_.toLong), parts = 2)
+      .flatMap { k =>
+        if (k % 5 == 0) throw new RuntimeException(s"boom $k")
+        else Seq.fill((k % 3).toInt)(s"k:$k")  // 0, 1 or 2 copies
+      }
+      .collect()
+      .run()
+    val expected = (1 to 10).filter(_ % 5 != 0)
+      .flatMap(k => Seq.fill(k % 3)(s"k:$k"))
+    assert(r.results.sorted === expected.sorted)
+    assert(r.errors.size === 2)                  // 5 and 10
+  }
+
   test("mapE Left routes to the error channel without exceptions") {
     val r = ExecutionBuilder.seqReader(spark, Seq(1L, 2L, 3L), parts = 1)
       .mapE(k => if (k == 2) Left("bad two") else Right(k * 10))
