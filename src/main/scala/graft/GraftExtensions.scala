@@ -137,6 +137,32 @@ object GraftExtensions {
         case Seq(t) => PolyFingerprintMd5Expr(t)
         case _ => throw new IllegalArgumentException("poly_fingerprint(tokens)")
       }),
+    "simhash_md5_doc" -> (info("simhash_md5_doc",
+      "simhash_md5_doc(text[, n]) - fused single-pass md5 simhash over word n-gram shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashMd5DocExpr(t, 5)
+        case Seq(t, n) => SimHashMd5DocExpr(t, intArg(n, "n", "simhash_md5_doc"))
+        case _ => throw new IllegalArgumentException("simhash_md5_doc(text[, n])")
+      }),
+    "md5_proj_bits" -> (info("md5_proj_bits",
+      "md5_proj_bits(vec, k, table) - k-bit md5-plane LSH sketch (cross-engine-reproducible)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, k, t) => Md5ProjExpr(v, intArg(k, "k", "md5_proj_bits"),
+          intArg(t, "table", "md5_proj_bits"))
+        case _ => throw new IllegalArgumentException("md5_proj_bits(vec, k, table)")
+      }),
+    "byte_embed" -> (info("byte_embed",
+      "byte_embed(payload, dim) - modular byte-sum pseudo-embedding of a binary payload"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, d) => ByteEmbedExpr(p, intArg(d, "dim", "byte_embed"))
+        case _ => throw new IllegalArgumentException("byte_embed(payload, dim)")
+      }),
+    "byte_stride" -> (info("byte_stride",
+      "byte_stride(payload, k) - every k-th byte of a binary payload (resize/downsample stub)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, k) => ByteStrideExpr(p, intArg(k, "k", "byte_stride"))
+        case _ => throw new IllegalArgumentException("byte_stride(payload, k)")
+      }),
   )
 
   /** Register on an already-built session (alternative to spark.sql.extensions). */

@@ -607,7 +607,11 @@ object SparkEntry {
    */
   private def qPartitionedSink(s: SparkSession, dir: String): DataFrame =
     graft.sources.FileIO.roundTrip(
-        t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity"),
+        t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+          // co-locate rows with their output directory but keep write
+          // parallelism: a handful of files per partition value
+          // instead of (tasks × values) small files
+          .repartition(8, col("l_returnflag"), col("l_orderkey")),
         "parquet", rtPath(dir, "parquet"), partitionCols = Seq("l_returnflag"))
       .filter(col("l_returnflag") === "R")
       .groupBy("l_returnflag")
@@ -721,6 +725,11 @@ object SparkEntry {
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(Multimodal.attachBinary(t(s, dir, "documents")))
 
+  /** Resize (every-2nd-byte downsample) with updated metadata, content-hashed. */
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(Multimodal.attachBinary(t(s, dir, "documents")), factor = 2)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), md5(col("payload")).as("payload_md5"))
+
   /** Full multimodal→vector→ANN chain: byte_embed features, brute-force top-3. */
   private def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
     val embedded = Multimodal.embedStub(Multimodal.attachBinary(t(s, dir, "documents")))
@@ -814,6 +823,7 @@ object SparkEntry {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
+    "multimodal_resize" -> (multimodalResize _),
   )
 
   // ---------------------------------------------------------------------------
@@ -1206,6 +1216,11 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY q.doc_id " +
         "ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.doc_id) AS BIGINT) AS rank " +
         "FROM e q JOIN e c ON q.doc_id != c.doc_id WHERE q.doc_id < 10) WHERE rank <= 3"),
+    "multimodal_resize" ->
+      ("SELECT doc_id, CAST(length(ds) AS BIGINT) AS n_bytes, md5(ds) AS payload_md5 FROM (" +
+        "SELECT doc_id, array_to_string([substr(text, p, 1) " +
+        "for p in generate_series(1, length(text)) if (p - 1) % 2 = 0], '') AS ds " +
+        "FROM documents)"),
     "multimodal_frames" ->
       ("SELECT doc_id, frame_idx, md5(frame) AS frame_md5 FROM (" +
         "SELECT doc_id, i AS frame_idx, substr(text, CAST(i * 256 + 1 AS BIGINT), 64) AS frame " +

@@ -161,6 +161,36 @@ object ByteEmbedOps {
   }
 }
 
+/**
+ * `byte_stride(payload, k)` — every k-th byte of a binary payload:
+ * the resize/downsample stage of the multimodal pipeline (a real
+ * deployment swaps in a pixel-aware resampler; the plan shape — a
+ * scan-stage byte transform — is identical). O(bytes), codegen'd.
+ */
+object ByteStrideOps {
+  def byteStride(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * k); i += 1 }
+    out
+  }
+}
+
+case class ByteStrideExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_stride"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ByteStrideOps.byteStride(a.asInstanceOf[Array[Byte]], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ByteStrideOps.byteStride($a, $k)")
+
+  override protected def withNewChildInternal(c: Expression): ByteStrideExpr = copy(child = c)
+}
+
 case class ByteEmbedExpr(child: Expression, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -257,6 +287,9 @@ object VectorFunctions {
 
   def byte_embed(payload: Column, dim: Int): Column =
     ColumnBridge.column(ByteEmbedExpr(ColumnBridge.expression(payload), dim))
+
+  def byte_stride(payload: Column, k: Int): Column =
+    ColumnBridge.column(ByteStrideExpr(ColumnBridge.expression(payload), k))
 
   def crc16_slot(c: Column): Column =
     ColumnBridge.column(Crc16SlotExpr(ColumnBridge.expression(c)))

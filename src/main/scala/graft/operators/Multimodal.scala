@@ -98,6 +98,23 @@ object Multimodal {
         .cast("array<double>").as("embedding"))
 
   /**
+   * Resize/downsample stage: every `factor`-th byte of the payload
+   * ([[graft.functions.ByteStrideExpr]]), metadata updated to the new
+   * size. STUB for a pixel-aware resampler — the plan shape (scan-
+   * stage byte transform, no shuffle, no driver materialization) is
+   * what a real resize keeps.
+   */
+  def resizeStub(withBinary: DataFrame, factor: Int = 2): DataFrame =
+    withBinary.select(
+      col("doc_id"),
+      graft.functions.VectorFunctions.byte_stride(col("payload"), factor).as("payload"),
+      struct(
+        col("meta.mime").as("mime"),
+        col("meta.source").as("source"),
+        octet_length(graft.functions.VectorFunctions.byte_stride(col("payload"), factor))
+          .cast(LongType).as("n_bytes")).as("meta"))
+
+  /**
    * Frame sampling: every `stride`-th fixed-size chunk of the payload
    * (the video-frame-sample shape: cheap slicing, no decode).
    */

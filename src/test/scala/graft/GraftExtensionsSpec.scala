@@ -38,6 +38,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) !== 0L)
   }
 
+  test("binary/vector stages from SQL: byte_embed, byte_stride, md5_proj_bits, simhash_md5_doc") {
+    val r = spark.sql(
+      "SELECT byte_embed(encode('abcd', 'UTF-8'), 2) AS e, " +
+        "decode(byte_stride(encode('abcdef', 'UTF-8'), 2), 'UTF-8') AS s, " +
+        "md5_proj_bits(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8, 0) AS p, " +
+        "simhash_md5_doc('a b c d e f g', 3) AS sh").head()
+    // 'abcd' = 97 98 99 100 → even idx 97+99, odd 98+100
+    assert(r.getSeq[Long](0) === Seq(196L, 198L))
+    assert(r.getString(1) === "ace")
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 256)
+    assert(r.getLong(3) !== 0L)
+  }
+
   test("sketch parameters must be literals") {
     val docsView = spark.range(3).selectExpr("CAST(id AS INT) AS n", "'a b c' AS t")
     docsView.createOrReplaceTempView("ext_docs")
