@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
  * action otherwise absorbs ~5 s of codegen/session init).
  */
 object Bench {
+  /** RAM-backed Spark scratch dir when /dev/shm exists (else default /tmp). */
+  def shmLocalDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark"); d.mkdirs(); d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,6 +29,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on shm: benchmark numbers should measure the
+      // engine, not the virtualized disk's I/O variance (±10x)
+      .config("spark.local.dir", Bench.shmLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -62,6 +62,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.shmLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -69,10 +70,22 @@ object ScaleProbe {
     val embs = synthEmbeddings(spark, nVecs).repartition(cpus.toInt)
     docs.count(); embs.count() // materialize-generation warm-up outside timings
 
+    // SPARK_GRAFT_PROBE_ONLY=tag1,tag2 restricts the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     def time(tag: String)(body: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = body
-      val sec = (System.nanoTime() - t0) / 1e9
+      if (!only.forall(_.contains(tag))) return (tag, 0.0, 0L)
+      // min of `reps`: the virtualized host shows multi-x run-to-run
+      // noise on shuffle-heavy stages; the min is the engine's number.
+      // GC first so the ContextCleaner drops the previous probe's
+      // shuffle state instead of letting it degrade this one.
+      val runs = (1 to reps).map { _ =>
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        val rows = body
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (sec, rows) = runs.minBy(_._1)
       System.err.println(f"== $tag%-22s $sec%7.2f s  ($rows rows)")
       (tag, sec, rows)
     }
@@ -86,6 +99,22 @@ object ScaleProbe {
         threshold = 0.7).count()),
       time("ann_lsh")(Similarity.lshTopK(embs, embs.filter(col("vec_id") < 100),
         k = 5, bits = 10, tables = 4).count()),
+      // bits scale with corpus size (16 bits ≈ 65k buckets at 100k
+      // vecs keeps buckets near-singleton; 8 bits would go quadratic)
+      time("ann_ivf")(Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 100),
+        k = 5, nlist = 256, nprobe = 16).count()),
+      time("centroid_vecsum")(Similarity.centroidAssign(
+        embs.withColumn("label", pmod(col("vec_id"), lit(7)).cast("string"))).count()),
+      time("dedup_embedding") {
+        val base = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x * when(i % 2 === 0, 1.1).otherwise(0.9)).as("embedding"))
+        Dedup.embeddingNearDupPairs(base.unionAll(planted), threshold = 0.95,
+          bits = 16, tables = 8).count()
+      },
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),
         Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count())) ++ {

@@ -63,10 +63,12 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .join(broadcast(cent))
       .withColumn("cos", cosine_sim(col("v"), col("centroid")))
-    val w = Window.partitionBy("vid").orderBy(col("cos").desc, col("clabel"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("label_true"), col("clabel").as("label_pred"))
+    // argmin of (-cos, clabel) ≡ argmax cos with ascending-label
+    // tie-break — map-side-combining aggregation instead of a
+    // per-vector window sort over the (corpus × labels) expansion
+    scored.groupBy(col("vid"), col("label_true"))
+      .agg(min_by(col("clabel"), struct(-col("cos"), col("clabel"))).as("label_pred"))
+      .groupBy(col("label_true"), col("label_pred"))
       .agg(count("*").as("n"))
   }
 
@@ -98,15 +100,25 @@ object Similarity {
       .groupBy("_b")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
-    // 2. posting lists: each corpus vector joins its nearest centroid
-    val wAssign = Window.partitionBy("cid").orderBy(col("ccos").desc, col("_b"))
-    val assigned = corpus
+    // 2. posting lists: each corpus vector joins its nearest centroid.
+    // argmax via max_by partial aggregation, NOT a window: a window
+    // sorts the full (corpus × nlist) expansion per key; max_by
+    // combines map-side, so the shuffle carries one row per vector.
+    // Tie-break (ccos, then lowest _b) matches the oracle's ordering.
+    // keep the aggregation input slim (cid, _b, ccos — the vector is
+    // pruned right after the cosine): the agg buffer never copies
+    // arrays, then one keyed join reattaches the vector to the 1-row-
+    // per-vector result
+    val slim = corpus
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    val bestList = slim
       .join(broadcast(cent))
       .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("_b").as("list_id"), col("cid").as("neighbor_id"), col("cv"))
+      .select(col("cid"), col("_b"), col("ccos"))
+      .groupBy("cid")
+      .agg(max_by(col("_b"), struct(col("ccos"), -col("_b"))).as("list_id"))
+    val assigned = slim.join(bestList, "cid")
+      .select(col("list_id"), col("cid").as("neighbor_id"), col("cv"))
     // 3. each query probes its nprobe nearest lists
     val wProbe = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("_b"))
     val probes = queries

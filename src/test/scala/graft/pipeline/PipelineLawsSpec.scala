@@ -40,6 +40,23 @@ class PipelineLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("flatMap laws: map is flatMap∘singleton; filter is flatMap∘guard; output counts add up") {
+    check("flatMapLaws", Prop.forAll(inputs) { xs =>
+      val f = (x: Long) => x * 2 + 1
+      val p = (x: Long) => x % 3 == 0
+      val asMap = ExecutionBuilder.seqReader(spark, xs, 3).map(f).run()
+      val asFlat = ExecutionBuilder.seqReader(spark, xs, 3).flatMap(x => Seq(f(x))).run()
+      val asFilter = ExecutionBuilder.seqReader(spark, xs, 3).filter(p).run()
+      val asGuard = ExecutionBuilder.seqReader(spark, xs, 3)
+        .flatMap(x => if (p(x)) Seq(x) else Nil).run()
+      val fan = ExecutionBuilder.seqReader(spark, xs, 3)
+        .flatMap(x => Seq.fill((math.floorMod(x, 3)).toInt)(x)).run()
+      asMap.results.sorted == asFlat.results.sorted &&
+        asFilter.results.sorted == asGuard.results.sorted &&
+        fan.results.size == xs.map(x => math.floorMod(x, 3)).sum
+    })
+  }
+
   test("conservation: results + errors account for every input record") {
     check("conservation", Prop.forAll(inputs) { xs =>
       val r = ExecutionBuilder.seqReader(spark, xs, 3)
