@@ -39,7 +39,10 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // min-of-3 default: the virtualized host shows multi-x run-to-run
+    // noise (straggler stages with near-idle CPU); the min is the
+    // engine's number, and one extra rep rejects much more of it
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // min of `reps` runs: JIT/page-cache noise shows up as spurious

@@ -78,9 +78,18 @@ object Dedup {
     // — no groupBy shuffle
     val sizes = docs.select(col(idCol).as("id"),
       size(shingle_hashes(col(textCol), n)).cast("long").as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // posting lists instead of a self-join: ONE shuffle of the
+    // (id, sh) rows builds per-shingle id lists; pairs explode from
+    // lists with ≥2 docs. With n≥5 shingles are near-unique, so lists
+    // are near-singleton and the pair explosion is ~linear in true
+    // near-dups — where a sort-merge self-join would sort both
+    // 19M-row sides at the 200k-doc probe scale.
+    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
       .agg(count("*").as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
