@@ -100,6 +100,25 @@ object Dedup {
   }
 
   /**
+   * Candidate pairs from equal-bucket membership — the shared
+   * sub-quadratic candidate generator: ONE groupBy shuffle builds
+   * per-bucket posting lists, pairs explode from lists with ≥2
+   * members, `maxBucket` caps adversarial buckets (a bucket of size m
+   * yields m²/2 pairs; the cap bounds any single bucket's
+   * contribution at the 100 TB design point). A self-join formulation
+   * shuffles and sorts the bucket table twice; this shuffles it once.
+   */
+  def pairsFromBuckets(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String = "id", maxBucket: Int = 10000): DataFrame =
+    buckets.groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+
+  /**
    * MinHash + LSH banding near-dup pairs (the scalable path at
    * 100 TB): k-long signature per doc (one pass), split into `bands`
    * bands; docs sharing any band hash are candidates; candidates are
@@ -123,13 +142,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val a = bandz.as("a"); val b = bandz.as("b")
-    val cand = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = pairsFromBuckets(bandz, Seq("band_idx", "band_hash"))
     // verify only the (few) candidates: join the shingle sets back
     cand
       .join(shingleSets.select(col("id").as("a_id"), col("sh_set").as("a_sh")), "a_id")
@@ -181,20 +194,19 @@ object Dedup {
             simhash_md5_doc(lower(col(textCol)), shingleN).as("sk"))
       else docs.select(col(idCol).as("id"),
         simhash_doc(col(textCol), shingleN).as("sk"))
-    val chunks = sk.select(col("id"), col("sk"),
+    // posting lists carry (id, sk) structs so hamming verification
+    // needs no join-back; the size filter replaces the old
+    // window-count bucket cap (one shuffle fewer)
+    val chunks = sk.select(struct(col("id"), col("sk")).as("x"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sk"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val small = chunks
-      .withColumn("bucket_n",
-        count("*").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk_idx", "chunk")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = small.as("a"); val b = small.as("b")
-    a.join(b,
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.id") < col("b.id"))
+    chunks.groupBy("chunk_idx", "chunk")
+      .agg(collect_list(col("x")).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sk").as("ska"), col("b.sk").as("skb"))
       .dropDuplicates("a_id", "b_id")
@@ -294,18 +306,17 @@ object Dedup {
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double = 0.95,
       bits: Int = 12, tables: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val buckets = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // slim posting lists (ids only — never shuffle vectors through the
+    // bucket stage), then two keyed joins reattach vectors to the
+    // (few) candidate pairs for exact-cosine verification
+    val buckets = embs.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(t =>
         rand_proj_bits(col(vecCol), bits, seed = 1000 + t)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b,
-        col("a.tbl") === col("b.tbl") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("a_id", "b_id")
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairsFromBuckets(buckets, Seq("tbl", "bucket"))
+      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
