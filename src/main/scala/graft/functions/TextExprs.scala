@@ -212,13 +212,36 @@ object TextPass {
     out
   }
 
-  /** MinHash signature straight from text — duplicates can't change a min, so no distinct set. */
-  def minhashDoc(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    eachShingle(text, n) { base =>
+  private val laneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  /** Per-lane multipliers/offsets (odd a, mixed b) derived once from the seed. */
+  private def lanes(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    laneCache.computeIfAbsent((k, seed), { _ =>
+      val a = new Array[Long](k); val b = new Array[Long](k)
       var i = 0
       while (i < k) {
-        val h = TextOps.mix64(base ^ (seed + i * 0x9E3779B97F4A7C15L))
+        a(i) = TextOps.mix64(seed + i * 0x9E3779B97F4A7C15L) | 1L  // odd multiplier
+        b(i) = TextOps.mix64(seed ^ (i * 0xC2B2AE3D27D4EB4FL))
+        i += 1
+      }
+      (a, b)
+    })
+
+  /**
+   * MinHash signature straight from text — duplicates can't change a
+   * min, so no distinct set. One avalanche mix per shingle, then the
+   * k lanes are universal hashes `a_i*h + b_i` (2 ops per lane — a
+   * full mix per (shingle, lane) measured ~2× slower end-to-end).
+   */
+  def minhashDoc(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val (la, lb) = lanes(k, seed)
+    val sig = Array.fill(k)(Long.MaxValue)
+    eachShingle(text, n) { base =>
+      val m = TextOps.mix64(base)
+      var i = 0
+      while (i < k) {
+        val h = la(i) * m + lb(i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
