@@ -165,6 +165,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("2026-01-01 01:00:00.0", 1L, 1.0)))
   }
 
+  test("foreachBatch file sink: streamed windowed counts land in parquet equal to batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-febsrc").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-febout").toString + "/win"
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedCounts(stream).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val sunk = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.windowedCounts(Tables.events(spark, SparkTestSession.sfDir))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sunk.nonEmpty)
+    assert(sunk === batch)
+  }
+
   test("session windows: every user session respects the gap") {
     val sessions = EventStreams.streamingSessions(Tables.events(spark, SparkTestSession.sfDir))
     val n = sessions.count()
