@@ -617,6 +617,24 @@ object SparkEntry {
       .groupBy("l_returnflag")
       .agg(count("*").as("n"), round(sum("l_quantity"), 2).as("qty"))
 
+  /**
+   * JDBC sink → JDBC source round-trip through embedded Derby
+   * (completes the §2.4 scans row: parquet/csv/json/jdbc). The JDBC
+   * path is partition-parallel on read via predicates/bounds; here
+   * the table is a 25-row dimension, the single-partition default.
+   */
+  private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    System.setProperty("derby.system.home", tmp)  // keep derby.log out of the repo
+    val url = s"jdbc:derby:$tmp/graft_derby_${math.abs(dir.hashCode)};create=true"
+    val props = new java.util.Properties()
+    t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").jdbc(url, "nation_rt", props)
+    s.read.jdbc(url, "nation_rt", props)
+      .groupBy("n_regionkey")
+      .agg(count("*").as("n"), min("n_name").as("first_name"))
+  }
+
   /** Frame sampling over binary payloads: every 4th 64-byte chunk, content-hashed. */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.attachBinary(t(s, dir, "documents")),
@@ -803,6 +821,7 @@ object SparkEntry {
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
@@ -1305,5 +1324,8 @@ object SparkEntry {
     "q_partitioned_sink" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty " +
         "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag"),
+    "q_jdbc_roundtrip" ->
+      ("SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
+        "FROM nation GROUP BY n_regionkey"),
   )
 }
