@@ -115,6 +115,14 @@ object ScaleProbe {
         Dedup.embeddingNearDupPairs(base.unionAll(planted), threshold = 0.95,
           bits = 16, tables = 8).count()
       },
+      // distributed CC loop (driver union-find path disabled): 12.5k
+      // chains of 8 nodes → diameter-8 components, ~4 label rounds
+      time("cc_distributed") {
+        val edges = spark.range(100000).toDF("u")
+          .filter(col("u") % 8 =!= 7)
+          .select(col("u").as("a_id"), (col("u") + 1).as("b_id"))
+        Dedup.dupClusters(edges, smallGraphEdges = 0).count()
+      },
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),
         Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count())) ++ {
