@@ -140,8 +140,11 @@ final class ExecutionBuilder[R] private (
       it.foreach { e =>
         e.value match {
           case Some(v) =>
-            seen = true
-            try acc = f(acc, v)
+            // `seen` only on success: an accumulate where EVERY record
+            // errors must yield [0 results, N errors] like the
+            // reference (pytests/test_errors.py), not a zero-valued
+            // partial
+            try { acc = f(acc, v); seen = true }
             catch { case ex: Exception => errs += Env[A](Some(ExecutionBuilder.errMsg(ex)), None) }
           case None => errs += Env[A](e.error, None)
         }

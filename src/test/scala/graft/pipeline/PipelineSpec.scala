@@ -79,6 +79,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.errors === Seq("bad two"))
   }
 
+  test("erroring accumulate: [0 results, N errors] (test_errors.py accumulate case)") {
+    val all = ExecutionBuilder.seqReader(spark, (1 to 50).map(_.toLong), parts = 4)
+      .accumulate(0L)((_, k) => throw new IllegalStateException(s"acc $k"))
+      .collect()
+      .run()
+    assert(all.results.isEmpty)     // no zero-valued partials leak out
+    assert(all.errors.size === 50)
+
+    // partially-erroring accumulate still folds the good records
+    val part = ExecutionBuilder.seqReader(spark, (1 to 10).map(_.toLong), parts = 2)
+      .accumulate(0L)((a, k) => if (k % 2 == 0) throw new RuntimeException(s"e$k") else a + k)
+      .collect()
+      .accumulate(0L)(_ + _)
+      .run()
+    assert(part.results === Seq(Seq(1L, 3L, 5L, 7L, 9L).sum))
+    assert(part.errors.size === 5)
+  }
+
   test("errors survive accumulate and reshuffle") {
     implicit val mr: MRRecord[Long] = MRRecord(k => s"k:$k")
     val r = ExecutionBuilder.seqReader(spark, (1 to 20).map(_.toLong), parts = 4)
