@@ -581,6 +581,36 @@ object SparkEntry {
       .agg(count("*").as("n"))
   }
 
+  /** Spark 4 VARIANT type: parse once, typed paths extracted downstream. */
+  private def qVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+
+  /** Correlated LATERAL subquery (per-customer order rollup in one pass of the outer). */
+  private def qLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, n_orders, total_spent
+        |FROM customer, LATERAL (
+        |  SELECT count(*) AS n_orders,
+        |         round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        |  FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+  }
+
+  /** UNPIVOT (wide metrics → long): the melt shape. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_discount"), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "value")
+
   /** Stable scratch dir per (format, fixture) for source/sink round-trips. */
   private def rtPath(dir: String, fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_${math.abs(dir.hashCode)}"
@@ -823,6 +853,9 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
+    "q_variant" -> (qVariant _),
+    "q_lateral" -> (qLateral _),
+    "q_unpivot" -> (qUnpivot _),
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1327,5 +1360,22 @@ object SparkEntry {
     "q_jdbc_roundtrip" ->
       ("SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
         "FROM nation GROUP BY n_regionkey"),
+    "q_variant" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY event_type"),
+    "q_lateral" ->
+      ("SELECT c_custkey, n_orders, total_spent FROM customer, LATERAL (" +
+        "SELECT count(*) AS n_orders, " +
+        "round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent " +
+        "FROM orders WHERE o_custkey = c_custkey) t"),
+    "q_unpivot" ->
+      ("WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty, " +
+        "round(sum(l_extendedprice), 2) AS price, round(sum(l_discount), 2) AS disc " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a " +
+        "UNION ALL SELECT l_returnflag, 'price', price FROM a " +
+        "UNION ALL SELECT l_returnflag, 'disc', disc FROM a"),
   )
 }
