@@ -190,6 +190,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk === batch)
   }
 
+  test("RocksDB state store: streamed session windows equal the batch result") {
+    // the production state backend at 100 TB (state spills off-heap to
+    // local SST files instead of living in executor memory)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.streamingSessions(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("rocks_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      // prove RocksDB actually served the state (not the default HDFS store)
+      val metrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics in ${metrics.mkString(",")}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val streamed = spark.table("rocks_sessions")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = EventStreams.streamingSessions(
+      Tables.events(spark, SparkTestSession.sfDir))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("session windows: every user session respects the gap") {
     val sessions = EventStreams.streamingSessions(Tables.events(spark, SparkTestSession.sfDir))
     val n = sessions.count()
