@@ -686,6 +686,11 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7))
 
+  /** The dedup decision end-to-end: corpus minus non-representative near-dups. */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDups(t(s, dir, "documents"), n = 5, threshold = 0.7)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+
   /**
    * k=128/b=32 banding: a jaccard-0.7 pair misses the candidate set
    * with probability (1-0.7⁴)³² ≈ 1.5e-4, so the exact-jaccard
@@ -860,6 +865,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_corpus" -> (dedupCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1142,6 +1148,22 @@ object SparkEntry {
         "reach(u, v) AS (SELECT u, v FROM edges UNION " +
         "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
         "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"),
+    "dedup_corpus" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id FROM pr JOIN sizes sa ON a_id = sa.doc_id " +
+        "JOIN sizes sb ON b_id = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+        "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "dropped AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) < u) " +
+        "SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents d " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)"),
     "ann_bruteforce" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

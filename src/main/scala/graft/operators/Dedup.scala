@@ -272,6 +272,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /**
+   * End-to-end near-dup removal: pair graph → connected components →
+   * keep the min-id representative per cluster, anti-join the rest
+   * out. The full dedup decision as one operator — candidates via
+   * the shingle inverted index, exact-jaccard verification, cluster
+   * closure, then a single anti-join against the (tiny) drop list.
+   */
+  def dropNearDups(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dropped = dupClusters(ngramJaccardPairs(docs, n, threshold, textCol, idCol))
+      .filter(col("doc_id") =!= col("cluster_id"))   // non-representatives
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(dropped, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Path-compressed union-find over a collected edge list (small-graph fast path). */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
