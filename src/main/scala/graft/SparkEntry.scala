@@ -692,6 +692,23 @@ object SparkEntry {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
 
   /**
+   * The composed LLM training-data pipeline in one query: quality
+   * gate + language gate + near-dup removal, rolled up per source —
+   * every stage is the oracled operator used elsewhere, chained.
+   */
+  private def pipelineFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val lang = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+    Dedup.dropNearDups(docs, n = 5, threshold = 0.7)
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+      .groupBy("source")
+      .agg(count("*").as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
+  }
+
+  /**
    * k=128/b=32 banding: a jaccard-0.7 pair misses the candidate set
    * with probability (1-0.7⁴)³² ≈ 1.5e-4, so the exact-jaccard
    * verification step makes the output equal the exhaustive
@@ -866,6 +883,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_corpus" -> (dedupCorpus _),
+    "pipeline_filter" -> (pipelineFilter _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -920,6 +938,47 @@ object SparkEntry {
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
 
   private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
+
+  private lazy val qualitySql: String =
+    "WITH m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
+      "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +
+      "len(string_split(lower(text), ' ')), 4) AS avg_token_len, " +
+      "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " + stopwordsSql + ")) " +
+      "* 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio, " +
+      "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+      "len(string_split(lower(text), ' ')), 4) AS distinct_ratio FROM documents) " +
+      "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio, " +
+      "round(least(n_tokens / 64.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.2 " +
+      "+ distinct_ratio * 0.4, 6) AS quality FROM m"
+
+  private lazy val langidSql: String =
+    "WITH s AS (SELECT doc_id, " +
+      "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','is','to','a'))) AS s_en, " +
+      "len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des','un'))) AS s_fr, " +
+      "len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','los','que','un'))) AS s_es, " +
+      "len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ein','ist'))) AS s_de, " +
+      "len(list_filter(string_split(lower(text), ' '), x -> x IN ('de','shi','le','bu','wo','zai'))) AS s_zh " +
+      "FROM documents), m AS (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS mx FROM s) " +
+      "SELECT doc_id, CASE WHEN s_en = mx AND mx > 0 THEN 'en' " +
+      "WHEN s_fr = mx AND mx > 0 THEN 'fr' WHEN s_es = mx AND mx > 0 THEN 'es' " +
+      "WHEN s_de = mx AND mx > 0 THEN 'de' WHEN s_zh = mx AND mx > 0 THEN 'zh' " +
+      "ELSE 'und' END AS pred_lang FROM m"
+
+  /** Recursive-closure derived table: doc_ids dropped as non-representative near-dups. */
+  private lazy val droppedSql: String =
+    "(WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+      "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT a_id, b_id FROM pr JOIN sizes sa ON a_id = sa.doc_id " +
+      "JOIN sizes sb ON b_id = sb.doc_id " +
+      "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
+      "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+      "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+      "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+      "SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) < u)"
 
   def oracleSql: Map[String, String] = Map(
     "lmr_count" -> "SELECT count(*) AS cnt FROM lineitem",
@@ -1228,29 +1287,18 @@ object SparkEntry {
         "(PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored) " +
         "SELECT label AS label_true, clabel AS label_pred, count(*) AS n " +
         "FROM best WHERE rn = 1 GROUP BY 1, 2"),
-    "text_quality" ->
-      ("WITH m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
-        "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +
-        "len(string_split(lower(text), ' ')), 4) AS avg_token_len, " +
-        "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " + stopwordsSql + ")) " +
-        "* 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio, " +
-        "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
-        "len(string_split(lower(text), ' ')), 4) AS distinct_ratio FROM documents) " +
-        "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio, " +
-        "round(least(n_tokens / 64.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.2 " +
-        "+ distinct_ratio * 0.4, 6) AS quality FROM m"),
-    "text_langid" ->
-      ("WITH s AS (SELECT doc_id, " +
-        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','is','to','a'))) AS s_en, " +
-        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des','un'))) AS s_fr, " +
-        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','los','que','un'))) AS s_es, " +
-        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ein','ist'))) AS s_de, " +
-        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('de','shi','le','bu','wo','zai'))) AS s_zh " +
-        "FROM documents), m AS (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS mx FROM s) " +
-        "SELECT doc_id, CASE WHEN s_en = mx AND mx > 0 THEN 'en' " +
-        "WHEN s_fr = mx AND mx > 0 THEN 'fr' WHEN s_es = mx AND mx > 0 THEN 'es' " +
-        "WHEN s_de = mx AND mx > 0 THEN 'de' WHEN s_zh = mx AND mx > 0 THEN 'zh' " +
-        "ELSE 'und' END AS pred_lang FROM m"),
+    "text_quality" -> qualitySql,
+    "text_langid" -> langidSql,
+    // the composed training-data pipeline: quality + language gates,
+    // near-dup removal, per-source rollup
+    "pipeline_filter" ->
+      ("SELECT d.source, count(*) AS n_docs, round(avg(q.quality), 4) AS avg_quality " +
+        "FROM documents d " +
+        "JOIN (" + qualitySql + ") q ON d.doc_id = q.doc_id " +
+        "JOIN (" + langidSql + ") l ON d.doc_id = l.doc_id " +
+        "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM " + droppedSql + " dr) " +
+        "GROUP BY d.source"),
     "text_tokens" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
         "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens, " +
