@@ -69,14 +69,16 @@ object Similarity {
       .groupBy("clabel")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("clabel"), transform(col("vs"), x => x / col("n")).as("centroid"))
+    // label count is small by definition, so the (corpus × labels)
+    // expansion is modest; argmin of (-cos, clabel) ≡ argmax cos with
+    // ascending-label tie-break — a map-side-combining aggregation
+    // instead of a per-vector window sort (and label keeps its
+    // original type, whatever the corpus uses)
     val scored = embs
       .select(col(idCol).as("vid"), col(labelCol).as("label_true"),
         col(vecCol).cast("array<double>").as("v"))
       .join(broadcast(cent))
       .withColumn("cos", cosine_sim(col("v"), col("centroid")))
-    // argmin of (-cos, clabel) ≡ argmax cos with ascending-label
-    // tie-break — map-side-combining aggregation instead of a
-    // per-vector window sort over the (corpus × labels) expansion
     scored.groupBy(col("vid"), col("label_true"))
       .agg(min_by(col("clabel"), struct(-col("cos"), col("clabel"))).as("label_pred"))
       .groupBy(col("label_true"), col("label_pred"))
