@@ -30,6 +30,41 @@ class ExprSpec extends AnyFunSuite {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+
+  test("proj sketches: float and double inputs of equal values give identical buckets") {
+    // the dtype dispatch (getFloat vs getDouble on ArrayData) must not
+    // change the sketch — a planted-near-dup corpus mixes both
+    val vals = Seq(Array(0.5f, -1.25f, 3.75f, 0.125f), Array(-2f, 2f, -2f, 2f))
+    val df = vals.map(v => (v, v.map(_.toDouble))).toDF("vf", "vd")
+    df.select(
+        rand_proj_bits(col("vf"), 12, 7L).as("rf"),
+        rand_proj_bits(col("vd"), 12, 7L).as("rd"),
+        md5_proj_bits(col("vf"), 8, 3).as("mf"),
+        md5_proj_bits(col("vd"), 8, 3).as("md"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1), "rand_proj float/double diverge")
+        assert(r.getLong(2) === r.getLong(3), "md5_proj float/double diverge")
+      }
+  }
+
+  test("byte_embed: modular byte sums; empty payload gives a zero vector") {
+    val df = Seq("abcd", "", "a").toDF("t")
+      .select(col("t"), byte_embed(encode(col("t"), "UTF-8"), 2).as("e"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("abcd") === Seq(97L + 99L, 98L + 100L))
+    assert(m("") === Seq(0L, 0L))
+    assert(m("a") === Seq(97L, 0L))
+  }
+
+  test("byte_stride: every k-th byte, short and empty payloads included") {
+    val df = Seq("abcdefg", "ab", "").toDF("t")
+      .select(col("t"), decode(byte_stride(encode(col("t"), "UTF-8"), 3), "UTF-8").as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("abcdefg") === "adg")
+    assert(m("ab") === "a")
+    assert(m("") === "")
+  }
+
   test("cosine_sim null propagates") {
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(cosine_sim(col("a"), col("b"))).collect().head.isNullAt(0))
