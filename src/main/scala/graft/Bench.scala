@@ -45,20 +45,29 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // min of `reps` runs: JIT/page-cache noise shows up as spurious
-    // round-over-round regressions otherwise
+    // min of `reps` WHOLE-SUITE passes (not back-to-back per-query reps):
+    // the host's noise bursts last minutes, so consecutive reps of one
+    // query can all land inside a burst and its min stays inflated.
+    // Interleaving at the pass level puts a query's reps minutes apart —
+    // a burst can only contaminate one pass, and the per-query min
+    // across passes rejects it.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val passes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      val pass = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      // drop prior pass's shuffle files before re-timing (ContextCleaner)
+      System.gc()
+      pass
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
