@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -788,6 +788,65 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(s, dir, "documents"))
 
+  /**
+   * Benchmark decontamination: the eval set is every 50th document
+   * (standing in for a benchmark suite); report training docs sharing
+   * any 5-gram with it. At 100 TB the eval n-gram set broadcasts and
+   * the corpus never shuffles (Curation.contaminationReport).
+   */
+  private def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.contaminationReport(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Overlapping token-window chunking (size 32, overlap 8). */
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.chunk(t(s, dir, "documents"), size = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("chunk_md5"),
+        col("n_tokens"))
+
+  /** Gopher-style repetition filters: dup-token / top-2-gram / top-3-gram fractions. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionSignals(t(s, dir, "documents"))
+
+  /**
+   * PII redaction over a synthetic contact block appended to each doc
+   * (the fixture corpus has no PII of its own): per-kind counts + the
+   * scrubbed payload's md5.
+   */
+  private def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").withColumn("pii_text",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com from 10."), col("doc_id") % 200,
+        lit(".0.1 call 555-"), lit(1000) + col("doc_id") % 9000))
+    Curation.redactionReport(withPii, textCol = "pii_text")
+  }
+
+  /**
+   * Deterministic stratified sampling: cap en at 20%, fr at 50%, keep
+   * 80% of the rest — the training-mix rebalance. Output is the
+   * per-language kept/total census.
+   */
+  private def corpusSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Curation.stratifiedSample(docs,
+      Map("en" -> 0.2, "fr" -> 0.5), defaultRate = 0.8)
+    docs.groupBy("lang").agg(count("*").as("n_total"))
+      .join(kept.groupBy("lang").agg(count("*").as("n_kept")), Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Quota-pack docs into 256-token training sequences per source. */
+  private def corpusPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(t(s, dir, "documents"), budget = 256)
+
+  /** Symmetric int8 embedding quantization: norm/scale/checksums per vector. */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Curation.quantizeEmbeddings(t(s, dir, "embeddings"))
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.attachBinary(t(s, dir, "documents"))
       .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
@@ -895,6 +954,14 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    // corpus curation (round 3)
+    "text_decontaminate" -> (textDecontaminate _),
+    "text_chunks" -> (textChunks _),
+    "text_repetition" -> (textRepetition _),
+    "text_redact" -> (textRedact _),
+    "corpus_sample" -> (corpusSample _),
+    "corpus_pack" -> (corpusPack _),
+    "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
@@ -1447,5 +1514,72 @@ object SparkEntry {
         "SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a " +
         "UNION ALL SELECT l_returnflag, 'price', price FROM a " +
         "UNION ALL SELECT l_returnflag, 'disc', disc FROM a"),
+    // --- corpus curation (round 3) ---
+    "text_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id % 50 != 0) " +
+        "SELECT tr.doc_id, count(*) AS n_shared FROM tr " +
+        "JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id"),
+    "text_chunks" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "n AS (SELECT doc_id, w, " +
+        "greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1) AS nc FROM tok) " +
+        "SELECT doc_id, i AS chunk_id, " +
+        "md5(array_to_string(w[(i*24+1):(i*24+32)], ' ')) AS chunk_md5, " +
+        "len(w[(i*24+1):(i*24+32)]) AS n_tokens " +
+        "FROM n, UNNEST(generate_series(0, nc - 1)) t(i)"),
+    "text_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, w, " +
+        "[array_to_string(w[i:i+1], ' ') for i in generate_series(1, greatest(len(w)-1, 0))] AS g2, " +
+        "[array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w)-2, 0))] AS g3 " +
+        "FROM tok) " +
+        "SELECT doc_id, len(w) AS n_tokens, " +
+        "round((len(w) - len(list_distinct(w))) * 1.0 / len(w), 4) AS dup_token_frac, " +
+        "CASE WHEN len(g2) > 0 THEN round(list_max([len(list_filter(g2, x -> x = d)) " +
+        "for d in list_distinct(g2)]) * 1.0 / len(g2), 4) ELSE 0.0 END AS top2_frac, " +
+        "CASE WHEN len(g3) > 0 THEN round(list_max([len(list_filter(g3, x -> x = d)) " +
+        "for d in list_distinct(g3)]) * 1.0 / len(g3), 4) ELSE 0.0 END AS top3_frac " +
+        "FROM g"),
+    "text_redact" ->
+      ("WITH p AS (SELECT doc_id, concat(text, ' contact user', doc_id, " +
+        "'@mail.example.com from 10.', doc_id % 200, '.0.1 call 555-', " +
+        "1000 + doc_id % 9000) AS s FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(s, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(s, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(s, " +
+        "'[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'), " +
+        "'[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'), " +
+        "'[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5 FROM p"),
+    "corpus_sample" ->
+      ("WITH k AS (SELECT lang, " +
+        "CASE WHEN lang = 'en' THEN 3276 WHEN lang = 'fr' THEN 8192 ELSE 13107 END AS thr, " +
+        "(('0x'||substr(md5('strat:'||doc_id), 1, 16))::UBIGINT & 16383) AS h " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM k GROUP BY lang"),
+    "corpus_pack" ->
+      ("WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
+        "c AS (SELECT source, doc_id, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM d) " +
+        "SELECT source, CAST(floor((cum - n) / 256.0) AS BIGINT) AS seq_id, " +
+        "count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens " +
+        "FROM c GROUP BY source, seq_id"),
+    "emb_quantize" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM v), " +
+        "q AS (SELECT vec_id, v, scale, " +
+        "[CAST(floor(x / scale + 0.5) AS BIGINT) for x in v] AS q FROM s) " +
+        "SELECT vec_id, " +
+        "round(sqrt(list_reduce(list_prepend(0.0, [x * x for x in v]), (a, b) -> a + b)), 4) " +
+        "AS l2_norm, round(scale, 6) AS scale, " +
+        "CAST(list_sum(q) AS BIGINT) AS sum_q, " +
+        "CAST(list_sum([abs(x) for x in q]) AS BIGINT) AS sum_abs_q FROM q"),
   )
 }

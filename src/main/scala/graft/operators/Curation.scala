@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus-curation operators for large-scale training-data pipelines —
+ * the second tier of north-star additions (SURVEY §2.4 "North-star
+ * additions"; the reference engine has none of these). Everything
+ * here is the step that sits AROUND dedup in a real pipeline:
+ * benchmark decontamination, chunking, repetition filters, PII
+ * redaction, stratified sampling, sequence packing, and embedding
+ * quantization.
+ *
+ * Scale stance (100 TB): every operator is either a narrow per-row
+ * transform built from codegen'd built-ins (chunk, repetition,
+ * redact, quantize, sample — they pipeline inside the scan stage), or
+ * shuffles only keys/counts, never document text (decontaminate), or
+ * shuffles one slim row per document (pack).
+ */
+object Curation {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  private def toks(text: Column): Column = split(lower(text), " ")
+
+  // -------------------------------------------------------------------------
+  // Benchmark decontamination
+  // -------------------------------------------------------------------------
+
+  /**
+   * Contamination report: training docs that share at least one word
+   * n-gram with any document of an evaluation/benchmark set.
+   * Output: (doc_id, n_shared) — the number of DISTINCT eval n-grams
+   * the doc contains. Drop these (or anything above a threshold)
+   * before training to avoid benchmark leakage.
+   *
+   * Scale: the eval side is benchmarks — thousands of docs, MBs of
+   * n-grams — so its distinct hashed shingle set is broadcast; the
+   * 100 TB training corpus is scanned once, its shingles hashed in
+   * the scan stage ([[graft.functions.ShingleHashesExpr]]), and only
+   * rows that hit the broadcast set reach the (tiny) aggregation.
+   * Nothing about the corpus is ever shuffled.
+   */
+  def contaminationReport(train: DataFrame, eval: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = Dedup.shinglesHashed(eval, n, textCol, idCol)
+      .select(col("sh")).distinct()
+    Dedup.shinglesHashed(train, n, textCol, idCol)
+      .join(broadcast(evalGrams), "sh")
+      .groupBy(col("id").as(idCol))
+      .agg(count("*").as("n_shared"))   // shingles are distinct per doc
+  }
+
+  /** Training corpus minus everything the contamination report flags. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bad = contaminationReport(train, eval, n, textCol, idCol)
+      .select(col(idCol).as("_contaminated_id"))
+    train.join(broadcast(bad), train(idCol) === col("_contaminated_id"), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
+  // Document chunking
+  // -------------------------------------------------------------------------
+
+  /**
+   * Split each document into overlapping token-window chunks (the
+   * standard pre-embedding / pre-training windowing). Chunk i covers
+   * tokens [i*stride, i*stride + size) with stride = size - overlap;
+   * every doc yields at least one chunk (short docs pass through
+   * whole). Narrow transform: sequence + slice + posexplode, all
+   * codegen — no shuffle, parallel in the number of input splits.
+   */
+  def chunk(docs: DataFrame, size: Int = 32, overlap: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val stride = size - overlap
+    val w = split(col(textCol), " ")
+    val nChunks = greatest(
+      ceil((org.apache.spark.sql.functions.size(w) - lit(overlap)).cast("double") / stride),
+      lit(1)).cast("int")
+    docs
+      .select(col(idCol), w.as("_w"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_i")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("_w"), col("_i") * stride + 1, lit(size))).as("chunk_text"),
+        org.apache.spark.sql.functions.size(
+          slice(col("_w"), col("_i") * stride + 1, lit(size))).cast("long").as("n_tokens"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Repetition signals (Gopher-style quality filters)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Within-document repetition signals: duplicate-token fraction and
+   * the fraction of all 2-grams/3-grams claimed by the single most
+   * frequent one. High values mark boilerplate / degenerate text —
+   * the standard cheap repetition filters applied alongside
+   * [[TextAnalysis.qualityScore]]. Pure array-lambda arithmetic per
+   * row (O(distinct·total) on doc-sized arrays), fully codegen,
+   * no shuffle.
+   */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = toks(col(textCol))
+    val n = org.apache.spark.sql.functions.size(w)
+    def grams(k: Int): Column =
+      when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    def topFrac(g: Column): Column = {
+      val total = org.apache.spark.sql.functions.size(g)
+      val maxFreq = array_max(transform(array_distinct(g),
+        d => org.apache.spark.sql.functions.size(filter(g, x => x === d))))
+      when(total > 0, round(maxFreq / total, 4)).otherwise(lit(0.0))
+    }
+    docs.select(
+      col(idCol),
+      n.cast("long").as("n_tokens"),
+      round((n - org.apache.spark.sql.functions.size(array_distinct(w))) / n, 4)
+        .as("dup_token_frac"),
+      topFrac(grams(2)).as("top2_frac"),
+      topFrac(grams(3)).as("top3_frac"))
+  }
+
+  // -------------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------------
+
+  /** (pattern, replacement) redaction rules; applied in order. */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[a-z0-9._]+@[a-z0-9.]+[a-z]" -> "<EMAIL>",
+    "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+" -> "<IP>",
+    "[0-9]{3}-[0-9]{4}" -> "<PHONE>")
+
+  /** Apply the redaction rules to a string column, in order. */
+  def redact(c: Column, rules: Seq[(String, String)] = piiRules): Column =
+    rules.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
+
+  /**
+   * Redaction report over a text column: per-kind match counts plus
+   * the md5 of the redacted text (so the scrubbed payload is
+   * verifiable without shipping it). Narrow per-row regex work —
+   * stays inside the scan stage at any corpus size.
+   */
+  def redactionReport(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      org.apache.spark.sql.functions.size(
+        regexp_extract_all(col(textCol), lit(piiRules(0)._1), lit(0)))
+        .cast("long").as("n_emails"),
+      org.apache.spark.sql.functions.size(
+        regexp_extract_all(col(textCol), lit(piiRules(1)._1), lit(0)))
+        .cast("long").as("n_ips"),
+      org.apache.spark.sql.functions.size(
+        regexp_extract_all(col(textCol), lit(piiRules(2)._1), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(redact(col(textCol))).as("redacted_md5"))
+
+  // -------------------------------------------------------------------------
+  // Deterministic stratified sampling
+  // -------------------------------------------------------------------------
+
+  /**
+   * Deterministic keep-decision for hash-threshold sampling: keep a
+   * `rate` fraction of rows, chosen by the low 14 bits of
+   * md5("strat:"<id>). Reproducible across engines and runs (unlike
+   * rand()-based sampleBy), and row-local — composes into any scan.
+   * The mask is a power of two so signed/unsigned hash
+   * representations agree on the bucket.
+   */
+  def sampleKeep(id: Column, rate: Double): Column =
+    (md5lo64(concat(lit("strat:"), id.cast("string"))).bitwiseAND(lit(16383L))
+      < lit((rate * 16384).toLong))
+
+  /**
+   * Stratified downsampling: per-stratum rates (e.g. cap the dominant
+   * language, keep all of a rare one) — the training-mix rebalancing
+   * step. Rows whose stratum has no configured rate use
+   * `defaultRate`. One narrow filter; no shuffle.
+   */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val h = md5lo64(concat(lit("strat:"), col(idCol).cast("string")))
+      .bitwiseAND(lit(16383L))
+    docs.filter(h < (rateCol * 16384).cast("long"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Sequence packing
+  // -------------------------------------------------------------------------
+
+  /**
+   * Quota-pack documents into fixed token-budget training sequences:
+   * within each group (source/shard), docs are laid end-to-end in
+   * `orderCol` order and a sequence boundary falls every `budget`
+   * tokens; a doc belongs to the sequence its first token lands in.
+   * Output: one row per (group, seq_id) with doc/token counts.
+   *
+   * Scale: the only shuffle is the per-group window sort, and the
+   * window rows are (group, id, n_tokens) — 24 bytes/doc, never text.
+   * Groups (sources/shards) partition the corpus, so the sort is
+   * per-group parallel, not global.
+   */
+  def packSequences(docs: DataFrame, budget: Int = 256,
+      groupCol: String = "source", orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val nTok = org.apache.spark.sql.functions.size(split(col(textCol), " "))
+    docs
+      .select(col(groupCol), col(orderCol), nTok.as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("seq_id", floor((col("_cum") - col("_n")) / budget))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count("*").as("n_docs"), sum(col("_n")).cast("long").as("n_tokens"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Embedding quantization
+  // -------------------------------------------------------------------------
+
+  /**
+   * Symmetric int8 quantization of an embedding column: per-vector
+   * scale = max|v|/127, q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]
+   * (floor(x+0.5) instead of round() so every SQL engine agrees on
+   * ties). Output carries the l2 norm, the scale, and integer
+   * checksums of the quantized vector — the storage-shrink step
+   * before ANN indexing (4 bytes/dim → 1). Pure array lambdas per
+   * row; no shuffle.
+   */
+  def quantizeEmbeddings(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
+    embs.select(
+      col(idCol),
+      round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"),
+      round(scale, 6).as("scale"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("sum_q"),
+      aggregate(q, lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"))
+  }
+}

@@ -81,4 +81,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
       "typed pipeline read more than the two referenced columns")
   }
+
+  test("text_decontaminate: eval n-gram set broadcasts; corpus side never sort-merges") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingle set not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles sort-merged against the (tiny) eval set")
+  }
+
+  test("narrow curation transforms stay shuffle-free (chunk/repetition/redact/quantize)") {
+    for (q <- Seq("text_chunks", "text_repetition", "text_redact", "emb_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q introduced a shuffle:\n$p")
+    }
+  }
+
+  test("corpus_pack: one window shuffle, and it carries counts, not text") {
+    val p = plan("corpus_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("text#") || !p.contains("Exchange.*text"),
+      "document text column crosses the pack shuffle")
+  }
 }

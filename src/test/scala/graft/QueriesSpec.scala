@@ -12,7 +12,8 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   // empty-at-sf0.001 results are legitimate for these
-  private val mayBeEmpty = Set("dedup_exact", "dedup_embedding", "q_anti_join")
+  private val mayBeEmpty =
+    Set("dedup_exact", "dedup_embedding", "q_anti_join", "text_decontaminate")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name executes" + (if (mayBeEmpty(name)) "" else " and returns rows")) {
