@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Curation, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -542,6 +542,21 @@ object SparkEntry {
       .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /**
+   * Bloom-pre-filtered selective fact⋈dim join (operators.BloomJoin):
+   * fact rows that can't match are dropped in the scan stage, before
+   * the join shuffle; the exact join clears false positives, so the
+   * result ≡ the plain join and the oracle is the plain join SQL.
+   */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+    val dim = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    BloomJoin.preFilteredJoin(ev, dim, "user_id", "c_custkey")
+      .groupBy("c_nationkey")
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Time-series gap fill: dense month × status grid via sequence(), zeros for missing. */
   private def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -927,6 +942,7 @@ object SparkEntry {
     "q_window_range" -> (qWindowRange _),
     "q_point_lookup" -> (qPointLookup _),
     "q_skew_salted" -> (qSkewSalted _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_gap_fill" -> (qGapFill _),
     "q_histogram" -> (qHistogram _),
     "q_bitwise_agg" -> (qBitwiseAgg _),
@@ -1514,6 +1530,11 @@ object SparkEntry {
         "SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a " +
         "UNION ALL SELECT l_returnflag, 'price', price FROM a " +
         "UNION ALL SELECT l_returnflag, 'disc', disc FROM a"),
+    // bloom pre-filter is transparent: result ≡ the plain join
+    "q_bloom_join" ->
+      ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey"),
     // --- corpus curation (round 3) ---
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/**
+ * Bloom-pre-filtered equi-join — the standard shuffle-reduction
+ * pattern for selective fact⋈dim joins at 100 TB: build a compact
+ * Bloom filter of the (already filtered) dimension keys, broadcast
+ * it inside the plan as a literal, and drop non-matching fact rows
+ * IN THE SCAN STAGE, before they are shuffled or even projected
+ * further. The exact join afterwards removes the false positives, so
+ * the result is identical to the plain join — the bloom stage is
+ * pure plumbing that cuts the fact shuffle by the join selectivity
+ * (modulo fpp).
+ *
+ * Spark's own runtime row-level filtering
+ * (spark.sql.optimizer.runtime.bloomFilter.enabled) injects the same
+ * shape automatically but only above size thresholds and only for
+ * shuffle joins it can see through; this operator makes the pattern
+ * explicit and composable (e.g. filter a STREAM by a static dim's
+ * keys, or pre-filter before a custom operator).
+ *
+ * The membership probe is Catalyst's codegen'd
+ * [[BloomFilterMightContain]] over the sketch built by
+ * `df.stat.bloomFilter` (both sides are
+ * org.apache.spark.util.sketch.BloomFilterImpl, so put/probe hashing
+ * agree). Size the filter for the DIM side: ~1.2 bytes/key at 1%
+ * fpp, so even 100M dim keys broadcast ~120 MB — still far cheaper
+ * than shuffling a 100 TB fact table's non-matching rows.
+ */
+object BloomJoin {
+
+  /**
+   * Inner equi-join with a bloom pre-filter on the fact side.
+   * `factKey`/`dimKey` must be integral (probed as long). Result ≡
+   * `fact.join(dim, fact(factKey) === dim(dimKey))`.
+   */
+  def preFilteredJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bf.writeTo(b)
+      b.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(col(factKey).cast("long"))))
+    fact.filter(mightContain).join(dim, fact(factKey) === dim(dimKey))
+  }
+}

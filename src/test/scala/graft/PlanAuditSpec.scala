@@ -96,6 +96,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bloom_join: bloom probe filters the fact scan; dim filter pushed down") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), "fact side not bloom-pre-filtered")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter not pushed to parquet")
+  }
+
   test("corpus_pack: one window shuffle, and it carries counts, not text") {
     val p = plan("corpus_pack")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
