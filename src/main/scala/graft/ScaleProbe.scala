@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BloomJoin, Curation, Dedup, Similarity}
 import graft.relational.Relational
 
 /**
@@ -125,7 +125,18 @@ object ScaleProbe {
       },
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),
-        Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count())) ++ {
+        Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count()),
+      // curation tier: eval = every 200th doc (0.5% "benchmark"), the
+      // broadcast path — corpus-side shingles never shuffle
+      time("decontaminate")(Curation.contaminationReport(
+        docs.filter(col("doc_id") % 200 =!= 0),
+        docs.filter(col("doc_id") % 200 === 0)).count()),
+      time("chunk")(Curation.chunk(docs, size = 32, overlap = 8).count()),
+      time("repetition")(Curation.repetitionSignals(docs).count()),
+      time("pack")(Curation.packSequences(
+        docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")),
+        budget = 2048).count()),
+      time("quantize")(Curation.quantizeEmbeddings(embs).count())) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
       val ord = synthOrders(spark, nOrd)
@@ -141,6 +152,24 @@ object ScaleProbe {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
           ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).count()
+        },
+        // bloom shuffle-cut probe: 2M dim keys (16 MB estimate — above
+        // the broadcast threshold, so the plain join sort-merge
+        // shuffles all 10M fact rows) over a 100M key space (2%
+        // selectivity). The bloom build costs one dim pass and its
+        // ~2.4 MB sketch broadcasts, so the bloomed join shuffles only
+        // the ~200k matching fact rows (+fpp)
+        time("rel_join_plain_10m") {
+          val fact = ord.withColumn("fk", pmod(xxhash64(col("o_orderkey") + 29),
+            lit(100000000L)))
+          fact.join(spark.range(0, 100000000L, 50).toDF("k"),
+            col("fk") === col("k")).count()
+        },
+        time("rel_join_bloom_10m") {
+          val fact = ord.withColumn("fk", pmod(xxhash64(col("o_orderkey") + 29),
+            lit(100000000L)))
+          BloomJoin.preFilteredJoin(fact, spark.range(0, 100000000L, 50).toDF("k"),
+            "fk", "k", expectedItems = 2000000L).count()
         })
     }
 
