@@ -636,6 +636,46 @@ object SparkEntry {
       .groupBy("s_nationkey")
       .agg(count("*").as("n"), round(sum("s_acctbal"), 2).as("bal"))
 
+  /** ORC sink → ORC source round-trip (columnar alternative to parquet, schema-carrying). */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.roundTrip(t(s, dir, "part"), "orc", rtPath(dir, "orc"))
+      .groupBy("p_brand")
+      .agg(count("*").as("n"), round(sum("p_retailprice"), 2).as("price"))
+
+  /**
+   * Bucketed co-located join (sources.Bucketing): both sides written
+   * bucketed by the join key, so the (sort-merge-pinned) join runs
+   * with no exchange on either input — the write-once, join-forever
+   * layout for 100 TB recurring joins. Result ≡ the plain join.
+   */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suf = math.abs(dir.hashCode).toString
+    val (ordT, custT) = (s"g_ord_b_$suf", s"g_cust_b_$suf")
+    graft.sources.Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      ordT, "o_custkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      custT, "c_custkey", 8)
+    graft.sources.Bucketing.bucketedJoin(s, ordT, custT, "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+  }
+
+  /**
+   * Incremental corpus dedup: the last 10% of docs arrive as a "new
+   * batch"; find their near-dups in the standing corpus without
+   * re-pairing the corpus (Dedup.incrementalNearDupPairs — batch
+   * shingles broadcast; the corpus is one scan).
+   */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // "new batch" = the top 10% of doc ids (a metadata-only max scan)
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut))
+  }
+
   /** JSON sink → JSON source round-trip (dates survive via the explicit schema). */
   private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.FileIO.roundTrip(
@@ -947,6 +987,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
@@ -962,6 +1004,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_incremental" -> (dedupIncremental _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
@@ -1530,6 +1573,27 @@ object SparkEntry {
         "SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a " +
         "UNION ALL SELECT l_returnflag, 'price', price FROM a " +
         "UNION ALL SELECT l_returnflag, 'disc', disc FROM a"),
+    "q_orc_roundtrip" ->
+      ("SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price " +
+        "FROM part GROUP BY p_brand"),
+    // bucketing is a layout property: result ≡ the plain join
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "dedup_incremental" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle, cut " +
+        "WHERE a.doc_id >= cut.c AND b.doc_id < cut.c GROUP BY 1, 2) " +
+        "SELECT new_id, corpus_id, " +
+        "round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+        "FROM pr JOIN sizes sa ON new_id = sa.doc_id " +
+        "JOIN sizes sb ON corpus_id = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"),
     // bloom pre-filter is transparent: result ≡ the plain join
     "q_bloom_join" ->
       ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +

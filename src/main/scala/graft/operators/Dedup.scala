@@ -154,6 +154,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /**
+   * Incremental near-dup detection: pairs between a (small) batch of
+   * NEW documents and the existing corpus — the continuous-ingest
+   * dedup decision ("is this incoming doc a near-dup of anything we
+   * already have?") without re-pairing the corpus against itself.
+   *
+   * Scale: the new batch's hashed shingles broadcast (a batch is
+   * MBs/GBs against a 100 TB corpus), so the corpus side is one scan
+   * whose shingles are probed in the scan stage — only rows hitting
+   * the batch reach the pair aggregation. Candidates are verified
+   * with exact jaccard, like [[ngramJaccardPairs]].
+   */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+      n: Int = 5, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shNew = shinglesHashed(newDocs, n, textCol, idCol)
+      .withColumnRenamed("id", "new_id")
+    val shCorp = shinglesHashed(corpus, n, textCol, idCol)
+      .withColumnRenamed("id", "corpus_id")
+    val inter = shCorp.join(broadcast(shNew), "sh")
+      .groupBy("new_id", "corpus_id")
+      .agg(count("*").as("n_inter"))
+    val sizeOf = (df: DataFrame, as: String) => df.select(col(idCol).as(as),
+      size(shingle_hashes(col(textCol), n)).cast("long").as(s"n_$as"))
+    inter
+      .join(broadcast(sizeOf(newDocs, "new_id")), "new_id")
+      .join(sizeOf(corpus, "corpus_id"), "corpus_id")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_new_id") + col("n_corpus_id") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** All word-n-gram shingle strings (non-distinct — simhash weights repeats). */
   def shingleStringsAll(text: Column, n: Int): Column = {
     val w = tokens(text)

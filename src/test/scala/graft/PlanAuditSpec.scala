@@ -102,6 +102,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter not pushed to parquet")
   }
 
+  test("q_bucketed_join: sort-merge join with no exchange on either bucketed input") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    // the only hash exchange allowed is the final groupBy aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount"), "scan did not use bucketed layout")
+  }
+
+  test("dedup_incremental: the new batch broadcasts; the corpus is never sort-merged") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
+  }
+
   test("corpus_pack: one window shuffle, and it carries counts, not text") {
     val p = plan("corpus_pack")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
