@@ -843,6 +843,19 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(s, dir, "documents"))
 
+  /** Corpus-trained unigram LM scoring: mean token NLL per doc (perplexity proxy). */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScore(t(s, dir, "documents"))
+
+  /**
+   * Batch twin of the streaming curation census
+   * (streaming.DocumentStreams.curatedCensus — the plan is shared
+   * verbatim with the readStream path; StreamingSpec proves the
+   * streaming run produces these exact rows).
+   */
+  private def qStreamCurate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocumentStreams.curatedCensus(t(s, dir, "documents"))
+
   /**
    * Benchmark decontamination: the eval set is every 50th document
    * (standing in for a benchmark suite); report training docs sharing
@@ -972,6 +985,7 @@ object SparkEntry {
     "stream_sessions" -> (qStreamSessions _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_dedup" -> (qStreamDedup _),
+    "stream_curate" -> (qStreamCurate _),
     "q_crc16_slots" -> (qCrc16Slots _),
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_ntile_cume" -> (qNtileCume _),
@@ -1015,6 +1029,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
+    "text_lm_score" -> (textLmScore _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -1599,6 +1614,21 @@ object SparkEntry {
       ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey"),
+    "stream_curate" ->
+      ("SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens " +
+        "FROM documents d " +
+        "JOIN (" + qualitySql + ") q ON d.doc_id = q.doc_id " +
+        "JOIN (" + langidSql + ") l ON d.doc_id = l.doc_id " +
+        "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' GROUP BY d.source"),
+    "text_lm_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
+        "FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
+        "tot AS (SELECT sum(cnt) AS total FROM freq) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(-ln(cnt / total)), 4) AS nll " +
+        "FROM tok JOIN freq USING (tok), tot GROUP BY doc_id"),
     // --- corpus curation (round 3) ---
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

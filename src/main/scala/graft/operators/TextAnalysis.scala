@@ -61,6 +61,22 @@ object TextAnalysis {
   }
 
   /**
+   * The composite quality score as ONE composable column — identical
+   * arithmetic to [[qualityScore]] (same intermediate rounding), so a
+   * streaming pipeline can gate on quality inside the scan without a
+   * per-doc join against a second aggregate.
+   */
+  def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stopR = round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok, 4)
+    val distR = round(size(array_distinct(toks)) / nTok, 4)
+    round(least(nTok / lit(64.0), lit(1.0)) * lit(0.4)
+      + least(stopR * lit(5.0), lit(1.0)) * lit(0.2)
+      + distR * lit(0.4), 6)
+  }
+
+  /**
    * Language-marker table for the heuristic classifier: per language,
    * a small set of high-frequency function words. Deterministic
    * argmax with fixed priority order (en > fr > es > de > zh) on
@@ -92,6 +108,38 @@ object TextAnalysis {
     }
     scored.withColumn("pred_lang", pred)
       .select(col(idCol), col("pred_lang"))
+  }
+
+  /** [[langId]]'s prediction as one composable column (same tie-break priority). */
+  def predLangCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }.toMap
+    val maxScore = greatest(langMarkers.map(m => scores(m._1)): _*)
+    langMarkers.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(scores(lang) === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Unigram language-model scoring (the CCNet-style perplexity proxy
+   * without an external model): train the LM on the corpus itself —
+   * one token-frequency aggregation — then score each doc by its mean
+   * negative log-likelihood. Low nll ≈ ordinary text; high nll ≈
+   * rare-token noise. Scale: the vocabulary table (bounded, ≪ corpus)
+   * broadcasts; the corpus is scanned twice (freq pass + score pass),
+   * both embarrassingly parallel.
+   */
+  def unigramLmScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count("*").as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(broadcast(freq.crossJoin(total)), "tok")
+      .groupBy(col(idCol))
+      .agg(count("*").as("n_tokens"),
+        round(avg(-log(col("cnt") / col("total"))), 4).as("nll"))
   }
 
   /**

@@ -21,10 +21,20 @@ object Bucketing {
 
   /** Write df as a bucketed+sorted managed parquet table (overwrite). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM's warehouse directory can outlive its (in-memory)
+    // catalog entry; overwrite mode refuses such an orphaned location,
+    // so clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /**
    * Join two bucketed tables on their bucket keys. The merge hint

@@ -110,6 +110,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distributed === got)
   }
 
+  test("qualityCol/predLangCol columns equal the DataFrame operators row-for-row") {
+    val fixture = graft.Tables.t(spark, SparkTestSession.sfDir, "documents")
+    val viaCols = fixture.select(col("doc_id"),
+      TextAnalysis.qualityCol(col("text")).as("q"),
+      TextAnalysis.predLangCol(col("text")).as("l"))
+    val viaOps = TextAnalysis.qualityScore(fixture).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.langId(fixture), "doc_id")
+    val diff = viaCols.join(viaOps, "doc_id")
+      .filter(col("q") =!= col("quality") || col("l") =!= col("pred_lang"))
+    assert(diff.isEmpty, "composable columns diverge from the operator outputs")
+  }
+
+  test("unigramLmScore: rare-token docs score higher nll than common-token docs") {
+    val corpus = (0L until 50L).map(i => (i, "common words repeated in every doc"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((99L, "zyzzyva qwerty xylophone")).toDF("doc_id", "text"))
+    val scores = TextAnalysis.unigramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) > scores(0L) + 1.0, s"rare doc not penalized: $scores")
+  }
+
   test("frameSample: fixed-size strided chunks of the binary payload") {
     val withBin = Multimodal.attachBinary(docs.withColumn("source", lit("src")))
     val frames = Multimodal.frameSample(withBin, chunk = 16, stride = 2)

@@ -39,6 +39,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming curation census equals the batch twin (scan-stage quality/lang gates)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"))
+    val stream = DocumentStreams.readDocumentStream(spark, dir)
+    val q = DocumentStreams.curatedCensus(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("curate_census")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("curate_census").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = DocumentStreams.curatedCensus(
+        Tables.t(spark, SparkTestSession.sfDir, "documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
