@@ -62,6 +62,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming decontamination: the batch operator runs unchanged on a doc stream") {
+    // train side is a STREAM; the eval n-gram set is a broadcast
+    // static — exactly the 100 TB ingest shape, and the operator
+    // composes with no code changes
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-stream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"))
+    val batchDocs = Tables.t(spark, SparkTestSession.sfDir, "documents")
+    val evalSet = batchDocs.filter(col("doc_id") % 50 === 0)
+    val trainStream = DocumentStreams.readDocumentStream(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+    val q = graft.operators.Curation.contaminationReport(trainStream, evalSet)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decon_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Curation.contaminationReport(
+        batchDocs.filter(col("doc_id") % 50 =!= 0), evalSet).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty || SparkTestSession.sfDir.contains("0.001"))
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
