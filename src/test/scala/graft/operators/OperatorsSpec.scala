@@ -110,6 +110,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distributed === got)
   }
 
+  test("semanticDedup finds a planted within-cluster duplicate pair") {
+    val base = (0L until 200L).map { i =>
+      (i, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    }
+    // plant an exact duplicate of vector 7 under a new id
+    val withDup = base :+ (999L, base(7)._2)
+    val embs = withDup.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedup(embs, nlist = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((7L, 999L)), s"planted dup not found: ${pairs.toSeq}")
+  }
+
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    val corpus = ((0L until 40L).map(i => (i, "common corpus words here"))
+      ++ (100L until 110L).map(i => (i, "special target domain tokens"))).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") >= 100L)
+    val w = TextAnalysis.importanceWeights(corpus, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(0L), s"target-domain doc not up-weighted: $w")
+  }
+
   test("qualityCol/predLangCol columns equal the DataFrame operators row-for-row") {
     val fixture = graft.Tables.t(spark, SparkTestSession.sfDir, "documents")
     val viaCols = fixture.select(col("doc_id"),
