@@ -136,7 +136,12 @@ object ScaleProbe {
       time("pack")(Curation.packSequences(
         docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")),
         budget = 2048).count()),
-      time("quantize")(Curation.quantizeEmbeddings(embs).count())) ++ {
+      time("quantize")(Curation.quantizeEmbeddings(embs).count()),
+      time("lm_score")(graft.operators.TextAnalysis.unigramLmScore(docs).count()),
+      // nlist scales with the corpus: 100k vecs / 512 clusters keeps
+      // the within-cluster quadratic term at ~200²/2 per cluster
+      time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,
+        threshold = 0.99).count())) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
       val ord = synthOrders(spark, nOrd)

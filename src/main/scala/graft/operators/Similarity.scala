@@ -193,16 +193,23 @@ object Similarity {
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", topLists(col("v"), lit(1))(0))
-    // id-only posting lists through the bucket shuffle; vectors join
-    // back onto the (few) candidate pairs for exact verification
-    val vecs = assigned.select(col("id"), col("v"))
-    Dedup.pairsFromBuckets(assigned.select("id", "cluster"), Seq("cluster"),
-        maxBucket = maxBucket)
-      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
-      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
-      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+    // each vector has exactly ONE cluster, so posting lists carry
+    // (id, vector) structs and pairs explode with both vectors
+    // inline: the pair expansion, cosine, and threshold all run in
+    // the same stage — candidate pairs never cross a shuffle (the
+    // id-only-list + join-back shape used by the LSH paths would
+    // shuffle every candidate pair three times here, and the
+    // below-threshold ones are the overwhelming majority)
+    assigned.groupBy("cluster")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(col("cos"), 4).as("cos"))
   }
 
   /**

@@ -116,6 +116,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
   }
 
+  test("text_importance: every LM join broadcasts (no vocabulary sort-merge)") {
+    val p = plan("text_importance")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "vocabulary-sized LM table was sort-merged")
+  }
+
   test("corpus_pack: one window shuffle, and it carries counts, not text") {
     val p = plan("corpus_pack")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
