@@ -116,10 +116,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
   }
 
-  test("text_importance: every LM join broadcasts (no vocabulary sort-merge)") {
+  test("text_importance: the scoring pass is shuffle-free (LMs ride a broadcast map)") {
     val p = plan("text_importance")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"), "vocabulary-sized LM table was sort-merged")
+    assert(!p.contains("Exchange"), s"per-token data crossed a shuffle:\n$p")
   }
 
   test("corpus_pack: one window shuffle, and it carries counts, not text") {
