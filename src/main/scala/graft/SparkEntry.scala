@@ -676,6 +676,22 @@ object SparkEntry {
       docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut))
   }
 
+  /**
+   * Range-clustered sorted sink: orders written range-partitioned +
+   * sorted on o_orderdate, re-read with a date-range predicate that
+   * parquet stats satisfy by skipping files/row-groups (FileIO
+   * .sortedRoundTrip). Result ≡ the filtered aggregate off the
+   * fixture.
+   */
+  private def qSortedSink(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.sortedRoundTrip(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice")),
+        rtPath(dir, "sorted"), "o_orderdate")
+      .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+      .groupBy(col("o_orderdate"))
+      .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
   /** JSON sink → JSON source round-trip (dates survive via the explicit schema). */
   private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.FileIO.roundTrip(
@@ -1023,6 +1039,7 @@ object SparkEntry {
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_sorted_sink" -> (qSortedSink _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
@@ -1614,6 +1631,10 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       ("SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price " +
         "FROM part GROUP BY p_brand"),
+    "q_sorted_sink" ->
+      ("SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-03-31' " +
+        "GROUP BY o_orderdate"),
     // bucketing is a layout property: result ≡ the plain join
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue " +

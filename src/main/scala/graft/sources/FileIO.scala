@@ -30,4 +30,24 @@ object FileIO {
       .schema(df.schema)
       .load(path)
   }
+
+  /**
+   * Range-clustered sorted parquet write → re-read: rows are
+   * range-partitioned then sorted within partitions on `clusterCol`,
+   * so every file covers a narrow value range and parquet
+   * row-group/file statistics satisfy later range predicates by
+   * skipping, not scanning — the data-skipping layout for the 100 TB
+   * time-series case (hive-style directory partitioning would create
+   * one directory per distinct value; range clustering keeps file
+   * counts fixed). The predicate must still reach the scan as a
+   * pushed filter (pinned in PlanAuditSpec).
+   */
+  def sortedRoundTrip(df: DataFrame, path: String, clusterCol: String,
+      partitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
 }

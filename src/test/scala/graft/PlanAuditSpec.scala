@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
   }
 
+  test("q_sorted_sink: the date-range predicate is pushed to the re-read scan") {
+    val p = plan("q_sorted_sink")
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").contains("o_orderdate"),
+      s"date predicate not pushed to the sorted-parquet scan:\n$p")
+  }
+
   test("text_importance: the scoring pass is shuffle-free (LMs ride a broadcast map)") {
     val p = plan("text_importance")
     assert(!p.contains("Exchange"), s"per-token data crossed a shuffle:\n$p")
