@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/**
+ * Algebraic laws of the curation operators, checked with ScalaCheck
+ * over random corpora through the REAL Spark operators: coverage /
+ * conservation / bound properties that must hold at any scale.
+ */
+class CurationLawsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val vocab = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(1, 90).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] = Gen.chooseNum(1, 12)
+    .flatMap(n => Gen.listOfN(n, docGen))
+
+  test("chunk law: stripping the overlap from chunks reconstructs the token stream") {
+    check("chunkReconstruct", Prop.forAll(docGen) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = Curation.chunk(df, size = 16, overlap = 4)
+        .orderBy("chunk_id").collect()
+        .map(_.getAs[String]("chunk_text").split(" ").toList)
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(4))
+      rebuilt == text.split(" ").toList
+    })
+  }
+
+  test("pack law: token and doc counts are conserved; every sequence is within budget+maxdoc") {
+    check("packConserves", Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"s${i % 2}") }
+        .toDF("doc_id", "text", "source")
+      val seqs = Curation.packSequences(df, budget = 64).collect()
+      val totalTokens = texts.map(_.split(" ").length.toLong).sum
+      val nDocs = seqs.map(_.getAs[Long]("n_docs")).sum
+      val nToks = seqs.map(_.getAs[Long]("n_tokens")).sum
+      // a doc starting inside a sequence may overflow it by at most
+      // its own length - 1; with ≤90-token docs the bound is 64+89
+      nDocs == texts.length.toLong && nToks == totalTokens &&
+        seqs.forall(_.getAs[Long]("n_tokens") <= 64L + 89L)
+    })
+  }
+
+  test("sample law: kept rows are a subset; rate 1.0 keeps everything; deterministic") {
+    check("sampleSubset", Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val all = Curation.stratifiedSample(df, Map.empty, defaultRate = 1.0).count()
+      val half = Curation.stratifiedSample(df, Map.empty, defaultRate = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      val again = Curation.stratifiedSample(df, Map.empty, defaultRate = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      all == texts.length.toLong && half == again &&
+        half.subsetOf((0 until texts.length).map(_.toLong).toSet)
+    })
+  }
+
+  test("decontaminate law: flagged ∪ clean partitions the training set") {
+    check("deconPartition", Prop.forAll(corpusGen, corpusGen) { (train, eval) =>
+      val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val evalDf = eval.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val flagged = Curation.contaminationReport(trainDf, evalDf)
+        .select("doc_id").as[Long].collect().toSet
+      val clean = Curation.decontaminate(trainDf, evalDf)
+        .select("doc_id").as[Long].collect().toSet
+      val ids = (0 until train.length).map(_.toLong).toSet
+      (flagged & clean).isEmpty && (flagged | clean) == ids
+    })
+  }
+
+  test("quantize law: max |q| is exactly 127 and dequantization error ≤ scale/2") {
+    check("quantBounds", Prop.forAll(Gen.listOfN(16,
+        Gen.chooseNum(-100, 100).map(_ / 25.0f)).suchThat(_.exists(_ != 0f))) { vs =>
+      val df = Seq((1L, vs.toArray)).toDF("vec_id", "embedding")
+      val r = Curation.quantizeEmbeddings(df).head()
+      val scale = vs.map(v => math.abs(v.toDouble)).max / 127.0
+      // recompute q the way the operator defines it and check bounds
+      val q = vs.map(v => math.floor(v / scale + 0.5))
+      q.map(math.abs).max == 127.0 &&
+        vs.zip(q).forall { case (v, qi) => math.abs(qi * scale - v) <= scale / 2 + 1e-12 } &&
+        r.getAs[Long]("sum_abs_q") == q.map(x => math.abs(x).toLong).sum
+    })
+  }
+
+  test("redact law: redacted text has no residual matches and is idempotent") {
+    val pii = Gen.oneOf(
+      "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
+    check("redactClean", Prop.forAll(Gen.listOfN(3, pii)) { parts =>
+      val text = parts.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val red = df.select(Curation.redact(col("text")).as("r")).as[String].head()
+      val redTwice = df.select(Curation.redact(Curation.redact(col("text"))).as("r"))
+        .as[String].head()
+      val residual = Curation.redactionReport(
+        Seq((1L, red)).toDF("doc_id", "text")).head()
+      red == redTwice &&
+        residual.getAs[Long]("n_emails") == 0L &&
+        residual.getAs[Long]("n_ips") == 0L &&
+        residual.getAs[Long]("n_phones") == 0L
+    })
+  }
+}
