@@ -65,13 +65,32 @@ object Multimodal {
   def decodeStub(withBinary: DataFrame): DataFrame = {
     val spark = withBinary.sparkSession
     val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      // the point of the batch shape: open the (heavyweight) decoder
+      // ONCE per partition and reuse it for every record — exactly
+      // what mapInPandas batching buys a Python media pipeline
+      val decoder = StubDecoder.open()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        Row.fromTuple(stubFeatures(id, bytes))
+        Row.fromTuple(decoder.features(id, bytes))
       }
     }
     spark.createDataFrame(rows, featureSchema)
+  }
+
+  /**
+   * Stand-in for a real codec handle (libjpeg/ffmpeg context, model
+   * session, …): construction is the expensive part a production
+   * decoder amortizes per batch. `opens` counts constructions so
+   * tests can assert once-per-partition, never per-record.
+   */
+  object StubDecoder {
+    val opens = new java.util.concurrent.atomic.AtomicLong(0L)
+    def open(): StubDecoder = { opens.incrementAndGet(); new StubDecoder }
+  }
+  final class StubDecoder {
+    def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) =
+      stubFeatures(id, bytes)
   }
 
   /** Deterministic fake decoder: byte statistics standing in for real features. */

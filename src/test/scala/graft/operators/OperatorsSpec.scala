@@ -110,6 +110,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distributed === got)
   }
 
+  test("decodeStub opens the decoder once per partition, not per record") {
+    val docs = (0L until 100L).map(i => (i, s"payload number $i with content", "s0"))
+      .toDF("doc_id", "text", "source").repartition(4)
+    val before = Multimodal.StubDecoder.opens.get()
+    val out = Multimodal.decodeStub(Multimodal.attachBinary(docs))
+    assert(out.count() == 100L)
+    val opened = Multimodal.StubDecoder.opens.get() - before
+    assert(opened == 4L, s"decoder constructed $opened times for 4 partitions")
+  }
+
   test("semanticDedup finds a planted within-cluster duplicate pair") {
     val base = (0L until 200L).map { i =>
       (i, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
