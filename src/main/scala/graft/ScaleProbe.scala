@@ -138,6 +138,14 @@ object ScaleProbe {
         budget = 2048).count()),
       time("quantize")(Curation.quantizeEmbeddings(embs).count()),
       time("lm_score")(graft.operators.TextAnalysis.unigramLmScore(docs).count()),
+      // continuous-ingest dedup: the new batch is the planted near-dup
+      // partners from the last 10% of ids (base docs stay in the
+      // corpus), so expected recall is nDocs/500 cross-set pairs
+      time("dedup_incremental") {
+        val isBatch = col("doc_id") % 50 === 1 && col("doc_id") >= nDocs - nDocs / 10
+        Dedup.incrementalNearDupPairs(
+          docs.filter(isBatch), docs.filter(!isBatch)).count()
+      },
       // nlist scales with the corpus: 100k vecs / 512 clusters keeps
       // the within-cluster quadratic term at ~200²/2 per cluster
       time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,

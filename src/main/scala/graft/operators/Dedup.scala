@@ -178,9 +178,10 @@ object Dedup {
       .agg(count("*").as("n_inter"))
     val sizeOf = (df: DataFrame, as: String) => df.select(col(idCol).as(as),
       size(shingle_hashes(col(textCol), n)).cast("long").as(s"n_$as"))
-    inter
-      .join(broadcast(sizeOf(newDocs, "new_id")), "new_id")
-      .join(sizeOf(corpus, "corpus_id"), "corpus_id")
+    // candidates are batch-sized: broadcast them onto the corpus
+    // sizes scan so the corpus side never shuffles here either
+    val withNew = inter.join(broadcast(sizeOf(newDocs, "new_id")), "new_id")
+    sizeOf(corpus, "corpus_id").join(broadcast(withNew), "corpus_id")
       .withColumn("jaccard",
         col("n_inter") / (col("n_new_id") + col("n_corpus_id") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
