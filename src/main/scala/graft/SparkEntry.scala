@@ -880,6 +880,26 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(s, dir, "documents"))
 
+  /**
+   * Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics — the
+   * engine rejects UNION inside recursion, so cyclic-graph closure
+   * stays with the iterative Dedup.dupClusters loop): an acyclic
+   * ancestor walk — every part climbs its halving tree (k → k div 2)
+   * to the root, yielding the depth census. Recursion depth is
+   * log₂(maxkey) Spark jobs regardless of table size, each a narrow
+   * self-map — the declarative shape for hierarchy/BOM walks.
+   */
+  private def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_rec")
+    s.sql(
+      """WITH RECURSIVE anc(p, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part_rec
+        |  UNION ALL
+        |  SELECT p, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_parts
+        |FROM anc WHERE cur = 1 GROUP BY depth""".stripMargin)
+  }
+
   /** Corpus-trained unigram LM scoring: mean token NLL per doc (perplexity proxy). */
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLmScore(t(s, dir, "documents"))
@@ -1051,6 +1071,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "q_recursive_cte" -> (qRecursiveCte _),
     "dedup_corpus" -> (dedupCorpus _),
     "pipeline_filter" -> (pipelineFilter _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1117,6 +1138,22 @@ object SparkEntry {
       "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
       "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
+
+  /** Recursive-CTE closure over the near-dup pair graph — oracle for both the iterative CC operator and the SQL-surface recursion. */
+  private lazy val clustersSql: String =
+    "WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+      "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT a_id, b_id FROM pr JOIN sizes sa ON a_id = sa.doc_id " +
+      "JOIN sizes sb ON b_id = sb.doc_id " +
+      "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
+      "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+      "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+      "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+      "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"
 
   private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
 
@@ -1374,20 +1411,13 @@ object SparkEntry {
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "list_cosine_similarity(a.v, b.v) AS raw " +
         "FROM c a JOIN c b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
-    "dedup_clusters" ->
-      ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
-        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT a_id, b_id FROM pr JOIN sizes sa ON a_id = sa.doc_id " +
-        "JOIN sizes sb ON b_id = sb.doc_id " +
-        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
-        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
-        "reach(u, v) AS (SELECT u, v FROM edges UNION " +
-        "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
-        "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"),
+    "dedup_clusters" -> clustersSql,
+    "q_recursive_cte" ->
+      ("WITH RECURSIVE anc(p, cur, depth) AS (" +
+        "SELECT p_partkey, p_partkey, 0 FROM part UNION ALL " +
+        "SELECT p, cur // 2, depth + 1 FROM anc WHERE cur > 1) " +
+        "SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_parts " +
+        "FROM anc WHERE cur = 1 GROUP BY depth"),
     "dedup_corpus" ->
       ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
