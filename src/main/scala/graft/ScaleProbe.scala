@@ -138,6 +138,7 @@ object ScaleProbe {
         budget = 2048).count()),
       time("quantize")(Curation.quantizeEmbeddings(embs).count()),
       time("lm_score")(graft.operators.TextAnalysis.unigramLmScore(docs).count()),
+      time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
       // continuous-ingest dedup: the new batch is the planted near-dup
       // partners from the last 10% of ids (base docs stay in the
       // corpus), so expected recall is nDocs/500 cross-set pairs

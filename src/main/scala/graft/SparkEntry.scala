@@ -831,6 +831,10 @@ object SparkEntry {
     Similarity.semanticDedup(base.unionAll(planted), nlist = 32, threshold = 0.95)
   }
 
+  /** Span-level exact-substring dedup report: docs sharing a verbatim 20-token window. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanReport(t(s, dir, "documents"), span = 20)
+
   /** DSIR-style importance weights toward the doc_id%50 exemplar "target domain". */
   private def textImportance(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1079,6 +1083,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
@@ -1707,6 +1712,13 @@ object SparkEntry {
         "round(list_cosine_similarity(a.v, b.v), 4) AS cos " +
         "FROM assign a JOIN assign b ON a._b = b._b AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.v, b.v) >= 0.95"),
+    "dedup_spans" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+19], ' ') AS s " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 19, 0))) AS t(i)), " +
+        "hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2) " +
+        "SELECT doc_id, count(*) AS n_shared_spans FROM sh JOIN hot USING (s) " +
+        "GROUP BY doc_id"),
     "text_importance" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
         "FROM documents), " +

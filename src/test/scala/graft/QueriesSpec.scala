@@ -14,7 +14,7 @@ class QueriesSpec extends AnyFunSuite {
   // empty-at-sf0.001 results are legitimate for these
   private val mayBeEmpty =
     Set("dedup_exact", "dedup_embedding", "q_anti_join", "text_decontaminate",
-      "dedup_incremental")
+      "dedup_incremental", "dedup_spans")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name executes" + (if (mayBeEmpty(name)) "" else " and returns rows")) {

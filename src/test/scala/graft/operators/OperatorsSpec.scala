@@ -120,6 +120,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(opened == 4L, s"decoder constructed $opened times for 4 partitions")
   }
 
+  test("sharedSpanReport flags exactly the docs sharing a verbatim window") {
+    val spanText = (1 to 25).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, spanText + " tail one"),
+      (2L, "lead two " + spanText),             // shares the 25-token span with 1
+      (3L, (100 to 140).map(i => s"u$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+    val flagged = graft.operators.Dedup.sharedSpanReport(d, span = 20)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L))
+  }
+
   test("semanticDedup finds a planted within-cluster duplicate pair") {
     val base = (0L until 200L).map { i =>
       (i, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
