@@ -13,7 +13,17 @@ Test / fork := true
 run / fork := true
 // Forked `run` output must reach stdout verbatim (no sbt `[info] `
 // prefix): the bench/verify drivers parse the printed JSON line.
+// Set at every plausible scope — the forked process's OutputStrategy is
+// resolved from the `Compile / run` axis, so the bare and Compile-scoped
+// settings are the ones that matter.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time: ..." line after the run: a
+// last-line JSON parse must see the bench's printed JSON, not sbt's
+// epilogue.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
