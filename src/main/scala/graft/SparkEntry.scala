@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, BloomJoin, Curation, Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Curation, Dedup, Graph, Multimodal, Retrieval, Similarity, SkewJoin, Sketches, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -841,6 +841,58 @@ object SparkEntry {
     TextAnalysis.importanceWeights(docs, docs.filter(col("doc_id") % 50 === 0))
   }
 
+  /** BM25 lexical retrieval: top-50 docs for a 3-term query (Retrieval). */
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
+
+  /**
+   * Exact φ-heavy hitters over the corpus token stream via two-pass
+   * Misra-Gries (Sketches): identical to a full-vocabulary groupBy,
+   * but only candidate keys ever shuffle.
+   */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+      t(s, dir, "documents").select(explode(split(lower(col("text")), " ")).as("tok")),
+      "tok", phi = 0.03)
+
+  /**
+   * PageRank (3 fixed iterations, d=0.85) over the part co-purchase
+   * graph: parts sharing an order (1-in-10 sample of orders) are
+   * linked. The oracle replays the same 3 iterations as chained CTEs.
+   */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.pagerank(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
+  }
+
+  /**
+   * Johnson-Lindenstrauss random projection 64→16 dims with
+   * md5-derived ±1 planes; emits the first 4 components and the
+   * projected norm (all 16 components feed the norm).
+   */
+  private def embProject(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val proj = Similarity.randomProjection(t(s, dir, "embeddings"), k = k, dims = 64)
+    val norm = sqrt((0 until k).map(j => col(s"p_$j") * col(s"p_$j")).reduce(_ + _))
+    proj.select(col("vec_id"),
+      round(col("p_0"), 4).as("p0"), round(col("p_1"), 4).as("p1"),
+      round(col("p_2"), 4).as("p2"), round(col("p_3"), 4).as("p3"),
+      round(norm, 4).as("pnorm"))
+  }
+
+  /**
+   * Z-order-clustered sink round-trip: lineitem laid out by the
+   * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
+   * after re-read skips row-groups on both columns' stats.
+   */
+  private def qZorderSink(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileIO.zorderRoundTrip(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        rtPath(dir, "zorder"), "l_partkey", "l_suppkey")
+      .filter(col("l_partkey").between(10, 80) && col("l_suppkey").between(2, 6))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -1085,6 +1137,11 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
+    "text_bm25" -> (textBm25 _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "graph_pagerank" -> (graphPagerank _),
+    "emb_project" -> (embProject _),
+    "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
@@ -1115,6 +1172,18 @@ object SparkEntry {
 
   /** DuckDB: unsigned 64-bit value of the first 16 hex chars of md5(e). */
   private def md5u(e: String): String = s"(('0x'||substr(md5($e),1,16))::UBIGINT)"
+
+  /** One BM25 term in the engine's exact operand order (k1=1.2, b=0.75). */
+  private def bm25Term(idf: String, term: String): String = {
+    val tf = s"len(list_filter(w, x -> x = '$term'))"
+    s"$idf * ($tf * (1.2 + 1)) / ($tf + 1.2 * ((1 - 0.75) + 0.75 * len(w) / avgdl))"
+  }
+
+  /** One pagerank iteration `out` from `in` (d=0.85), as a chained CTE. */
+  private def prIter(out: String, in: String): String =
+    s"$out AS (SELECT dst AS node, (1 - 0.85) / cnt + 0.85 * sum(rank / outdeg) AS rank " +
+      s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src, n " +
+      "GROUP BY dst, cnt), "
 
   /** DuckDB: two's-complement wrap of an unsigned 64-bit expression to signed BIGINT. */
   private def wrapSigned(u: String): String =
@@ -1719,6 +1788,58 @@ object SparkEntry {
         "hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2) " +
         "SELECT doc_id, count(*) AS n_shared_spans FROM sh JOIN hot USING (s) " +
         "GROUP BY doc_id"),
+    // replays the two-pass BM25 arithmetic term-by-term in the same
+    // order (idf and avgdl rounded to 6 decimals before scoring on
+    // both sides, so the unrounded ranking doubles are bit-identical)
+    "text_bm25" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, round(avg(len(w)), 6) AS avgdl, " +
+        "sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS df0, " +
+        "sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END) AS df1, " +
+        "sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS df2 FROM tok), " +
+        "idf AS (SELECT avgdl, " +
+        "round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1), 6) AS i0, " +
+        "round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1), 6) AS i1, " +
+        "round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1), 6) AS i2 FROM st), " +
+        "sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        bm25Term("i0", "hash") + " + " + bm25Term("i1", "merge") + " + " +
+        bm25Term("i2", "join") + " AS s FROM tok, idf) " +
+        "SELECT doc_id, n_tokens, round(s, 4) AS bm25 FROM sc " +
+        "ORDER BY s DESC, doc_id LIMIT 50"),
+    "q_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM tok) " +
+        "SELECT tok, cnt FROM (SELECT tok, count(*) AS cnt, max(n) AS mn " +
+        "FROM tok, tot GROUP BY tok) WHERE cnt >= ceil(0.03 * mn)"),
+    // the same 3 pagerank iterations as chained CTEs (no recursion
+    // needed for a fixed iteration count)
+    "graph_pagerank" ->
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey), " +
+        "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
+        prIter("r1", "r0") + prIter("r2", "r1") + prIter("r3", "r2").stripSuffix(", ") +
+        " SELECT node, round(rank, 8) AS rank FROM r3"),
+    // md5 ±1 planes ("proj:j:i") replayed per output dim; the norm is
+    // list_dot_product(pj, pj) so the accumulation order matches the
+    // engine's left-fold exactly
+    "emb_project" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pl AS (SELECT j, list(CASE WHEN " +
+        "('0x'||substr(md5('proj:'||j||':'||(i-1)), 1, 16))::UBIGINT & 1 = 1 " +
+        "THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane " +
+        "FROM generate_series(0, 15) jj(j), generate_series(1, 64) ii(i) GROUP BY j), " +
+        "p AS (SELECT vec_id, j, list_dot_product(x.v, pl.plane) AS pv FROM v x, pl), " +
+        "w AS (SELECT vec_id, list(pv ORDER BY j) AS pj FROM p GROUP BY vec_id) " +
+        "SELECT vec_id, round(pj[1], 4) AS p0, round(pj[2], 4) AS p1, " +
+        "round(pj[3], 4) AS p2, round(pj[4], 4) AS p3, " +
+        "round(sqrt(list_dot_product(pj, pj)), 4) AS pnorm FROM w"),
+    "q_zorder_sink" ->
+      ("SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey BETWEEN 10 AND 80 " +
+        "AND l_suppkey BETWEEN 2 AND 6 GROUP BY l_suppkey"),
     "text_importance" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
         "FROM documents), " +

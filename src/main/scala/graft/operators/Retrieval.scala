@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text retrieval over a document corpus — BM25 scoring (the
+ * lexical-search primitive the reference engine lacks entirely; its
+ * only lookup surface is the CRC16 keyed point query,
+ * reference `src/mr.h:94-102`). Used in training-data pipelines for
+ * benchmark decontamination-by-retrieval and corpus exploration.
+ *
+ * Scale design (100 TB): the query side is TINY (a handful of terms),
+ * so every corpus-sized quantity stays in the scan stage —
+ *  - pass 1 aggregates corpus stats (N, avgdl, per-term document
+ *    frequencies) into ONE row (partial+final hash agg, bytes on the
+ *    shuffle);
+ *  - the per-term idf weights computed from that row are closed over
+ *    as literals (a broadcast of a few doubles);
+ *  - pass 2 scores every document from its own token array —
+ *    shuffle-free — and TakeOrderedAndProject keeps the global top-k
+ *    (per-partition heaps, k rows per partition to the driver).
+ * Nothing joins, nothing corpus-sized ever shuffles. An inverted
+ * index (posting lists per term) only wins when queries are many and
+ * repeated; for pipeline-style scoring the two-scan shape is optimal.
+ */
+object Retrieval {
+
+  private def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** HALF_UP 6-decimal round — matches Spark's round() and DuckDB's round(). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * BM25 top-k documents for a bag of query `terms`.
+   * idf uses the +1 variant (`ln((N - df + 0.5)/(df + 0.5) + 1)`) —
+   * always positive, as in Lucene. idf and avgdl are rounded to 6
+   * decimals before scoring so any SQL engine reproduces the exact
+   * doubles (the DuckDB oracle replays this arithmetic term-by-term
+   * in the same order).
+   */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // pass 1: corpus stats — one row out of a full scan
+    val statsRow = docs.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(size(toks)), 6).as("avgdl"),
+      struct(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+      }: _*).as("dfs")
+    ).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val dfs = statsRow.getStruct(2)
+    val idf = terms.indices.map { i =>
+      val df = dfs.getLong(i)
+      round6(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
+    }
+    // pass 2: score each doc from its own token array (shuffle-free),
+    // fixed term order so the double sum is bit-reproducible
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, _ === t)).cast("double")
+      lit(idf(i)) * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"), score.as("_s"))
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_tokens"), round(col("_s"), 4).as("bm25"))
+  }
+
+  /**
+   * TF-IDF weight per (document, term) for a fixed vocabulary of
+   * `terms` — the feature-extraction sibling of [[bm25TopK]] (feeds
+   * downstream classifiers/cluster steps). Same two-pass shape: stats
+   * collapse to one row, weights are computed in the scan stage.
+   */
+  def tfIdf(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val statsRow = docs.agg(
+      count(lit(1)).as("n_docs"),
+      struct(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+      }: _*).as("dfs")).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val dfs = statsRow.getStruct(1)
+    val cols = terms.zipWithIndex.map { case (t, i) =>
+      val idf = round6(math.log(nDocs.toDouble / (dfs.getLong(i) + 1.0)))
+      val tf = size(filter(toks, _ === t)).cast("double") / size(toks)
+      round(tf * lit(idf), 6).as(s"w_$i")
+    }
+    docs.select(col(idCol) +: cols: _*)
+  }
+}

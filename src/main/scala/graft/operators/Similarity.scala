@@ -213,6 +213,38 @@ object Similarity {
   }
 
   /**
+   * Random-projection dimensionality reduction (Johnson-Lindenstrauss
+   * with ±1 Achlioptas planes): project `dims`-dim embeddings down to
+   * `k` dims, out_j = Σ_i v[i]·w_ij. The plane signs are md5-derived
+   * ("proj:j:i", low bit of the first 8 md5 bytes) so any engine
+   * reproduces the projection exactly — same convention as
+   * [[graft.functions.Md5Proj]]'s LSH planes.
+   *
+   * Scale: the k×dims plane matrix is a compile-time literal folded
+   * into the plan (bytes, not a broadcast); the projection is one
+   * shuffle-free scan using codegen'd higher-order array functions —
+   * no UDF, no row explosion. The standard pre-step that makes
+   * downstream ANN / clustering / dedup O(k) per vector instead of
+   * O(dims).
+   */
+  def randomProjection(embs: DataFrame, k: Int = 16, dims: Int = 64,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planes: Array[Array[Double]] = Array.tabulate(k) { j =>
+      Array.tabulate(dims) { i =>
+        val d = md.digest(s"proj:$j:$i".getBytes("UTF-8"))
+        if ((d(7) & 1) == 1) 1.0 else -1.0
+      }
+    }
+    val v = col(vecCol).cast("array<double>")
+    val proj = planes.zipWithIndex.map { case (p, j) =>
+      aggregate(zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x).as(s"p_$j")
+    }
+    embs.select(col(idCol) +: proj.toSeq: _*)
+  }
+
+  /**
    * LSH-bucketed ANN: probe `tables` independent random-projection
    * sketches; union of bucket-mates forms the candidate set, ranked
    * exactly. Recall < 1 by construction; raise `tables` / lower

@@ -134,4 +134,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("text#") || !p.contains("Exchange.*text"),
       "document text column crosses the pack shuffle")
   }
+
+  test("text_bm25: scoring pass is join-free and lowers to TakeOrderedAndProject") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-k did not lower to per-partition heaps")
+    assert(!p.contains("Join"), "corpus-sized join in the scoring pass — idf must be literal")
+    assert(!p.contains("Exchange hashpartitioning"), s"scoring pass shuffled:\n$p")
+  }
+
+  test("graph_pagerank: iterations reuse the edge exchanges (no per-iteration recompute)") {
+    // exchange reuse is an AQE runtime decision: execute THIS plan
+    // (collect, not count — count wraps a new plan) and audit the
+    // final adaptive plan
+    val df = SparkEntry.queries("graph_pagerank")(spark, SparkTestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert("ReusedExchange".r.findAllIn(p).size >= 4,
+      s"edge/degree exchanges not reused across pagerank iterations:\n${p.take(4000)}")
+  }
+
+  test("q_zorder_sink: both box predicates are pushed to the z-clustered scan") {
+    val p = plan("q_zorder_sink")
+    val pushed = p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1")
+    assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+      s"2-D box predicate not pushed to the z-ordered parquet scan:\n$p")
+  }
 }

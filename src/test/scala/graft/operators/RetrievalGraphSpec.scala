@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Retrieval (BM25/TF-IDF), Sketches (heavy hitters), Graph (pagerank),
+  * random projection, and z-order layout on constructed inputs. */
+class RetrievalGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark spark spark shuffle"),          // tf(spark)=3, dl=4
+    (1L, "spark shuffle shuffle join"),         // tf(spark)=1
+    (2L, "window sort agg filter"),             // no query terms
+    (3L, "spark join")                          // short doc
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK ranks by term frequency and scores term-free docs zero") {
+    val out = Retrieval.bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > out(1L), "3 occurrences must outscore 1 at equal-ish dl")
+    assert(out(2L) === 0.0)
+    // hand-replay of the formula for doc 3: N=4, df=3, avgdl=3.5
+    val idf = BigDecimal(math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tf = 1.0; val dl = 2.0
+    val expected = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+    assert(math.abs(out(3L) - BigDecimal(expected).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bm25TopK honors k and the length normalization favors short docs at equal tf") {
+    val out = Retrieval.bm25TopK(docs, Seq("spark"), k = 2).collect()
+    assert(out.length === 2)
+    // doc 3 (dl=2) vs doc 1 (dl=4), both tf=1: shorter wins
+    val all = Retrieval.bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all(3L) > all(1L))
+  }
+
+  test("tfIdf emits zero weight for absent terms and higher weight for rare terms") {
+    val w = Retrieval.tfIdf(docs, Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(w(2L)._1 === 0.0)        // no "spark" in doc 2
+    assert(w(2L)._2 > 0.0)          // "window" present
+    assert(w(0L)._2 === 0.0)
+  }
+
+  test("heavyHitters is EXACTLY the full groupBy answer on a skewed stream") {
+    val items = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(12)("c") ++
+      (1 to 8).map(i => s"rare$i")).toDF("k").repartition(7)
+    val phi = 0.2 // threshold ceil(0.2*100) = 20 -> {a, b}
+    val got = Sketches.heavyHitters(items, "k", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = items.groupBy("k").count().filter(col("count") >= 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got === Map("a" -> 50L, "b" -> 30L))
+  }
+
+  test("heavyHitters with adversarial partitioning still recalls every hitter") {
+    // the hitter is diluted evenly so no partition sees it dominant
+    val items = (1 to 400).map(i => if (i % 4 == 0) "hot" else s"cold$i")
+      .toDF("k").repartition(16)
+    val got = Sketches.heavyHitters(items, "k", phi = 0.25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("hot" -> 100L))
+  }
+
+  test("coOccurrenceEdges builds symmetric distinct pairs within groups") {
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), (2L, 99L))
+      .toDF("grp", "item")
+    val edges = Graph.coOccurrenceEdges(df, "grp", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L), (11L, 12L), (12L, 11L))
+    assert(edges === expect) // singleton group 2 contributes nothing
+  }
+
+  test("pagerank matches a driver-side power iteration on a star graph") {
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference power iteration
+    val n = 3; val d = 0.85
+    val deg = Map(0L -> 2.0, 1L -> 1.0, 2L -> 1.0)
+    val adj = Map(0L -> Seq(1L, 2L), 1L -> Seq(0L), 2L -> Seq(0L))
+    var r = Map(0L -> 1.0 / n, 1L -> 1.0 / n, 2L -> 1.0 / n)
+    for (_ <- 1 to 3) {
+      r = (0L to 2L).map { v =>
+        // toSeq: a Set would collapse equal contributions before the sum
+        val in = adj.filter(_._2.contains(v)).keys.toSeq
+        v -> ((1 - d) / n + d * in.map(u => r(u) / deg(u)).sum)
+      }.toMap
+    }
+    (0L to 2L).foreach { v => assert(math.abs(got(v) - r(v)) < 1e-7, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "ranks stay a distribution")
+  }
+
+  test("randomProjection is linear and matches driver-side plane dot products") {
+    val v = Array.tabulate(64)(i => (i % 7).toFloat - 3f)
+    val embs = Seq((1L, v.toSeq), (2L, v.map(_ * 2).toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(embs, k = 4, dims = 64)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    // linearity: proj(2v) = 2 proj(v)
+    (0 until 4).foreach(j => assert(math.abs(out(2L)(j) - 2 * out(1L)(j)) < 1e-9))
+    // plane replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0 until 4).map { j =>
+      (0 until 64).map { i =>
+        val w = if ((md.digest(s"proj:$j:$i".getBytes("UTF-8"))(7) & 1) == 1) 1.0 else -1.0
+        w * v(i)
+      }.sum
+    }
+    (0 until 4).foreach(j => assert(math.abs(out(1L)(j) - expect(j)) < 1e-9))
+  }
+
+  test("zvalue interleaves bits (x even positions, y odd)") {
+    val out = Seq((3L, 1L), (0xffffL, 0L), (0L, 0xffffL))
+      .toDF("x", "y")
+      .select(graft.sources.FileIO.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out(0) === 7L)            // x=0b11 -> 0b101; y=0b1 -> 0b10
+    assert(out(1) === 0x55555555L)
+    assert(out(2) === 0xAAAAAAAAL)
+  }
+
+  test("zorderRoundTrip preserves content and answers box queries exactly") {
+    val src = (1 to 1000).map(i => (i.toLong % 97, i.toLong % 89, i.toDouble)).toDF("x", "y", "q")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val back = graft.sources.FileIO.zorderRoundTrip(src, dir, "x", "y")
+    assert(back.count() === 1000)
+    val boxed = back.filter(col("x").between(10, 30) && col("y").between(5, 25)).count()
+    val expect = src.filter(col("x").between(10, 30) && col("y").between(5, 25)).count()
+    assert(boxed === expect)
+  }
+}
