@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomJoin, Curation, Dedup, Similarity}
+import graft.operators.{BloomJoin, Curation, Dedup, Graph, Retrieval, Similarity, Sketches}
 import graft.relational.Relational
 
 /**
@@ -150,7 +150,40 @@ object ScaleProbe {
       // nlist scales with the corpus: 100k vecs / 512 clusters keeps
       // the within-cluster quadratic term at ~200²/2 per cluster
       time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,
-        threshold = 0.99).count())) ++ {
+        threshold = 0.99).count()),
+      // BM25: two corpus scans (stats row + score-and-top-k), no joins
+      time("bm25")(Retrieval.bm25TopK(docs, Seq("w1", "w17", "w230"), k = 50).count()),
+      // heavy hitters over a 16M-distinct key stream with 7 planted
+      // hot keys at ~2.9% each (phi=0.02): the MG candidate pass +
+      // exact pass shuffle only candidates, vs the naive full groupBy
+      time("heavy_hitters") {
+        val stream = spark.range(20000000L).select(
+          when(col("id") % 5 === 0, concat(lit("hot"), pmod(col("id"), lit(7))))
+            .otherwise(concat(lit("k"), col("id"))).as("k"))
+        Sketches.heavyHitters(stream, "k", phi = 0.02).count()
+      },
+      time("hh_naive_groupby") {
+        val stream = spark.range(20000000L).select(
+          when(col("id") % 5 === 0, concat(lit("hot"), pmod(col("id"), lit(7))))
+            .otherwise(concat(lit("k"), col("id"))).as("k"))
+        stream.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 400000L).count()
+      },
+      // pagerank: 1M nodes, ~4M directed edges (two deterministic
+      // out-links per node, symmetrized), 3 iterations in one plan
+      time("pagerank_1m") {
+        val n = 1000000L
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        Graph.pagerank(half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct(), iters = 3).count()
+      },
+      // JL projection 64->16 over the full embedding corpus: one
+      // shuffle-free scan
+      time("jl_project")(Similarity.randomProjection(embs, k = 16).count())) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
       val ord = synthOrders(spark, nOrd)
