@@ -881,6 +881,28 @@ object SparkEntry {
   }
 
   /**
+   * Recall@5 of nearest-neighbor search in the 16-dim JL-projected
+   * space against the exact 64-dim ranking, per query vector — the
+   * quality measurement that justifies running ANN on projected
+   * vectors at scale (4× less data through every shuffle). Both
+   * rankings and the set intersection are deterministic, so DuckDB
+   * replays the whole measurement.
+   */
+  private def embRecall(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 20)
+    val full = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val projAll = Similarity.randomProjection(embs, k = 16, dims = 64)
+      .select(col("vec_id"), array((0 until 16).map(j => col(s"p_$j")): _*).as("embedding"))
+    val proj = Similarity.bruteForceTopK(projAll, projAll.filter(col("vec_id") < 20), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    full.join(proj, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg((count(lit(1)) / 5.0).as("recall5"))
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -1141,6 +1163,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "graph_pagerank" -> (graphPagerank _),
     "emb_project" -> (embProject _),
+    "emb_recall" -> (embRecall _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
@@ -1840,6 +1863,28 @@ object SparkEntry {
       ("SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem WHERE l_partkey BETWEEN 10 AND 80 " +
         "AND l_suppkey BETWEEN 2 AND 6 GROUP BY l_suppkey"),
+    // replays the full recall measurement: md5-plane projection, exact
+    // 64-dim top-5, projected 16-dim top-5, per-query intersection
+    "emb_recall" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pl AS (SELECT j, list(CASE WHEN " +
+        "('0x'||substr(md5('proj:'||j||':'||(i-1)), 1, 16))::UBIGINT & 1 = 1 " +
+        "THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane " +
+        "FROM generate_series(0, 15) jj(j), generate_series(1, 64) ii(i) GROUP BY j), " +
+        "p AS (SELECT vec_id, j, list_dot_product(x.v, pl.plane) AS pv FROM v x, pl), " +
+        "pj AS (SELECT vec_id, list(pv ORDER BY j) AS v FROM p GROUP BY vec_id), " +
+        "fullr AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank " +
+        "FROM v q JOIN v c ON q.vec_id != c.vec_id WHERE q.vec_id < 20) WHERE rank <= 5), " +
+        "projr AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank " +
+        "FROM pj q JOIN pj c ON q.vec_id != c.vec_id WHERE q.vec_id < 20) WHERE rank <= 5) " +
+        "SELECT query_id, count(*) / 5.0 AS recall5 " +
+        "FROM fullr JOIN projr USING (query_id, neighbor_id) GROUP BY query_id"),
     "text_importance" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
         "FROM documents), " +
