@@ -846,6 +846,28 @@ object SparkEntry {
     Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
 
   /**
+   * One BPE-training step: the top-20 adjacent token pairs by corpus
+   * frequency (the merge-candidate ranking a tokenizer trainer
+   * computes each round). One explode + count shuffle; ties broken by
+   * pair string so the ranking is deterministic cross-engine.
+   */
+  private def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Dedup.shingleStringsAll(col("text"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /**
+   * Stream-static enrichment census (batch twin — the streaming run
+   * over the same plan, with the dimension broadcast, is proven
+   * equivalent in StreamingSpec).
+   */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedSegmentCensus(
+      Tables.events(s, dir), t(s, dir, "customer"))
+
+  /**
    * Exact φ-heavy hitters over the corpus token stream via two-pass
    * Misra-Gries (Sketches): identical to a full-vocabulary groupBy,
    * but only candidate keys ever shuffle.
@@ -1160,6 +1182,8 @@ object SparkEntry {
     "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
+    "text_bpe_pairs" -> (textBpePairs _),
+    "stream_enrich" -> (qStreamEnrich _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "graph_pagerank" -> (graphPagerank _),
     "emb_project" -> (embProject _),
@@ -1829,6 +1853,16 @@ object SparkEntry {
         bm25Term("i2", "join") + " AS s FROM tok, idf) " +
         "SELECT doc_id, n_tokens, round(s, 4) AS bm25 FROM sc " +
         "ORDER BY s DESC, doc_id LIMIT 50"),
+    "text_bpe_pairs" ->
+      ("WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents), " +
+        "pr AS (SELECT array_to_string(w[i:i+1], ' ') AS pair FROM tok, " +
+        "UNNEST(generate_series(1, greatest(len(w) - 1, 0))) t(i)) " +
+        "SELECT pair, count(*) AS cnt FROM pr GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20"),
+    "stream_enrich" ->
+      ("SELECT c.c_mktsegment AS segment, count(*) AS n_events, " +
+        "round(sum(e.value), 2) AS sum_value FROM events e " +
+        "JOIN customer c ON e.user_id = c.c_custkey GROUP BY segment"),
     "q_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
         "tot AS (SELECT count(*) AS n FROM tok) " +

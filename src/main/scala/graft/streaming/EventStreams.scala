@@ -96,6 +96,20 @@ object EventStreams {
   }
 
   /**
+   * Stream-static enrichment: the event stream joined to a static
+   * dimension table (broadcast — the static side is planned once and
+   * shipped to every task; no state store involved, unlike
+   * stream-stream joins). Works identically on a batch DataFrame,
+   * which is the oracle twin. Output: per-segment event census.
+   */
+  def enrichedSegmentCensus(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /**
    * Batch sessionization via lag/cumsum (the oracle-friendly twin of
    * `streamingSessions`): a new session starts after a gap >
    * `gapMinutes`. Returns per-user session counts.

@@ -90,6 +90,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty || SparkTestSession.sfDir.contains("0.001"))
   }
 
+  test("stream-static enrichment equals the batch twin (dimension broadcast, no state store)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich-stream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val customers = Tables.t(spark, SparkTestSession.sfDir, "customer")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.enrichedSegmentCensus(stream, customers).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("enrich_census")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_census").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = EventStreams.enrichedSegmentCensus(
+        Tables.events(spark, SparkTestSession.sfDir), customers).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
