@@ -163,7 +163,31 @@ object GraftExtensions {
         case Seq(p, k) => ByteStrideExpr(p, intArg(k, "k", "byte_stride"))
         case _ => throw new IllegalArgumentException("byte_stride(payload, k)")
       }),
+    // composed from built-ins (pure bit arithmetic), exposed by name so
+    // SQL users can z-order a layout without the Scala API; built as a
+    // catalyst tree directly — Column composition can't cross the
+    // injectFunction boundary (it stays an unresolved ColumnNode)
+    "z_value" -> (info("z_value",
+      "z_value(x, y) - Morton interleave of two integer columns' low 16 bits (z-order key)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => zValueExpr(x, y)
+        case _ => throw new IllegalArgumentException("z_value(x, y)")
+      }),
   )
+
+  /** Catalyst tree of FileIO.zvalue's bit arithmetic (same constants). */
+  private def zValueExpr(x0: Expression, y0: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, Literal => L}
+    import org.apache.spark.sql.types.LongType
+    def spread(c0: Expression): Expression = {
+      var x: Expression = BitwiseAnd(Cast(c0, LongType), L(0xffffL))
+      x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, L(8))), L(0x00FF00FFL))
+      x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, L(4))), L(0x0F0F0F0FL))
+      x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, L(2))), L(0x33333333L))
+      BitwiseAnd(BitwiseOr(x, ShiftLeft(x, L(1))), L(0x55555555L))
+    }
+    BitwiseOr(spread(x0), ShiftLeft(spread(y0), L(1)))
+  }
 
   /** Register on an already-built session (alternative to spark.sql.extensions). */
   def register(spark: SparkSession): Unit =

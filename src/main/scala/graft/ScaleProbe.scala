@@ -153,26 +153,28 @@ object ScaleProbe {
         threshold = 0.99).count()),
       // BM25: two corpus scans (stats row + score-and-top-k), no joins
       time("bm25")(Retrieval.bm25TopK(docs, Seq("w1", "w17", "w230"), k = 50).count()),
-      // heavy hitters over a 16M-distinct key stream with 7 planted
-      // hot keys at ~2.9% each (phi=0.02): the MG candidate pass +
-      // exact pass shuffle only candidates, vs the naive full groupBy
+      // heavy hitters over an (nKeys×0.8)-distinct key stream with 7
+      // planted hot keys at ~2.9% each (phi=0.02): the MG candidate +
+      // exact passes shuffle only candidates, vs the naive full groupBy
       time("heavy_hitters") {
-        val stream = spark.range(20000000L).select(
+        val nKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "20000000").toLong
+        val stream = spark.range(nKeys).select(
           when(col("id") % 5 === 0, concat(lit("hot"), pmod(col("id"), lit(7))))
             .otherwise(concat(lit("k"), col("id"))).as("k"))
         Sketches.heavyHitters(stream, "k", phi = 0.02).count()
       },
       time("hh_naive_groupby") {
-        val stream = spark.range(20000000L).select(
+        val nKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "20000000").toLong
+        val stream = spark.range(nKeys).select(
           when(col("id") % 5 === 0, concat(lit("hot"), pmod(col("id"), lit(7))))
             .otherwise(concat(lit("k"), col("id"))).as("k"))
         stream.groupBy("k").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 400000L).count()
+          .filter(col("cnt") >= (nKeys / 50)).count()
       },
-      // pagerank: 1M nodes, ~4M directed edges (two deterministic
+      // pagerank: n nodes, ~4n directed edges (two deterministic
       // out-links per node, symmetrized), 3 iterations in one plan
       time("pagerank_1m") {
-        val n = 1000000L
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
         val half = spark.range(n).toDF("src")
           .select(col("src"), explode(array(
             pmod(col("src") * 31 + 7, lit(n)),

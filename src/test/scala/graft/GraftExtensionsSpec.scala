@@ -51,6 +51,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) !== 0L)
   }
 
+  test("z_value from SQL matches the Scala column and interleaves bits") {
+    val r = spark.sql("SELECT z_value(3L, 1L) AS a, z_value(65535L, 0L) AS b").head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 0x55555555L)
+  }
+
   test("sketch parameters must be literals") {
     val docsView = spark.range(3).selectExpr("CAST(id AS INT) AS n", "'a b c' AS t")
     docsView.createOrReplaceTempView("ext_docs")
