@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Retrieval, Sketches}
+
+/**
+ * Algebraic laws of the retrieval/graph/sketch tier, checked with
+ * ScalaCheck through the REAL Spark operators: exactness, bounds, and
+ * conservation properties that must hold at any scale.
+ */
+class RetrievalLawsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("heavy-hitter law: MG two-pass output equals the exact groupBy for any stream and phi") {
+    val streamGen = for {
+      n <- Gen.chooseNum(20, 300)
+      keys <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        4 -> Gen.oneOf((1 to 40).map("k" + _))))
+      phi <- Gen.oneOf(0.05, 0.1, 0.25, 0.4)
+      parts <- Gen.chooseNum(1, 9)
+    } yield (keys, phi, parts)
+    check("hhExact", Prop.forAll(streamGen) { case (keys, phi, parts) =>
+      val df = keys.toDF("k").repartition(parts)
+      val threshold = math.ceil(phi * keys.length).toLong
+      val got = Sketches.heavyHitters(df, "k", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = keys.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter(_._2 >= threshold).toMap
+      got == exact
+    })
+  }
+
+  test("bm25 law: scores are nonnegative, bounded by sum of idf*(k1+1), zero iff no term") {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 60)
+      toks <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "x", "y", "z"))
+    } yield toks.mkString(" ")
+    check("bm25Bounds", Prop.forAll(Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, docGen))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Retrieval.bm25TopK(df, Seq("spark", "join"), k = 100)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ")
+        val hasTerm = toks.contains("spark") || toks.contains("join")
+        val s = out(i.toLong)
+        s >= 0.0 && (s > 0.0) == hasTerm && s <= 2.2 * 2 * math.log(texts.length + 1.0)
+      }
+    })
+  }
+
+  test("pagerank law: ranks stay a probability distribution on symmetric graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(3, 30)
+      extra <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield {
+      // ring guarantees connectivity + symmetry; extra edges symmetrized
+      val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      (ring ++ extra.collect { case (a, b) if a != b => (a.toLong, b.toLong) }).distinct
+    }
+    check("prDistribution", Prop.forAll(graphGen) { halfEdges =>
+      val sym = (halfEdges ++ halfEdges.map(_.swap)).distinct
+      val edges = sym.toDF("src", "dst")
+      val ranks = Graph.pagerank(edges, iters = 3)
+        .collect().map(_.getDouble(1))
+      val n = sym.map(_._1).distinct.length
+      ranks.length == n && math.abs(ranks.sum - 1.0) < 1e-6 && ranks.forall(_ > 0.0)
+    })
+  }
+
+  test("z-value law: Morton interleave is a bijection on the 16-bit grid") {
+    val ptsGen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))
+    check("zBijective", Prop.forAll(ptsGen) { pts =>
+      val distinct = pts.distinct
+      val zs = distinct.toDF("x", "y")
+        .select(graft.sources.FileIO.zvalue(col("x"), col("y")).as("z"))
+        .collect().map(_.getLong(0))
+      zs.distinct.length == distinct.length && zs.forall(z => z >= 0 && z <= 0xFFFFFFFFL)
+    })
+  }
+}
