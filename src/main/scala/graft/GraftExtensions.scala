@@ -100,6 +100,12 @@ object GraftExtensions {
         case Seq(t, n) => ShingleHashesExpr(t, intArg(n, "n", "shingle_hashes"))
         case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
       }),
+    "shingle_strings" -> (info("shingle_strings",
+      "shingle_strings(text, n) - all word n-gram shingle strings (non-distinct), one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n) => ShingleStringsExpr(t, intArg(n, "n", "shingle_strings"))
+        case _ => throw new IllegalArgumentException("shingle_strings(text, n)")
+      }),
     "simhash_doc" -> (info("simhash_doc",
       "simhash_doc(text[, n]) - 64-bit simhash over word n-gram shingle features"),
       (args: Seq[Expression]) => args match {

@@ -192,6 +192,52 @@ object TextPass {
   }
 
   /**
+   * ALL n-gram shingle STRINGS (non-distinct, order preserved), one
+   * pass over the bytes — ≡ sliding concat_ws(" ", slice(split(text,
+   * " "), i, n)) but O(bytes), where the composed-builtin form is
+   * O(tokens²) per doc because Catalyst re-inlines the shared split()
+   * into every window (same effect the hashed path documents).
+   * Single-space join over split-on-single-space tokens, so empty
+   * tokens from consecutive spaces behave exactly like split()'s.
+   */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var tokCount = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        starts(tokCount % n) = start
+        ends(tokCount % n) = i
+        tokCount += 1
+        if (tokCount >= n) {
+          var len = n - 1 // n-1 separator spaces
+          var j = 0
+          while (j < n) { val k = (tokCount + j) % n; len += ends(k) - starts(k); j += 1 }
+          val buf = new Array[Byte](len)
+          var pos = 0
+          j = 0
+          while (j < n) {
+            val k = (tokCount + j) % n // oldest token first
+            val l = ends(k) - starts(k)
+            System.arraycopy(bytes, starts(k), buf, pos, l)
+            pos += l
+            if (j < n - 1) { buf(pos) = ' '; pos += 1 }
+            j += 1
+          }
+          out += UTF8String.fromBytes(buf)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /**
    * 64-bit simhash over n-gram shingle features, one pass. Shingles
    * (not tokens) keep the sketch discriminative on low-entropy
    * corpora: token sets of natural documents overlap heavily, and a
@@ -418,6 +464,18 @@ case class PolyFingerprintMd5Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): PolyFingerprintMd5Expr = copy(child = c)
 }
 
+/** `shingle_strings(text, n)` — ALL word-n-gram shingle strings (non-distinct), one pass. */
+case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_strings"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.shingleStrings(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.shingleStrings($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleStringsExpr = copy(child = c)
+}
+
 /** `shingle_hashes(text, n)` — distinct hashed word-n-gram shingles, one pass. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -510,6 +568,10 @@ object TextFunctions {
   /** Distinct hashed word-n-gram shingles, single pass over the text bytes. */
   def shingle_hashes(text: Column, n: Int = 5): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+
+  /** All n-gram shingle strings (non-distinct), one O(bytes) pass. */
+  def shingle_strings(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleStringsExpr(ColumnBridge.expression(text), n))
 
   /** k-long MinHash signature straight from text (scan-stage, zero shuffle). */
   def minhash_doc(text: Column, n: Int = 5, k: Int = 64, seed: Long = 42L): Column =

@@ -117,6 +117,22 @@ class RetrievalGraphSpec extends AnyFunSuite {
     (0 until 4).foreach(j => assert(math.abs(out(1L)(j) - expect(j)) < 1e-9))
   }
 
+  test("shingle_strings (fused one-pass) equals the composed slice/concat_ws formulation") {
+    val texts = Seq(
+      "a b c d e", "single", "", "two  spaces stay empty", " leading",
+      "trailing ", "x y", "exactly three toks")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val fused = df.select(col("doc_id"),
+        graft.functions.TextFunctions.shingle_strings(lower(col("text")), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val composed = df.select(col("doc_id"),
+        Dedup.shingleStringsAll(col("text"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fused === composed, s"n=$n")
+    }
+  }
+
   test("zvalue interleaves bits (x even positions, y odd)") {
     val out = Seq((3L, 1L), (0xffffL, 0L), (0L, 0xffffL))
       .toDF("x", "y")
