@@ -871,6 +871,14 @@ object SparkEntry {
       Tables.events(s, dir), t(s, dir, "customer"))
 
   /**
+   * Three-step view→click→purchase funnel census (batch twin of the
+   * chained stream-stream join — StreamingSpec proves the streaming
+   * run emits the identical triples).
+   */
+  private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
+    EventStreams.funnelStats(Tables.events(s, dir), windowMinutes = 360)
+
+  /**
    * Exact φ-heavy hitters over the corpus token stream via two-pass
    * Misra-Gries (Sketches): identical to a full-vocabulary groupBy,
    * but only candidate keys ever shuffle.
@@ -1187,6 +1195,7 @@ object SparkEntry {
     "text_bm25" -> (textBm25 _),
     "text_bpe_pairs" -> (textBpePairs _),
     "stream_enrich" -> (qStreamEnrich _),
+    "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "graph_pagerank" -> (graphPagerank _),
     "emb_project" -> (embProject _),
@@ -1866,6 +1875,17 @@ object SparkEntry {
       ("SELECT c.c_mktsegment AS segment, count(*) AS n_events, " +
         "round(sum(e.value), 2) AS sum_value FROM events e " +
         "JOIN customer c ON e.user_id = c.c_custkey GROUP BY segment"),
+    "stream_funnel" ->
+      ("SELECT v.user_id, count(*) AS n_funnels, " +
+        "round(avg((epoch_ms(p.ts) - epoch_ms(v.ts)) / 1000.0), 4) AS avg_total_s " +
+        "FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+        "ON v.user_id = c.user_id " +
+        "AND epoch_ms(c.ts) - epoch_ms(v.ts) BETWEEN 1 AND 21600000 " +
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND epoch_ms(p.ts) - epoch_ms(c.ts) BETWEEN 1 AND 21600000 " +
+        "GROUP BY v.user_id"),
     "q_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
         "tot AS (SELECT count(*) AS n FROM tok) " +

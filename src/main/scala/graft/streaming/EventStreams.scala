@@ -84,6 +84,63 @@ object EventStreams {
     joined.select(col("user_id"), col("click_ts"), col("p_ts"))
   }
 
+  /**
+   * Three-step funnel view→click→purchase: per user, ordered triples
+   * where each step follows the previous within `windowMinutes`.
+   * Batch and streaming share the plan; streaming chains TWO
+   * stream-stream interval joins (Spark 4 supports multiple stateful
+   * operators in append mode — each join's state is bounded by its
+   * event-time range condition). Millis comparisons avoid the
+   * ns-parquet → µs-Spark truncation hazard, as in [[clickToPurchase]].
+   */
+  def funnelSteps(views: DataFrame, clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val win = windowMinutes * 60000L
+    val streaming = views.isStreaming
+    def wm(df: DataFrame, tsCol: String) =
+      if (streaming) df.withWatermark(tsCol, "2 hours") else df
+    val vc =
+      if (streaming)
+        wm(v, "view_ts").join(wm(c, "click_ts"),
+          col("user_id") === col("c_user") &&
+            col("click_ts") > col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      else
+        v.join(c, col("user_id") === col("c_user") &&
+          (unix_millis(col("click_ts")) - unix_millis(col("view_ts"))).between(1L, win))
+    val vcp =
+      if (streaming)
+        // exactly ONE event-time column may flow into the next
+        // stateful operator: rebuild view_ts as a fresh (value-equal)
+        // expression to strip its watermark tag, leaving click_ts as
+        // the join's event time
+        vc.select(col("user_id"), col("c_user"),
+            timestamp_micros(unix_micros(col("view_ts"))).as("view_ts"),
+            col("click_ts"))
+          .join(wm(p, "p_ts"),
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      else
+        vc.join(p, col("user_id") === col("p_user") &&
+          (unix_millis(col("p_ts")) - unix_millis(col("click_ts"))).between(1L, win))
+    vcp.select(col("user_id"), col("view_ts"), col("click_ts"), col("p_ts"))
+  }
+
+  /** Oracle-friendly aggregate over [[funnelSteps]]: completed funnels + mean end-to-end delay. */
+  def funnelStats(events: DataFrame, windowMinutes: Int = 30): DataFrame =
+    funnelSteps(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "purchase"), windowMinutes)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_funnels"),
+        round(avg((unix_millis(col("p_ts")) - unix_millis(col("view_ts"))) / 1000.0), 4)
+          .as("avg_total_s"))
+
   /** Oracle-friendly aggregate over [[clickToPurchase]]: conversions + mean delay per user. */
   def clickToPurchaseStats(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
     val pairs = clickToPurchase(

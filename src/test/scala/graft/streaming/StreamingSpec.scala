@@ -112,6 +112,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("chained stream-stream joins: the 3-step funnel triples equal the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-stream").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "view"),
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+    val (sv, sc, sp) = split(stream)
+    // with multiple stateful operators the first join's output is
+    // gated on watermark advance (late-record correctness), so one
+    // batch never flushes: drive a SECOND batch with a far-future
+    // sentinel view (matches nothing) to push the watermark past all
+    // real data
+    val q = EventStreams.funnelSteps(sv, sc, sp, windowMinutes = 360).writeStream
+      .outputMode("append")
+      .format("memory").queryName("funnel_triples")
+      .start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      // the global watermark is the MIN across the three branch
+      // watermarks, so the sentinel must advance view/click/purchase
+      // alike (distinct users keep it out of any funnel)
+      Seq((999997L, 4102444800L * 1000000000L, -1L, "view", 0.0, ""),
+          (999998L, 4102444800L * 1000000000L, -2L, "click", 0.0, ""),
+          (999999L, 4102444800L * 1000000000L, -3L, "purchase", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_triples").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val (bv, bc, bp) = split(Tables.events(spark, SparkTestSession.sfDir))
+    val batch = EventStreams.funnelSteps(bv, bc, bp, windowMinutes = 360).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
