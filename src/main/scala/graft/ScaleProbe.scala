@@ -185,7 +185,10 @@ object ScaleProbe {
       },
       // JL projection 64->16 over the full embedding corpus: one
       // shuffle-free scan
-      time("jl_project")(Similarity.randomProjection(embs, k = 16).count())) ++ {
+      time("jl_project")(Similarity.randomProjection(embs, k = 16).count()),
+      // Lloyd's k-means: per round one k×dims aggregate + one
+      // broadcast-matrix assignment scan; rounds are materialized
+      time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count())) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
       val ord = synthOrders(spark, nOrd)

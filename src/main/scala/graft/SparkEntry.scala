@@ -936,6 +936,14 @@ object SparkEntry {
   }
 
   /**
+   * Lloyd's k-means (k=8, 3 fixed iterations, cosine metric,
+   * id-modulo seeds): per-cluster census of the final assignment.
+   * The oracle replays every round as chained CTEs.
+   */
+  private def embKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansCensus(t(s, dir, "embeddings"), k = 8, iters = 3)
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -1200,6 +1208,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
+    "emb_kmeans" -> (embKmeans _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
@@ -1243,6 +1252,16 @@ object SparkEntry {
     s"$out AS (SELECT dst AS node, (1 - 0.85) / cnt + 0.85 * sum(rank / outdeg) AS rank " +
       s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src, n " +
       "GROUP BY dst, cnt), "
+
+  /** One k-means round as chained CTEs: mean centroids `c` from `in`, reassignment `out`. */
+  private def kmRound(c: String, out: String, in: String): String =
+    s"$c AS (SELECT cl, list(cv ORDER BY i) AS centroid FROM (" +
+      s"SELECT cl, i, avg(v[i]) AS cv FROM $in, generate_series(1, 64) t(i) " +
+      "GROUP BY cl, i) GROUP BY cl), " +
+      s"$out AS (SELECT vec_id, v, cl FROM (" +
+      s"SELECT x.vec_id, x.v, c.cl, row_number() OVER (PARTITION BY x.vec_id " +
+      s"ORDER BY list_cosine_similarity(x.v, c.centroid) DESC, c.cl) AS rn " +
+      s"FROM $in x, $c c) WHERE rn = 1), "
 
   /** DuckDB: two's-complement wrap of an unsigned 64-bit expression to signed BIGINT. */
   private def wrapSigned(u: String): String =
@@ -1920,6 +1939,20 @@ object SparkEntry {
       ("SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem WHERE l_partkey BETWEEN 10 AND 80 " +
         "AND l_suppkey BETWEEN 2 AND 6 GROUP BY l_suppkey"),
+    // replays all 3 Lloyd's rounds (mean centroids -> argmax-cosine
+    // reassignment, lowest cluster on ties) as chained CTEs, then the
+    // final-census round
+    "emb_kmeans" ->
+      ("WITH va AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cl FROM va), " +
+        kmRound("c1", "a1", "a0") + kmRound("c2", "a2", "a1") +
+        kmRound("c3", "a3", "a2") +
+        "cf AS (SELECT cl AS fcl, list(cv ORDER BY i) AS centroid FROM (" +
+        "SELECT cl, i, avg(v[i]) AS cv FROM a3, generate_series(1, 64) t(i) " +
+        "GROUP BY cl, i) GROUP BY cl) " +
+        "SELECT a3.cl, count(*) AS n_members, " +
+        "round(avg(list_cosine_similarity(a3.v, cf.centroid)), 4) AS mean_cos " +
+        "FROM a3 JOIN cf ON a3.cl = cf.fcl GROUP BY a3.cl"),
     // replays the full recall measurement: md5-plane projection, exact
     // 64-dim top-5, projected 16-dim top-5, per-query intersection
     "emb_recall" ->

@@ -213,6 +213,69 @@ object Similarity {
   }
 
   /**
+   * Lloyd's k-means with a fixed iteration count (deterministic
+   * id-modulo seeding, cosine metric): each round recomputes mean
+   * centroids from the current assignment (VecSum — one array row
+   * per cluster in the shuffle) and reassigns every vector against
+   * the broadcast centroid matrix in one scan. Fixed iterations keep
+   * the computation replayable (the DuckDB oracle chains the same
+   * rounds as CTEs); ties keep the lowest cluster id, matching
+   * `ORDER BY cos DESC, cl`. Empty clusters drop out in both engines
+   * alike.
+   *
+   * Scale: per round, one corpus aggregation (k × dims partials) +
+   * one shuffle-free assignment scan; the k × dims matrix collects
+   * and broadcasts (tiny by construction). The corpus never joins
+   * against the centroid table — no corpus × k row expansion.
+   */
+  def kmeansAssign(embs: DataFrame, k: Int = 8, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    var assigned = embs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cl", pmod(col("id"), lit(k)))
+    for (_ <- 1 to iters) {
+      val matrix = assigned.groupBy("cl")
+        .agg(vsum(col("v")).as("vs"), count(lit(1)).as("n"))
+        .select(col("cl"), transform(col("vs"), x => x / col("n")).as("centroid"))
+        .collect()
+        .map(r => (r.getAs[Number]("cl").longValue(), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(matrix)
+      val assign = udf { (v: Seq[Double]) =>
+        val va = v.toArray
+        var best = -1L
+        var bestC = Double.NegativeInfinity
+        bc.value.foreach { case (cl, c) =>
+          val s = Similarity.cosineArr(va, c)
+          if (s > bestC) { bestC = s; best = cl } // strict: lowest cl wins ties
+        }
+        best
+      }
+      // materialize each round: the centroid aggregate of round t
+      // otherwise re-runs rounds 1..t-1's assignment UDFs through the
+      // lineage (O(iters²) scans; same reasoning as Dedup.dupClusters)
+      assigned = assigned.withColumn("cl", assign(col("v"))).localCheckpoint()
+    }
+    assigned
+  }
+
+  /** Census over [[kmeansAssign]]: per final cluster, size + mean cosine to its centroid. */
+  def kmeansCensus(embs: DataFrame, k: Int = 8, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    val assigned = kmeansAssign(embs, k, iters, vecCol, idCol)
+    val cent = assigned.groupBy(col("cl").as("ccl"))
+      .agg(vsum(col("v")).as("vs"), count(lit(1)).as("cn"))
+      .select(col("ccl"), transform(col("vs"), x => x / col("cn")).as("centroid"))
+    assigned.join(broadcast(cent), col("cl") === col("ccl"))
+      .withColumn("cos", cosine_sim(col("v"), col("centroid")))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("mean_cos"))
+  }
+
+  /**
    * Random-projection dimensionality reduction (Johnson-Lindenstrauss
    * with ±1 Achlioptas planes): project `dims`-dim embeddings down to
    * `k` dims, out_j = Σ_i v[i]·w_ij. The plane signs are md5-derived

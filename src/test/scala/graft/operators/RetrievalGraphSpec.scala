@@ -99,6 +99,26 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "ranks stay a distribution")
   }
 
+  test("kmeansAssign recovers well-separated planted clusters") {
+    // 3 orthogonal directions ± small deterministic noise, 30 vectors each
+    val vecs = (0 until 90).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(12)(d =>
+        (if (d / 4 == axis) 10.0 else 0.0) + ((i * 7 + d) % 5) * 0.1)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every planted group lands in ONE cluster (id%3 seeding scatters
+    // groups across seeds, Lloyd's pulls them together)
+    (0 until 3).foreach { axis =>
+      val labels = (0 until 90).filter(_ % 3 == axis).map(i => out(i.toLong)).distinct
+      assert(labels.size === 1, s"axis $axis split across clusters $labels")
+    }
+    assert((0 until 3).map(a => out(a.toLong)).distinct.size === 3, "clusters collapsed")
+  }
+
   test("randomProjection is linear and matches driver-side plane dot products") {
     val v = Array.tabulate(64)(i => (i % 7).toFloat - 3f)
     val embs = Seq((1L, v.toSeq), (2L, v.map(_ * 2).toSeq)).toDF("vec_id", "embedding")
