@@ -936,6 +936,39 @@ object SparkEntry {
   }
 
   /**
+   * Triangle count over the part co-purchase graph (same 1-in-10
+   * sample as graph_pagerank) via degree-oriented wedge join — each
+   * triangle generated exactly once at its smallest-(deg,id) vertex.
+   * The oracle counts the same triangles by brute 3-way join.
+   */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.triangleCount(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+  }
+
+  /**
+   * Event-sequence pattern matching (the MATCH_RECOGNIZE shape): per
+   * user, the chronological event-type initial string and the count
+   * of non-overlapping view→click→purchase subsequence matches, with
+   * arbitrary other events between the steps. Sorting happens inside
+   * each user's collected array (sort_array on (ts, event_id)
+   * structs) — no global sort, one shuffle.
+   */
+  private def qEventPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val seq0 = ev.groupBy("user_id")
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c"))).as("seq"))
+    seq0.select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("v[^vcp]*c[^vcp]*p"), lit(0)))
+          .cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /**
    * Lloyd's k-means (k=8, 3 fixed iterations, cosine metric,
    * id-modulo seeds): per-cluster census of the final assignment.
    * The oracle replays every round as chained CTEs.
@@ -1206,6 +1239,8 @@ object SparkEntry {
     "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
+    "q_event_pattern" -> (qEventPattern _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
@@ -1921,6 +1956,25 @@ object SparkEntry {
         "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
         prIter("r1", "r0") + prIter("r2", "r1") + prIter("r3", "r2").stripSuffix(", ") +
         " SELECT node, round(rank, 8) AS rank FROM r3"),
+    // brute 3-way join with a<b<c counts the same triangles the
+    // degree-oriented wedge join finds exactly once each
+    "graph_triangles" ->
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey) " +
+        "SELECT count(*) AS n_triangles FROM e ab " +
+        "JOIN e bc ON ab.dst = bc.src JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst " +
+        "WHERE ab.src < ab.dst AND bc.src < bc.dst"),
+    // epoch_us ordering matches Spark's microsecond timestamps; the
+    // regex forbids crossing another funnel letter between steps, so
+    // both engines' leftmost matching finds identical match sets
+    "q_event_pattern" ->
+      ("WITH s AS (SELECT user_id, " +
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq, " +
+        "count(*) AS n_events FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(len(regexp_extract_all(seq, 'v[^vcp]*c[^vcp]*p')) AS BIGINT) AS n_matches " +
+        "FROM s WHERE len(regexp_extract_all(seq, 'v[^vcp]*c[^vcp]*p')) > 0"),
     // md5 ±1 planes ("proj:j:i") replayed per output dim; the norm is
     // list_dot_product(pj, pj) so the accumulation order matches the
     // engine's left-fold exactly

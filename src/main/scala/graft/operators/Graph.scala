@@ -47,6 +47,43 @@ object Graph {
    * Ranks are rounded to 8 decimals at the end only; intermediate
    * arithmetic is raw doubles (same in the DuckDB oracle).
    */
+  /**
+   * Triangle count over a symmetric edge list (columns src, dst).
+   * The scalable formulation: orient every undirected edge from its
+   * lower-(degree, id) endpoint to the higher one — each triangle
+   * then has exactly ONE wedge at its smallest vertex, so the wedge
+   * join (oriented ⋈ oriented on the wedge apex) generates each
+   * candidate once, and a semi-join against the oriented closing
+   * edge confirms it. Degree orientation bounds any vertex's wedge
+   * fan-out by O(√|E|) on skewed graphs — the hub that would create
+   * deg² wedges points all its edges OUTWARD from its neighbors, so
+   * it is never an apex. Total: two aggregations + two shuffle joins
+   * over edge-sized rows.
+   */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // undirected edge (a,b) kept once, oriented by the (deg, id)
+    // total order; the endpoint's degree rides along so wedge pairs
+    // can be ordered by the SAME key (a plain id order would point
+    // some closing edges the other way and miss their triangles)
+    val oriented = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("vdeg"))
+      // materialized once: three consumers (both wedge sides + the
+      // closing-edge probe) would otherwise each recompute the edge
+      // build + degree joins through the lineage
+      .localCheckpoint()
+    val wedges = oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("w2"), col("vdeg").as("d2")), "u")
+      .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+      .select(col("w1"), col("w2"))
+    wedges
+      .join(oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // outdeg is edge-sized but aggregates to node-sized; it is reused
     // every iteration, so pre-join it onto the edges once: the

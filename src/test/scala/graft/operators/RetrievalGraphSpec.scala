@@ -79,6 +79,27 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(edges === expect) // singleton group 2 contributes nothing
   }
 
+  test("triangleCount: cliques, cycles, stars, and skewed hubs") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def count(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCount(df).head().getLong(0)
+    // K4 has C(4,3)=4 triangles
+    assert(count(sym((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L))) === 4L)
+    // 4-cycle has none
+    assert(count(sym((0L,1L),(1L,2L),(2L,3L),(3L,0L))) === 0L)
+    // star has none (hub orientation must not blow up or miscount)
+    assert(count(sym((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L))) === 0L)
+    // two triangles sharing edge (0,1)
+    assert(count(sym((0L,1L),(0L,2L),(1L,2L),(0L,3L),(1L,3L))) === 2L)
+    // hub in many triangles: fan of k spokes with consecutive spokes
+    // linked -> k-1 triangles through the hub
+    val k = 20
+    val fan = (1 to k).map(i => (0L, i.toLong)) ++
+      (1 until k).map(i => (i.toLong, (i + 1).toLong))
+    assert(count(sym(fan: _*)) === (k - 1).toLong)
+  }
+
   test("pagerank matches a driver-side power iteration on a star graph") {
     val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("src", "dst")
     val got = Graph.pagerank(edges, iters = 3)
