@@ -188,7 +188,19 @@ object ScaleProbe {
       time("jl_project")(Similarity.randomProjection(embs, k = 16).count()),
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
-      time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count())) ++ {
+      time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),
+      // triangle count on the same synthetic graph as pagerank_1m:
+      // degree-oriented wedge join, hub fan-out bounded
+      time("triangles_1m") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        Graph.triangleCount(half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()).count()
+      }) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
       val ord = synthOrders(spark, nOrd)

@@ -1120,6 +1120,10 @@ object SparkEntry {
   private def corpusPack(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(t(s, dir, "documents"), budget = 256)
 
+  /** Budget-constrained sqrt-smoothed training mix: 10k-token budget across sources. */
+  private def corpusMix(s: SparkSession, dir: String): DataFrame =
+    Curation.budgetMix(t(s, dir, "documents"), budgetTokens = 10000L)
+
   /** Symmetric int8 embedding quantization: norm/scale/checksums per vector. */
   private def embQuantize(s: SparkSession, dir: String): DataFrame =
     Curation.quantizeEmbeddings(t(s, dir, "embeddings"))
@@ -1261,6 +1265,7 @@ object SparkEntry {
     "text_redact" -> (textRedact _),
     "corpus_sample" -> (corpusSample _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_mix" -> (corpusMix _),
     "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -2106,6 +2111,22 @@ object SparkEntry {
         "SELECT lang, count(*) AS n_total, " +
         "CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         "FROM k GROUP BY lang"),
+    // replays the sqrt-smoothed allocation: list_sum over
+    // source-sorted weights reproduces the engine's fold order, so
+    // the 16384-bucket thresholds are bit-identical
+    "corpus_mix" ->
+      ("WITH tok AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+        "tot AS (SELECT source, sum(ntok) AS toks FROM tok GROUP BY source), " +
+        "sw AS (SELECT list_sum(list(sqrt(toks) ORDER BY source)) AS sumw FROM tot), " +
+        "thr AS (SELECT source, " +
+        "CAST(floor(least(1.0, (10000 * sqrt(toks) / sumw) / toks) * 16384) AS BIGINT) " +
+        "AS thr FROM tot, sw), " +
+        "k AS (SELECT t.source, t.ntok, thr.thr, " +
+        "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +
+        "FROM tok t JOIN thr ON t.source = thr.source) " +
+        "SELECT source, CAST(min(thr) AS BIGINT) AS thr, count(*) AS n_kept, " +
+        "sum(ntok) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
     "corpus_pack" ->
       ("WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
         "c AS (SELECT source, doc_id, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id " +

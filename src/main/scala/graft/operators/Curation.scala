@@ -197,6 +197,46 @@ object Curation {
     docs.filter(h < (rateCol * 16384).cast("long"))
   }
 
+  /**
+   * Budget-constrained training-mix sampling: allocate a global token
+   * budget across sources with sqrt smoothing (over-represented
+   * sources are downsampled harder — the standard multi-source mixing
+   * heuristic), then hash-threshold sample each source at its
+   * computed rate. alloc_s = budget·√t_s / Σ√t, rate_s = min(1,
+   * alloc_s / t_s), keep doc iff md5("mix:"+id) & 16383 <
+   * ⌊rate_s·16384⌋ — the power-of-two bucket mask keeps any engine's
+   * replay bit-identical; the Σ√t fold runs in sorted-source order so
+   * the oracle can reproduce the exact double. Output: per-source
+   * census (threshold, kept docs, kept tokens).
+   *
+   * Scale: one aggregation computes the per-source totals (sources
+   * are bounded — dozens at 100 TB), the rate table folds on the
+   * driver, and the sampling pass is a scan-stage hash probe.
+   */
+  def budgetMix(docs: DataFrame, budgetTokens: Long,
+      textCol: String = "text", sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val withTok = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("ntok"))
+    val totals = withTok.groupBy("source").agg(sum("ntok").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sumW = totals.map { case (_, t) => math.sqrt(t.toDouble) }.sum
+    val thrMap = totals.map { case (s, t) =>
+      val rate = math.min(1.0, (budgetTokens * math.sqrt(t.toDouble) / sumW) / t)
+      s -> math.floor(rate * 16384).toLong
+    }.toMap
+    val thrCol = thrMap.foldLeft(lit(0L)) { case (acc, (s, thr)) =>
+      when(col("source") === s, lit(thr)).otherwise(acc)
+    }
+    val h = md5lo64(concat(lit("mix:"), col("id").cast("string")))
+      .bitwiseAND(lit(16383L))
+    withTok.withColumn("thr", thrCol)
+      .filter(h < col("thr"))
+      .groupBy("source")
+      .agg(first(col("thr")).as("thr"), count(lit(1)).as("n_kept"),
+        sum("ntok").as("tokens_kept"))
+  }
+
   // -------------------------------------------------------------------------
   // Sequence packing
   // -------------------------------------------------------------------------

@@ -13,6 +13,23 @@ class CurationSpec extends AnyFunSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("budgetMix: tiny sources keep everything, oversized sources are capped") {
+    // source "big" has ~100x the tokens of "small": sqrt smoothing
+    // must downsample big hard and keep small at rate 1 (thr 16384)
+    val rows = (1 to 400).map(i => (i.toLong, Seq.fill(25)("tok").mkString(" "), "big")) ++
+      (1 to 4).map(i => (1000L + i, Seq.fill(25)("tok").mkString(" "), "small"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = Curation.budgetMix(df, budgetTokens = 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    // small: alloc = 2000*sqrt(100)/(sqrt(10000)+sqrt(100)) = 181 > 100 tokens -> rate 1
+    assert(out("small")._2 === 16384L)
+    assert(out("small")._3 === 4L, "rate-1 source must keep every doc")
+    // big: rate = (2000*100/110)/10000 = 0.1818 -> thr 2978
+    assert(out("big")._2 === 2978L)
+    assert(out("big")._3 > 0L && out("big")._3 < 400L, "big source must be downsampled")
+  }
+
   test("contaminationReport flags exactly the docs sharing an eval n-gram") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon zeta",          // shares 5-gram with eval
