@@ -947,6 +947,18 @@ object SparkEntry {
   }
 
   /**
+   * Label-propagation communities (3 fixed rounds, min-label ties)
+   * over the co-purchase graph; output is the community-size census.
+   * The oracle replays each round as chained CTEs.
+   */
+  private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  /**
    * Event-sequence pattern matching (the MATCH_RECOGNIZE shape): per
    * user, the chronological event-type initial string and the count
    * of non-overlapping view→click→purchase subsequence matches, with
@@ -1244,6 +1256,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_communities" -> (graphCommunities _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
@@ -1292,6 +1305,14 @@ object SparkEntry {
     s"$out AS (SELECT dst AS node, (1 - 0.85) / cnt + 0.85 * sum(rank / outdeg) AS rank " +
       s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src, n " +
       "GROUP BY dst, cnt), "
+
+  /** One label-propagation round as a chained CTE: neighbor-label mode, min-label ties. */
+  private def lpRound(out: String, in: String): String =
+    s"$out AS (SELECT node2 AS node, label FROM (" +
+      "SELECT dst AS node2, label, row_number() OVER (PARTITION BY dst " +
+      "ORDER BY cnt DESC, label) AS rn FROM (" +
+      s"SELECT e.dst, i.label, count(*) AS cnt FROM e JOIN $in i ON e.src = i.node " +
+      "GROUP BY e.dst, i.label)) WHERE rn = 1), "
 
   /** One k-means round as chained CTEs: mean centroids `c` from `in`, reassignment `out`. */
   private def kmRound(c: String, out: String, in: String): String =
@@ -1961,6 +1982,15 @@ object SparkEntry {
         "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
         prIter("r1", "r0") + prIter("r2", "r1") + prIter("r3", "r2").stripSuffix(", ") +
         " SELECT node, round(rank, 8) AS rank FROM r3"),
+    // replays the 3 label-propagation rounds (neighbor-label mode,
+    // smallest label on ties) as chained CTEs
+    "graph_communities" ->
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), " +
+        lpRound("l1", "l0") + lpRound("l2", "l1") + lpRound("l3", "l2").stripSuffix(", ") +
+        " SELECT label AS community, count(*) AS n_members FROM l3 GROUP BY label"),
     // brute 3-way join with a<b<c counts the same triangles the
     // degree-oriented wedge join finds exactly once each
     "graph_triangles" ->

@@ -48,6 +48,37 @@ object Graph {
    * arithmetic is raw doubles (same in the DuckDB oracle).
    */
   /**
+   * Label-propagation community detection over a symmetric edge list,
+   * fixed iteration count (deterministic: every node starts labeled
+   * with its own id; each round takes the MODE of its neighbors'
+   * labels, ties broken by the smallest label — so the computation is
+   * replayable round-by-round in any engine). Per round: one
+   * edge-sized join against the label table + a (node, label) count
+   * aggregate + an argmax — the same two-shuffle shape as pagerank,
+   * with rounds materialized so cost stays linear in iterations.
+   */
+  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    // materialize the edge list once — the init distinct and every
+    // round's join all read it (same reasoning as Dedup.dupClusters)
+    val edges = edges0.localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    // labels stay LAZY: each round's label table appears once in the
+    // next round's plan, so the whole computation is one job over the
+    // materialized edges (per-round checkpoints measured slower at
+    // small iteration counts — three sync barriers for no reuse)
+    for (_ <- 1 to iters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min_by(col("label"), struct(-col("cnt"), col("label"))).as("label"))
+        .select(col("node2").as("node"), col("label"))
+    }
+    labels
+  }
+
+  /**
    * Triangle count over a symmetric edge list (columns src, dst).
    * The scalable formulation: orient every undirected edge from its
    * lower-(degree, id) endpoint to the higher one — each triangle

@@ -100,6 +100,15 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(count(sym(fan: _*)) === (k - 1).toLong)
   }
 
+  test("labelPropagation collapses disjoint triangles to their min-id communities") {
+    val tri = Seq((0L,1L),(1L,2L),(0L,2L),(10L,11L),(11L,12L),(10L,12L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_) === 0L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) === 10L))
+  }
+
   test("pagerank matches a driver-side power iteration on a star graph") {
     val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("src", "dst")
     val got = Graph.pagerank(edges, iters = 3)
