@@ -2150,7 +2150,7 @@ object SparkEntry {
         "tot AS (SELECT source, sum(ntok) AS toks FROM tok GROUP BY source), " +
         "sw AS (SELECT list_sum(list(sqrt(toks) ORDER BY source)) AS sumw FROM tot), " +
         "thr AS (SELECT source, " +
-        "CAST(floor(least(1.0, (10000 * sqrt(toks) / sumw) / toks) * 16384) AS BIGINT) " +
+        "CAST(floor(round(least(1.0, (10000 * sqrt(toks) / sumw) / toks), 6) * 16384) AS BIGINT) " +
         "AS thr FROM tot, sw), " +
         "k AS (SELECT t.source, t.ntok, thr.thr, " +
         "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +

@@ -26,6 +26,10 @@ object Curation {
   /** Lower-cased whitespace tokens of a text column. */
   private def toks(text: Column): Column = split(lower(text), " ")
 
+  /** HALF_UP 6-decimal round — matches Spark's round() and DuckDB's round(). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // -------------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------------
@@ -221,13 +225,17 @@ object Curation {
     val totals = withTok.groupBy("source").agg(sum("ntok").as("toks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val sumW = totals.map { case (_, t) => math.sqrt(t.toDouble) }.sum
+    // the rate is rounded to 6 decimals BEFORE the 16384-bucket floor so
+    // any engine replaying the fold lands on the same side of the
+    // threshold boundary (a last-ulp difference at a floor edge would
+    // otherwise shift every downstream count for that source)
     val thrMap = totals.map { case (s, t) =>
       val rate = math.min(1.0, (budgetTokens * math.sqrt(t.toDouble) / sumW) / t)
-      s -> math.floor(rate * 16384).toLong
+      s -> math.floor(round6(rate) * 16384).toLong
     }.toMap
-    val thrCol = thrMap.foldLeft(lit(0L)) { case (acc, (s, thr)) =>
-      when(col("source") === s, lit(thr)).otherwise(acc)
-    }
+    // map-literal lookup, not a chained when(): O(1) plan depth however
+    // many sources the corpus has
+    val thrCol = element_at(typedLit(thrMap), col("source"))
     val h = md5lo64(concat(lit("mix:"), col("id").cast("string")))
       .bitwiseAND(lit(16383L))
     withTok.withColumn("thr", thrCol)
