@@ -138,6 +138,19 @@ object ScaleProbe {
         budget = 2048).count()),
       time("quantize")(Curation.quantizeEmbeddings(embs).count()),
       time("lm_score")(graft.operators.TextAnalysis.unigramLmScore(docs).count()),
+      // web-noise vocabulary stress: 90% of each doc's tokens are
+      // corpus-unique (URLs/base64-style hapax), so the raw type count
+      // is ~45×nDocs — the uncapped LM would collect it all to the
+      // driver; the capped LM ships ≤ maxVocab types and the hapax
+      // tail scores through the smoothed OOV mass
+      time("lm_score_hapax") {
+        val noisy = spark.range(nDocs.toLong).toDF("doc_id")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(49)), i =>
+              when(i < 5, concat(lit("c"), pmod(i, lit(40))))
+                .otherwise(concat(lit("u"), col("doc_id") * 50 + i)))))
+        graft.operators.TextAnalysis.unigramLmScore(noisy, maxVocab = 100000).count()
+      },
       time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
       // continuous-ingest dedup: the new batch is the planted near-dup
       // partners from the last 10% of ids (base docs stay in the

@@ -835,10 +835,16 @@ object SparkEntry {
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.sharedSpanReport(t(s, dir, "documents"), span = 20)
 
-  /** DSIR-style importance weights toward the doc_id%50 exemplar "target domain". */
+  /**
+   * DSIR-style importance weights toward the doc_id%50 exemplar
+   * "target domain". maxVocab=20 deliberately binds on the fixture's
+   * 31-type vocabulary so the capped-LM OOV path is exercised
+   * cross-engine, not just in unit tests.
+   */
   private def textImportance(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TextAnalysis.importanceWeights(docs, docs.filter(col("doc_id") % 50 === 0))
+    TextAnalysis.importanceWeights(docs, docs.filter(col("doc_id") % 50 === 0),
+      maxVocab = 20)
   }
 
   /** BM25 lexical retrieval: top-50 docs for a 3-term query (Retrieval). */
@@ -1065,8 +1071,10 @@ object SparkEntry {
   }
 
   /** Corpus-trained unigram LM scoring: mean token NLL per doc (perplexity proxy). */
+  // maxVocab=20 binds on the fixture's 31-type vocabulary — the
+  // smoothed-OOV scoring path is verified against the DuckDB replay
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.unigramLmScore(t(s, dir, "documents"))
+    TextAnalysis.unigramLmScore(t(s, dir, "documents"), maxVocab = 20)
 
   /**
    * Batch twin of the streaming curation census
@@ -2064,18 +2072,28 @@ object SparkEntry {
         "FROM pj q JOIN pj c ON q.vec_id != c.vec_id WHERE q.vec_id < 20) WHERE rank <= 5) " +
         "SELECT query_id, count(*) / 5.0 AS recall5 " +
         "FROM fullr JOIN projr USING (query_id, neighbor_id) GROUP BY query_id"),
+    // corpus LM capped as in text_lm_score; add-1 smoothing over the
+    // FULL vocabulary count (cap-independent constant)
     "text_importance" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
         "FROM documents), " +
         "cf AS (SELECT tok, count(*) AS c_cnt FROM tok GROUP BY tok), " +
+        "stats AS (SELECT sum(c_cnt) AS c_total, count(*) AS vocab_all FROM cf), " +
+        "kept AS (SELECT tok, c_cnt FROM cf WHERE c_cnt >= 2 " +
+        "QUALIFY row_number() OVER (ORDER BY c_cnt DESC, tok) <= 20), " +
+        "ks AS (SELECT sum(c_cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+        "ov AS (SELECT c_total, vocab_all, " +
+        "(c_total - kept_total) / (vocab_all - kept_types) / c_total AS p_oov " +
+        "FROM stats, ks), " +
         "tf AS (SELECT tok, count(*) AS t_cnt FROM tok WHERE doc_id % 50 = 0 " +
-        "GROUP BY tok), " +
-        "sc AS (SELECT (SELECT sum(c_cnt) FROM cf) AS c_total, " +
-        "(SELECT count(*) FROM cf) AS vocab, (SELECT sum(t_cnt) FROM tf) AS t_total) " +
+        "GROUP BY tok QUALIFY row_number() OVER (ORDER BY t_cnt DESC, tok) <= 20), " +
+        "tt AS (SELECT sum(t_cnt) AS t_total FROM tf) " +
         "SELECT doc_id, count(*) AS n_tokens, " +
-        "round(avg(ln((coalesce(t_cnt, 0) + 1) / (t_total + vocab)) " +
-        "- ln(c_cnt / c_total)), 4) AS importance " +
-        "FROM tok JOIN cf USING (tok) LEFT JOIN tf USING (tok), sc GROUP BY doc_id"),
+        "round(avg(ln((coalesce(t_cnt, 0) + 1) / (t_total + vocab_all)) " +
+        "- (CASE WHEN c_cnt IS NOT NULL THEN ln(c_cnt / c_total) " +
+        "ELSE ln(p_oov) END)), 4) AS importance " +
+        "FROM tok LEFT JOIN kept USING (tok) LEFT JOIN tf USING (tok), ov, tt " +
+        "GROUP BY doc_id"),
     "stream_curate" ->
       ("SELECT d.source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens " +
@@ -2083,14 +2101,24 @@ object SparkEntry {
         "JOIN (" + qualitySql + ") q ON d.doc_id = q.doc_id " +
         "JOIN (" + langidSql + ") l ON d.doc_id = l.doc_id " +
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' GROUP BY d.source"),
+    // replays the capped LM: min-count floor + top-K vocabulary
+    // (cnt DESC, tok ASC tie-break), dropped mass spread evenly over
+    // dropped types as the OOV probability
     "text_lm_score" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
         "FROM documents), " +
         "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
-        "tot AS (SELECT sum(cnt) AS total FROM freq) " +
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS vocab_all FROM freq), " +
+        "kept AS (SELECT tok, cnt FROM freq WHERE cnt >= 2 " +
+        "QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 20), " +
+        "ks AS (SELECT sum(cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+        "ov AS (SELECT total, " +
+        "(total - kept_total) / (vocab_all - kept_types) / total AS p_oov " +
+        "FROM tot, ks) " +
         "SELECT doc_id, count(*) AS n_tokens, " +
-        "round(avg(-ln(cnt / total)), 4) AS nll " +
-        "FROM tok JOIN freq USING (tok), tot GROUP BY doc_id"),
+        "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
+        "ELSE -ln(p_oov) END), 4) AS nll " +
+        "FROM tok LEFT JOIN kept USING (tok), ov GROUP BY doc_id"),
     // --- corpus curation (round 3) ---
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -132,28 +132,60 @@ object TextAnalysis {
    * both embarrassingly parallel.
    */
   def unigramLmScore(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    // one distributed pass builds the LM; the vocabulary is bounded
-    // (Heaps' law — ~10⁷ entries even web-scale, ~100 MB as a map) so
-    // it collects and broadcasts. Scoring is then a SECOND narrow
-    // pass: per-doc mean NLL from the doc's own token array — nothing
-    // per-token ever shuffles. (The join formulation — explode every
-    // token with its doc_id, broadcast-join, re-group — moves the
-    // entire token stream through a shuffle twice; measured 41 s vs
-    // 9 s at 1M docs × 100 tokens.)
-    val spark = docs.sparkSession
-    val freqMap = docs.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count("*").as("cnt")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = freqMap.values.sum.toDouble
-    val bc = spark.sparkContext.broadcast(freqMap)
+      idCol: String = "doc_id", minCount: Long = 2,
+      maxVocab: Int = 1000000): DataFrame =
+    unigramLmScoreOn(docs, docs, textCol, idCol, minCount, maxVocab)
+
+  /**
+   * [[unigramLmScore]] with separate train/score frames: the LM is
+   * estimated on `train`, and `score` may contain held-out documents —
+   * tokens the corpus has never seen fall back to the smoothed OOV
+   * probability instead of throwing.
+   */
+  def unigramLmScoreOn(train: DataFrame, score: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
+    // one distributed pass builds the LM; only a BOUNDED vocabulary
+    // reaches the driver: tokens below `minCount` (the hapax tail —
+    // most of a raw web corpus's types: base64 blobs, URLs, numeric
+    // noise) never leave the cluster, and a top-`maxVocab` cap
+    // (frequency-desc, token-asc tie-break — a TakeOrdered, not a
+    // full collect) hard-bounds driver memory however pathological
+    // the corpus. Dropped mass is spread evenly over the dropped
+    // types as a smoothed OOV probability, which also covers held-out
+    // tokens the corpus has never seen. Scoring is then a SECOND
+    // narrow pass: per-doc mean NLL from the doc's own token array —
+    // nothing per-token ever shuffles. (The join formulation —
+    // explode every token with its doc_id, broadcast-join, re-group —
+    // moves the entire token stream through a shuffle twice; measured
+    // 41 s vs 9 s at 1M docs × 100 tokens.)
+    val spark = train.sparkSession
+    val freq = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count("*").as("cnt"))
+    val statsRow = freq.agg(sum("cnt"), count(lit(1))).collect()(0)
+    val totalL = statsRow.getLong(0)
+    val total = totalL.toDouble
+    val vocabAll = statsRow.getLong(1)
+    val kept = freq.filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("tok").asc).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val oovTokens = totalL - kept.map(_._2).sum
+    val oovTypes = vocabAll - kept.length
+    val pOov =
+      if (oovTypes == 0) 1.0 / total // cap never bound; branch unused
+      else oovTokens.toDouble / oovTypes.toDouble / total
+    val bc = spark.sparkContext.broadcast(kept.toMap)
     val nll = udf { (ws: Seq[String]) =>
       var s = 0.0
       var n = 0
-      ws.foreach { w => s -= math.log(bc.value(w) / total); n += 1 }
+      ws.foreach { w =>
+        val c = bc.value.getOrElse(w, -1L)
+        s -= (if (c >= 0) math.log(c / total) else math.log(pOov))
+        n += 1
+      }
       if (n == 0) 0.0 else s / n
     }
-    docs.select(col(idCol),
+    score.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
       round(nll(tokens(col(textCol))), 4).as("nll"))
   }
@@ -169,27 +201,43 @@ object TextAnalysis {
    * once.
    */
   def importanceWeights(docs: DataFrame, target: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // both LMs are vocabulary-sized: collect + broadcast, then score
-    // each doc from its own token array in one shuffle-free pass
-    // (see unigramLmScore for the scale rationale)
+      textCol: String = "text", idCol: String = "doc_id",
+      minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
+    // the corpus LM is capped exactly as in unigramLmScore (min-count
+    // floor + top-K, smoothed OOV for the dropped/unseen tail); the
+    // TARGET LM is trained on a small exemplar set by contract, but
+    // is still top-K-capped as a hard bound. Add-1 smoothing uses the
+    // FULL distributed vocabulary count so the smoothing constant is
+    // cap-independent. Scoring is one shuffle-free pass per doc.
     val spark = docs.sparkSession
-    def freqOf(df: DataFrame): Map[String, Long] =
-      df.select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy("tok").agg(count("*").as("cnt")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val cFreq = freqOf(docs)
-    val tFreq = freqOf(target)
-    val cTotal = cFreq.values.sum.toDouble
-    val tDenom = tFreq.values.sum.toDouble + cFreq.size
-    val bcC = spark.sparkContext.broadcast(cFreq)
+    val cFreqDf = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count("*").as("cnt"))
+    val statsRow = cFreqDf.agg(sum("cnt"), count(lit(1))).collect()(0)
+    val cTotalL = statsRow.getLong(0)
+    val cTotal = cTotalL.toDouble
+    val vocabAll = statsRow.getLong(1)
+    val kept = cFreqDf.filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("tok").asc).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val oovTokens = cTotalL - kept.map(_._2).sum
+    val oovTypes = vocabAll - kept.length
+    val pOov =
+      if (oovTypes == 0) 1.0 / cTotal
+      else oovTokens.toDouble / oovTypes.toDouble / cTotal
+    val tFreq = target.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tDenom = tFreq.values.sum.toDouble + vocabAll
+    val bcC = spark.sparkContext.broadcast(kept.toMap)
     val bcT = spark.sparkContext.broadcast(tFreq)
     val ratio = udf { (ws: Seq[String]) =>
       var s = 0.0
       var n = 0
       ws.foreach { w =>
-        s += math.log((bcT.value.getOrElse(w, 0L) + 1) / tDenom) -
-          math.log(bcC.value(w) / cTotal)
+        val c = bcC.value.getOrElse(w, -1L)
+        val lc = if (c >= 0) math.log(c / cTotal) else math.log(pOov)
+        s += math.log((bcT.value.getOrElse(w, 0L) + 1) / tDenom) - lc
         n += 1
       }
       if (n == 0) 0.0 else s / n

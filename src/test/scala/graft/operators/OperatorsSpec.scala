@@ -174,6 +174,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores(99L) > scores(0L) + 1.0, s"rare doc not penalized: $scores")
   }
 
+  test("unigramLmScoreOn: held-out docs with unseen tokens score finitely (no throw)") {
+    val train = (0L until 50L).map(i => (i, "common words repeated in every doc"))
+      .toDF("doc_id", "text")
+    val heldOut = Seq((500L, "completely novel unseen vocabulary"),
+      (501L, "common words again")).toDF("doc_id", "text")
+    val scores = TextAnalysis.unigramLmScoreOn(train, heldOut).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 2)
+    assert(!scores.values.exists(v => v.isNaN || v.isInfinite), s"non-finite nll: $scores")
+    assert(scores(500L) > scores(501L), s"unseen-token doc not penalized: $scores")
+  }
+
+  test("unigramLmScore: vocabulary cap drops the hapax tail into smoothed OOV mass") {
+    // 40 docs of 5 common tokens + one hapax each: minCount=2 keeps
+    // only the 5 common types; every hapax must score via the OOV mass
+    val corpus = (0L until 40L).map(i => (i, s"alpha beta gamma delta eps unique$i"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.unigramLmScore(corpus, minCount = 2, maxVocab = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(capped.length == 40)
+    assert(!capped.exists { case (_, v) => v.isNaN || v.isInfinite })
+    // all docs identical in shape => identical score; OOV prob here is
+    // exactly 1/total (40 hapax types sharing 40 tokens of mass)
+    assert(capped.map(_._2).distinct.length == 1)
+  }
+
+  test("importanceWeights: held-out corpus tokens in target do not throw") {
+    val corpus = (0L until 40L).map(i => (i, "common corpus words here"))
+      .toDF("doc_id", "text")
+    // target contains a token the corpus has never seen — its add-1
+    // branch and the corpus OOV branch must both be safe
+    val target = Seq((100L, "special unseen target token")).toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(corpus, target).collect()
+    assert(w.length == 40)
+    assert(!w.exists(r => r.getDouble(2).isNaN || r.getDouble(2).isInfinite))
+  }
+
   test("frameSample: fixed-size strided chunks of the binary payload") {
     val withBin = Multimodal.attachBinary(docs.withColumn("source", lit("src")))
     val frames = Multimodal.frameSample(withBin, chunk = 16, stride = 2)
