@@ -91,6 +91,33 @@ object SparkEntry {
   }
 
   /**
+   * InternalCommand primitive (reference src/mr.c:1160-1220; test
+   * module tests/mr_test_module/src/lib.rs:930-954): N named commands
+   * broadcast to all shards, one deterministic reply per shard per
+   * command, gathered as the full shard×command matrix — the oracle
+   * checks every shard answered every command with the right value.
+   * One command captures a value read from the data dir (the region
+   * count) so the dispatch is coupled to real table state, as the
+   * reference's internal commands report per-shard server state.
+   */
+  private def qInternalCommand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nRegions = t(s, dir, "region").count()
+    val commands: Seq[Int => String] = Seq(
+      shard => s"shard-$shard:pong",
+      shard => ((shard * 31 + 7) % 16384).toString,
+      shard => ((shard + 1) * nRegions).toString)
+    val replies = Remote.internalCommand(s, numShards = 8)(commands)
+      .getOrElse(Seq.empty)
+    val rows = replies.zipWithIndex.flatMap { case (perShard, shard) =>
+      perShard.zipWithIndex.map { case (reply, cmd) =>
+        (shard.toLong, cmd.toLong, reply)
+      }
+    }
+    s.createDataset(rows).toDF("shard", "cmd", "reply")
+  }
+
+  /**
    * Error-channel semantics (pytests/test_errors.py): every record
    * errors in the map step; the execution still completes with
    * [0 results, N errors].
@@ -1177,6 +1204,7 @@ object SparkEntry {
     "lmr_reshuffle_etl" -> (lmrReshuffleEtl _),
     "lmr_dbsize" -> (lmrDbsize _),
     "lmr_error_channel" -> (lmrErrorChannel _),
+    "q_internal_command" -> (qInternalCommand _),
     // relational gap table
     "q1_pricing" -> (q1Pricing _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
@@ -1429,6 +1457,15 @@ object SparkEntry {
     "lmr_dbsize" -> "SELECT count(*) AS dbsize FROM customer",
     "lmr_error_channel" ->
       "SELECT CAST(0 AS BIGINT) AS n_results, count(*) AS n_errors FROM orders",
+    // replays the shard×command reply matrix: 8 shards × 3 commands,
+    // command 2 scaled by the region count read from the same tables
+    "q_internal_command" ->
+      ("SELECT s.shard, c.cmd, CASE c.cmd " +
+        "WHEN 0 THEN 'shard-'||s.shard||':pong' " +
+        "WHEN 1 THEN CAST((s.shard*31+7)%16384 AS VARCHAR) " +
+        "ELSE CAST((s.shard+1)*n.nr AS VARCHAR) END AS reply " +
+        "FROM generate_series(0,7) s(shard), generate_series(0,2) c(cmd), " +
+        "(SELECT count(*) AS nr FROM region) n"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

@@ -124,6 +124,37 @@ class PipelineSpec extends AnyFunSuite {
     byKey.foreach { case (k, pids) => assert(pids.size === 1, s"key $k split across $pids") }
   }
 
+  // Straggler semantics (lmrtest.unevenwork, reference
+  // tests/mr_test_module/src/lib.rs:691-714; pytests/test_basic.py:49-78):
+  // ONE partition is much slower than the rest — the execution must
+  // wait for it and return complete results, not drop or truncate.
+  test("straggler: one slow partition still completes with full results (unevenwork)") {
+    val t0 = System.nanoTime()
+    val r = ExecutionBuilder.seqReader(spark, (1 to 32).map(_.toLong), parts = 8)
+      .map { k => if (k == 7L) Thread.sleep(1500); k * 2 }
+      .collect()
+      .run()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.errors.isEmpty)
+    assert(r.results.sorted === (1 to 32).map(_ * 2L).sorted)
+    // the fast partitions finish in ms; completing only after the
+    // straggler proves the gather awaited the slow shard
+    assert(elapsedMs >= 1500, s"finished in $elapsedMs ms — straggler not awaited")
+  }
+
+  // reachmaxidle against a genuinely skewed execution (reference
+  // lib.rs:766-797): the OTHER partitions complete quickly, but the
+  // one straggler holds the execution past the idle budget — expiry
+  // must yield the reference's error result, not partial results and
+  // not an exception.
+  test("straggler vs tight max-idle: clean partial-error result (reachmaxidle)") {
+    val r = ExecutionBuilder.seqReader(spark, (1 to 32).map(_.toLong), parts = 8)
+      .map { k => if (k == 7L) Thread.sleep(30000); k }
+      .run(maxIdleMs = 1000)
+    assert(r.results.isEmpty)
+    assert(r.errors === Seq("execution max idle reached"))
+  }
+
   test("max-idle timeout yields the reference error string, not an exception") {
     val r = ExecutionBuilder.seqReader(spark, (1 to 8).map(_.toLong), parts = 2)
       .map { k => Thread.sleep(5000); k }
