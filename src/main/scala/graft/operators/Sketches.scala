@@ -54,10 +54,18 @@ object Sketches {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     val m = math.ceil(1.0 / phi).toInt
     val keys = df.select(col(keyCol).cast("string")).as[String](Encoders.STRING)
-    // pass 1: candidates ∪ total count (one summary row set per partition)
-    val candidates = keys.mapPartitions(it => misraGries(it, m))(Encoders.STRING)
-      .collect().toSet
-    val n = df.count()
+    // pass 1: ONE job emits both the MG candidates and the partition's
+    // row count (as a (None, n) sentinel row) — the total N rides the
+    // candidate pass instead of costing a separate full scan
+    val perPart = keys.mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      val cands = misraGries(counted, m).toArray // drains `it`, finalizing n
+      cands.iterator.map(k => (Option(k), 0L)) ++
+        Iterator.single((Option.empty[String], n))
+    }(Encoders.product[(Option[String], Long)]).collect()
+    val candidates = perPart.collect { case (Some(k), _) => k }.toSet
+    val n = perPart.collect { case (None, c) => c }.sum
     val threshold = math.ceil(phi * n).toLong
     // pass 2: exact counts of candidates only — isInCollection compiles
     // to a codegen'd InSet probe in the scan stage, so the groupBy

@@ -61,6 +61,27 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got === Map("a" -> 50L, "b" -> 30L))
   }
 
+  test("heavyHitters candidate pass is ONE job (count rides the MG scan)") {
+    // narrow input (no shuffle) so the only jobs counted are
+    // heavyHitters' own scans, not an AQE stage materialization
+    val items = spark.range(100).select(
+      when(col("id") < 60, "a").otherwise(concat(lit("r"), col("id"))).as("k"))
+    items.count() // materialize any lazy setup outside the window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the eager half of heavyHitters (candidates + total N) must be
+      // a single job — the separate df.count() scan is gone
+      Sketches.heavyHitters(items, "k", phi = 0.2)
+      Thread.sleep(1000) // listener bus is async; let events drain
+      assert(jobs.get() === 1, s"candidate pass ran ${jobs.get()} jobs, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("heavyHitters with adversarial partitioning still recalls every hitter") {
     // the hitter is diluted evenly so no partition sees it dominant
     val items = (1 to 400).map(i => if (i % 4 == 0) "hot" else s"cold$i")
