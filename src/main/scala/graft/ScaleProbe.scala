@@ -160,6 +160,26 @@ object ScaleProbe {
         Dedup.incrementalNearDupPairs(
           docs.filter(isBatch), docs.filter(!isBatch)).count()
       },
+      // persistent-index ingest: the corpus pays one index build; each
+      // batch is then checked against the compact index instead of the
+      // corpus text. Batch is FIXED at 400 docs (the planted near-dup
+      // partners of the last 20k ids) so growing the corpus isolates
+      // the per-batch cost curve; the batch frame materializes outside
+      // the timed body (an arriving batch is already materialized).
+      time("dedup_index_build") {
+        val isBatch = col("doc_id") % 50 === 1 && col("doc_id") >= nDocs - 20000
+        Dedup.writeMinhashIndex(docs.filter(!isBatch), "graft_probe_idx")
+        0L
+      },
+      {
+        val isBatch = col("doc_id") % 50 === 1 && col("doc_id") >= nDocs - 20000
+        val batch =
+          if (only.forall(_.contains("dedup_index_batch")))
+            docs.filter(isBatch).localCheckpoint()
+          else docs.limit(0)
+        time("dedup_index_batch")(
+          Dedup.indexedNearDupPairs(batch, "graft_probe_idx").count())
+      },
       // nlist scales with the corpus: 100k vecs / 512 clusters keeps
       // the within-cluster quadratic term at ~200²/2 per cluster
       time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,

@@ -704,6 +704,21 @@ object SparkEntry {
   }
 
   /**
+   * Persistent-index continuous-ingest dedup: the corpus (doc_id <
+   * cut) is indexed ONCE (MinHash bands + shingle sets, bucketed),
+   * then the new batch is checked against the index with zero corpus
+   * rescan. LSH recall at k=128/bands=32 makes the output equal the
+   * exhaustive batch×corpus jaccard pairs — the same oracle as
+   * dedup_incremental.
+   */
+  private def dedupIndexIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < cut), "graft_dedup_idx")
+    Dedup.indexedNearDupPairs(docs.filter(col("doc_id") >= cut), "graft_dedup_idx")
+  }
+
+  /**
    * Range-clustered sorted sink: orders written range-partitioned +
    * sorted on o_orderdate, re-read with a date-range predicate that
    * parquet stats satisfy by skipping files/row-groups (FileIO
@@ -1282,6 +1297,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_index_incremental" -> (dedupIndexIncremental _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
@@ -1386,6 +1402,22 @@ object SparkEntry {
       "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
       "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
       "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+      "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
+
+  /** Exhaustive batch×corpus jaccard pairs at the 10%-cut — oracle for both the broadcast and the persistent-index incremental paths. */
+  private val incrementalDedupSql: String =
+    "WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+      "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle, cut " +
+      "WHERE a.doc_id >= cut.c AND b.doc_id < cut.c GROUP BY 1, 2) " +
+      "SELECT new_id, corpus_id, " +
+      "round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+      "FROM pr JOIN sizes sa ON new_id = sa.doc_id " +
+      "JOIN sizes sb ON corpus_id = sb.doc_id " +
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
 
   /** Recursive-CTE closure over the near-dup pair graph — oracle for both the iterative CC operator and the SQL-surface recursion. */
@@ -1927,20 +1959,12 @@ object SparkEntry {
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
-    "dedup_incremental" ->
-      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
-        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
-        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle, cut " +
-        "WHERE a.doc_id >= cut.c AND b.doc_id < cut.c GROUP BY 1, 2) " +
-        "SELECT new_id, corpus_id, " +
-        "round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
-        "FROM pr JOIN sizes sa ON new_id = sa.doc_id " +
-        "JOIN sizes sb ON corpus_id = sb.doc_id " +
-        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"),
+    "dedup_incremental" -> incrementalDedupSql,
+    // the persistent-index path verifies candidates with the same
+    // exact jaccard, and LSH recall at k=128/bands=32 is ≈1 at the
+    // 0.7 threshold — so the exhaustive batch×corpus SQL is its
+    // oracle too (exactly as dedup_minhash reuses ngramJaccardSql)
+    "dedup_index_incremental" -> incrementalDedupSql,
     // bloom pre-filter is transparent: result ≡ the plain join
     "q_bloom_join" ->
       ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +

@@ -189,6 +189,100 @@ object Dedup {
   }
 
   /**
+   * Persist a MinHash band-signature index for continuous-ingest
+   * dedup: the corpus is scanned ONCE at index-build time, and every
+   * subsequent batch is checked against the (compact) index with
+   * bucket-pruned reads — the raw corpus text is never rescanned.
+   *
+   * Two bucketed+sorted tables (graft.sources.Bucketing):
+   *  - `{table}_bands`  (id, band_idx, band_hash), bucketed by
+   *    band_hash — the candidate-generation side; a batch's band
+   *    hashes form an In-filter on the bucket column, so Spark prunes
+   *    to the buckets the batch actually touches.
+   *  - `{table}_shingles` (id, sh_set), bucketed by id — the
+   *    verification side, read only for candidate ids.
+   *
+   * Banding parameters must match at query time
+   * ([[indexedNearDupPairs]]); defaults mirror [[minhashNearDupPairs]]
+   * at verification-grade k=128/bands=32.
+   */
+  def writeMinhashIndex(docs: DataFrame, table: String, k: Int = 128,
+      bands: Int = 32, shingleN: Int = 5, buckets: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val bandTable = docs
+      .select(col(idCol).as("id"), minhash_doc(col(textCol), shingleN, k).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    graft.sources.Bucketing.writeBucketed(bandTable, s"${table}_bands",
+      "band_hash", buckets)
+    val shTable = docs.select(col(idCol).as("id"),
+      shingle_hashes(col(textCol), shingleN).as("sh_set"))
+    graft.sources.Bucketing.writeBucketed(shTable, s"${table}_shingles", "id", buckets)
+  }
+
+  /**
+   * Near-dup pairs between a (small) new batch and a corpus indexed
+   * by [[writeMinhashIndex]] — the per-batch half of continuous-ingest
+   * dedup with NO corpus rescan: candidate generation reads only the
+   * index buckets matching the batch's band hashes (bucket pruning +
+   * parquet stats), and exact-jaccard verification reads only the
+   * candidate ids' shingle sets. Per-batch cost tracks the batch and
+   * its candidate fan-out, not the corpus size.
+   *
+   * The two driver collects are batch-bounded by construction: the
+   * batch's distinct band hashes (≤ batch×bands values) and the
+   * candidate corpus ids (≤ pairs the bands propose).
+   */
+  def indexedNearDupPairs(newDocs: DataFrame, table: String, k: Int = 128,
+      bands: Int = 32, shingleN: Int = 5, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = newDocs.sparkSession
+    val rowsPerBand = k / bands
+    // batch-side frames are batch-sized: materialize them once
+    // (localCheckpoint) — they are each consumed by several jobs
+    // below, and recomputing them would rescan the batch input
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      shingle_hashes(col(textCol), shingleN).as("new_sh"))
+      .localCheckpoint()
+    val newBands = newDocs
+      .select(col(idCol).as("new_id"), minhash_doc(col(textCol), shingleN, k).as("sig"))
+      .select(col("new_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .localCheckpoint()
+    val batchHashes = newBands.select("band_hash").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.table(s"${table}_bands")
+      .filter(col("band_hash").isInCollection(batchHashes))
+    // materialize the (small) candidate list so the pruned index read
+    // runs ONCE — the candIds collect and the verification join both
+    // consume it
+    val cand = idx.join(broadcast(newBands), Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .localCheckpoint()
+    val candIds = cand.select("corpus_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idxSh = spark.table(s"${table}_shingles")
+      .filter(col("id").isInCollection(candIds))
+    cand
+      .join(idxSh.select(col("id").as("corpus_id"), col("sh_set").as("corp_sh")),
+        "corpus_id")
+      .join(broadcast(newSh), "new_id")
+      .withColumn("n_inter", size(array_intersect(col("new_sh"), col("corp_sh"))))
+      .withColumn("jaccard",
+        col("n_inter") / (size(col("new_sh")) + size(col("corp_sh")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
    * Span-level duplication report: documents containing a ≥`span`
    * -token window that appears verbatim in at least one other
    * document — the distributed form of exact-substring training-data

@@ -31,7 +31,12 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    df.write.mode("overwrite").format("parquet")
+    // co-locate each bucket's rows in ONE task before the bucketed
+    // write: without this every task writes a file per bucket it sees
+    // (tasks × buckets small files — footer/listing overhead dominates
+    // later reads); with it the table is exactly `buckets` files
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
   }

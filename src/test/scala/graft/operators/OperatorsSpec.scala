@@ -144,6 +144,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((7L, 999L)), s"planted dup not found: ${pairs.toSeq}")
   }
 
+  test("indexedNearDupPairs equals the broadcast incremental path, with pruned index reads") {
+    // corpus of distinct docs + a batch whose doc 1000 is a near-dup
+    // of corpus doc 17 (one token edit on a 40-token text)
+    val mk = (id: Long, seed: Long) =>
+      (id, (0 until 40).map(j => s"w${(seed * 40 + j) % 900}").mkString(" "))
+    val corpus = (0L until 200L).map(i => mk(i, i)).toDF("doc_id", "text")
+    val editedText = mk(17L, 17L)._2.split(" ").updated(7, "EDITED").mkString(" ")
+    val batch = (Seq((1000L, editedText)) ++ (1001L to 1010L).map(i => mk(i, i + 5000)))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, "graft_test_idx")
+    val viaIndex = Dedup.indexedNearDupPairs(batch, "graft_test_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = Dedup.incrementalNearDupPairs(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === viaBroadcast)
+    assert(viaIndex.exists { case (n, c, _) => n == 1000L && c == 17L },
+      s"planted near-dup not found: $viaIndex")
+    // the scale contract: an In-filter on the bucket column prunes the
+    // band-index read to the touched buckets (not a full index scan).
+    // (With autoBucketedScan the planner may hide the bucketed-scan
+    // metadata, but file-level pruning still filters by bucket id;
+    // disabling it makes the SelectedBucketsCount pin visible.)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = spark.table("graft_test_idx_bands")
+        .filter(col("band_hash").isInCollection(Seq(1L, 2L, 3L)))
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount"),
+        s"bucket pruning not engaged on the band index:\n$scan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"In-filter did not prune any buckets: $scan")
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("importanceWeights ranks target-like docs above off-domain docs") {
     val corpus = ((0L until 40L).map(i => (i, "common corpus words here"))
       ++ (100L until 110L).map(i => (i, "special target domain tokens"))).toDF("doc_id", "text")
