@@ -910,6 +910,19 @@ object SparkEntry {
       .limit(20)
 
   /**
+   * Train→apply BPE: learn the top-20 adjacent-pair merge table from
+   * the corpus (one counting round), then segment every document with
+   * it — greedy rank-order application in the scan stage
+   * (functions.BpeSegmentExpr). The DuckDB oracle replays the greedy
+   * merges as a recursive chain of string replaces over a
+   * double-space-separated encoding.
+   */
+  private def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bpeApply(docs, TextAnalysis.bpeTrain(docs, nMerges = 20))
+  }
+
+  /**
    * Stream-static enrichment census (batch twin — the streaming run
    * over the same plan, with the dimension broadcast, is proven
    * equivalent in StreamingSpec).
@@ -1303,6 +1316,7 @@ object SparkEntry {
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "text_bpe_apply" -> (textBpeApply _),
     "stream_enrich" -> (qStreamEnrich _),
     "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -2020,6 +2034,32 @@ object SparkEntry {
         "UNNEST(generate_series(1, greatest(len(w) - 1, 0))) t(i)) " +
         "SELECT pair, count(*) AS cnt FROM pr GROUP BY pair " +
         "ORDER BY cnt DESC, pair LIMIT 20"),
+    // replays greedy BPE application: each token is wrapped in its own
+    // spaces ('␠a␠␠b␠'), each rank's merge is one left-to-right
+    // non-overlapping replace of '␠x␠␠y␠' with '␠x<U+0001>y␠' — the
+    // single-space unit joiner keeps merged units atomic to later
+    // merges, exactly the engine's unit-array semantics
+    "text_bpe_apply" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents), " +
+        "pr AS (SELECT array_to_string(w[i:i+1], ' ') AS pair FROM tok, " +
+        "UNNEST(generate_series(1, greatest(len(w) - 1, 0))) t(i)), " +
+        "m0 AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20), " +
+        "m AS (SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rk, " +
+        "split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y FROM m0), " +
+        "app AS (" +
+        "SELECT doc_id, ' ' || array_to_string(w, '  ') || ' ' AS s, 0 AS step FROM tok " +
+        "UNION ALL " +
+        "SELECT a.doc_id, replace(a.s, ' ' || m.x || '  ' || m.y || ' ', " +
+        "' ' || m.x || chr(1) || m.y || ' '), a.step + 1 " +
+        "FROM app a JOIN m ON m.rk = a.step + 1), " +
+        "fin AS (SELECT doc_id, string_split(trim(s), '  ') AS units FROM app " +
+        "WHERE step = (SELECT max(rk) FROM m)) " +
+        "SELECT f.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(f.units) AS BIGINT) AS n_units, " +
+        "replace(array_to_string(f.units, '|'), chr(1), ' ') AS seg " +
+        "FROM fin f JOIN tok t ON f.doc_id = t.doc_id"),
     "stream_enrich" ->
       ("SELECT c.c_mktsegment AS segment, count(*) AS n_events, " +
         "round(sum(e.value), 2) AS sum_value FROM events e " +

@@ -294,6 +294,40 @@ object TextPass {
     }
     new GenericArrayData(sig)
   }
+
+  /**
+   * Apply a learned word-level BPE merge table: merges are applied in
+   * rank order; each pass replaces adjacent (x, y) unit pairs
+   * left-to-right, non-overlapping (scanning resumes AFTER a merged
+   * unit). Merged units join their members with U+0001, which no
+   * whitespace token contains — so a merged unit is atomic to later
+   * merges, and the replay is exactly a sequence of string
+   * `replace` steps over a double-space-separated encoding (which is
+   * how the DuckDB oracle reproduces it). O(merges × tokens) per doc,
+   * scan-stage.
+   */
+  def bpeSegment(text: UTF8String, merges: Array[Array[String]]): ArrayData = {
+    var units: Array[String] = text.toString.split(" ", -1)
+    var r = 0
+    while (r < merges.length) {
+      val x = merges(r)(0)
+      val y = merges(r)(1)
+      val out = new Array[String](units.length)
+      var i = 0
+      var o = 0
+      while (i < units.length) {
+        if (i < units.length - 1 && units(i) == x && units(i + 1) == y) {
+          out(o) = x + "\u0001" + y; i += 2
+        } else {
+          out(o) = units(i); i += 1
+        }
+        o += 1
+      }
+      units = java.util.Arrays.copyOf(out, o)
+      r += 1
+    }
+    new GenericArrayData(units.map(UTF8String.fromString): Array[UTF8String])
+  }
 }
 
 /**
@@ -488,6 +522,29 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
 }
 
+/**
+ * `bpe_segment(loweredText, merges)` — segment a document by a learned
+ * word-level BPE merge table ([[TextPass.bpeSegment]]); the table rides
+ * the plan as a codegen reference object, so application is a
+ * scan-stage O(merges × tokens) pass with no join against the merge
+ * list.
+ */
+case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_segment"
+  @transient private lazy val table: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.bpeSegment(in.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.bpeSegment($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeSegmentExpr = copy(child = c)
+}
+
 /** `minhash_doc(text, n, k, seed)` — k-long MinHash signature computed in the scan stage. */
 case class MinHashDocExpr(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -602,4 +659,8 @@ object TextFunctions {
   /** Order-sensitive md5-based polynomial fingerprint mod 2^31-1. */
   def poly_fingerprint(tokens: Column): Column =
     ColumnBridge.column(PolyFingerprintMd5Expr(ColumnBridge.expression(tokens)))
+
+  /** BPE segmentation of an already-lowercased text by a rank-ordered merge table. */
+  def bpe_segment(loweredText: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(loweredText), merges))
 }

@@ -248,6 +248,45 @@ object TextAnalysis {
   }
 
   /**
+   * Train a word-level BPE merge table: ONE pair-counting round over
+   * the corpus, top-`nMerges` adjacent-token pairs by (count desc,
+   * pair asc). The count is a single shuffle of fused one-pass bigram
+   * strings; the merge list is a TakeOrdered — bounded driver memory.
+   * (Full iterative BPE re-counts after every merge — `nMerges` corpus
+   * passes; the one-round table is the standard large-corpus
+   * approximation and keeps train→apply a two-job pipeline.)
+   */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 20,
+      textCol: String = "text"): Seq[(String, String)] =
+    docs.select(explode(shingle_strings(lower(col(textCol)), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(nMerges)
+      .collect().map { r =>
+        val p = r.getString(0).split(" ", 2)
+        (p(0), p(1))
+      }.toSeq
+
+  /**
+   * Apply a learned BPE merge table ([[bpeTrain]]) to segment each
+   * document: merges apply in rank order, left-to-right,
+   * non-overlapping ([[graft.functions.BpeSegmentExpr]] — scan-stage,
+   * no shuffle, the merge table rides the plan). Output per doc:
+   * token count, unit count (n_tokens − units merged away), and the
+   * segmentation with units '|'-separated and merged units
+   * space-joined.
+   */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val units = bpe_segment(lower(col(textCol)), merges)
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(units).cast("long").as("n_units"),
+      translate(concat_ws("|", units), "\u0001", " ").as("seg"))
+  }
+
+  /**
    * Deterministic document fingerprints: order-sensitive polynomial
    * hash + simhash sketch, both over md5lo64 token hashes so any SQL
    * engine can recompute them exactly (the DuckDB oracle folds the

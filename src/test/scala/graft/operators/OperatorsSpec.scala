@@ -236,6 +236,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
+    val docs = Seq(
+      (1L, "a b a b c"), // both (a,b) occurrences merge
+      (2L, "a a a"),     // overlapping: leftmost wins, third 'a' stays
+      (3L, "a b c"),     // rank order decides which merge fires first
+      (4L, "x y z")      // no merge applies
+    ).toDF("doc_id", "text")
+    val seg = TextAnalysis.bpeApply(docs, Seq(("a", "b"), ("b", "c"), ("a", "a")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(seg(1L) === ((3L, "a b|a b|c")))
+    assert(seg(2L) === ((2L, "a a|a")))
+    // (a,b) ranks before (b,c): "a b c" -> [a b, c], and the merged
+    // unit "a b" is atomic — (b,c) cannot fire inside it
+    assert(seg(3L) === ((2L, "a b|c")))
+    assert(seg(4L) === ((3L, "x|y|z")))
+  }
+
+  test("bpeTrain learns the most frequent pair first") {
+    val docs = (0L until 10L).map(i => (i, "q r q r s t")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 3)
+    // "q r" occurs 20x (twice per doc), "r q" 10x, "r s" 10x, "s t" 10x
+    assert(merges.head === (("q", "r")))
+    assert(merges.length === 3)
+  }
+
   test("importanceWeights: held-out corpus tokens in target do not throw") {
     val corpus = (0L until 40L).map(i => (i, "common corpus words here"))
       .toDF("doc_id", "text")
