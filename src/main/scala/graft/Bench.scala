@@ -74,7 +74,22 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query's timing would otherwise read as a (fast) success
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the full per-query record (≈5 KB at 120 queries) exceeds the
+    // driver's 2000-char stdout tail, so its json-parse of the last
+    // line always failed. Persist the full record to a file (committed
+    // per round → per-query history lives in git), print it for human
+    // eyes, and END with a compact line that fits the capture window:
+    // total + the slowest queries at 3 decimals.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] full-record write failed: $e") }
+    println(fullLine)
+    val slowest = results.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
