@@ -1452,6 +1452,20 @@ object SparkEntry {
 
   private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
 
+  /**
+   * Shared co-purchase edge CTE for the graph oracles; replays
+   * Graph.coOccurrenceEdges' maxGroup cap (groups of 2..1000 distinct
+   * parts) so an order with a pathological line count would drop from
+   * BOTH engine and oracle instead of silently diverging.
+   */
+  private val graphEdgeCte: String =
+    "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
+      "g AS (SELECT l_orderkey FROM li GROUP BY l_orderkey " +
+      "HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 1000), " +
+      "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+      "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey " +
+      "JOIN g ON a.l_orderkey = g.l_orderkey), "
+
   private lazy val qualitySql: String =
     "WITH m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
       "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +
@@ -1684,7 +1698,7 @@ object SparkEntry {
         "FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
         "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p " +
         "ON c.user_id = p.user_id " +
-        "AND epoch_ms(p.ts) - epoch_ms(c.ts) BETWEEN 1 AND 1800000 " +
+        "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 1800000000 " +
         "GROUP BY c.user_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
@@ -2070,10 +2084,10 @@ object SparkEntry {
         "FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v " +
         "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
         "ON v.user_id = c.user_id " +
-        "AND epoch_ms(c.ts) - epoch_ms(v.ts) BETWEEN 1 AND 21600000 " +
+        "AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 1 AND 21600000000 " +
         "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p " +
         "ON c.user_id = p.user_id " +
-        "AND epoch_ms(p.ts) - epoch_ms(c.ts) BETWEEN 1 AND 21600000 " +
+        "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 21600000000 " +
         "GROUP BY v.user_id"),
     "q_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
@@ -2083,9 +2097,7 @@ object SparkEntry {
     // the same 3 pagerank iterations as chained CTEs (no recursion
     // needed for a fixed iteration count)
     "graph_pagerank" ->
-      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
-        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
-        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey), " +
+      (graphEdgeCte +
         "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
         "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
@@ -2094,19 +2106,15 @@ object SparkEntry {
     // replays the 3 label-propagation rounds (neighbor-label mode,
     // smallest label on ties) as chained CTEs
     "graph_communities" ->
-      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
-        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
-        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey), " +
+      (graphEdgeCte +
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), " +
         lpRound("l1", "l0") + lpRound("l2", "l1") + lpRound("l3", "l2").stripSuffix(", ") +
         " SELECT label AS community, count(*) AS n_members FROM l3 GROUP BY label"),
     // brute 3-way join with a<b<c counts the same triangles the
     // degree-oriented wedge join finds exactly once each
     "graph_triangles" ->
-      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
-        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
-        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey) " +
-        "SELECT count(*) AS n_triangles FROM e ab " +
+      (graphEdgeCte.stripSuffix(", ") +
+        " SELECT count(*) AS n_triangles FROM e ab " +
         "JOIN e bc ON ab.dst = bc.src JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst " +
         "WHERE ab.src < ab.dst AND bc.src < bc.dst"),
     // epoch_us ordering matches Spark's microsecond timestamps; the

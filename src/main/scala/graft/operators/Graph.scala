@@ -35,45 +35,37 @@ object Graph {
       .distinct()
 
   /**
-   * PageRank with a fixed iteration count over a symmetric edge list
-   * (columns src, dst): rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v}
-   * rank_t(u)/outdeg(u). Symmetric edges mean no dangling nodes, so
-   * no redistribution term. Fixed iterations (not convergence
-   * detection) keep the whole computation ONE lazy plan: the edge
-   * exchange subtree is identical in every iteration, so Spark's
-   * ReuseExchange materializes it once — the probe below shows 3
-   * iterations cost ~1 edge shuffle plus 3 rank-sized ones.
-   *
-   * Ranks are rounded to 8 decimals at the end only; intermediate
-   * arithmetic is raw doubles (same in the DuckDB oracle).
-   */
-  /**
    * Label-propagation community detection over a symmetric edge list,
    * fixed iteration count (deterministic: every node starts labeled
    * with its own id; each round takes the MODE of its neighbors'
    * labels, ties broken by the smallest label — so the computation is
    * replayable round-by-round in any engine). Per round: one
    * edge-sized join against the label table + a (node, label) count
-   * aggregate + an argmax — the same two-shuffle shape as pagerank,
-   * with rounds materialized so cost stays linear in iterations.
+   * aggregate + an argmax — the same two-shuffle shape as pagerank.
+   *
+   * Scale: the edge list is hash-partitioned on the join key ONCE and
+   * materialized (localCheckpoint preserves the partitioning), so no
+   * round re-exchanges the edge side — only label-sized rows move.
+   * Label rounds stay lazy at small `iters` (one job, no sync
+   * barriers) but are materialized every `materializeEvery` rounds so
+   * deep runs don't nest the plan linearly in the round count.
    */
-  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
-    // materialize the edge list once — the init distinct and every
-    // round's join all read it (same reasoning as Dedup.dupClusters)
-    val edges = edges0.localCheckpoint()
+  def labelPropagation(edges0: DataFrame, iters: Int = 3,
+      materializeEvery: Int = 5): DataFrame = {
+    // one edge exchange total: pre-partition on src, then checkpoint —
+    // every round's join reads the co-located edges (same reasoning as
+    // pagerank's edgesDeg repartition, pinned in PlanAuditSpec)
+    val edges = edges0.repartition(col("src")).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    // labels stay LAZY: each round's label table appears once in the
-    // next round's plan, so the whole computation is one job over the
-    // materialized edges (per-round checkpoints measured slower at
-    // small iteration counts — three sync barriers for no reuse)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("node2"))
         .agg(min_by(col("label"), struct(-col("cnt"), col("label"))).as("label"))
         .select(col("node2").as("node"), col("label"))
+      if (i % materializeEvery == 0 && i < iters) labels = labels.localCheckpoint()
     }
     labels
   }
@@ -115,6 +107,19 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /**
+   * PageRank with a fixed iteration count over a symmetric edge list
+   * (columns src, dst): rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v}
+   * rank_t(u)/outdeg(u). Symmetric edges mean no dangling nodes, so
+   * no redistribution term. Fixed iterations (not convergence
+   * detection) keep the whole computation ONE lazy plan: the edge
+   * exchange subtree is identical in every iteration, so Spark's
+   * ReuseExchange materializes it once — the probe shows 3 iterations
+   * cost ~1 edge shuffle plus 3 rank-sized ones.
+   *
+   * Ranks are rounded to 8 decimals at the end only; intermediate
+   * arithmetic is raw doubles (same in the DuckDB oracle).
+   */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // outdeg is edge-sized but aggregates to node-sized; it is reused
     // every iteration, so pre-join it onto the edges once: the

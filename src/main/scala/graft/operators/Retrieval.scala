@@ -89,7 +89,11 @@ object Retrieval {
     val nDocs = statsRow.getLong(0)
     val dfs = statsRow.getStruct(1)
     val cols = terms.zipWithIndex.map { case (t, i) =>
-      val idf = round6(math.log(nDocs.toDouble / (dfs.getLong(i) + 1.0)))
+      // smoothed idf ln(1 + N/(df+1)) — strictly positive even for a
+      // term present in every document, so downstream ranking can
+      // never invert on a ubiquitous term (plain ln(N/(df+1)) goes
+      // negative once df+1 > N)
+      val idf = round6(math.log1p(nDocs.toDouble / (dfs.getLong(i) + 1.0)))
       val tf = size(filter(toks, _ === t)).cast("double") / size(toks)
       round(tf * lit(idf), 6).as(s"w_$i")
     }

@@ -61,9 +61,11 @@ object EventStreams {
    * Click→purchase attribution: for every click, purchases by the
    * same user within `windowMinutes` after it. Works on batch and
    * (with watermarks) as a stream-stream inner join — Spark bounds
-   * the join state by the event-time range condition. Comparisons
-   * run on epoch millis so the ns-parquet → µs-Spark truncation can
-   * never skew a boundary (see Tables.events).
+   * the join state by the event-time range condition. The batch path
+   * compares epoch MICROS — Spark timestamps are µs precision, so a
+   * µs-delta bound is value-identical to the streaming path's raw
+   * timestamp comparisons at every boundary (a ms-truncated bound
+   * would admit sub-ms gaps the streaming join rejects).
    */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
       windowMinutes: Int = 30): DataFrame = {
@@ -79,8 +81,8 @@ object EventStreams {
       else
         c.join(p,
           col("user_id") === col("p_user") &&
-            (unix_millis(col("p_ts")) - unix_millis(col("click_ts")))
-              .between(1L, windowMinutes * 60000L))
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .between(1L, windowMinutes * 60000000L))
     joined.select(col("user_id"), col("click_ts"), col("p_ts"))
   }
 
@@ -90,15 +92,16 @@ object EventStreams {
    * Batch and streaming share the plan; streaming chains TWO
    * stream-stream interval joins (Spark 4 supports multiple stateful
    * operators in append mode — each join's state is bounded by its
-   * event-time range condition). Millis comparisons avoid the
-   * ns-parquet → µs-Spark truncation hazard, as in [[clickToPurchase]].
+   * event-time range condition). Batch bounds compare epoch micros —
+   * value-identical to the streaming joins' raw µs-timestamp
+   * comparisons, as in [[clickToPurchase]].
    */
   def funnelSteps(views: DataFrame, clicks: DataFrame, purchases: DataFrame,
       windowMinutes: Int = 30): DataFrame = {
     val v = views.select(col("user_id"), col("ts").as("view_ts"))
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val win = windowMinutes * 60000L
+    val win = windowMinutes * 60000000L
     val streaming = views.isStreaming
     def wm(df: DataFrame, tsCol: String) =
       if (streaming) df.withWatermark(tsCol, "2 hours") else df
@@ -110,7 +113,7 @@ object EventStreams {
             col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       else
         v.join(c, col("user_id") === col("c_user") &&
-          (unix_millis(col("click_ts")) - unix_millis(col("view_ts"))).between(1L, win))
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).between(1L, win))
     val vcp =
       if (streaming)
         // exactly ONE event-time column may flow into the next
@@ -126,7 +129,7 @@ object EventStreams {
             col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       else
         vc.join(p, col("user_id") === col("p_user") &&
-          (unix_millis(col("p_ts")) - unix_millis(col("click_ts"))).between(1L, win))
+          (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).between(1L, win))
     vcp.select(col("user_id"), col("view_ts"), col("click_ts"), col("p_ts"))
   }
 

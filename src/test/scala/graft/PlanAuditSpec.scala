@@ -154,6 +154,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"edge/degree exchanges not reused across pagerank iterations:\n${p.take(4000)}")
   }
 
+  test("graph_communities: edges partitioned once — no per-round edge exchange") {
+    val df = SparkEntry.queries("graph_communities")(spark, SparkTestSession.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // the edge list (keyed by src) is hash-partitioned at checkpoint
+    // time; every label round must consume it in place — label-sized
+    // rows may shuffle each round, edge-sized rows may not
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      s"edge side re-exchanged inside the label-propagation rounds:\n${p.take(4000)}")
+    // label/aggregate exchanges are bounded per round (2) + init + census
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 16,
+      s"unbounded exchange growth across LPA rounds:\n${p.take(4000)}")
+  }
+
   test("q_zorder_sink: both box predicates are pushed to the z-clustered scan") {
     val p = plan("q_zorder_sink")
     val pushed = p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1")
