@@ -22,6 +22,20 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /**
+   * `col IN <set>` as a single catalyst InSet node. `isInCollection`
+   * builds an In with one Literal CHILD per value — at a 10k-hash
+   * batch that's a 10k-node expression tree and seconds of
+   * driver-side analysis; InSet carries the values as one hash set
+   * (O(1) planning, hash-probe eval) and still qualifies for bucket
+   * pruning and data-source filter pushdown.
+   */
+  private def inSet(c: Column, values: Seq[Long]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
+      ColumnBridge.eagerExpression(c), values.toSet[Any]))
+  }
+
+  /**
    * Exact dedup via content hash: one hash-shuffle, map-side partial
    * aggregation. Output: one row per duplicated content hash.
    */
@@ -258,8 +272,16 @@ object Dedup {
       .localCheckpoint()
     val batchHashes = newBands.select("band_hash").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.table(s"${table}_bands")
-      .filter(col("band_hash").isInCollection(batchHashes))
+    // two read regimes: a SMALL batch's hash set prunes buckets and
+    // row groups (point-lookup IO); a large batch touches every
+    // bucket anyway and the per-value pruning machinery costs more
+    // than it saves (measured 2.4 s vs a 0.15 s columnar scan at 16k
+    // hashes over a 144k-row index) — there the plain scan + the
+    // broadcast band join below does the filtering
+    val idx0 = spark.table(s"${table}_bands")
+    val idx =
+      if (batchHashes.size <= 1024) idx0.filter(inSet(col("band_hash"), batchHashes))
+      else idx0
     // materialize the (small) candidate list so the pruned index read
     // runs ONCE — the candIds collect and the verification join both
     // consume it
@@ -270,7 +292,7 @@ object Dedup {
     val candIds = cand.select("corpus_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val idxSh = spark.table(s"${table}_shingles")
-      .filter(col("id").isInCollection(candIds))
+      .filter(inSet(col("id"), candIds))
     cand
       .join(idxSh.select(col("id").as("corpus_id"), col("sh_set").as("corp_sh")),
         "corpus_id")

@@ -276,6 +276,69 @@ object Similarity {
   }
 
   /**
+   * Product quantization: split each `dims`-dim vector into `m`
+   * subvectors, learn a k-entry codebook per subspace (one
+   * deterministic Lloyd step from the id-partition seeding — the same
+   * replayable convention as [[kmeansAssign]]/semanticDedup), and
+   * encode every vector as its m nearest-codeword indices (L2,
+   * smallest index on ties) plus the reconstruction error. The
+   * compressed code is m·log2(k) bits per vector — the memory lever
+   * that lets an ANN index hold billions of vectors in RAM.
+   *
+   * Scale: the codebooks are ONE aggregation (k groups × dims) that
+   * collects a bounded k×dims matrix and broadcasts; encoding is a
+   * single shuffle-free scan.
+   */
+  def productQuantize(embs: DataFrame, m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    val v = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val matrix = v.groupBy((col("id") % k).as("b"))
+      .agg(vsum(col("v")).as("vs"), count(lit(1)).as("n"))
+      .select(col("b"), transform(col("vs"), x => x / col("n")).as("centroid"))
+      .collect()
+      .map(r => (r.getAs[Number]("b").longValue(), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    val bc = spark.sparkContext.broadcast(matrix)
+    val kk = matrix.length
+    val encode = udf { (vec: Seq[Double]) =>
+      val va = vec.toArray
+      val subdim = va.length / m
+      val codes = new Array[Long](m)
+      var err2 = 0.0
+      var j = 0
+      while (j < m) {
+        var bestB = -1
+        var bestD = Double.PositiveInfinity
+        var b = 0
+        while (b < kk) {
+          val c = bc.value(b)
+          var d = 0.0
+          var i = 0
+          while (i < subdim) {
+            val diff = va(j * subdim + i) - c(j * subdim + i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestB = b } // strict: lowest b wins ties
+          b += 1
+        }
+        codes(j) = bestB.toLong
+        err2 += bestD
+        j += 1
+      }
+      (codes.toSeq, math.sqrt(err2))
+    }
+    val encoded = v.withColumn("q", encode(col("v")))
+    encoded.select(
+      (col("id").as(idCol) +:
+        (0 until m).map(j => col("q._1")(j).as(s"code_$j")) :+
+        round(col("q._2"), 4).as("err")): _*)
+  }
+
+  /**
    * Random-projection dimensionality reduction (Johnson-Lindenstrauss
    * with ±1 Achlioptas planes): project `dims`-dim embeddings down to
    * `k` dims, out_j = Σ_i v[i]·w_ij. The plane signs are md5-derived

@@ -236,6 +236,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("productQuantize: codes select the nearest codeword, error is the residual") {
+    // 64-dim vectors in k=4 id-classes; vectors of the same class are
+    // identical, so every vector sits exactly ON its class codebook
+    // entry in every subspace → err 0 and codes = its class
+    val embs = (0L until 40L).map { i =>
+      (i, (0 until 64).map(d => math.sin((i % 4) * 64 + d)).toArray)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(embs, m = 8, k = 4).collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val codes = (1 to 8).map(r.getLong)
+      assert(codes.forall(_ === id % 4), s"vec $id coded $codes")
+      assert(r.getDouble(9) === 0.0, s"vec $id err ${r.getDouble(9)}")
+    }
+    // a perturbed vector must still map to its nearest class with err > 0
+    val noisy = Seq((99L, (0 until 64).map(d => math.sin(d) + 0.01).toArray))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.productQuantize(embs.unionAll(noisy), m = 8, k = 4)
+      .filter(col("vec_id") === 99L).collect()(0)
+    assert((1 to 8).map(enc.getLong).forall(_ === 0L))
+    assert(enc.getDouble(9) > 0.0)
+  }
+
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
     val docs = Seq(
       (1L, "a b a b c"), // both (a,b) occurrences merge
