@@ -375,6 +375,23 @@ object Dedup {
             simhash_md5_doc(lower(col(textCol)), shingleN).as("sk"))
       else docs.select(col(idCol).as("id"),
         simhash_doc(col(textCol), shingleN).as("sk"))
+    simhashPairsFromSketches(sk, maxHamming, maxBucket)
+  }
+
+  /**
+   * Candidate generation + verification over precomputed (id, sk)
+   * 64-bit sketches. Buckets over `maxBucket` are NOT dropped: their
+   * members re-bucket on the four 12-bit sub-pieces of the 48 bits
+   * OUTSIDE the shared chunk — a pair within hamming ≤ 3 that agrees
+   * on the chunk has ≤ 3 errors among those 48 bits, so at least one
+   * of 4 sub-pieces is error-free (pigeonhole again) and the pair
+   * meets in a sub-bucket ~4096× finer. Recall is exact for
+   * maxHamming ≤ 3; the residual cap on sub-buckets only drops
+   * content that is pathological at BOTH granularities.
+   */
+  def simhashPairsFromSketches(sk: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit chunking guarantees recall only for maxHamming <= 3")
     // posting lists carry (id, sk) structs so hamming verification
     // needs no join-back; the size filter replaces the old
     // window-count bucket cap (one shuffle fewer)
@@ -382,14 +399,38 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sk"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    chunks.groupBy("chunk_idx", "chunk")
+    val lists = chunks.groupBy("chunk_idx", "chunk")
       .agg(collect_list(col("x")).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
+    def pairsOf(listsDf: DataFrame): DataFrame = listsDf
       .select(explode(col("xs")).as("a"), col("xs"))
       .select(col("a"), explode(col("xs")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sk").as("ska"), col("b.sk").as("skb"))
+    val smallPairs = pairsOf(lists.filter(size(col("xs")).between(2, maxBucket)))
+    // oversized buckets: delete the shared chunk's 16 bits, split the
+    // 48-bit remainder into 4 sub-pieces, re-bucket
+    val skc = col("x.sk")
+    val remainder = when(col("chunk_idx") === 0, shiftrightunsigned(skc, 16))
+      .when(col("chunk_idx") === 1,
+        shiftleft(shiftrightunsigned(skc, 32), 16)
+          .bitwiseOR(skc.bitwiseAND(lit(0xffffL))))
+      .when(col("chunk_idx") === 2,
+        shiftleft(shiftrightunsigned(skc, 48), 32)
+          .bitwiseOR(skc.bitwiseAND(lit(0xffffffffL))))
+      .otherwise(skc.bitwiseAND(lit(0x0000ffffffffffffL)))
+    val bigPairs = pairsOf(
+      lists.filter(size(col("xs")) > maxBucket)
+        .select(col("chunk_idx"), col("chunk"), explode(col("xs")).as("x"))
+        .withColumn("rem", remainder)
+        .select(col("chunk_idx"), col("chunk"), col("x"),
+          posexplode(array((0 until 4).map(p =>
+            shiftrightunsigned(col("rem"), p * 12).bitwiseAND(lit(0xfffL))): _*)))
+        .withColumnRenamed("pos", "sub_idx").withColumnRenamed("col", "sub")
+        .groupBy("chunk_idx", "chunk", "sub_idx", "sub")
+        .agg(collect_list(col("x")).as("xs"))
+        .filter(size(col("xs")).between(2, maxBucket)))
+    smallPairs.unionByName(bigPairs)
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

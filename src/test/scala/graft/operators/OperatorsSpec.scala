@@ -236,6 +236,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("simhash oversized buckets refine by sub-pieces instead of dropping (recall kept)") {
+    // 600 sketches share chunk 0 (low 16 bits = 0) but are far apart
+    // elsewhere — the (0, 0) bucket exceeds maxBucket=500. A planted
+    // hamming-3 pair differs in one bit of EACH other chunk, so the
+    // only chunk it agrees on is the oversized one: the old drop-cap
+    // lost it; the sub-piece refinement must find it.
+    val crowd = (0L until 600L).map(i =>
+      (i, (i * 0x9E3779B97F4A7C15L) & 0xFFFFFFFFFFFF0000L))
+    val a = 0x00F00A0B0C0D0000L
+    val b = a ^ (1L << 19) ^ (1L << 35) ^ (1L << 51)
+    val sk = (crowd ++ Seq((9000L, a), (9001L, b))).toDF("id", "sk")
+    val pairs = Dedup.simhashPairsFromSketches(sk, maxHamming = 3, maxBucket = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (x, y, h) => x == 9000L && y == 9001L && h == 3L },
+      s"planted pair lost in the oversized bucket: ${pairs.toSeq}")
+  }
+
   test("productQuantize: codes select the nearest codeword, error is the residual") {
     // 64-dim vectors in k=4 id-classes; vectors of the same class are
     // identical, so every vector sits exactly ON its class codebook
