@@ -44,4 +44,27 @@ object DocumentStreams {
       .groupBy("source")
       .agg(count("*").as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"))
+
+  /**
+   * Continuous-ingest near-dup detection against a PERSISTENT MinHash
+   * index ([[graft.operators.Dedup.writeMinhashIndex]]): each
+   * micro-batch is checked via `foreachBatch` →
+   * [[graft.operators.Dedup.indexedNearDupPairs]] — per-batch cost
+   * tracks the batch, never the corpus, which is exactly the cost
+   * model a 100 TB/day ingest needs (the broadcast-path alternative
+   * rescans corpus text every batch). Detected pairs append to
+   * `outPath` parquet; the query handle is returned for
+   * awaitTermination/stop.
+   */
+  def streamingIndexDedup(docStream: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .indexedNearDupPairs(batch.toDF(), indexTable, threshold = threshold)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming index dedup: micro-batches probe the persistent index, pairs equal the batch path") {
+    import graft.operators.Dedup
+    val s = spark; import s.implicits._
+    val mk = (id: Long, seed: Long) =>
+      (id, (0 until 40).map(j => s"w${(seed * 40 + j) % 900}").mkString(" "),
+        "en", "src0", 200L)
+    val corpus = (0L until 150L).map(i => mk(i, i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Dedup.writeMinhashIndex(corpus, "graft_stream_idx")
+    // the arriving batch: one near-dup of corpus doc 23 + unrelated docs
+    val edited = mk(23L, 23L)._2.split(" ").updated(3, "EDITED").mkString(" ")
+    val batchRows = (Seq((5000L, edited, "en", "src0", 200L)) ++
+      (5001L to 5010L).map(i => mk(i, i + 7000)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxstream").toString
+    batchRows.coalesce(1).write.parquet(s"$dir/in")
+    val out = s"$dir/pairs"
+    val q = DocumentStreams.streamingIndexDedup(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"),
+      "graft_stream_idx", out, s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.indexedNearDupPairs(batchRows, "graft_stream_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === direct)
+    assert(streamed.exists { case (n, c, _) => n == 5000L && c == 23L },
+      s"planted near-dup not detected from the stream: $streamed")
+  }
+
   test("streaming decontamination: the batch operator runs unchanged on a doc stream") {
     // train side is a STREAM; the eval n-gram set is a broadcast
     // static — exactly the 100 TB ingest shape, and the operator
