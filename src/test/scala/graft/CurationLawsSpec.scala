@@ -95,6 +95,71 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("bpe law: segmentation conserves tokens; a reference greedy fold agrees") {
+    import graft.operators.TextAnalysis
+    // reference implementation: rank-ordered, left-to-right,
+    // non-overlapping merges over a unit list
+    def refSegment(text: String, merges: Seq[(String, String)]): List[List[String]] = {
+      var units = text.split(" ", -1).toList.map(List(_))
+      merges.foreach { case (x, y) =>
+        val out = scala.collection.mutable.ListBuffer.empty[List[String]]
+        var rest = units
+        while (rest.nonEmpty) rest match {
+          case u1 :: u2 :: tail if u1 == List(x) && u2 == List(y) =>
+            out += (u1 ++ u2); rest = tail
+          case u :: tail => out += u; rest = tail
+          case Nil => ()
+        }
+        units = out.toList
+      }
+      units
+    }
+    val mergeGen = Gen.listOfN(4, Gen.zip(vocab, vocab))
+    check("bpeRef", Prop.forAll(docGen, mergeGen) { (text, merges) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val row = TextAnalysis.bpeApply(df, merges.distinct).head()
+      val ref = refSegment(text, merges.distinct)
+      val refSeg = ref.map(_.mkString(" ")).mkString("|")
+      row.getAs[Long]("n_units") == ref.length.toLong &&
+        row.getAs[Long]("n_tokens") == ref.map(_.length).sum.toLong &&
+        row.getAs[String]("seg") == refSeg
+    })
+  }
+
+  test("pq law: codes are in range and identical vectors quantize with zero error") {
+    import graft.operators.Similarity
+    val vecGen = Gen.chooseNum(0, 3)
+    check("pqRange", Prop.forAll(Gen.listOfN(30, vecGen)) { classes =>
+      val embs = classes.zipWithIndex.map { case (c, i) =>
+        (i.toLong, (0 until 64).map(d => math.cos(c * 64 + d)).toArray)
+      }.toDF("vec_id", "embedding")
+      val out = Similarity.productQuantize(embs, m = 8, k = 4).collect()
+      out.forall { r =>
+        val codes = (1 to 8).map(r.getLong)
+        codes.forall(c => c >= 0 && c < 4) && r.getDouble(9) >= 0.0
+      }
+    })
+  }
+
+  test("index-dedup law: the persistent-index path equals the broadcast path") {
+    import graft.operators.Dedup
+    val seedGen = Gen.chooseNum(0, 1000)
+    check("indexEqBroadcast", Prop.forAll(seedGen) { seed =>
+      val mk = (id: Long, s: Long) =>
+        (id, (0 until 30).map(j => s"t${(s * 31 + j * 7) % 400}").mkString(" "))
+      val corpus = (0L until 60L).map(i => mk(i, i + seed)).toDF("doc_id", "text")
+      val batch = ((200L until 205L).map(i => mk(i, i + seed + 500)) :+
+        mk(299L, seed + 10L)) // 299 duplicates corpus doc 10's text
+        .toDF("doc_id", "text")
+      Dedup.writeMinhashIndex(corpus, "graft_law_idx", buckets = 8)
+      val viaIdx = Dedup.indexedNearDupPairs(batch, "graft_law_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaBc = Dedup.incrementalNearDupPairs(batch, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaIdx == viaBc && viaIdx.contains((299L, 10L))
+    })
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
