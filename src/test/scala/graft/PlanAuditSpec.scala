@@ -154,6 +154,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"edge/degree exchanges not reused across pagerank iterations:\n${p.take(4000)}")
   }
 
+  test("text_bpe_apply: segmentation is a shuffle-free scan (merge table rides the plan)") {
+    val p = plan("text_bpe_apply")
+    assert(!p.contains("Join"), s"apply stage joined against the merge table:\n$p")
+    assert(!p.contains("Exchange"), s"segmentation crossed a shuffle:\n$p")
+  }
+
+  test("emb_pq: encoding is a shuffle-free scan (codebooks broadcast, not joined)") {
+    val p = plan("emb_pq")
+    assert(!p.contains("Join"), s"encoding joined against the codebook:\n$p")
+    assert(!p.contains("Exchange"), s"encoding crossed a shuffle:\n$p")
+  }
+
   test("graph_communities: edges partitioned once — no per-round edge exchange") {
     val df = SparkEntry.queries("graph_communities")(spark, SparkTestSession.sfDir)
     df.collect()
