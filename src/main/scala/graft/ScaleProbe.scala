@@ -219,6 +219,16 @@ object ScaleProbe {
       // JL projection 64->16 over the full embedding corpus: one
       // shuffle-free scan
       time("jl_project")(Similarity.randomProjection(embs, k = 16).count()),
+      // PQ: 256-codeword books over 100k vecs — encode is one bounded
+      // aggregate + a shuffle-free scan; ADC search reads codes only
+      time("pq_encode")(Similarity.productQuantize(
+        embs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        m = 8, k = 256).count()),
+      time("pq_topk")(Similarity.pqTopK(
+        embs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        embs.filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        topk = 5, m = 8, k = 256).count()),
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),

@@ -1062,6 +1062,16 @@ object SparkEntry {
     Similarity.productQuantize(t(s, dir, "embeddings"), m = 8, k = 16)
 
   /**
+   * PQ asymmetric-distance ANN: top-5 neighbors for the first 10
+   * vectors scored from codes + codebooks only. Distances round to 6
+   * decimals before ranking so the SQL replay orders identically.
+   */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), topk = 5)
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -1340,6 +1350,7 @@ object SparkEntry {
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
     "emb_pq" -> (embPq _),
+    "ann_pq" -> (annPq _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
@@ -1783,6 +1794,30 @@ object SparkEntry {
         (0 until 8).map(j =>
           s"CAST(max(CASE WHEN j = $j THEN b END) AS BIGINT) AS code_$j, ").mkString +
         "round(sqrt(sum(d2)), 4) AS err FROM sel GROUP BY vec_id"),
+    // ADC search over the same codebooks/codes: a query scores a
+    // corpus vector by codebook lookups only; ranking on the
+    // 6-decimal-rounded distance (neighbor tie-break) matches the
+    // engine ordering exactly
+    "ann_pq" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "d AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
+        "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
+        "FROM v x, generate_series(1, 64) t(i) JOIN cent ce ON ce.i = t.i " +
+        "GROUP BY 1, 2, ce.b), " +
+        "best AS (SELECT vec_id, j, b, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM d), " +
+        "code AS (SELECT vec_id, j, b FROM best WHERE rn = 1), " +
+        "qd AS (SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id, " +
+        "sum((q.v[t.i] - ce.c) * (q.v[t.i] - ce.c)) AS raw " +
+        "FROM v q, code co JOIN cent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
+        "WHERE q.vec_id < 10 AND co.vec_id != q.vec_id " +
+        "AND (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (" +
+        "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"),
     "ann_bruteforce" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

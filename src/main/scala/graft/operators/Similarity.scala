@@ -289,53 +289,113 @@ object Similarity {
    * collects a bounded k×dims matrix and broadcasts; encoding is a
    * single shuffle-free scan.
    */
-  def productQuantize(embs: DataFrame, m: Int = 8, k: Int = 16,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = embs.sparkSession
+  /** Id-seeded PQ codebooks: one bounded aggregation → k rows × dims matrix. */
+  private def pqCodebooks(v: DataFrame, k: Int): Array[Array[Double]] = {
     val vsum = udaf(graft.functions.Aggregators.VecSum)
-    val v = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val matrix = v.groupBy((col("id") % k).as("b"))
+    v.groupBy((col("id") % k).as("b"))
       .agg(vsum(col("v")).as("vs"), count(lit(1)).as("n"))
       .select(col("b"), transform(col("vs"), x => x / col("n")).as("centroid"))
       .collect()
       .map(r => (r.getAs[Number]("b").longValue(), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
       .map(_._2)
+  }
+
+  /** Per-subspace nearest-codeword distance²; returns (codes, total err²). */
+  private def pqEncodeOne(va: Array[Double], m: Int,
+      books: Array[Array[Double]]): (Array[Long], Double) = {
+    val subdim = va.length / m
+    val codes = new Array[Long](m)
+    var err2 = 0.0
+    var j = 0
+    while (j < m) {
+      var bestB = -1
+      var bestD = Double.PositiveInfinity
+      var b = 0
+      while (b < books.length) {
+        val c = books(b)
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val diff = va(j * subdim + i) - c(j * subdim + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestB = b } // strict: lowest b wins ties
+        b += 1
+      }
+      codes(j) = bestB.toLong
+      err2 += bestD
+      j += 1
+    }
+    (codes, err2)
+  }
+
+  def productQuantize(embs: DataFrame, m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    val v = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val matrix = pqCodebooks(v, k)
     val bc = spark.sparkContext.broadcast(matrix)
     val kk = matrix.length
     val encode = udf { (vec: Seq[Double]) =>
-      val va = vec.toArray
-      val subdim = va.length / m
-      val codes = new Array[Long](m)
-      var err2 = 0.0
-      var j = 0
-      while (j < m) {
-        var bestB = -1
-        var bestD = Double.PositiveInfinity
-        var b = 0
-        while (b < kk) {
-          val c = bc.value(b)
-          var d = 0.0
-          var i = 0
-          while (i < subdim) {
-            val diff = va(j * subdim + i) - c(j * subdim + i)
-            d += diff * diff
-            i += 1
-          }
-          if (d < bestD) { bestD = d; bestB = b } // strict: lowest b wins ties
-          b += 1
-        }
-        codes(j) = bestB.toLong
-        err2 += bestD
-        j += 1
-      }
+      val (codes, err2) = pqEncodeOne(vec.toArray, m, bc.value)
       (codes.toSeq, math.sqrt(err2))
     }
+    require(kk > 0, "empty codebook")
     val encoded = v.withColumn("q", encode(col("v")))
     encoded.select(
       (col("id").as(idCol) +:
         (0 until m).map(j => col("q._1")(j).as(s"code_$j")) :+
         round(col("q._2"), 4).as("err")): _*)
+  }
+
+  /**
+   * PQ asymmetric-distance top-k (the FAISS-style ADC search): the
+   * corpus is held ONLY as PQ codes; a query scores a vector as
+   * Σ_j ||qsub_j − codebook[j][code_j]||² — codebook lookups, never
+   * the original corpus vectors. Distances round to 6 decimals before
+   * ranking (id tie-break) so any engine reproduces the order.
+   *
+   * Scale: corpus vectors compress m·log2(k) bits each, the scored
+   * scan reads codes not floats, queries broadcast — the shape that
+   * holds when the float corpus no longer fits anywhere.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topk: Int = 5,
+      m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
+    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
+    val codes = v.select(col("id").as("neighbor_id"), encode(col("v")).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val adc = udf { (qv: Seq[Double], codes: Seq[Long]) =>
+      val qa = qv.toArray
+      val subdim = qa.length / m
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        val c = bc.value(codes(j).toInt)
+        var i = 0
+        while (i < subdim) {
+          val diff = qa(j * subdim + i) - c(j * subdim + i)
+          d += diff * diff
+          i += 1
+        }
+        j += 1
+      }
+      d
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adc(col("qv"), col("codes")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
   }
 
   /**

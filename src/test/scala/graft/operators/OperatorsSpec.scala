@@ -277,6 +277,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(enc.getDouble(9) > 0.0)
   }
 
+  test("pqTopK: an exact duplicate ranks first by asymmetric distance") {
+    val base = (0L until 200L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d)).toArray)
+    }
+    val withDup = base :+ (999L, base(7)._2) // exact copy of vector 7
+    val embs = withDup.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(embs, embs.filter(col("vec_id") === 7L), topk = 300)
+      .orderBy("rank").collect()
+    // the duplicate shares vector 7's codes exactly, so its ADC
+    // distance equals 7's own quantization floor — no vector can score
+    // strictly closer (same-code vectors tie at the floor; PQ cannot
+    // separate inside a code cell, which is the codec's contract)
+    val dupDist = top.find(_.getLong(2) == 999L).get.getDouble(3)
+    assert(dupDist === top.head.getDouble(3),
+      s"something scored closer than the exact duplicate: ${top.take(3).toSeq}")
+  }
+
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
     val docs = Seq(
       (1L, "a b a b c"), // both (a,b) occurrences merge
