@@ -229,6 +229,13 @@ object ScaleProbe {
         embs.filter(col("vec_id") < 100)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         topk = 5, m = 8, k = 256).count()),
+      // IVF routing composed on top: each query ADC-scans only its
+      // nprobe/nlist fraction of the code table
+      time("ivfpq_topk")(Similarity.ivfPqTopK(
+        embs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        embs.filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        topk = 5, nlist = 256, nprobe = 16, m = 8, k = 256).count()),
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),

@@ -1072,6 +1072,16 @@ object SparkEntry {
   }
 
   /**
+   * IVF-PQ composition: coarse 32-list routing (nprobe=8) + ADC
+   * scoring over PQ codes inside the probed lists — FAISS's standard
+   * billion-scale index shape. Oracle replays both stages in SQL.
+   */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), topk = 5)
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -1351,6 +1361,7 @@ object SparkEntry {
     "emb_kmeans" -> (embKmeans _),
     "emb_pq" -> (embPq _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_centroid" -> (annCentroid _),
@@ -1848,6 +1859,41 @@ object SparkEntry {
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 4) AS cos " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, neighbor_id) AS rank FROM cand) WHERE rank <= 5"),
+    // IVF routing (ann_ivf's assign/probes) composed with PQ codes +
+    // ADC scoring (ann_pq's codebooks) — each corpus vector lives in
+    // exactly one list so each (query, neighbor) scores once
+    "ann_ivfpq" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+        "assign AS (SELECT vec_id, _b FROM (" +
+        "SELECT x.vec_id, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM v x, cent ct) WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS query_id, v AS qv, _b FROM (" +
+        "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM v x, cent ct WHERE x.vec_id < 10) WHERE rn <= 8), " +
+        "pcent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "pd AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
+        "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
+        "FROM v x, generate_series(1, 64) t(i) JOIN pcent ce ON ce.i = t.i " +
+        "GROUP BY 1, 2, ce.b), " +
+        "pbest AS (SELECT vec_id, j, b, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM pd), " +
+        "code AS (SELECT vec_id, j, b FROM pbest WHERE rn = 1), " +
+        "qd AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        "sum((p.qv[t.i] - ce.c) * (p.qv[t.i] - ce.c)) AS raw " +
+        "FROM probes p JOIN assign a ON p._b = a._b AND a.vec_id != p.query_id " +
+        "JOIN code co ON co.vec_id = a.vec_id " +
+        "JOIN pcent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
+        "WHERE (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (" +
+        "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"),
     // replays the md5-plane LSH: ±1 weights from md5('lsh:t:b:i'),
     // 4 tables × 8-bit buckets, candidates ranked by exact cosine
     "ann_lsh" ->

@@ -361,17 +361,10 @@ object Similarity {
    * scan reads codes not floats, queries broadcast — the shape that
    * holds when the float corpus no longer fits anywhere.
    */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, topk: Int = 5,
-      m: Int = 8, k: Int = 16,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
-    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
-    val codes = v.select(col("id").as("neighbor_id"), encode(col("v")).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val adc = udf { (qv: Seq[Double], codes: Seq[Long]) =>
+  /** Asymmetric distance Σ_j ||qsub_j − codebook[code_j]||² as a reusable UDF. */
+  private def adcUdf(m: Int,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (qv: Seq[Double], codes: Seq[Long]) =>
       val qa = qv.toArray
       val subdim = qa.length / m
       var d = 0.0
@@ -388,8 +381,56 @@ object Similarity {
       }
       d
     }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topk: Int = 5,
+      m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
+    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
+    val codes = v.select(col("id").as("neighbor_id"), encode(col("v")).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val adc = adcUdf(m, bc)
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adc(col("qv"), col("codes")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
+  }
+
+  /**
+   * IVF-PQ: the two scale levers composed, as FAISS ships them —
+   * coarse id-seeded centroids route each query to its `nprobe`
+   * nearest lists (IVF cuts the scanned fraction to ~nprobe/nlist),
+   * and vectors inside the probed lists are scored by asymmetric PQ
+   * distance over their codes (PQ cuts bytes-per-vector to
+   * m·log2(k) bits). The search scan touches codes and one list_id
+   * per vector — never the float corpus. Same determinism contract
+   * as [[pqTopK]]/[[ivfTopK]]: 6-decimal distance rounding before
+   * ranking, lowest-id tie-breaks everywhere.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topk: Int = 5,
+      nlist: Int = 32, nprobe: Int = 8, m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val topLists = coarseTopListsUdf(corpus, nlist, vecCol, idCol)
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
+    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
+    val assigned = v.select(col("id").as("neighbor_id"),
+      topLists(col("v"), lit(1))(0).as("list_id"), encode(col("v")).as("codes"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
+    val adc = adcUdf(m, bc)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    assigned.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(adc(col("qv"), col("codes")), 6))
       .withColumn("rank", row_number().over(w))
