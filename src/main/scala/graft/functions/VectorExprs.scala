@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -45,6 +45,50 @@ object VectorOps {
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
+  }
+
+  /** Called from generated code: PQ asymmetric distance (see [[PqAdcExpr]]). */
+  def pqAdc(qv: ArrayData, codes: ArrayData,
+      books: Array[Array[Double]], m: Int): Double = {
+    val subdim = qv.numElements() / m
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      val c = books(codes.getLong(j).toInt)
+      var i = 0
+      while (i < subdim) {
+        val diff = qv.getDouble(j * subdim + i) - c(j * subdim + i)
+        d += diff * diff
+        i += 1
+      }
+      j += 1
+    }
+    d
+  }
+
+  /**
+   * Called from generated code: ADC against PRECOMPUTED per-query
+   * distance tables — tables(q)(j)(b) = ||qsub_j − book[b]sub_j||²,
+   * so one code row scores against every query with m lookups per
+   * query (the standard PQ search trick; no query vector ever rides
+   * a scored row).
+   */
+  def pqAdcTables(codes: ArrayData,
+      tables: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](tables.length)
+    var q = 0
+    while (q < tables.length) {
+      val t = tables(q)
+      var d = 0.0
+      var j = 0
+      while (j < t.length) {
+        d += t(j)(codes.getLong(j).toInt)
+        j += 1
+      }
+      out(q) = d
+      q += 1
+    }
+    new GenericArrayData(out)
   }
 
   /**
@@ -274,10 +318,68 @@ case class Md5ProjExpr(child: Expression, k: Int, table: Int)
   override protected def withNewChildInternal(c: Expression): Md5ProjExpr = copy(child = c)
 }
 
+/**
+ * `pq_adc(queryVec, codes)` — PQ asymmetric distance: Σ over the m
+ * subspaces of ||qsub_j − codebook[code_j]||². The codebook matrix
+ * rides the plan as a codegen reference object (like the BPE merge
+ * table), so scoring stays inside whole-stage codegen with direct
+ * ArrayData access — no per-row Seq boxing, which dominates the
+ * equivalent Scala UDF at millions of scored pairs.
+ */
+case class PqAdcExpr(left: Expression, right: Expression,
+    books: Array[Array[Double]], m: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], books, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.pqAdc($a, $b, $ref, $m)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/**
+ * `pq_adc_tables(codes)` — one ADC distance per query from
+ * precomputed per-query distance tables ([[VectorOps.pqAdcTables]]);
+ * the tables ride the plan as a codegen reference object.
+ */
+case class PqAdcTablesExpr(child: Expression,
+    tables: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_tables"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.pqAdcTables(a.asInstanceOf[ArrayData], tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTables", tables, "double[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.pqAdcTables($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcTablesExpr = copy(child = c)
+}
+
 object VectorFunctions {
   /** Cosine similarity as a Column function (codegen'd, no UDF). */
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ asymmetric distance of a query vector against a code row. */
+  def pq_adc(queryVec: Column, codes: Column, books: Array[Array[Double]], m: Int): Column =
+    ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(queryVec),
+      ColumnBridge.expression(codes), books, m))
+
+  /** Per-query ADC distances of a code row against precomputed tables. */
+  def pq_adc_tables(codes: Column, tables: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcTablesExpr(ColumnBridge.expression(codes), tables))
 
   def rand_proj_bits(v: Column, k: Int = 16, seed: Long = 42L): Column =
     ColumnBridge.column(RandomProjExpr(ColumnBridge.expression(v), k, seed))

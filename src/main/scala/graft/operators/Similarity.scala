@@ -357,48 +357,52 @@ object Similarity {
    * the original corpus vectors. Distances round to 6 decimals before
    * ranking (id tie-break) so any engine reproduces the order.
    *
-   * Scale: corpus vectors compress m·log2(k) bits each, the scored
-   * scan reads codes not floats, queries broadcast — the shape that
-   * holds when the float corpus no longer fits anywhere.
+   * Scale: corpus vectors compress m·log2(k) bits each; per-query
+   * DISTANCE TABLES (m×k floats — the standard PQ search trick) are
+   * precomputed once and ride the plan, so the scored scan reads a
+   * code row and emits one 16-byte (query, distance) pair per query —
+   * no query vector ever rides a scored row, and top-k collapses via
+   * the two-phase heap plan, not a corpus-sized window sort.
    */
-  /** Asymmetric distance Σ_j ||qsub_j − codebook[code_j]||² as a reusable UDF. */
-  private def adcUdf(m: Int,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
-    udf { (qv: Seq[Double], codes: Seq[Long]) =>
-      val qa = qv.toArray
-      val subdim = qa.length / m
-      var d = 0.0
-      var j = 0
-      while (j < m) {
-        val c = bc.value(codes(j).toInt)
-        var i = 0
-        while (i < subdim) {
-          val diff = qa(j * subdim + i) - c(j * subdim + i)
-          d += diff * diff
-          i += 1
-        }
-        j += 1
-      }
-      d
-    }
-
   def pqTopK(corpus: DataFrame, queries: DataFrame, topk: Int = 5,
       m: Int = 8, k: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
+    val books = pqCodebooks(v, k)
+    val bc = spark.sparkContext.broadcast(books)
     val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
     val codes = v.select(col("id").as("neighbor_id"), encode(col("v")).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val adc = adcUdf(m, bc)
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    codes.crossJoin(broadcast(q))
+    // the query set is bounded by contract (it broadcasts in every ANN
+    // path); collect it once and precompute each query's m×k table
+    val qrows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val qids = qrows.map(_._1)
+    val tables: Array[Array[Array[Double]]] = qrows.map { case (_, qa) =>
+      val subdim = qa.length / m
+      Array.tabulate(m) { j =>
+        Array.tabulate(books.length) { b =>
+          var d = 0.0
+          var i = 0
+          while (i < subdim) {
+            val diff = qa(j * subdim + i) - books(b)(j * subdim + i)
+            d += diff * diff
+            i += 1
+          }
+          d
+        }
+      }
+    }
+    val scored = codes
+      .select(col("neighbor_id"), posexplode(pq_adc_tables(col("codes"), tables)))
+      .withColumn("query_id", element_at(typedLit(qids.toSeq), col("pos") + 1))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adc(col("qv"), col("codes")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topk)
+      .withColumn("adist", round(col("col"), 6))
+    val top = graft.relational.Relational.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("adist").asc, col("neighbor_id").asc), topk)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w)) // ranks only topk rows/query
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"))
   }
@@ -428,13 +432,13 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"),
         explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
-    val adc = adcUdf(m, bc)
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    assigned.join(broadcast(probes), "list_id")
+    val scored = assigned.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adc(col("qv"), col("codes")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topk)
+      .withColumn("adist", round(pq_adc(col("qv"), col("codes"), bc.value, m), 6))
+    val top = graft.relational.Relational.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("adist").asc, col("neighbor_id").asc), topk)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"))
   }
