@@ -1231,6 +1231,15 @@ object SparkEntry {
   private def corpusMix(s: SparkSession, dir: String): DataFrame =
     Curation.budgetMix(t(s, dir, "documents"), budgetTokens = 10000L)
 
+  /**
+   * Temperature-τ mixture (τ=0.3, flatter than sqrt): the standard
+   * multilingual/multi-source rebalancing lever (alloc ∝ t^τ). Same
+   * round6-before-floor discretization discipline as corpus_mix.
+   */
+  private def corpusMixTemp(s: SparkSession, dir: String): DataFrame =
+    Curation.budgetMix(t(s, dir, "documents"), budgetTokens = 10000L,
+      temperature = 0.3)
+
   /** Symmetric int8 embedding quantization: norm/scale/checksums per vector. */
   private def embQuantize(s: SparkSession, dir: String): DataFrame =
     Curation.quantizeEmbeddings(t(s, dir, "embeddings"))
@@ -1380,6 +1389,7 @@ object SparkEntry {
     "corpus_sample" -> (corpusSample _),
     "corpus_pack" -> (corpusPack _),
     "corpus_mix" -> (corpusMix _),
+    "corpus_mix_temp" -> (corpusMixTemp _),
     "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -2400,6 +2410,21 @@ object SparkEntry {
         "sw AS (SELECT list_sum(list(sqrt(toks) ORDER BY source)) AS sumw FROM tot), " +
         "thr AS (SELECT source, " +
         "CAST(floor(round(least(1.0, (10000 * sqrt(toks) / sumw) / toks), 6) * 16384) AS BIGINT) " +
+        "AS thr FROM tot, sw), " +
+        "k AS (SELECT t.source, t.ntok, thr.thr, " +
+        "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +
+        "FROM tok t JOIN thr ON t.source = thr.source) " +
+        "SELECT source, CAST(min(thr) AS BIGINT) AS thr, count(*) AS n_kept, " +
+        "sum(ntok) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
+    // τ=0.3 temperature mix: pow(toks, 0.3) weights; ulp differences
+    // between engines' pow are absorbed by the round6-before-floor
+    "corpus_mix_temp" ->
+      ("WITH tok AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+        "tot AS (SELECT source, sum(ntok) AS toks FROM tok GROUP BY source), " +
+        "sw AS (SELECT list_sum(list(pow(toks, 0.3) ORDER BY source)) AS sumw FROM tot), " +
+        "thr AS (SELECT source, " +
+        "CAST(floor(round(least(1.0, (10000 * pow(toks, 0.3) / sumw) / toks), 6) * 16384) AS BIGINT) " +
         "AS thr FROM tot, sw), " +
         "k AS (SELECT t.source, t.ntok, thr.thr, " +
         "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +

@@ -219,18 +219,26 @@ object Curation {
    */
   def budgetMix(docs: DataFrame, budgetTokens: Long,
       textCol: String = "text", sourceCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", temperature: Double = 0.5): DataFrame = {
+    // temperature generalizes the smoothing: w_s = t_s^τ. τ=1 is
+    // proportional sampling, τ→0 uniform across sources, τ=0.5 the
+    // sqrt default. sqrt stays the τ=0.5 code path — it is correctly
+    // rounded where pow(x, 0.5) is not guaranteed to be, and the
+    // oracle replays sqrt() for the default query.
+    def w(t: Long): Double =
+      if (temperature == 0.5) math.sqrt(t.toDouble)
+      else math.pow(t.toDouble, temperature)
     val withTok = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
       size(split(col(textCol), " ")).cast("long").as("ntok"))
     val totals = withTok.groupBy("source").agg(sum("ntok").as("toks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val sumW = totals.map { case (_, t) => math.sqrt(t.toDouble) }.sum
+    val sumW = totals.map { case (_, t) => w(t) }.sum
     // the rate is rounded to 6 decimals BEFORE the 16384-bucket floor so
     // any engine replaying the fold lands on the same side of the
     // threshold boundary (a last-ulp difference at a floor edge would
     // otherwise shift every downstream count for that source)
     val thrMap = totals.map { case (s, t) =>
-      val rate = math.min(1.0, (budgetTokens * math.sqrt(t.toDouble) / sumW) / t)
+      val rate = math.min(1.0, (budgetTokens * w(t) / sumW) / t)
       s -> math.floor(round6(rate) * 16384).toLong
     }.toMap
     // map-literal lookup, not a chained when(): O(1) plan depth however
