@@ -815,11 +815,12 @@ object SparkEntry {
    */
   private def pipelineFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-    val lang = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+    // quality and language are narrow per-row expressions — attach them as
+    // columns on the deduped scan instead of joining them back by doc_id
+    // (saves two shuffled joins over the full corpus).
     Dedup.dropNearDups(docs, n = 5, threshold = 0.7)
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+      .withColumn("pred_lang", TextAnalysis.predLangCol(col("text")))
       .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
       .groupBy("source")
       .agg(count("*").as("n_docs"), round(avg("quality"), 4).as("avg_quality"))

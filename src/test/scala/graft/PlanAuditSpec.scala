@@ -82,6 +82,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "typed pipeline read more than the two referenced columns")
   }
 
+  test("pipeline_filter: quality/lang gates are scan columns, not per-doc joins") {
+    // The composed pipeline must add exactly zero joins over its dedup
+    // core (dedup_corpus runs the same dropNearDups): quality and
+    // language are narrow expressions attached to the surviving scan.
+    def joins(p: String): Int = "(?m)Join".r.findAllIn(p).length
+    assert(joins(plan("pipeline_filter")) == joins(plan("dedup_corpus")),
+      "pipeline_filter re-joined per-doc signal columns instead of computing them inline")
+  }
+
   test("text_decontaminate: eval n-gram set broadcasts; corpus side never sort-merges") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle set not broadcast")
