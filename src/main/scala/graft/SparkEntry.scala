@@ -1138,6 +1138,39 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(s, dir, "documents"))
 
+  /** Fully-distributed bigram LM (α=0.5): the no-driver-state scale path above the unigram proxy. */
+  private def textBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+
+  /** Hashed linear classifier scoring (hashing trick over md5 buckets, deterministic stub weights). */
+  private def textClassify(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(t(s, dir, "documents"))
+
+  /** Quality-aware near-dup resolution: keep the best-quality member of each cluster. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.keepBestPerCluster(docs, TextAnalysis.qualityCol(col("text")))
+  }
+
+  /**
+   * Per-source quality gate as a rank cut ("keep the 25 best docs of
+   * every source"): the discrete form of top-p% filtering — exact
+   * cross-engine (no interpolated-percentile float hazard) and it
+   * runs on the custom two-phase heap operator: map-side per-source
+   * heaps, then one exchange of ≤ k·sources rows — never a global or
+   * per-partition sort of the corpus.
+   */
+  private def corpusQualityTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+    graft.relational.Relational.topKPerKey(
+      docs,
+      keys = Seq(col("source")),
+      order = Seq(col("quality").desc, col("doc_id").asc),
+      k = 25)
+      .select(col("source"), col("doc_id"), col("quality"))
+  }
+
   /**
    * Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics — the
    * engine rejects UNION inside recursion, so cyclic-graph closure
@@ -1381,6 +1414,10 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_bigram_lm" -> (textBigramLm _),
+    "text_classify" -> (textClassify _),
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "corpus_quality_topk" -> (corpusQualityTopk _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -1941,6 +1978,48 @@ object SparkEntry {
         "FROM best WHERE rn = 1 GROUP BY 1, 2"),
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
+    // add-α bigram LM, replayed with the identical count tables and
+    // smoothing arithmetic (docs with < 2 tokens have no bigrams and
+    // drop from both engines)
+    "text_bigram_lm" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok, " +
+        "UNNEST(generate_series(1, len(w) - 1)) AS t(i)), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT t AS tk, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1), " +
+        "vs AS (SELECT count(*) * 1.0 AS v FROM c1), " +
+        "sc AS (SELECT bg.doc_id, -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vs.v)) AS nll " +
+        "FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2 " +
+        "JOIN c1 ON bg.w1 = c1.tk, vs) " +
+        "SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS bigram_nll " +
+        "FROM sc GROUP BY doc_id"),
+    // hashed linear classifier: bucket = low 10 bits of md5lo64
+    // (= last 4 hex chars of the first 8 md5 bytes mod 1024); the
+    // label compares the exact ordered fold, not the rounded sigmoid
+    "text_classify" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, len(w) AS n, list_reduce(list_prepend(0.0, list_transform(w, " +
+        "x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)::BIGINT * 2654435761 + 7) " +
+        "% 2000001) / 1000000.0 - 1.0))), (a, b) -> a + b) AS wsum FROM tok) " +
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-(wsum / n))), 4) AS clf_score, " +
+        "wsum >= 0 AS clf_label FROM s"),
+    // near-dup clusters resolved to their best-quality representative
+    "dedup_keep_best" ->
+      ("SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality, " +
+        "nm AS n_members, nm - 1 AS n_dropped FROM (" +
+        "SELECT cl.cluster_id, cl.doc_id, q.quality, " +
+        "row_number() OVER (PARTITION BY cl.cluster_id " +
+        "ORDER BY q.quality DESC, cl.doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
+        "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
+        "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // per-source rank cut (the discrete top-p% quality gate)
+    "corpus_quality_topk" ->
+      ("WITH src AS (SELECT d.source, qq.doc_id, qq.quality FROM (" + qualitySql + ") qq " +
+        "JOIN documents d ON qq.doc_id = d.doc_id), " +
+        "r AS (SELECT source, doc_id, quality, row_number() OVER " +
+        "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM src) " +
+        "SELECT source, doc_id, quality FROM r WHERE rn <= 25"),
     // the composed training-data pipeline: quality + language gates,
     // near-dup removal, per-source rollup
     "pipeline_filter" ->

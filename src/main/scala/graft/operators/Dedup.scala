@@ -509,6 +509,34 @@ object Dedup {
     docs.join(dropped, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /**
+   * Quality-aware representative selection: for each near-dup cluster,
+   * keep the member that maximizes `quality` (min doc id on ties)
+   * instead of [[dropNearDups]]'s min-id convention — the real
+   * curation decision ("of these N near-identical pages, keep the
+   * best-written one"). One aggregation over the clustered docs: the
+   * argmax rides a struct-max (quality, -id), so no per-cluster sort
+   * or window is ever materialized. Scale: cluster count ≪ corpus;
+   * the agg shuffles only clustered docs, not the corpus.
+   */
+  def keepBestPerCluster(docs: DataFrame, quality: Column, n: Int = 5,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = dupClusters(ngramJaccardPairs(docs, n, threshold, textCol, idCol))
+    clusters
+      .join(docs.select(col(idCol).as("doc_id"), quality.as("q")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"),
+        (-col("best.neg_id")).cast("long").as("kept_doc_id"),
+        col("best.q").as("kept_quality"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
+
   /** Path-compressed union-find over a collected edge list (small-graph fast path). */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -248,6 +248,73 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model scoring with add-α smoothing — the
+   * next-fidelity step above [[unigramLmScore]]'s CCNet-style proxy.
+   * Unlike the unigram path (bounded vocab broadcast to the driver),
+   * the bigram table is kept FULLY DISTRIBUTED as data: doc bigrams
+   * join the corpus bigram/context-count tables on their keys and
+   * re-group per doc. No driver-side state exists at any corpus
+   * size — the scale path when even a capped vocabulary is too big
+   * (bigram types grow ~quadratically in vocabulary).
+   * P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), scored as per-doc mean
+   * negative log-likelihood over its bigrams (docs with < 2 tokens
+   * have no bigrams and drop, as in the oracle).
+   */
+  def bigramLmScore(docs: DataFrame, alpha: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val idxs = when(n >= 2, sequence(lit(1), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val bgs = transform(idxs, i =>
+      struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val bg = docs.select(col(idCol), explode(bgs).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = docs.select(explode(w).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, col("w1") === col("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v")))).as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("bigram_nll"))
+  }
+
+  /**
+   * Hashed-linear-classifier scoring (the fastText-style quality-
+   * classifier shape used to filter web corpora): each token maps to
+   * one of `buckets` feature buckets via the cross-engine md5lo64
+   * hash (hashing trick — no vocabulary exists anywhere), the model
+   * is a dense weight vector indexed by bucket, and the doc score is
+   * sigmoid(mean bucket weight). Single narrow pass: the fold runs
+   * inside the scan, nothing shuffles, no model state leaves the
+   * plan. The WEIGHTS here are a deterministic stub (derived from the
+   * bucket index — the sandbox trains no real model); swapping in
+   * learned weights is a literal-array substitution with identical
+   * plumbing. `buckets` must be a power of two (bucket = low bits of
+   * the hash, replayable in any SQL engine).
+   */
+  def classifierScore(docs: DataFrame, buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val w = tokens(col(textCol))
+    def weight(tok: Column): Column = {
+      val bucket = md5lo64(tok).bitwiseAND(lit((buckets - 1).toLong))
+      ((bucket * lit(2654435761L) + lit(7L)) % lit(2000001L)) / lit(1000000.0) - lit(1.0)
+    }
+    val wsum = aggregate(transform(w, weight _), lit(0.0), (a, x) => a + x)
+    docs.select(
+      col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-(wsum / size(w)))), 4).as("clf_score"),
+      // sigmoid(z) >= 0.5 ⟺ z >= 0 ⟺ wsum >= 0: the label compares the
+      // exact ordered fold, never the engine-specific exp()
+      (wsum >= 0).as("clf_label"))
+  }
+
+  /**
    * Train a word-level BPE merge table: ONE pair-counting round over
    * the corpus, top-`nMerges` adjacent-token pairs by (count desc,
    * pair asc). The count is a single shuffle of fused one-pass bigram

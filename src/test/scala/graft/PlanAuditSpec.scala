@@ -82,6 +82,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "typed pipeline read more than the two referenced columns")
   }
 
+  test("corpus_quality_topk: rank cut runs on the two-phase heap, never a sort or window") {
+    val p = plan("corpus_quality_topk")
+    assert(p.contains("TopKPerKey"), "per-source rank cut not lowered to the heap operator")
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      s"quality gate materialized a sort/window over the corpus:\n$p")
+  }
+
+  test("text_bigram_lm: LM tables stay distributed — vocab-size side broadcasts, no driver state") {
+    val p = plan("text_bigram_lm")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row vocab-size frame should broadcast")
+  }
+
   test("pipeline_filter: quality/lang gates are scan columns, not per-doc joins") {
     // The composed pipeline must add exactly zero joins over its dedup
     // core (dedup_corpus runs the same dropNearDups): quality and

@@ -374,6 +374,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d0.getAs[Double]("quality") > 0 && d0.getAs[Double]("quality") <= 1.0)
   }
 
+  test("bigramLmScore: repeated bigrams score lower nll than unique-bigram noise") {
+    val corpus = Seq(
+      (1L, "a b a b a b a b a b a b"),      // one dominant bigram pattern
+      (2L, "q w e r t y u i o p z x"),      // every bigram unique
+      (3L, "solo")                           // < 2 tokens: no bigrams, drops
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(3L), "a 1-token doc has no bigrams and must drop")
+    assert(got(1L).getAs[Double]("bigram_nll") < got(2L).getAs[Double]("bigram_nll"),
+      "the repeated-pattern doc must be more probable under the corpus bigram LM")
+    assert(got(1L).getAs[Long]("n_bigrams") === 11L)
+  }
+
+  test("classifierScore: deterministic, bounded, and label-consistent") {
+    val scored = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("clf_score"), r.getAs[Boolean]("clf_label")))
+    assert(scored.length === 5)
+    scored.foreach { case (_, s, _) => assert(s > 0.0 && s < 1.0) }
+    // exact-dup docs 0 and 1 hash to identical features -> identical score
+    val byId = scored.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 === byId(1L)._2 && byId(0L)._3 === byId(1L)._3)
+    // rerun is bit-identical (no volatile state in the plan)
+    val again = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("clf_score"))).toMap
+    scored.foreach { case (id, s, _) => assert(again(id) === s) }
+  }
+
+  test("keepBestPerCluster keeps the max-quality member (min id on quality ties)") {
+    val kept = Dedup.keepBestPerCluster(docs, TextAnalysis.qualityCol(col("text"))).collect()
+    assert(kept.length === 1, "fixture has exactly one near-dup cluster {0,1,2}")
+    val row = kept.head
+    assert(row.getAs[Long]("n_members") === 3L)
+    assert(row.getAs[Long]("n_dropped") === 2L)
+    // expected representative from the quality operator directly
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val members = Seq(0L, 1L, 2L)
+    val best = members.maxBy(id => (q(id), -id))
+    assert(row.getAs[Long]("kept_doc_id") === best)
+    assert(row.getAs[Double]("kept_quality") === q(best))
+  }
+
   test("langId prefers the language whose markers dominate") {
     val multi = Seq(
       (1L, "the cat and the dog of the house is big"),
