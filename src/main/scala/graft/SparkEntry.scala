@@ -1146,6 +1146,14 @@ object SparkEntry {
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
+  /** Per-doc duplication fraction: share of a doc's shingles seen in other docs. */
+  private def textDupFraction(s: SparkSession, dir: String): DataFrame =
+    Curation.dupFraction(t(s, dir, "documents"))
+
+  /** Source×source shared-shingle matrix (cross-source contamination governance). */
+  private def corpusOverlapMatrix(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlapMatrix(t(s, dir, "documents"))
+
   /** Quality-aware near-dup resolution: keep the best-quality member of each cluster. */
   private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1418,6 +1426,8 @@ object SparkEntry {
     "text_classify" -> (textClassify _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "corpus_quality_topk" -> (corpusQualityTopk _),
+    "text_dup_fraction" -> (textDupFraction _),
+    "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2013,6 +2023,27 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
         "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
         "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // per-doc duplication fraction over distinct 5-gram shingles
+    // (engine joins 8-byte shingle hashes; collision-free at fixture
+    // scale, same assumption as the jaccard oracles)
+    "text_dup_fraction" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), " +
+        "j AS (SELECT sh.doc_id, dfreq.df FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac " +
+        "FROM j GROUP BY doc_id"),
+    // source×source distinct-shared-shingle counts
+    "corpus_overlap_matrix" ->
+      ("WITH tok AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source " +
+        "GROUP BY 1, 2"),
     // per-source rank cut (the discrete top-p% quality gate)
     "corpus_quality_topk" ->
       ("WITH src AS (SELECT d.source, qq.doc_id, qq.quality FROM (" + qualitySql + ") qq " +

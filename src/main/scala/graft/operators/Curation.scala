@@ -283,6 +283,53 @@ object Curation {
   }
 
   // -------------------------------------------------------------------------
+  // Duplication governance signals
+  // -------------------------------------------------------------------------
+
+  /**
+   * Per-document duplication fraction (the RefinedWeb/Dolma curation
+   * signal): the share of a doc's distinct n-gram shingles that also
+   * appear in at least one other doc. Unlike pair-based dedup this is
+   * a per-doc SCORE — pipelines threshold it ("drop docs that are
+   * > 60 % boilerplate") without materializing any pair graph.
+   * Scale: shingles are 8-byte hashes from the one-pass scan
+   * expression; the doc-frequency table and the re-join shuffle only
+   * (hash, count) rows — no text ever moves.
+   */
+  def dupFraction(docs: DataFrame, n: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingle_hashes(col(textCol), n)).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_dup"),
+        round(col("n_dup") / col("n_shingles"), 4).as("dup_frac"))
+  }
+
+  /**
+   * Source-overlap matrix (corpus governance): for every pair of
+   * sources, how many distinct n-gram shingles they share — the
+   * aggregate view of cross-source contamination (a high cell says
+   * two "different" sources are republishing the same text). One
+   * distinct projection to (source, shingle-hash), then a shingle-
+   * keyed self-join: per-shingle work is bounded by sources², and
+   * sources are few, so the join output is posting-list sized.
+   */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 5, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val sh = docs.select(col(srcCol).as("src"),
+      explode(shingle_hashes(col(textCol), n)).as("sh")).distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // -------------------------------------------------------------------------
   // Embedding quantization
   // -------------------------------------------------------------------------
 

@@ -417,6 +417,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kept_quality") === q(best))
   }
 
+  test("dupFraction: exact dups score 1.0, unique docs 0.0") {
+    val got = Curation.dupFraction(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    assert(got(0L) === 1.0 && got(1L) === 1.0, "every shingle of an exact dup is shared")
+    assert(got(2L) > 0.5 && got(2L) < 1.0, "near dup shares most but not all shingles")
+    assert(got(3L) === 0.0 && got(4L) === 0.0, "unique docs share nothing")
+  }
+
+  test("sourceOverlapMatrix counts distinct shared shingles per source pair") {
+    val frame = Seq(
+      (1L, "one two three four five six seven", "sA"),
+      (2L, "one two three four five six seven", "sB"),   // full overlap with sA
+      (3L, "alpha beta gamma delta epsilon zeta eta", "sC")
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.sourceOverlapMatrix(frame).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared")).toMap
+    assert(m === Map(("sA", "sB") -> 3L), "7 tokens -> 3 distinct 5-gram shingles, sC disjoint")
+  }
+
   test("langId prefers the language whose markers dominate") {
     val multi = Seq(
       (1L, "the cat and the dog of the house is big"),
