@@ -59,11 +59,14 @@ object Graph {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iters) {
+      // one shuffle per round: mode(deterministic = true) is the
+      // neighbor-label mode with the lowest label on frequency ties —
+      // exactly the (count desc, label asc) argmax, but as a single
+      // aggregate (map-side partial label→count maps combine before
+      // the exchange) instead of a count shuffle + an argmax shuffle
       labels = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("node2"))
-        .agg(min_by(col("label"), struct(-col("cnt"), col("label"))).as("label"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
         .select(col("node2").as("node"), col("label"))
       if (i % materializeEvery == 0 && i < iters) labels = labels.localCheckpoint()
     }
