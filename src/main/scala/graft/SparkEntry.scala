@@ -263,6 +263,10 @@ object SparkEntry {
   private def qClickToPurchase(s: SparkSession, dir: String): DataFrame =
     EventStreams.clickToPurchaseStats(t(s, dir, "events"))
 
+  /** Streaming leaderboard batch twin: per-hour top-3 users on the custom heap operator. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
+    EventStreams.topUsersPerWindow(EventStreams.windowUserCounts(t(s, dir, "events")))
+
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
     EventStreams.streamingSessions(t(s, dir, "events"))
       .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
@@ -1355,6 +1359,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
+    "stream_topk" -> (qStreamTopk _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_curate" -> (qStreamCurate _),
@@ -1785,6 +1790,13 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) " +
         "SELECT user_id, date_trunc('second', min(ts)) AS session_start, count(*) AS n_events " +
         "FROM s GROUP BY user_id, session_id"),
+    // per-hour top-3 users by activity (streaming leaderboard twin)
+    "stream_topk" ->
+      ("WITH c AS (SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT win_start, user_id, n, row_number() OVER " +
+        "(PARTITION BY win_start ORDER BY n DESC, user_id) AS rn FROM c) " +
+        "SELECT win_start, user_id, n FROM r WHERE rn <= 3"),
     "stream_click_purchase" ->
       ("SELECT c.user_id, count(*) AS n_conversions, " +
         "round(avg((epoch_ms(p.ts) - epoch_ms(c.ts)) / 1000.0), 4) AS avg_delay_s " +

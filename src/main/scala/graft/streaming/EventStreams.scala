@@ -46,6 +46,35 @@ object EventStreams {
   }
 
   /**
+   * Per-window user activity counts — the counting stage of the
+   * streaming leaderboard. Watermark-bounded windowed aggregate;
+   * runs identically on a batch or streaming frame.
+   */
+  def windowUserCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n"))
+  }
+
+  /**
+   * Top-`k` users per window by activity (the streaming leaderboard's
+   * rank cut), lowered to the custom two-phase heap operator
+   * ([[graft.plans.TopKPerKey]]): map-side per-window heaps, one
+   * exchange of ≤ k·windows rows — never a sort or a window function
+   * over the counts. On a stream, apply it per micro-batch via
+   * foreachBatch over the windowed aggregate (StreamingSpec proves
+   * the streamed leaderboard equals this batch path).
+   */
+  def topUsersPerWindow(counts: DataFrame, k: Int = 3): DataFrame =
+    graft.relational.Relational.topKPerKey(
+      counts,
+      keys = Seq(col("win_start")),
+      order = Seq(col("n").desc, col("user_id").asc),
+      k = k)
+
+  /**
    * Session windows (gap-based) per user — streaming native via
    * `session_window`; state size bounded by the watermark.
    */

@@ -336,6 +336,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk === batch)
   }
 
+  test("streaming leaderboard: per-batch heap top-k over the windowed counts equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topksrc").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-topkout").toString + "/lead"
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowUserCounts(stream).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.topUsersPerWindow(batch).write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.topUsersPerWindow(
+      EventStreams.windowUserCounts(Tables.events(spark, SparkTestSession.sfDir)))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("RocksDB state store: streamed session windows equal the batch result") {
     // the production state backend at 100 TB (state spills off-heap to
     // local SST files instead of living in executor memory)
