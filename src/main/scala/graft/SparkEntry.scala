@@ -1058,6 +1058,14 @@ object SparkEntry {
   private def embKmeans(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansCensus(t(s, dir, "embeddings"), k = 8, iters = 3)
 
+  /** Per-cluster simplified silhouette over the deterministic k-means assignment. */
+  private def embSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouette(t(s, dir, "embeddings"), k = 8, iters = 3)
+
+  /** Vocabulary coverage curve: types needed to cover 50/90/99 % of token mass. */
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"))
+
   /**
    * Product quantization (8 subspaces × 16 codewords over 64 dims):
    * per-vector PQ codes + reconstruction error. The oracle replays
@@ -1415,6 +1423,8 @@ object SparkEntry {
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
+    "emb_silhouette" -> (embSilhouette _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "emb_pq" -> (embPq _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
@@ -2404,6 +2414,37 @@ object SparkEntry {
         "SELECT a3.cl, count(*) AS n_members, " +
         "round(avg(list_cosine_similarity(a3.v, cf.centroid)), 4) AS mean_cos " +
         "FROM a3 JOIN cf ON a3.cl = cf.fcl GROUP BY a3.cl"),
+    // simplified silhouette over the replayed 3-round k-means: per
+    // vector a = dist to own centroid, b = min dist to another
+    "emb_silhouette" ->
+      ("WITH va AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cl FROM va), " +
+        kmRound("c1", "a1", "a0") + kmRound("c2", "a2", "a1") +
+        kmRound("c3", "a3", "a2") +
+        "cf AS (SELECT cl AS fcl, list(cv ORDER BY i) AS centroid FROM (" +
+        "SELECT cl, i, avg(v[i]) AS cv FROM a3, generate_series(1, 64) t(i) " +
+        "GROUP BY cl, i) GROUP BY cl), " +
+        "d AS (SELECT a3.vec_id, a3.cl, cf.fcl, " +
+        "1.0 - list_cosine_similarity(a3.v, cf.centroid) AS dist FROM a3, cf), " +
+        "ab AS (SELECT vec_id, cl, max(CASE WHEN cl = fcl THEN dist END) AS a, " +
+        "min(CASE WHEN cl <> fcl THEN dist END) AS b FROM d GROUP BY vec_id, cl), " +
+        "sil AS (SELECT cl, CASE WHEN greatest(a, b) = 0 THEN 0.0 " +
+        "ELSE (b - a) / greatest(a, b) END AS s FROM ab) " +
+        "SELECT cl, count(*) AS n_members, round(avg(s), 4) AS mean_sil " +
+        "FROM sil GROUP BY cl"),
+    // coverage thresholds are exact integer comparisons (cum*100 >= p*total)
+    "text_vocab_coverage" ->
+      ("WITH f AS (SELECT tok, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1), " +
+        "c AS (SELECT tok, cnt, CAST(sum(cnt) OVER w AS BIGINT) AS cum_tokens, " +
+        "row_number() OVER w AS rank, CAST(sum(cnt) OVER () AS BIGINT) AS total FROM f " +
+        "WINDOW w AS (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING)), " +
+        "p AS (SELECT pct, rank, cum_tokens, total FROM (VALUES (50), (90), (99)) t(pct), c " +
+        "WHERE cum_tokens * 100 >= pct * total) " +
+        "SELECT pct::BIGINT AS pct, min(rank) AS k_types, " +
+        "CAST(min_by(cum_tokens, rank) AS BIGINT) AS covered_tokens, " +
+        "round(min_by(cum_tokens, rank) * 1.0 / min(total), 6) AS coverage " +
+        "FROM p GROUP BY 1"),
     // replays the full recall measurement: md5-plane projection, exact
     // 64-dim top-5, projected 16-dim top-5, per-query intersection
     "emb_recall" ->

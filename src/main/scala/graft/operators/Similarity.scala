@@ -276,6 +276,45 @@ object Similarity {
   }
 
   /**
+   * Centroid-based (simplified) silhouette over the [[kmeansAssign]]
+   * clustering — the standard compactness/separation report without
+   * any O(n²) pairwise work: per vector, a = cosine distance to its
+   * OWN centroid, b = min cosine distance to any OTHER centroid,
+   * s = (b − a) / max(a, b) (0 when both distances are 0). Reported
+   * as the per-cluster mean. Scale: the k×dims centroid matrix
+   * broadcasts; scoring computes k distances per vector inside one
+   * shuffle-free scan (no corpus×k row expansion), then a k-group
+   * aggregate.
+   */
+  def silhouette(embs: DataFrame, k: Int = 8, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = embs.sparkSession
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    val assigned = kmeansAssign(embs, k, iters, vecCol, idCol)
+    val matrix = assigned.groupBy("cl")
+      .agg(vsum(col("v")).as("vs"), count(lit(1)).as("n"))
+      .select(col("cl"), transform(col("vs"), x => x / col("n")).as("centroid"))
+      .collect()
+      .map(r => (r.getAs[Number]("cl").longValue(), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(matrix)
+    val sil = udf { (v: Seq[Double], cl: Long) =>
+      val va = v.toArray
+      var a = 0.0
+      var bMin = Double.PositiveInfinity
+      bc.value.foreach { case (c, cent) =>
+        val d = 1.0 - cosineArr(va, cent)
+        if (c == cl) a = d else if (d < bMin) bMin = d
+      }
+      val m = math.max(a, bMin)
+      if (m == 0.0) 0.0 else (bMin - a) / m
+    }
+    assigned.withColumn("s", sil(col("v"), col("cl")))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"), round(avg("s"), 4).as("mean_sil"))
+  }
+
+  /**
    * Product quantization: split each `dims`-dim vector into `m`
    * subvectors, learn a k-entry codebook per subspace (one
    * deterministic Lloyd step from the id-partition seeding — the same

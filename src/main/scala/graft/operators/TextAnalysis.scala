@@ -284,6 +284,36 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary coverage curve (the tokenizer-design statistic): for
+   * each target percentage p, the smallest number of top-frequency
+   * token TYPES whose occurrences cover ≥ p % of all corpus tokens.
+   * Frequency ranking and running totals ride
+   * [[graft.relational.Relational.cumulativeSums]] — a distributed
+   * range-partitioned cumulative sum over the (vocab-sized, ≪ corpus)
+   * frequency table, never a single-task global window. The p-
+   * threshold test is exact integer arithmetic (cum·100 ≥ p·total),
+   * so both engines agree at every boundary.
+   */
+  def vocabCoverage(docs: DataFrame, pcts: Seq[Int] = Seq(50, 90, 99),
+      textCol: String = "text"): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val cum = graft.relational.Relational.cumulativeSums(
+      freq, Seq(col("cnt").desc, col("tok").asc),
+      Seq((col("cnt"), "cum_tokens"), (lit(1L), "rank")))
+    val total = freq.agg(sum("cnt").as("total"))
+    cum.crossJoin(broadcast(total))
+      .select(explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"),
+        col("rank"), col("cum_tokens"), col("total"))
+      .filter(col("cum_tokens") * 100 >= col("pct") * col("total"))
+      .groupBy("pct")
+      .agg(
+        min("rank").as("k_types"),
+        min_by(col("cum_tokens"), col("rank")).as("covered_tokens"),
+        round(min_by(col("cum_tokens"), col("rank")) / first(col("total")), 6).as("coverage"))
+  }
+
+  /**
    * Hashed-linear-classifier scoring (the fastText-style quality-
    * classifier shape used to filter web corpora): each token maps to
    * one of `buckets` feature buckets via the cross-engine md5lo64

@@ -31,4 +31,46 @@ object Relational {
     ColumnBridge.ofRows(spark,
       TopKPerKey(keys.map(ColumnBridge.eagerExpression), sortOrders, k, df.queryExecution.logical))
   }
+
+  /**
+   * Distributed GLOBAL running totals: long-typed cumulative sums of
+   * `values` over the total order `order`, without ever collapsing to
+   * one task. A bare `Window.orderBy(...)` with no PARTITION BY is
+   * the classic scale-killer (every row through a single reducer);
+   * this instead range-partitions on the order keys, runs the
+   * cumulative window WITHIN each partition (all partitions in
+   * parallel), and adds broadcast per-partition prefix offsets — a
+   * P-row driver exchange, P = shuffle parallelism. The input is
+   * checkpointed once so the offset job and the output job see the
+   * same (sampled) range boundaries.
+   */
+  def cumulativeSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val parts = df.repartitionByRange(order: _*).localCheckpoint()
+    val withPid = parts.withColumn("_pid", spark_partition_id())
+    val sumCols = values.zipWithIndex.map { case ((v, _), i) => sum(v.cast("long")).as(s"v$i") }
+    val perPart = withPid.groupBy("_pid").agg(sumCols.head, sumCols.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    // exclusive prefix offsets per value, as a map-literal lookup
+    val offsets = values.indices.map { i =>
+      var acc = 0L
+      perPart.map { r =>
+        val pid = r.getInt(0)
+        val here = acc
+        acc += r.getLong(i + 1)
+        pid -> here
+      }.toMap
+    }
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = values.zipWithIndex.foldLeft(withPid) { case (acc, ((v, name), i)) =>
+      val offMap = if (offsets(i).isEmpty) typedLit(Map.empty[Int, Long])
+        else map(offsets(i).toSeq.sortBy(_._1)
+          .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+      acc.withColumn(name, sum(v.cast("long")).over(w) + element_at(offMap, col("_pid")))
+    }
+    out.drop("_pid")
+  }
 }

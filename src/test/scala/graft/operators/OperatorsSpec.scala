@@ -417,6 +417,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kept_quality") === q(best))
   }
 
+  test("vocabCoverage: exact threshold ranks on a known frequency table") {
+    // tokens: a×4 b×2 c×1 d×1 → total 8; sorted (a,b,c,d)
+    val frame = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(frame).collect()
+      .map(r => r.getAs[Long]("pct") -> (r.getAs[Long]("k_types"), r.getAs[Long]("covered_tokens")))
+      .toMap
+    assert(got(50L) === ((1L, 4L)), "'a' alone covers exactly 50 %")
+    assert(got(90L) === ((4L, 8L)), "90 % needs the full vocabulary (87.5 % at 3 types)")
+    assert(got(99L) === ((4L, 8L)))
+  }
+
+  test("silhouette: separated planted clusters score near 1, cluster sizes preserved") {
+    // 64-dim one-hot-ish clusters: ids 0..39, cluster j = ids with id%8==j
+    // concentrated on axis j — perfectly separated under cosine
+    val vecs = (0L until 40L).map { id =>
+      val axis = (id % 8).toInt
+      val v = Array.fill(64)(0.001f)
+      v(axis) = 1.0f
+      (id, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(embs, k = 8, iters = 3).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum === 40L)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_sil") > 0.8,
+        s"separated cluster ${r.getAs[Long]("cl")} scored ${r.getAs[Double]("mean_sil")}")
+    }
+  }
+
   test("dupFraction: exact dups score 1.0, unique docs 0.0") {
     val got = Curation.dupFraction(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
