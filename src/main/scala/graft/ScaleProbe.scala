@@ -152,6 +152,31 @@ object ScaleProbe {
         graft.operators.TextAnalysis.unigramLmScore(noisy, maxVocab = 100000).count()
       },
       time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
+      // join-path bigram LM: ~100 bigrams/doc over a 400-token vocab →
+      // ~160k-row count tables; doc-bigrams shuffle twice (c12 + c1
+      // joins), nothing ever collects to the driver
+      time("bigram_lm")(graft.operators.TextAnalysis.bigramLmScore(docs).count()),
+      // hashed classifier: one shuffle-free scan (ordered fold per doc)
+      time("classify")(graft.operators.TextAnalysis.classifierScore(docs).count()),
+      // duplication fraction: shingle df + rejoin, 8-byte keys only
+      time("dup_fraction")(Curation.dupFraction(docs).count()),
+      // 64-source overlap matrix: distinct (source, shingle-hash)
+      // projection then a shingle-keyed self-join (posting lists)
+      time("overlap_matrix")(Curation.sourceOverlapMatrix(
+        docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string"))).count()),
+      // silhouette = kmeans + one extra broadcast-matrix scan + k-group agg
+      time("silhouette")(Similarity.silhouette(embs, k = 64, iters = 3).count()),
+      // vocabulary coverage under web-noise: ~45×nDocs hapax types →
+      // a multi-million-row frequency table through the distributed
+      // range-partitioned cumulative sum (no single-task window)
+      time("vocab_coverage_hapax") {
+        val noisy = spark.range(nDocs.toLong).toDF("doc_id")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(49)), i =>
+              when(i < 5, concat(lit("c"), pmod(i, lit(40))))
+                .otherwise(concat(lit("u"), col("doc_id") * 50 + i)))))
+        graft.operators.TextAnalysis.vocabCoverage(noisy).count()
+      },
       // continuous-ingest dedup: the new batch is the planted near-dup
       // partners from the last 10% of ids (base docs stay in the
       // corpus), so expected recall is nDocs/500 cross-set pairs

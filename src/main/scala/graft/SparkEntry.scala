@@ -903,6 +903,23 @@ object SparkEntry {
     Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
 
   /**
+   * Hybrid search: BM25 lexical top-50 fused with the vector top-50
+   * for query vector 0 by reciprocal rank (c=60). Ranks are assigned
+   * within the already-bounded 50-row lists (the windows below rank
+   * 50 rows, not the corpus), then fused by [[Retrieval.rrfFuse]].
+   */
+  private def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long").as("rank"))
+    val embs = t(s, dir, "embeddings")
+    val sem = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") === 0), k = 50)
+      .select(col("neighbor_id").as("id"), col("rank").cast("long").as("rank"))
+    Retrieval.rrfFuse(lex, sem, kOut = 20)
+  }
+
+  /**
    * One BPE-training step: the top-20 adjacent token pairs by corpus
    * frequency (the merge-candidate ranking a tokenizer trainer
    * computes each round). One explode + count shuffle; ties broken by
@@ -1411,6 +1428,7 @@ object SparkEntry {
     "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
+    "retrieval_rrf" -> (retrievalRrf _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_apply" -> (textBpeApply _),
     "stream_enrich" -> (qStreamEnrich _),
@@ -2297,6 +2315,35 @@ object SparkEntry {
         bm25Term("i2", "join") + " AS s FROM tok, idf) " +
         "SELECT doc_id, n_tokens, round(s, 4) AS bm25 FROM sc " +
         "ORDER BY s DESC, doc_id LIMIT 50"),
+    // hybrid fusion: the bm25 top-50 (replayed term-by-term) and the
+    // exact cosine top-50 for query vector 0, fused by 1/(60+rank)
+    "retrieval_rrf" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, round(avg(len(w)), 6) AS avgdl, " +
+        "sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS df0, " +
+        "sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END) AS df1, " +
+        "sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS df2 FROM tok), " +
+        "idf AS (SELECT avgdl, " +
+        "round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1), 6) AS i0, " +
+        "round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1), 6) AS i1, " +
+        "round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1), 6) AS i2 FROM st), " +
+        "sc AS (SELECT doc_id, " +
+        bm25Term("i0", "hash") + " + " + bm25Term("i1", "merge") + " + " +
+        bm25Term("i2", "join") + " AS s FROM tok, idf), " +
+        "lex50 AS (SELECT doc_id, round(s, 4) AS bm25 FROM sc " +
+        "ORDER BY s DESC, doc_id LIMIT 50), " +
+        "lexr AS (SELECT doc_id AS id, CAST(row_number() OVER " +
+        "(ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank FROM lex50), " +
+        "semr AS (SELECT neighbor_id AS id, rank FROM (" +
+        "SELECT c.vec_id AS neighbor_id, CAST(row_number() OVER " +
+        "(ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, " +
+        "c.vec_id) AS BIGINT) AS rank " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
+        "WHERE q.vec_id = 0) WHERE rank <= 50), " +
+        "f AS (SELECT coalesce(l.id, s2.id) AS id, " +
+        "coalesce(1.0 / (60 + l.rank), 0) + coalesce(1.0 / (60 + s2.rank), 0) AS rrf " +
+        "FROM lexr l FULL JOIN semr s2 ON l.id = s2.id) " +
+        "SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT 20"),
     "text_bpe_pairs" ->
       ("WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents), " +
         "pr AS (SELECT array_to_string(w[i:i+1], ' ') AS pair FROM tok, " +

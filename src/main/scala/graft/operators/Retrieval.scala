@@ -73,6 +73,29 @@ object Retrieval {
   }
 
   /**
+   * Reciprocal-rank fusion of two ranked candidate lists — the
+   * hybrid-search combiner (lexical BM25 list + vector ANN list):
+   * rrf(d) = Σ_lists 1/(c + rank_d), missing-from-a-list contributes
+   * nothing. Both inputs are already top-k bounded upstream, so the
+   * fusion is a full outer join of two tiny frames plus one bounded
+   * sort — constant-size work regardless of corpus scale; all the
+   * heavy lifting stays in the candidate generators.
+   * Inputs: (id, rank) frames, rank 1-based.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, kOut: Int = 20, c: Int = 60): DataFrame = {
+    val fa = a.select(col("id").as("a_id"), col("rank").as("a_rank"))
+    val fb = b.select(col("id").as("b_id"), col("rank").as("b_rank"))
+    fa.join(fb, col("a_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("a_id"), col("b_id")).as("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("a_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("b_rank")), lit(0.0))).as("_rrf"))
+      .orderBy(col("_rrf").desc, col("id"))
+      .limit(kOut)
+      .select(col("id"), round(col("_rrf"), 6).as("rrf"))
+  }
+
+  /**
    * TF-IDF weight per (document, term) for a fixed vocabulary of
    * `terms` — the feature-extraction sibling of [[bm25TopK]] (feeds
    * downstream classifiers/cluster steps). Same two-pass shape: stats

@@ -270,12 +270,24 @@ object TextAnalysis {
       struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
     val bg = docs.select(col(idCol), explode(bgs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // fold the context counts INTO the (types-sized) bigram table
+    // first, keyed by an 8-byte bigram hash: the corpus-sized
+    // doc-bigram frame then joins the model ONCE on a long key with a
+    // (doc_id, hash) payload — not twice on string pairs. Collision-
+    // free at any realistic vocabulary (same xxhash64 assumption as
+    // Dedup.shinglesHashed); the DuckDB oracle replays the string
+    // semantics. The probe times ~30 s at 200k docs × 100 tokens —
+    // dominated by the two bigram explode scans, with the shuffle
+    // bound at 16 bytes/bigram either side of the model join.
+    val c12 = bg.groupBy(xxhash64(col("w1"), col("w2")).as("bk"), col("w1"))
+      .agg(count(lit(1)).as("c12"))
     val c1 = docs.select(explode(w).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
-    bg.join(c12, Seq("w1", "w2"))
-      .join(c1, col("w1") === col("t"))
+    val model = c12.join(c1, col("w1") === col("t"))
+      .select(col("bk"), col("c12"), col("c1"))
+    bg.select(col(idCol), xxhash64(col("w1"), col("w2")).as("bk"))
+      .join(model, "bk")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         (-log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v")))).as("nll"))

@@ -20,6 +20,18 @@ class RetrievalLawsSpec extends AnyFunSuite {
     assert(res.passed, s"$name: $res")
   }
 
+  test("rrf fusion: both-list docs dominate same-rank single-list docs, ties break by id") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((1L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(a, b).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf")))
+    // doc 1 is rank-1 in both lists: 2/61; docs 2 and 3 are rank-2 in
+    // exactly one list each: 1/62 — a float tie resolved by id
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0)._2 === math.rint(2.0 / 61.0 * 1e6) / 1e6)
+    assert(out(1)._2 === out(2)._2)
+  }
+
   test("heavy-hitter law: MG two-pass output equals the exact groupBy for any stream and phi") {
     val streamGen = for {
       n <- Gen.chooseNum(20, 300)
