@@ -1175,6 +1175,15 @@ object SparkEntry {
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
+  /** Per-doc token entropy: the gibberish/boilerplate band signal. */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+
+  /** First 100 positions of the deterministic round-robin source interleave. */
+  private def corpusInterleave(s: SparkSession, dir: String): DataFrame =
+    Curation.interleaveBySource(t(s, dir, "documents"))
+      .orderBy("pos").limit(100)
+
   /** Per-doc duplication fraction: share of a doc's shingles seen in other docs. */
   private def textDupFraction(s: SparkSession, dir: String): DataFrame =
     Curation.dupFraction(t(s, dir, "documents"))
@@ -1461,6 +1470,8 @@ object SparkEntry {
     "corpus_quality_topk" -> (corpusQualityTopk _),
     "text_dup_fraction" -> (textDupFraction _),
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
+    "text_entropy" -> (textEntropy _),
+    "corpus_interleave" -> (corpusInterleave _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2063,6 +2074,26 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
         "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
         "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // per-doc token entropy; the type fold runs over SORTED distinct
+    // types so both engines sum identical doubles in identical order
+    "text_entropy" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "e AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(w)) AS BIGINT) AS n_types, " +
+        "-list_reduce(list_prepend(0.0, list_transform(list_sort(list_distinct(w)), " +
+        "t -> (len(list_filter(w, x -> x = t)) * 1.0 / len(w)) * " +
+        "ln(len(list_filter(w, x -> x = t)) * 1.0 / len(w)))), " +
+        "(a, b) -> a + b) AS h FROM tok) " +
+        "SELECT doc_id, n_tokens, n_types, round(h, 4) AS entropy FROM e"),
+    // deterministic round-robin interleave: pos = (rank-1)*|sources|+sidx
+    "corpus_interleave" ->
+      ("WITH s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "n AS (SELECT count(*) AS nsrc FROM s), " +
+        "r AS (SELECT doc_id, source, row_number() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS rr FROM documents) " +
+        "SELECT (rr - 1) * nsrc + sidx AS pos, doc_id, source " +
+        "FROM r JOIN s USING(source), n ORDER BY pos LIMIT 100"),
     // per-doc duplication fraction over distinct 5-gram shingles
     // (engine joins 8-byte shingle hashes; collision-free at fixture
     // scale, same assumption as the jaccard oracles)

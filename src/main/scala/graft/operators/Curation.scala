@@ -282,6 +282,32 @@ object Curation {
       .agg(count("*").as("n_docs"), sum(col("_n")).cast("long").as("n_tokens"))
   }
 
+  /**
+   * Deterministic round-robin interleave of sources into a training
+   * order — the "spread every source evenly through the epoch" step
+   * that follows mixture allocation (a source-clustered order makes
+   * early training see one distribution). Position = (intra-source
+   * rank − 1) · |sources| + source-index: per-source ranks come from
+   * a window PARTITIONED by source (parallel; no global window), the
+   * source index from a broadcast-joined table of the (few) distinct
+   * sources. Positions are unique and reproducible — the same
+   * interleave on every run and every engine.
+   */
+  def interleaveBySource(docs: DataFrame, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val srcIdx = docs.select(col(srcCol).as("_s")).distinct()
+      .withColumn("_sidx",
+        row_number().over(Window.orderBy(col("_s"))).cast("long") - 1)
+    val nSrc = srcIdx.groupBy().agg(count(lit(1)).as("_nsrc"))
+    val r = row_number().over(
+      Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long")
+    docs.select(col(idCol), col(srcCol), r.as("_r"))
+      .join(broadcast(srcIdx), col(srcCol) === col("_s"))
+      .crossJoin(broadcast(nSrc))
+      .select(((col("_r") - 1) * col("_nsrc") + col("_sidx")).as("pos"),
+        col(idCol), col(srcCol))
+  }
+
   // -------------------------------------------------------------------------
   // Duplication governance signals
   // -------------------------------------------------------------------------

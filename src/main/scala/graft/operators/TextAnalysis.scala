@@ -296,6 +296,33 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document token entropy (the gibberish/boilerplate signal:
+   * natural prose sits in a mid band, keyword stuffing and repeated
+   * boilerplate score low, random noise scores high):
+   * H = −Σ_types (c/n)·ln(c/n) over the doc's own token histogram.
+   * Entirely in-scan (array lambdas over the token array — O(L²) per
+   * doc on short L, no shuffle); the type fold runs over the SORTED
+   * distinct types so both engines sum the identical doubles in the
+   * identical order.
+   */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val types = sort_array(array_distinct(toks))
+    val ent = -aggregate(
+      transform(types, t => {
+        val p = size(filter(toks, x => x === t)).cast("double") / n
+        p * log(p)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(types).cast("long").as("n_types"),
+      round(ent, 4).as("entropy"))
+  }
+
+  /**
    * Vocabulary coverage curve (the tokenizer-design statistic): for
    * each target percentage p, the smallest number of top-frequency
    * token TYPES whose occurrences cover ≥ p % of all corpus tokens.

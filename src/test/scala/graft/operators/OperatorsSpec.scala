@@ -417,6 +417,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kept_quality") === q(best))
   }
 
+  test("tokenEntropy: uniform > prose-like > constant, exact on a known histogram") {
+    val frame = Seq(
+      (1L, "a b c d"),          // uniform over 4 types: H = ln 4
+      (2L, "a a a b"),          // skewed: H = -(0.75 ln .75 + .25 ln .25)
+      (3L, "x x x x")           // constant: H = 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(frame).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(got(1L) === math.rint(math.log(4) * 1e4) / 1e4)
+    val h2 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(got(2L) === math.rint(h2 * 1e4) / 1e4)
+    assert(got(3L) === 0.0)
+  }
+
+  test("interleaveBySource: positions are a gap-free round-robin over sources") {
+    val frame = Seq(
+      (10L, "t", "sA"), (11L, "t", "sA"), (12L, "t", "sA"),
+      (20L, "t", "sB"), (21L, "t", "sB"), (22L, "t", "sB")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.interleaveBySource(frame).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 6L).toSeq, "positions must be dense")
+    // alternating sources: sA at even, sB at odd, each in doc_id order
+    assert(got.map(_._2).toSeq === Seq(10L, 20L, 11L, 21L, 12L, 22L))
+  }
+
   test("vocabCoverage: exact threshold ranks on a known frequency table") {
     // tokens: a×4 b×2 c×1 d×1 → total 8; sorted (a,b,c,d)
     val frame = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
