@@ -1130,6 +1130,12 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** MMR diversified top-5 for query vector 0 over its cosine top-20 pool. */
+  private def annMmr(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.mmrTopK(embs, embs.filter(col("vec_id") === 0), k = 5, pool = 20)
+  }
+
   /** One k-means step over labeled embeddings: centroid + nearest-centroid confusion. */
   private def annCentroid(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidAssign(t(s, dir, "embeddings"))
@@ -1457,6 +1463,7 @@ object SparkEntry {
     "ann_ivfpq" -> (annIvfPq _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_mmr" -> (annMmr _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1541,6 +1548,39 @@ object SparkEntry {
     s"list_reduce(list_prepend(0, [ord(substr($keyExpr, i, 1)) " +
       s"for i in generate_series(1, length($keyExpr))]), " +
       s"(crc, b) -> xor((crc << 8) & 65535, ($tab)[(xor(crc >> 8, b) & 255) + 1]))"
+  }
+
+  /**
+   * Greedy MMR replay: the cosine top-20 pool for query vector 0,
+   * then 5 chained pick-CTEs (λ=0.7, μ=0.3), each selecting the
+   * argmax of 0.7·rel − 0.3·max-sim-to-selected with similarities
+   * rounded to 6 decimals before the arithmetic — the identical
+   * discipline as the engine's driver-side greedy loop.
+   */
+  private lazy val mmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      val prev = s"sel${t - 1}"
+      val pen = s"(SELECT max(round(list_cosine_similarity(r.v, s.v), 6)) FROM $prev s)"
+      s"p$t AS (SELECT $t AS rank, r.id, r.v, r.rel, " +
+        s"round(0.7 * r.rel - 0.3 * $pen, 6) AS sc " +
+        s"FROM c20 r WHERE r.id NOT IN (SELECT id FROM $prev) " +
+        s"ORDER BY 0.7 * r.rel - 0.3 * $pen DESC, r.id LIMIT 1), " +
+        s"sel$t AS (SELECT id, v FROM $prev UNION ALL SELECT id, v FROM p$t), "
+    }.mkString.dropRight(2)
+    "WITH cand AS (SELECT c.vec_id AS id, c.embedding::DOUBLE[] AS v, " +
+      "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos, " +
+      "row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, " +
+      "c.vec_id) AS rnk FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
+      "WHERE q.vec_id = 0), " +
+      "c20 AS (SELECT id, v, round(cos, 6) AS rel FROM cand WHERE rnk <= 20), " +
+      "p1 AS (SELECT 1 AS rank, id, v, rel, round(0.7 * rel, 6) AS sc FROM c20 " +
+      "ORDER BY 0.7 * rel DESC, id LIMIT 1), " +
+      "sel1 AS (SELECT id, v FROM p1), " + steps + " " +
+      "SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, sc AS mmr FROM " +
+      "(SELECT rank, id, sc FROM p1 UNION ALL SELECT rank, id, sc FROM p2 " +
+      "UNION ALL SELECT rank, id, sc FROM p3 UNION ALL SELECT rank, id, sc FROM p4 " +
+      "UNION ALL SELECT rank, id, sc FROM p5)"
   }
 
   /** Exhaustive exact n-gram-jaccard pair SQL — oracle for both the inverted-index and MinHash paths. */
@@ -1947,6 +1987,7 @@ object SparkEntry {
         "c.vec_id) AS BIGINT) AS rank " +
         "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
         "WHERE q.vec_id < 10) WHERE rank <= 5"),
+    "ann_mmr" -> mmrSql,
     // replays the deterministic IVF build: id%32 seed buckets → mean
     // centroids → nearest-centroid posting lists → 8-probe search
     "ann_ivf" ->

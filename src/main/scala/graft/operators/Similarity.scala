@@ -276,6 +276,52 @@ object Similarity {
   }
 
   /**
+   * Maximal-marginal-relevance diversified top-k for ONE query: greedy
+   * re-ranking of the cosine top-`pool` candidates, each pick
+   * maximizing λ·rel(d) − μ·max_{s∈selected} sim(d, s) (ties → lowest
+   * id). The candidate stage is the distributed heavy part (broadcast
+   * query + the TopKPerKey heap — never a corpus sort); the greedy
+   * loop then runs on the POOL only — `pool`² bounded driver work by
+   * construction, independent of corpus size. Similarities are
+   * rounded to 6 decimals before the greedy arithmetic so any SQL
+   * engine replays the exact pick sequence (the ann_pq discipline).
+   * μ is an explicit weight (not 1−λ) so both engines parse the
+   * identical double literal.
+   */
+  def mmrTopK(corpus: DataFrame, query: DataFrame, k: Int = 5, pool: Int = 20,
+      lambda: Double = 0.7, mu: Double = 0.3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = query.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
+    val cand = graft.relational.Relational.topKPerKey(
+        scored, Seq(col("qid")), Seq(col("cos").desc, col("id").asc), pool)
+      .select(col("id"), col("v"), round(col("cos"), 6).as("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    for (t <- 1 to math.min(k, cand.length)) {
+      val best = remaining.map { case (id, v, rel) =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => round6(cosineArr(v, s._2))).max
+        (id, v, lambda * rel - mu * pen)
+      }.sortBy(x => (-x._3, x._1)).head
+      out += ((t.toLong, best._1, round6(best._3)))
+      selected += ((best._1, best._2))
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    out.toSeq.toDF("rank", "vec_id", "mmr")
+  }
+
+  /**
    * Centroid-based (simplified) silhouette over the [[kmeansAssign]]
    * clustering — the standard compactness/separation report without
    * any O(n²) pairwise work: per vector, a = cosine distance to its

@@ -454,6 +454,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(99L) === ((4L, 8L)))
   }
 
+  test("mmrTopK: the near-duplicate of a picked result loses to a diverse candidate") {
+    def vec(axis0: Double, axis: Int, w: Double): Seq[Double] = {
+      val v = Array.fill(64)(0.0); v(0) = axis0; v(axis) = w; v.toSeq
+    }
+    val corpus = Seq(
+      (0L, vec(1.0, 1, 0.0)),    // the query itself (excluded by id)
+      (1L, vec(0.9, 1, 0.45)),   // A1: most relevant
+      (2L, vec(0.9, 1, 0.451)),  // A2: near-duplicate of A1
+      (3L, vec(0.85, 3, 0.5))    // B: slightly less relevant, diverse
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(corpus, corpus.filter(col("vec_id") === 0),
+      k = 2, pool = 3).collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    // plain cosine top-2 is {A1, A2}; MMR swaps the duplicate for B
+    assert(got === Seq(1L, 3L), s"expected diversified picks, got $got")
+  }
+
   test("silhouette: separated planted clusters score near 1, cluster sizes preserved") {
     // 64-dim one-hot-ish clusters: ids 0..39, cluster j = ids with id%8==j
     // concentrated on axis j — perfectly separated under cosine
