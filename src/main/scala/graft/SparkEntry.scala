@@ -1190,6 +1190,24 @@ object SparkEntry {
     Curation.interleaveBySource(t(s, dir, "documents"))
       .orderBy("pos").limit(100)
 
+  /** Per-source KL divergence against the corpus unigram distribution. */
+  private def corpusSourceKl(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceDivergence(t(s, dir, "documents"))
+
+  /**
+   * Related documents: top-3 neighbors per doc by exact n-gram
+   * jaccard — the per-doc k-NN view of the shared posting-list
+   * candidate generator (no threshold cut; rank cut on the heap
+   * operator instead).
+   */
+  private def textJaccardKnn(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.0)
+    val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("nbr_id"), col("jaccard"))
+      .unionAll(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nbr_id"), col("jaccard")))
+    graft.relational.Relational.topKPerKey(sym,
+      Seq(col("doc_id")), Seq(col("jaccard").desc, col("nbr_id").asc), 3)
+  }
+
   /** Per-doc duplication fraction: share of a doc's shingles seen in other docs. */
   private def textDupFraction(s: SparkSession, dir: String): DataFrame =
     Curation.dupFraction(t(s, dir, "documents"))
@@ -1479,6 +1497,8 @@ object SparkEntry {
     "corpus_overlap_matrix" -> (corpusOverlapMatrix _),
     "text_entropy" -> (textEntropy _),
     "corpus_interleave" -> (corpusInterleave _),
+    "corpus_source_kl" -> (corpusSourceKl _),
+    "text_jaccard_knn" -> (textJaccardKnn _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2115,6 +2135,33 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
         "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
         "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // per-source unigram KL drift vs the corpus distribution
+    "corpus_source_kl" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1, 2), " +
+        "stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_types FROM st GROUP BY 1), " +
+        "ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c_t) AS DOUBLE) AS tot FROM ct) " +
+        "SELECT st.source, stot.n_tokens, stot.n_types, " +
+        "round(sum((c_st * 1.0 / stot.n_tokens) * " +
+        "ln((c_st * 1.0 / stot.n_tokens) / (c_t / tot.tot))), 4) AS kl " +
+        "FROM st JOIN stot USING(source) JOIN ct USING(t), tot GROUP BY 1, 2, 3"),
+    // per-doc top-3 jaccard neighbors (rank cut, no threshold)
+    "text_jaccard_knn" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+        "FROM pr JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id), " +
+        "sym AS (SELECT a_id AS doc_id, b_id AS nbr_id, jaccard FROM j " +
+        "UNION ALL SELECT b_id, a_id, jaccard FROM j), " +
+        "r AS (SELECT doc_id, nbr_id, jaccard, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rn FROM sym) " +
+        "SELECT doc_id, nbr_id, jaccard FROM r WHERE rn <= 3"),
     // per-doc token entropy; the type fold runs over SORTED distinct
     // types so both engines sum identical doubles in identical order
     "text_entropy" ->

@@ -308,6 +308,31 @@ object Curation {
         col(idCol), col(srcCol))
   }
 
+  /**
+   * Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+   * unigram token distributions — the governance number that says
+   * "this source's language no longer looks like the corpus" (rising
+   * KL on a feed is an early signal of scraping drift or contamination).
+   * All three count tables are distributed aggregates joined on the
+   * token; only the 1-row corpus total broadcasts. KL is exact up to
+   * the final 4-decimal round (each term is a ratio of longs).
+   */
+  def sourceDivergence(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"), explode(toks(col(textCol))).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val stot = st.groupBy("source")
+      .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("n_types"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val tot = ct.agg(sum("c_t").cast("double").as("tot"))
+    st.join(stot, "source").join(ct, "t").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        ((col("c_st") / col("n_tokens")) *
+          log((col("c_st") / col("n_tokens")) / (col("c_t") / col("tot")))).as("term"))
+      .groupBy("source", "n_tokens", "n_types")
+      .agg(round(sum("term"), 4).as("kl"))
+  }
+
   // -------------------------------------------------------------------------
   // Duplication governance signals
   // -------------------------------------------------------------------------

@@ -488,6 +488,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceDivergence: exact KL on a known two-source distribution") {
+    val frame = Seq(
+      (1L, "a b", "sA"),        // P_A = {a:.5, b:.5}
+      (2L, "a a a a", "sB")     // P_B = {a:1}; corpus Q = {a:5/6, b:1/6}
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceDivergence(frame).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    val klA = 0.5 * math.log(0.5 / (5.0 / 6)) + 0.5 * math.log(0.5 / (1.0 / 6))
+    val klB = math.log(1.0 / (5.0 / 6))
+    assert(got("sA") === math.rint(klA * 1e4) / 1e4)
+    assert(got("sB") === math.rint(klB * 1e4) / 1e4)
+  }
+
+  test("jaccard knn: an exact dup is its twin's nearest neighbor, rank cut holds") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.0)
+    val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("nbr_id"), col("jaccard"))
+      .unionAll(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nbr_id"), col("jaccard")))
+    val knn = graft.relational.Relational.topKPerKey(sym,
+        Seq(col("doc_id")), Seq(col("jaccard").desc, col("nbr_id").asc), 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nbr_id"), r.getAs[Double]("jaccard")))
+    val byDoc = knn.groupBy(_._1)
+    byDoc.values.foreach(l => assert(l.length <= 3, "rank cut must hold"))
+    def best(d: Long) = byDoc(d).maxBy(x => (x._3, -x._2))
+    assert(best(0L)._2 === 1L && best(0L)._3 === 1.0, "doc 0's nearest must be its exact dup 1")
+    assert(best(1L)._2 === 0L && best(1L)._3 === 1.0)
+  }
+
   test("dupFraction: exact dups score 1.0, unique docs 0.0") {
     val got = Curation.dupFraction(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
