@@ -1190,6 +1190,23 @@ object SparkEntry {
     Curation.interleaveBySource(t(s, dir, "documents"))
       .orderBy("pos").limit(100)
 
+  /**
+   * Fuzzy entity resolution on part names: deterministic typo twins
+   * are planted (every 100th part, last character → 'x') on top of
+   * the fixture's naturally dense near-name space ("small ring" /
+   * "small rod" is a distance-2 pair) — the operator's blocking +
+   * Levenshtein verification must recover the full pair set, planted
+   * and natural alike, exactly as the exhaustive oracle does.
+   */
+  private def erEditdist(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val typo = part.filter(col("p_partkey") % 100 === 0)
+      .select((col("p_partkey") + 1000000L).as("p_partkey"),
+        concat(substring(col("p_name"), lit(1), length(col("p_name")) - 1), lit("x"))
+          .as("p_name"))
+    Dedup.editDistancePairs(part.unionAll(typo), "p_name", "p_partkey", maxDist = 2)
+  }
+
   /** Per-source KL divergence against the corpus unigram distribution. */
   private def corpusSourceKl(s: SparkSession, dir: String): DataFrame =
     Curation.sourceDivergence(t(s, dir, "documents"))
@@ -1499,6 +1516,7 @@ object SparkEntry {
     "corpus_interleave" -> (corpusInterleave _),
     "corpus_source_kl" -> (corpusSourceKl _),
     "text_jaccard_knn" -> (textJaccardKnn _),
+    "er_editdist" -> (erEditdist _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2135,6 +2153,18 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
         "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
         "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // fuzzy-ER pairs: planted typo twins recovered through first-token
+    // + length-band blocking and exact Levenshtein verification
+    "er_editdist" ->
+      ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +
+        "UNION ALL SELECT p_partkey + 1000000, " +
+        "substr(p_name, 1, length(p_name) - 1) || 'x' FROM part WHERE p_partkey % 100 = 0), " +
+        "b AS (SELECT id, s, string_split(s, ' ')[1] AS blk FROM base) " +
+        "SELECT a.id AS a_id, bb.id AS b_id, " +
+        "CAST(levenshtein(a.s, bb.s) AS BIGINT) AS dist " +
+        "FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id " +
+        "AND abs(length(a.s) - length(bb.s)) <= 2 " +
+        "WHERE levenshtein(a.s, bb.s) <= 2"),
     // per-source unigram KL drift vs the corpus distribution
     "corpus_source_kl" ->
       ("WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +

@@ -510,6 +510,30 @@ object Dedup {
   }
 
   /**
+   * Character-level fuzzy matching (entity resolution): pairs of
+   * records whose string field is within `maxDist` edits — the
+   * complement to the token-set dedups (jaccard/minhash see word
+   * swaps; edit distance sees typos). Candidate generation is the
+   * standard ER blocking: equal first token AND |length delta| ≤
+   * maxDist (an edit-distance-≤-d pair can't differ by more than d
+   * characters of length), then exact Levenshtein verification on
+   * the blocked pairs only. Scale: the join key is the block; pair
+   * work is Σ|block|², bounded by the blocking-key selectivity —
+   * never the corpus cross product.
+   */
+  def editDistancePairs(items: DataFrame, strCol: String, idCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val base = items.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("blk", substring_index(col("s"), " ", 1))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /**
    * Quality-aware representative selection: for each near-dup cluster,
    * keep the member that maximizes `quality` (min doc id on ties)
    * instead of [[dropNearDups]]'s min-id convention — the real

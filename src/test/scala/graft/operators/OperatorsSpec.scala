@@ -488,6 +488,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs: finds typo pairs inside blocks, never across first tokens") {
+    val items = Seq(
+      (1L, "alpha bracket"),
+      (2L, "alpha braket"),   // deletion: dist 1 to id 1
+      (3L, "alpha socket"),   // dist 4 to id 1 — verified out
+      (4L, "beta bracket")    // different block: never compared to id 1
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(items, "name", "id", maxDist = 2).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("dist"))).toSet
+    assert(got === Set((1L, 2L, 1L)),
+      s"expected only the typo pair within the 'alpha' block, got $got")
+  }
+
   test("sourceDivergence: exact KL on a known two-source distribution") {
     val frame = Seq(
       (1L, "a b", "sA"),        // P_A = {a:.5, b:.5}
