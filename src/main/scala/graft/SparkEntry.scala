@@ -263,6 +263,11 @@ object SparkEntry {
   private def qClickToPurchase(s: SparkSession, dir: String): DataFrame =
     EventStreams.clickToPurchaseStats(t(s, dir, "events"))
 
+  /** Streaming volume-anomaly batch twin: |z| >= 2 windows per event type. */
+  private def qStreamZscore(s: SparkSession, dir: String): DataFrame =
+    EventStreams.zscoreReport(EventStreams.windowedCounts(t(s, dir, "events"))
+      .select(col("win_start"), col("event_type"), col("n")))
+
   /** Streaming leaderboard batch twin: per-hour top-3 users on the custom heap operator. */
   private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
     EventStreams.topUsersPerWindow(EventStreams.windowUserCounts(t(s, dir, "events")))
@@ -1435,6 +1440,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
     "stream_topk" -> (qStreamTopk _),
+    "stream_zscore" -> (qStreamZscore _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_curate" -> (qStreamCurate _),
@@ -1907,6 +1913,16 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) " +
         "SELECT user_id, date_trunc('second', min(ts)) AS session_start, count(*) AS n_events " +
         "FROM s GROUP BY user_id, session_id"),
+    // windowed volume anomalies: |z| >= 2 on the 4-decimal rounding
+    "stream_zscore" ->
+      ("WITH wc AS (SELECT date_trunc('hour', ts) AS win_start, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, avg(n) AS mean_n, stddev_samp(n) AS sd_n, " +
+        "count(*) AS n_windows FROM wc GROUP BY 1), " +
+        "z AS (SELECT wc.win_start, wc.event_type, wc.n, " +
+        "round((wc.n - st.mean_n) / st.sd_n, 4) AS z FROM wc JOIN st USING(event_type) " +
+        "WHERE st.n_windows >= 2 AND st.sd_n > 0) " +
+        "SELECT win_start, event_type, n, z FROM z WHERE abs(z) >= 2.0"),
     // per-hour top-3 users by activity (streaming leaderboard twin)
     "stream_topk" ->
       ("WITH c AS (SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS n " +

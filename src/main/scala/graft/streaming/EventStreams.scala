@@ -46,6 +46,28 @@ object EventStreams {
   }
 
   /**
+   * Volume-anomaly report over windowed counts: per event type, each
+   * window's count is z-scored against that type's across-window
+   * mean/stddev; windows with |z| ≥ `threshold` (compared on the
+   * 4-decimal rounding, so every engine agrees at the boundary) are
+   * the anomalies. The stats table is |event types| rows — broadcast;
+   * types with < 2 windows or zero variance are excluded rather than
+   * dividing by zero. On a stream, apply per micro-batch via
+   * foreachBatch over the complete-mode windowed counts (StreamingSpec
+   * proves streamed ≡ batch).
+   */
+  def zscoreReport(wc: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val stats = wc.groupBy(col("event_type").as("et"))
+      .agg(avg("n").as("mean_n"), stddev_samp(col("n")).as("sd_n"),
+        count(lit(1)).as("n_windows"))
+    wc.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(col("n_windows") >= 2 && col("sd_n") > 0)
+      .select(col("win_start"), col("event_type"), col("n"),
+        round((col("n") - col("mean_n")) / col("sd_n"), 4).as("z"))
+      .filter(abs(col("z")) >= threshold)
+  }
+
+  /**
    * Per-window user activity counts — the counting stage of the
    * streaming leaderboard. Watermark-bounded windowed aggregate;
    * runs identically on a batch or streaming frame.

@@ -362,6 +362,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming anomaly report: per-batch z-scores over complete-mode counts equal batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zsrc").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-zout").toString + "/anom"
+    val stream = EventStreams.readEventStream(spark, dir)
+    val wcCols = Seq("win_start", "event_type", "n")
+    val q = EventStreams.windowedCounts(stream).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.zscoreReport(batch.select(wcCols.map(org.apache.spark.sql.functions.col): _*))
+          .write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.zscoreReport(
+      EventStreams.windowedCounts(Tables.events(spark, SparkTestSession.sfDir))
+        .select(wcCols.map(org.apache.spark.sql.functions.col): _*))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("RocksDB state store: streamed session windows equal the batch result") {
     // the production state backend at 100 TB (state spills off-heap to
     // local SST files instead of living in executor memory)
