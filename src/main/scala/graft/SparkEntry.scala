@@ -1038,6 +1038,13 @@ object SparkEntry {
     Graph.triangleCount(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
   }
 
+  /** Bounded BFS: hop distances (≤3) from the min-key node of the co-purchase graph. */
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    Graph.bfsDistances(edges, edges.agg(min(col("src")).as("node")), maxDepth = 3)
+  }
+
   /**
    * Label-propagation communities (3 fixed rounds, min-label ties)
    * over the co-purchase graph; output is the community-size census.
@@ -1493,6 +1500,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
+    "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
@@ -2577,6 +2585,18 @@ object SparkEntry {
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), " +
         lpRound("l1", "l0") + lpRound("l2", "l1") + lpRound("l3", "l2").stripSuffix(", ") +
         " SELECT label AS community, count(*) AS n_members FROM l3 GROUP BY label"),
+    // bounded BFS: 3 chained frontier rounds, min-distance per node
+    "graph_bfs" ->
+      (graphEdgeCte.stripSuffix(", ") + ", " +
+        "s AS (SELECT min(src) AS node FROM e), " +
+        "d0 AS (SELECT node, 0 AS dist FROM s), " +
+        "d1 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d0 " +
+        "UNION ALL SELECT e.dst, d0.dist + 1 FROM e JOIN d0 ON e.src = d0.node) GROUP BY node), " +
+        "d2 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d1 " +
+        "UNION ALL SELECT e.dst, d1.dist + 1 FROM e JOIN d1 ON e.src = d1.node) GROUP BY node), " +
+        "d3 AS (SELECT node, min(dist) AS dist FROM (SELECT node, dist FROM d2 " +
+        "UNION ALL SELECT e.dst, d2.dist + 1 FROM e JOIN d2 ON e.src = d2.node) GROUP BY node) " +
+        "SELECT node, CAST(dist AS BIGINT) AS dist FROM d3"),
     // brute 3-way join with a<b<c counts the same triangles the
     // degree-oriented wedge join finds exactly once each
     "graph_triangles" ->

@@ -74,6 +74,30 @@ object Graph {
   }
 
   /**
+   * Bounded BFS: exact shortest-hop distances (≤ `maxDepth`) from the
+   * `source` node set over a symmetric edge list — the reachability /
+   * ego-network primitive. Frontier iteration in the dupClusters
+   * mold: per round one edge-sized join against the (node-sized)
+   * distance table + a min-aggregate; the edge list is partitioned
+   * once and every round consumes it in place. Rounds are
+   * materialized so round t doesn't re-run rounds 1..t−1 through the
+   * lineage.
+   */
+  def bfsDistances(edges0: DataFrame, source: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    val edges = edges0.repartition(col("src")).localCheckpoint()
+    var dist = source.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val next = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /**
    * Triangle count over a symmetric edge list (columns src, dst).
    * The scalable formulation: orient every undirected edge from its
    * lower-(degree, id) endpoint to the higher one — each triangle

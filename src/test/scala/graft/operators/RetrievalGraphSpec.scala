@@ -121,6 +121,17 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(count(sym(fan: _*)) === (k - 1).toLong)
   }
 
+  test("bfsDistances: exact hop counts on a chain, horizon and unreachable excluded") {
+    // chain 0-1-2-3-4-5 plus an isolated edge 100-101
+    val chain = (0L until 5L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val src = Seq(0L).toDF("node")
+    val got = Graph.bfsDistances(edges, src, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"nodes beyond depth 3 and the disconnected component must be absent: $got")
+  }
+
   test("labelPropagation collapses disjoint triangles to their min-id communities") {
     val tri = Seq((0L,1L),(1L,2L),(0L,2L),(10L,11L),(11L,12L),(10L,12L))
     val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
