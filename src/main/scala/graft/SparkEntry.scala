@@ -903,6 +903,13 @@ object SparkEntry {
       maxVocab = 20)
   }
 
+  /** DSIR resampling over the oracled importance weights (rate 0.5, hash gate). */
+  private def corpusResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.importanceResample(docs, docs.filter(col("doc_id") % 50 === 0),
+      rate = 0.5, maxVocab = 20)
+  }
+
   /** BM25 lexical retrieval: top-50 docs for a 3-term query (Retrieval). */
   private def textBm25(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
@@ -1531,6 +1538,7 @@ object SparkEntry {
     "corpus_source_kl" -> (corpusSourceKl _),
     "text_jaccard_knn" -> (textJaccardKnn _),
     "er_editdist" -> (erEditdist _),
+    "corpus_resample" -> (corpusResample _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -1601,6 +1609,28 @@ object SparkEntry {
       s"for i in generate_series(1, length($keyExpr))]), " +
       s"(crc, b) -> xor((crc << 8) & 65535, ($tab)[(xor(crc >> 8, b) & 255) + 1]))"
   }
+
+  /** DSIR importance-weight replay (capped corpus LM + add-1 target LM, smoothed OOV). */
+  private lazy val importanceSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
+      "FROM documents), " +
+      "cf AS (SELECT tok, count(*) AS c_cnt FROM tok GROUP BY tok), " +
+      "stats AS (SELECT sum(c_cnt) AS c_total, count(*) AS vocab_all FROM cf), " +
+      "kept AS (SELECT tok, c_cnt FROM cf WHERE c_cnt >= 2 " +
+      "QUALIFY row_number() OVER (ORDER BY c_cnt DESC, tok) <= 20), " +
+      "ks AS (SELECT sum(c_cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+      "ov AS (SELECT c_total, vocab_all, " +
+      "(c_total - kept_total) / (vocab_all - kept_types) / c_total AS p_oov " +
+      "FROM stats, ks), " +
+      "tf AS (SELECT tok, count(*) AS t_cnt FROM tok WHERE doc_id % 50 = 0 " +
+      "GROUP BY tok QUALIFY row_number() OVER (ORDER BY t_cnt DESC, tok) <= 20), " +
+      "tt AS (SELECT sum(t_cnt) AS t_total FROM tf) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(avg(ln((coalesce(t_cnt, 0) + 1) / (t_total + vocab_all)) " +
+      "- (CASE WHEN c_cnt IS NOT NULL THEN ln(c_cnt / c_total) " +
+      "ELSE ln(p_oov) END)), 4) AS importance " +
+      "FROM tok LEFT JOIN kept USING (tok) LEFT JOIN tf USING (tok), ov, tt " +
+      "GROUP BY doc_id"
 
   /**
    * Greedy MMR replay: the cosine top-20 pool for query vector 0,
@@ -2701,26 +2731,18 @@ object SparkEntry {
         "FROM fullr JOIN projr USING (query_id, neighbor_id) GROUP BY query_id"),
     // corpus LM capped as in text_lm_score; add-1 smoothing over the
     // FULL vocabulary count (cap-independent constant)
-    "text_importance" ->
-      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
-        "FROM documents), " +
-        "cf AS (SELECT tok, count(*) AS c_cnt FROM tok GROUP BY tok), " +
-        "stats AS (SELECT sum(c_cnt) AS c_total, count(*) AS vocab_all FROM cf), " +
-        "kept AS (SELECT tok, c_cnt FROM cf WHERE c_cnt >= 2 " +
-        "QUALIFY row_number() OVER (ORDER BY c_cnt DESC, tok) <= 20), " +
-        "ks AS (SELECT sum(c_cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
-        "ov AS (SELECT c_total, vocab_all, " +
-        "(c_total - kept_total) / (vocab_all - kept_types) / c_total AS p_oov " +
-        "FROM stats, ks), " +
-        "tf AS (SELECT tok, count(*) AS t_cnt FROM tok WHERE doc_id % 50 = 0 " +
-        "GROUP BY tok QUALIFY row_number() OVER (ORDER BY t_cnt DESC, tok) <= 20), " +
-        "tt AS (SELECT sum(t_cnt) AS t_total FROM tf) " +
-        "SELECT doc_id, count(*) AS n_tokens, " +
-        "round(avg(ln((coalesce(t_cnt, 0) + 1) / (t_total + vocab_all)) " +
-        "- (CASE WHEN c_cnt IS NOT NULL THEN ln(c_cnt / c_total) " +
-        "ELSE ln(p_oov) END)), 4) AS importance " +
-        "FROM tok LEFT JOIN kept USING (tok) LEFT JOIN tf USING (tok), ov, tt " +
-        "GROUP BY doc_id"),
+    "text_importance" -> importanceSql,
+    // DSIR resampling: accept if md5-gate < floor(round6(p)·16384),
+    // p = min(1, 0.5·e^w / round6(mean e^w)) over the replayed weights
+    "corpus_resample" ->
+      ("WITH imp AS (" + importanceSql + "), " +
+        "m AS (SELECT round(avg(exp(importance)), 6) AS mex FROM imp), " +
+        "g AS (SELECT i.doc_id, i.importance FROM imp i, m " +
+        "WHERE (('0x'||substr(md5('rs:'||i.doc_id), 1, 16))::UBIGINT & 16383)::BIGINT " +
+        "< floor(round(least(1.0, 0.5 * exp(i.importance) / m.mex), 6) * 16384)) " +
+        "SELECT d.source, count(*) AS n_kept, " +
+        "round(avg(g.importance), 4) AS avg_importance " +
+        "FROM g JOIN documents d USING (doc_id) GROUP BY d.source"),
     "stream_curate" ->
       ("SELECT d.source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens " +

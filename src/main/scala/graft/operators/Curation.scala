@@ -309,6 +309,34 @@ object Curation {
   }
 
   /**
+   * DSIR importance RESAMPLING — the selection step that follows
+   * [[TextAnalysis.importanceWeights]]: each doc is accepted with
+   * probability min(1, rate·e^w / mean(e^w)) (target-like docs
+   * upsampled, off-domain docs thinned), decided by the deterministic
+   * md5 hash gate from [[sampleKeep]]'s discipline: the acceptance
+   * probability is 6-decimal-rounded BEFORE the ×16384 floor
+   * discretization, so every engine lands on the same side of every
+   * gate (the corpus_mix lesson). One 1-row mean broadcast; the gate
+   * is a scan-stage filter.
+   */
+  def importanceResample(docs: DataFrame, target: DataFrame, rate: Double = 0.5,
+      maxVocab: Int = 1000000, textCol: String = "text", idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val imp = TextAnalysis.importanceWeights(docs, target, textCol, idCol,
+      maxVocab = maxVocab)
+    val m = imp.agg(round(avg(exp(col("importance"))), 6).as("mex"))
+    imp.crossJoin(broadcast(m))
+      .withColumn("p",
+        round(least(lit(1.0), lit(rate) * exp(col("importance")) / col("mex")), 6))
+      .filter(
+        md5lo64(concat(lit("rs:"), col(idCol).cast("string"))).bitwiseAND(lit(16383L))
+          < floor(col("p") * 16384).cast("long"))
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_kept"), round(avg("importance"), 4).as("avg_importance"))
+  }
+
+  /**
    * Per-source distribution drift: KL(P_source ‖ P_corpus) over the
    * unigram token distributions — the governance number that says
    * "this source's language no longer looks like the corpus" (rising

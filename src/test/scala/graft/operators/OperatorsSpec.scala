@@ -488,6 +488,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("importanceResample keeps target-like docs at a higher rate than off-domain docs") {
+    val corpus = (0L until 200L).map { i =>
+      val text = if (i % 2 == 0) "alpha beta gamma delta alpha beta"
+                 else "omega psi chi phi omega psi"
+      (i, text, if (i % 2 == 0) "likeTarget" else "offDomain")
+    }.toDF("doc_id", "text", "source")
+    val target = corpus.filter(col("source") === "likeTarget").limit(5)
+    val kept = Curation.importanceResample(corpus, target, rate = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(kept.getOrElse("likeTarget", 0L) > kept.getOrElse("offDomain", 0L),
+      s"target-like docs must be upsampled: $kept")
+  }
+
   test("editDistancePairs: finds typo pairs inside blocks, never across first tokens") {
     val items = Seq(
       (1L, "alpha bracket"),
