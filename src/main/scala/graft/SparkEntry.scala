@@ -903,6 +903,28 @@ object SparkEntry {
       maxVocab = 20)
   }
 
+  /**
+   * Mergeable-sketch hierarchical rollup (the LibMR accumulate-and-
+   * merge shape as Spark datasketches): per-nation HLL sketches of
+   * the customer set union up to regions WITHOUT re-touching rows —
+   * the second level aggregates fixed-size sketch buffers only. The
+   * estimate is asserted within 5 % of the exact distinct count
+   * (default lgK=12 ⇒ ~1.6 % expected error), mirroring the
+   * q_approx_distinct bounded-error oracle pattern.
+   */
+  private def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+    val perNation = cust.groupBy("r_name", "n_name")
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    perNation.groupBy("r_name")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      .join(cust.groupBy("r_name").agg(countDistinct("c_custkey").as("exact")), "r_name")
+      .select(col("r_name"), col("exact"),
+        (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("union_ok"))
+  }
+
   /** DSIR resampling over the oracled importance weights (rate 0.5, hash gate). */
   private def corpusResample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1223,7 +1245,14 @@ object SparkEntry {
       .select((col("p_partkey") + 1000000L).as("p_partkey"),
         concat(substring(col("p_name"), lit(1), length(col("p_name")) - 1), lit("x"))
           .as("p_name"))
-    Dedup.editDistancePairs(part.unionAll(typo), "p_name", "p_partkey", maxDist = 2)
+    // finer blocking than the first-token default: the fixture's
+    // adjective vocabulary is tiny, so first-token blocks hold
+    // thousands of names at sf0.1 (quadratic pair work). First token
+    // + first char of the last token keeps the planted typos (they
+    // mutate the LAST char) and bounds block sizes.
+    Dedup.editDistancePairs(part.unionAll(typo), "p_name", "p_partkey", maxDist = 2,
+      blockKey = s => concat(substring_index(s, " ", 1),
+        substring(substring_index(s, " ", -1), 1, 1)))
   }
 
   /** Per-source KL divergence against the corpus unigram distribution. */
@@ -1539,6 +1568,7 @@ object SparkEntry {
     "text_jaccard_knn" -> (textJaccardKnn _),
     "er_editdist" -> (erEditdist _),
     "corpus_resample" -> (corpusResample _),
+    "q_hll_union" -> (qHllUnion _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2213,7 +2243,8 @@ object SparkEntry {
       ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +
         "UNION ALL SELECT p_partkey + 1000000, " +
         "substr(p_name, 1, length(p_name) - 1) || 'x' FROM part WHERE p_partkey % 100 = 0), " +
-        "b AS (SELECT id, s, string_split(s, ' ')[1] AS blk FROM base) " +
+        "b AS (SELECT id, s, string_split(s, ' ')[1] || " +
+        "substr(string_split(s, ' ')[-1], 1, 1) AS blk FROM base) " +
         "SELECT a.id AS a_id, bb.id AS b_id, " +
         "CAST(levenshtein(a.s, bb.s) AS BIGINT) AS dist " +
         "FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id " +
@@ -2360,6 +2391,11 @@ object SparkEntry {
     "q_approx_distinct" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
         "TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag"),
+    // two-level sketch rollup: estimate must sit within the 5% band
+    "q_hll_union" ->
+      ("SELECT r_name, count(DISTINCT c_custkey) AS exact, TRUE AS union_ok " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
     "q_percentile_approx" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median, " +
         "TRUE AS approx_ok FROM orders GROUP BY o_orderstatus"),

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // isolate catalog-table state (persistent dedup index, bucketed
+      // sinks) under this run's outDir: a concurrently running test
+      // JVM sharing the cwd warehouse must not race the gate's tables
+      .config("spark.sql.warehouse.dir", s"$outDir/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
