@@ -2210,11 +2210,11 @@ object SparkEntry {
         "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok, " +
         "UNNEST(generate_series(1, len(w) - 1)) AS t(i)), " +
         "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
-        "c1 AS (SELECT t AS tk, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1), " +
+        "c1 AS (SELECT w1 AS cw, sum(c12) AS c1 FROM c12 GROUP BY 1), " +
         "vs AS (SELECT count(*) * 1.0 AS v FROM c1), " +
         "sc AS (SELECT bg.doc_id, -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vs.v)) AS nll " +
         "FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2 " +
-        "JOIN c1 ON bg.w1 = c1.tk, vs) " +
+        "JOIN c1 ON bg.w1 = c1.cw, vs) " +
         "SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS bigram_nll " +
         "FROM sc GROUP BY doc_id"),
     // hashed linear classifier: bucket = low 10 bits of md5lo64

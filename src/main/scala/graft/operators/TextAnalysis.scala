@@ -256,9 +256,11 @@ object TextAnalysis {
    * re-group per doc. No driver-side state exists at any corpus
    * size — the scale path when even a capped vocabulary is too big
    * (bigram types grow ~quadratically in vocabulary).
-   * P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), scored as per-doc mean
-   * negative log-likelihood over its bigrams (docs with < 2 tokens
-   * have no bigrams and drop, as in the oracle).
+   * P(w2|w1) = (c(w1,w2) + α) / (c(w1→·) + α·V) — the textbook MLE
+   * with c(w1→·) the CONTEXT count (Σ_w c(w1,w)) and V the context
+   * vocabulary — scored as per-doc mean negative log-likelihood over
+   * its bigrams (docs with < 2 tokens have no bigrams and drop, as in
+   * the oracle).
    */
   def bigramLmScore(docs: DataFrame, alpha: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -270,21 +272,28 @@ object TextAnalysis {
       struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
     val bg = docs.select(col(idCol), explode(bgs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // fold the context counts INTO the (types-sized) bigram table
-    // first, keyed by an 8-byte bigram hash: the corpus-sized
-    // doc-bigram frame then joins the model ONCE on a long key with a
-    // (doc_id, hash) payload — not twice on string pairs. Collision-
-    // free at any realistic vocabulary (same xxhash64 assumption as
-    // Dedup.shinglesHashed); the DuckDB oracle replays the string
-    // semantics. The probe times ~30 s at 200k docs × 100 tokens —
-    // dominated by the two bigram explode scans, with the shuffle
-    // bound at 16 bytes/bigram either side of the model join.
+    // ONE corpus-sized aggregation builds everything: the bigram
+    // table c12, the context counts c1(w1) = Σ_w c12(w1, w) (the
+    // textbook MLE denominator — derived from the TYPES-sized c12,
+    // no second corpus scan), and the next-word vocabulary V =
+    // distinct w2. The model is keyed by an 8-byte bigram hash, so
+    // the corpus-sized doc-bigram frame joins it ONCE on a long key
+    // with a (doc_id, hash) payload. Collision-free at any realistic
+    // vocabulary (same xxhash64 assumption as Dedup.shinglesHashed);
+    // the DuckDB oracle replays the string semantics.
+    // materialized once: c1, V, and the model join all read c12, and
+    // without the checkpoint each consumer re-runs the corpus-sized
+    // bigram explode + aggregation through the lineage (AQE does not
+    // reliably reuse the exchange across the three consumers). The
+    // table is types-sized — the checkpoint is cheap at any corpus.
+    // The aggregation shuffles only (hash, w1): V is the CONTEXT
+    // vocabulary (row count of c1), so w2 never needs to ride.
     val c12 = bg.groupBy(xxhash64(col("w1"), col("w2")).as("bk"), col("w1"))
       .agg(count(lit(1)).as("c12"))
-    val c1 = docs.select(explode(w).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(col("w1").as("cw")).agg(sum("c12").as("c1"))
     val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
-    val model = c12.join(c1, col("w1") === col("t"))
+    val model = c12.join(c1, col("w1") === col("cw"))
       .select(col("bk"), col("c12"), col("c1"))
     bg.select(col(idCol), xxhash64(col("w1"), col("w2")).as("bk"))
       .join(model, "bk")
