@@ -925,6 +925,24 @@ object SparkEntry {
         (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("union_ok"))
   }
 
+  /**
+   * Deterministic train/val/test split (8/1/1) by content-independent
+   * id hash — the reproducible-split step every training pipeline
+   * runs. Same md5 discipline as the samplers: split = low bits of
+   * md5("split:"+id) mod 10, so membership never changes as the
+   * corpus grows and any engine reproduces it.
+   */
+  private def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = md5lo64(concat(lit("split:"), col("doc_id").cast("string")))
+      .bitwiseAND(lit(16383L)) % 10
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
+  }
+
   /** DSIR resampling over the oracled importance weights (rate 0.5, hash gate). */
   private def corpusResample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1569,6 +1587,7 @@ object SparkEntry {
     "er_editdist" -> (erEditdist _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
+    "corpus_split" -> (corpusSplit _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2237,6 +2256,14 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY cl.cluster_id) AS nm " +
         "FROM (" + clustersSql + ") cl JOIN (" + qualitySql + ") q " +
         "ON cl.doc_id = q.doc_id) WHERE rn = 1"),
+    // deterministic 8/1/1 split: low 14 bits of md5("split:"+id) mod 10
+    "corpus_split" ->
+      ("SELECT source, CASE " +
+        "WHEN (('0x'||substr(md5('split:'||doc_id), 13, 4))::UINTEGER % 16384) % 10 <= 7 THEN 'train' " +
+        "WHEN (('0x'||substr(md5('split:'||doc_id), 13, 4))::UINTEGER % 16384) % 10 = 8 THEN 'val' " +
+        "ELSE 'test' END AS split, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1, 2"),
     // fuzzy-ER pairs: planted typo twins recovered through first-token
     // + length-band blocking and exact Levenshtein verification
     "er_editdist" ->

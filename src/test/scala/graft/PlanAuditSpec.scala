@@ -95,6 +95,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 1-row vocab-size frame should broadcast")
   }
 
+  test("er_editdist: blocked equi-join only — no cartesian or nested-loop pair generation") {
+    val p = plan("er_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy-ER fell back to an unblocked pair product:\n${p.take(3000)}")
+  }
+
+  test("text_jaccard_knn: rank cut lowered to the heap, not a window over all pairs") {
+    val p = plan("text_jaccard_knn")
+    assert(p.contains("TopKPerKey"), "per-doc kNN cut not on the heap operator")
+    assert(!p.contains("Window"), s"pair ranking materialized a window:\n${p.take(3000)}")
+  }
+
   test("pipeline_filter: quality/lang gates are scan columns, not per-doc joins") {
     // The composed pipeline must add exactly zero joins over its dedup
     // core (dedup_corpus runs the same dropNearDups): quality and
