@@ -13,9 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // isolate catalog-table state (persistent dedup index, bucketed
-      // sinks) under this run's outDir: a concurrently running test
-      // JVM sharing the cwd warehouse must not race the gate's tables
-      .config("spark.sql.warehouse.dir", s"$outDir/warehouse")
+      // sinks) into a per-run directory: a concurrently running test
+      // JVM sharing the cwd warehouse must not race the gate's
+      // tables. NOT inside outDir — the checker enumerates outDir's
+      // subdirectories as query results.
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
