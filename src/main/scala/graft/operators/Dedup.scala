@@ -529,7 +529,13 @@ object Dedup {
       blockKey: Column => Column = s => substring_index(s, " ", 1)): DataFrame = {
     val base = items.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("blk", blockKey(col("s")))
-    base.as("a").join(base.as("b"),
+    // The verification work is O(Σ|block|²) per PROBE row, not per
+    // input byte: a small single-file input arrives as one partition
+    // and would run the whole quadratic pass in one task. Spread the
+    // probe side round-robin so pair work parallelizes; the build
+    // side stays as-is for the planner's broadcast decision.
+    val probe = base.repartition(items.sparkSession.sparkContext.defaultParallelism)
+    probe.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
