@@ -1232,6 +1232,22 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(s, dir, "documents"))
 
+  /**
+   * Winnowing census (MOSS fingerprint selection, k=4-gram, w=5
+   * window): per-doc selected-fingerprint count + minimum — the
+   * ~2/(w+1)-density sample behind substring-contamination detection.
+   */
+  private def textWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowCensus(t(s, dir, "documents"))
+
+  /**
+   * Shared-winnowing-fingerprint contamination candidates: doc pairs
+   * selecting ≥ 2 common fingerprints — candidate generation runs on
+   * the winnowed sample, w+1× lighter than the full shingle join.
+   */
+  private def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowSharedPairs(t(s, dir, "documents"), minShared = 2L)
+
   /** Fully-distributed bigram LM (α=0.5): the no-driver-state scale path above the unigram proxy. */
   private def textBigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(t(s, dir, "documents"))
@@ -1574,6 +1590,8 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_winnow" -> (textWinnow _),
+    "dedup_winnow" -> (dedupWinnow _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_classify" -> (textClassify _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -1612,6 +1630,21 @@ object SparkEntry {
 
   /** DuckDB: unsigned 64-bit value of the first 16 hex chars of md5(e). */
   private def md5u(e: String): String = s"(('0x'||substr(md5($e),1,16))::UBIGINT)"
+
+  /**
+   * Winnowing fingerprint selection (k=4-gram, w=5 window) replayed
+   * in DuckDB: k-gram md5lo64 hashes with the sign bit cleared (so
+   * BIGINT min-ordering matches the engine), sliding-window minima,
+   * distinct per doc — [[graft.operators.TextAnalysis.winnowFingerprints]].
+   */
+  private val winnowCte: String =
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+      "hs AS (SELECT doc_id, [CAST((" + md5u("array_to_string(w[i:i+3], ' ')") +
+      " & 9223372036854775807::UBIGINT) AS BIGINT) " +
+      "for i in generate_series(1, greatest(len(w) - 3, 0))] AS h FROM tok), " +
+      "fp AS (SELECT DISTINCT doc_id, f AS fp FROM hs, " +
+      "UNNEST([list_min(h[j:j+4]) for j in generate_series(1, greatest(len(h) - 4, 0))]) " +
+      "AS t(f)) "
 
   /** One BM25 term in the engine's exact operand order (k1=1.2, b=0.75). */
   private def bm25Term(idf: String, term: String): String = {
@@ -2382,6 +2415,14 @@ object SparkEntry {
         "ELSE 0::UBIGINT END)::UBIGINT AS u FROM bits GROUP BY doc_id) " +
         "SELECT f.doc_id, f.fingerprint, " + wrapSigned("s.u") + " AS simhash " +
         "FROM fp f JOIN sk s ON f.doc_id = s.doc_id"),
+    "text_winnow" ->
+      (winnowCte + "SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp " +
+        "FROM fp GROUP BY doc_id"),
+    "dedup_winnow" ->
+      (winnowCte + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "count(*) AS shared FROM fp a JOIN fp b " +
+        "ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "CAST(list_sum([ord(substr(text, i, 1)) for i in generate_series(1, length(text))]) " +

@@ -445,4 +445,74 @@ object TextAnalysis {
       poly_fingerprint(toks).as("fingerprint"),
       simhash_md5(toks).as("simhash"))
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+   * the MOSS algorithm): hash every word `k`-gram, slide a window of
+   * `w` consecutive hashes, keep each window's minimum. The selected
+   * set is a ~2/(w+1)-density sample of the k-grams with the winnowing
+   * guarantee: any shared run of ≥ w+k-1 tokens between two documents
+   * shares at least one selected fingerprint — the basis for
+   * exact-substring contamination detection without comparing full
+   * shingle sets.
+   *
+   * Everything per-doc is codegen'd higher-order functions over the
+   * token array (k-gram md5 hashes → sliding-window minima →
+   * distinct), so fingerprint selection rides the scan stage with no
+   * shuffle; only the (doc_id, fp) sample — w+1 times smaller than
+   * the shingle set — ever moves. Hashes are md5lo64 with the sign
+   * bit cleared so min-ordering is identical in any engine comparing
+   * signed 64-bit values.
+   *
+   * Output: one row per (doc_id, fp), distinct.
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // sequence(1, n) runs DESCENDING for n < 1 — guard to empty
+    def idxs(n: Column): Column =
+      when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+    val grams = transform(idxs(size(toks) - (k - 1)),
+      i => md5lo64(concat_ws(" ", slice(toks, i, lit(k))))
+        .bitwiseAND(lit(Long.MaxValue)))
+    val fps = transform(idxs(size(grams) - (w - 1)),
+      j => array_min(slice(grams, j, lit(w))))
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(fps)).as("fp"))
+  }
+
+  /**
+   * Per-document winnowing census: k-gram count, selected-fingerprint
+   * count, and the smallest fingerprint — the compaction-rate /
+   * sanity view of [[winnowFingerprints]] (n_fps ≈ 2·n_grams/(w+1)
+   * on random text).
+   */
+  def winnowCensus(docs: DataFrame, k: Int = 4, w: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    winnowFingerprints(docs, k, w, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), min("fp").as("min_fp"))
+
+  /**
+   * Contamination candidates from shared winnowing fingerprints: doc
+   * pairs selecting ≥ `minShared` common fingerprints, with the
+   * shared count. Candidate generation is the posting-list form
+   * ([[Dedup.pairsFromBuckets]]' shape) on the winnowed sample —
+   * the pair shuffle carries the ~2/(w+1) sample, not the shingle
+   * set, so the candidate stage is w+1 times lighter than
+   * [[Dedup.ngramJaccardPairs]] on the same corpus.
+   */
+  def winnowSharedPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Long = 3, maxBucket: Int = 10000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+    fps.groupBy("fp").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -585,4 +585,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(0L).getAs[Long]("sum_bytes") === feats(1L).getAs[Long]("sum_bytes"))
     assert(feats(0L).getAs[Long]("head_crc_slot") === feats(1L).getAs[Long]("head_crc_slot"))
   }
+
+  test("winnowing guarantee: any shared run of >= w+k-1 tokens shares a fingerprint") {
+    // doc 5 embeds an 8-token run (= w+k-1 with k=4, w=5) of doc 0
+    // inside otherwise-unrelated text; the winnowing guarantee says
+    // the pair MUST share at least one selected fingerprint
+    val withContam = docs.unionAll(Seq(
+      (5L, "intro words here the quick brown fox jumps over the lazy closing remark")
+    ).toDF("doc_id", "text"))
+    val pairs = TextAnalysis.winnowSharedPairs(withContam, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)), s"contaminated pair not detected: $pairs")
+    assert(pairs.contains((0L, 1L)))  // exact dups trivially share
+    // unrelated docs share nothing
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("winnowing density: selected fingerprints are a strict sample of the k-grams") {
+    val census = TextAnalysis.winnowCensus(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fps")).toMap
+    val nTokens = docs.head().getAs[String]("text").split(" ").length
+    val nGrams = nTokens - 3
+    assert(census(0L) >= 1 && census(0L) < nGrams,
+      s"expected 1 <= n_fps < $nGrams, got ${census(0L)}")
+    // identical docs select identical fingerprint sets
+    assert(census(0L) === census(1L))
+  }
 }
