@@ -1028,6 +1028,18 @@ object SparkEntry {
       "tok", phi = 0.03)
 
   /**
+   * Count-min sketch estimates vs exact counts for the 20 most
+   * frequent tokens (depth 4 × width 8192, md5 cells): the mergeable
+   * approximate-frequency summary whose build shuffle is bounded at
+   * partitions×depth×width rows however large the vocabulary. The
+   * oracle replays every cell bit-identically.
+   */
+  private def qCmsTopk(s: SparkSession, dir: String): DataFrame =
+    Sketches.cmsEstimates(
+      t(s, dir, "documents").select(explode(split(lower(col("text")), " ")).as("tok")),
+      "tok").select(col("k").as("tok"), col("exact"), col("est"))
+
+  /**
    * PageRank (3 fixed iterations, d=0.85) over the part co-purchase
    * graph: parts sharing an order (1-in-10 sample of orders) are
    * linked. The oracle replays the same 3 iterations as chained CTEs.
@@ -1567,6 +1579,7 @@ object SparkEntry {
     "stream_enrich" -> (qStreamEnrich _),
     "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_cms_topk" -> (qCmsTopk _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
@@ -2703,6 +2716,20 @@ object SparkEntry {
         "tot AS (SELECT count(*) AS n FROM tok) " +
         "SELECT tok, cnt FROM (SELECT tok, count(*) AS cnt, max(n) AS mn " +
         "FROM tok, tot GROUP BY tok) WHERE cnt >= ceil(0.03 * mn)"),
+    // every CMS cell replayed bit-identically: same md5 row hashes,
+    // same width-8192 mask, est = min over the 4 rows' cells
+    "q_cms_topk" ->
+      ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS k FROM documents), " +
+        "ex AS (SELECT k, count(*) AS exact FROM tok GROUP BY k " +
+        "ORDER BY exact DESC, k LIMIT 20), " +
+        "sk AS (SELECT j, CAST((" + md5u("j::VARCHAR||':'||k") +
+        " & 8191::UBIGINT) AS BIGINT) AS b, count(*) AS c " +
+        "FROM tok, generate_series(0, 3) g(j) GROUP BY 1, 2) " +
+        "SELECT e.k AS tok, e.exact, min(sk.c) AS est " +
+        "FROM ex e CROSS JOIN generate_series(0, 3) g(j) " +
+        "JOIN sk ON sk.j = g.j AND sk.b = CAST((" +
+        md5u("g.j::VARCHAR||':'||e.k") + " & 8191::UBIGINT) AS BIGINT) " +
+        "GROUP BY e.k, e.exact"),
     // the same 3 pagerank iterations as chained CTEs (no recursion
     // needed for a fixed iteration count)
     "graph_pagerank" ->

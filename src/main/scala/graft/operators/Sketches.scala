@@ -76,4 +76,53 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /**
+   * Count-min sketch (Cormode/Muthukrishnan '05) as a DataFrame: the
+   * sketch IS a (row j, bucket, count) table — `depth` md5-derived
+   * hash rows × `width` buckets. The build aggregation's key space is
+   * bounded at depth×width however large the key vocabulary, so
+   * map-side combine caps the shuffle at partitions×depth×width rows —
+   * the mergeable-summary alternative to [[heavyHitters]]' candidate
+   * pass when the stream is unbounded (streaming registers, cross-day
+   * unions: sketches add cell-wise). Hashing is md5lo64 masked to the
+   * power-of-two width, so any engine replays cells bit-identically.
+   */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 8192): DataFrame = {
+    require((width & (width - 1)) == 0, s"width must be a power of two, got $width")
+    df.select(col(keyCol).cast("string").as("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("k"), width).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** CMS cell address of key `k` in hash row `j` (md5lo64 masked to width-1). */
+  private def cmsBucket(j: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column, width: Int): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.md5lo64(
+      concat(j.cast("string"), lit(":"), k)).bitwiseAND(lit(width - 1L))
+
+  /**
+   * CMS point estimates vs exact counts for the `topK` most frequent
+   * keys: est = min over hash rows of the key's cell — always ≥ exact
+   * (cells only over-count), with E[err] ≤ N/width per row. The demo
+   * query for [[countMinSketch]]: exact truth rides the same output so
+   * the estimate's determinism (and its overestimate-only guarantee)
+   * is oracle-checkable. The estimate join broadcasts topK×depth probe
+   * rows against the depth×width sketch — nothing key-space-sized
+   * shuffles twice.
+   */
+  def cmsEstimates(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 8192, topK: Int = 20): DataFrame = {
+    val sk = countMinSketch(df, keyCol, depth, width)
+    val ex = df.select(col(keyCol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("k")).limit(topK)
+    val probes = ex.select(col("k"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", cmsBucket(col("j"), col("k"), width))
+    probes.join(broadcast(sk), Seq("j", "b"))
+      .groupBy("k", "exact").agg(min("c").as("est"))
+  }
 }

@@ -91,6 +91,32 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got === Map("hot" -> 100L))
   }
 
+  test("cmsEstimates: overestimate-only, exact on collision-free domains") {
+    val items = (Seq.fill(40)("x") ++ Seq.fill(25)("y") ++ (1 to 30).map(i => s"t$i"))
+      .toDF("k").repartition(5)
+    val rows = Sketches.cmsEstimates(items, "k", depth = 4, width = 8192, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 5)
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"CMS under-counted $k: est=$est < exact=$exact")
+    }
+    // 32 distinct keys in 8192 buckets: the top keys' min-row is
+    // collision-free, so the estimate is exact
+    val top = rows.find(_._1 == "x").get
+    assert(top._2 === 40L && top._3 === 40L)
+  }
+
+  test("countMinSketch is mergeable: sketch(a ++ b) = cell-wise sum of sketches") {
+    val a = (Seq.fill(10)("p") ++ Seq.fill(5)("q")).toDF("k")
+    val b = (Seq.fill(7)("p") ++ Seq.fill(3)("r")).toDF("k")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinSketch(df, "k", depth = 2, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (cell, vs) => cell -> vs.map(_._2).sum }
+    assert(merged === cells(a.unionAll(b)))
+  }
+
   test("coOccurrenceEdges builds symmetric distinct pairs within groups") {
     val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), (2L, 99L))
       .toDF("grp", "item")
