@@ -1428,6 +1428,15 @@ object SparkEntry {
    * 80% of the rest — the training-mix rebalance. Output is the
    * per-language kept/total census.
    */
+  /**
+   * Deterministic per-source uniform 5-sample (bottom-k of the
+   * md5("bk:") hash order — the distributed reservoir-sample
+   * replacement on the TopKPerKey heap plan).
+   */
+  private def corpusBottomK(s: SparkSession, dir: String): DataFrame =
+    Curation.bottomKSample(t(s, dir, "documents"), k = 5)
+      .select(col("source"), col("doc_id"))
+
   private def corpusSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val kept = Curation.stratifiedSample(docs,
@@ -1626,6 +1635,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_bottomk" -> (corpusBottomK _),
     "corpus_pack" -> (corpusPack _),
     "corpus_mix" -> (corpusMix _),
     "corpus_mix_temp" -> (corpusMixTemp _),
@@ -2941,6 +2951,13 @@ object SparkEntry {
         "'[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'), " +
         "'[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'), " +
         "'[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5 FROM p"),
+    // bottom-5 of the signed md5 hash order per source, doc_id tiebreak
+    "corpus_bottomk" ->
+      ("WITH h AS (SELECT source, doc_id, " +
+        wrapSigned(md5u("'bk:'||doc_id")) + " AS bk FROM documents), " +
+        "r AS (SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn FROM h) " +
+        "SELECT source, doc_id FROM r WHERE rn <= 5"),
     "corpus_sample" ->
       ("WITH k AS (SELECT lang, " +
         "CASE WHEN lang = 'en' THEN 3276 WHEN lang = 'fr' THEN 8192 ELSE 13107 END AS thr, " +

@@ -202,6 +202,31 @@ object Curation {
   }
 
   /**
+   * Exact uniform k-sample per source WITHOUT replacement — the
+   * deterministic, distributed replacement for per-stratum reservoir
+   * sampling: keep the k docs with the smallest md5("bk:"+id) hash in
+   * each source. Unlike rate sampling ([[stratifiedSample]]) the
+   * output size is EXACTLY min(k, |source|); unlike a random
+   * reservoir the sample is reproducible and growth-stable (a doc's
+   * membership changes only when k smaller hashes exist — bottom-k
+   * sketches merge by pooling and re-cutting).
+   *
+   * Runs on the [[graft.plans.TopKPerKey]] two-phase heap plan:
+   * per-partition k-heaps bound the exchange at partitions×k rows per
+   * source — no full per-source sort, no single-task window, at any
+   * corpus size.
+   */
+  def bottomKSample(docs: DataFrame, k: Int, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.withColumn("bk_hash",
+      md5lo64(concat(lit("bk:"), col(idCol).cast("string"))))
+    graft.relational.Relational.topKPerKey(hashed,
+        keys = Seq(col(sourceCol)),
+        order = Seq(col("bk_hash").asc, col(idCol).asc), k = k)
+      .drop("bk_hash")
+  }
+
+  /**
    * Budget-constrained training-mix sampling: allocate a global token
    * budget across sources with sqrt smoothing (over-represented
    * sources are downsampled harder — the standard multi-source mixing

@@ -177,4 +177,29 @@ class CurationLawsSpec extends AnyFunSuite {
         residual.getAs[Long]("n_phones") == 0L
     })
   }
+
+  test("bottom-k law: exact size min(k,|s|), growth-stable, merge = pool-and-recut") {
+    check("bottomK", Prop.forAll(Gen.chooseNum(1L, 40L), Gen.chooseNum(1, 6)) { (n, k) =>
+      val docs = (1L to n).map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("doc_id", "source")
+      def sample(df: org.apache.spark.sql.DataFrame) =
+        Curation.bottomKSample(df, k)
+          .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+      val s = sample(docs)
+      val sizes = s.groupBy(_._1).map { case (src, xs) => src -> xs.size }
+      val counts = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // exact per-source size; sample of a grown corpus keeps membership
+      // decisions consistent: the halves' samples pooled and re-cut give
+      // the whole corpus's sample (bottom-k mergeability)
+      val half1 = docs.filter(col("doc_id") <= n / 2)
+      val half2 = docs.filter(col("doc_id") > n / 2)
+      val pooled = (sample(half1).toSeq ++ sample(half2).toSeq)
+      val recut = Curation.bottomKSample(
+          pooled.toDF("source", "doc_id").select(col("doc_id"), col("source")), k)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+      sizes.forall { case (src, sz) => sz == math.min(k.toLong, counts(src)) } &&
+        recut == s
+    })
+  }
 }
