@@ -1475,6 +1475,18 @@ object SparkEntry {
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(Multimodal.attachBinary(t(s, dir, "documents")))
 
+  /**
+   * Per-payload 64-bit perceptual hash (block-mean phash, every bit
+   * oracle-replayed) — the fixture has no byte-level near-dups
+   * (min pairwise hamming 9), so the census is the oracled surface;
+   * the pair path (band blocking + hamming verify, exact recall ≤ 3
+   * by pigeonhole) is pinned on planted dups in OperatorsSpec.
+   */
+  private def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.attachBinary(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.phash64(col("payload")).as("ph"))
+
   /** Resize (every-2nd-byte downsample) with updated metadata, content-hashed. */
   private def multimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeStub(Multimodal.attachBinary(t(s, dir, "documents")), factor = 2)
@@ -1642,6 +1654,7 @@ object SparkEntry {
     "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_phash" -> (multimodalPhash _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_resize" -> (multimodalResize _),
@@ -2446,6 +2459,19 @@ object SparkEntry {
         "count(*) AS shared FROM fp a JOIN fp b " +
         "ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // phash replayed exactly: 64 block sums over the byte list, bit i by
+    // the same cross-multiplied mean compare, OR-folded into a UBIGINT
+    "multimodal_phash" ->
+      ("WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, " +
+        "[ord(substr(text, p, 1)) for p in generate_series(1, length(text))] AS bs " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, n, bs, coalesce(list_sum(bs), 0) AS total FROM b), " +
+        "ph AS (SELECT doc_id, " + wrapSigned(
+          "list_reduce([CASE WHEN coalesce(list_sum(bs[((i*n)//64)+1:((i+1)*n)//64]), 0) * n " +
+          "> total * (((i+1)*n)//64 - (i*n)//64) THEN (1::UBIGINT << i) " +
+          "ELSE 0::UBIGINT END for i in generate_series(0, 63)], (x, y) -> x | y)") +
+        " AS ph FROM t) " +
+        "SELECT doc_id, ph FROM ph"),
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "CAST(list_sum([ord(substr(text, i, 1)) for i in generate_series(1, length(text))]) " +

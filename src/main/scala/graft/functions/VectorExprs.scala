@@ -235,6 +235,53 @@ case class ByteStrideExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): ByteStrideExpr = copy(child = c)
 }
 
+/**
+ * `phash64(payload)` — perceptual-hash stand-in over a binary
+ * payload: the byte stream is divided into a 64-block grid (the
+ * "resize"), and bit i is set iff block i's mean exceeds the global
+ * mean, compared exactly by cross-multiplication (s_i·n > total·len_i
+ * — no float division, so any engine replays the hash
+ * bit-identically). A production image pipeline swaps the byte grid
+ * for DCT coefficients of decoded pixels; the near-dup machinery on
+ * top (band blocking + hamming verify) is unchanged. Exact for
+ * payloads to ~100 MB (s_i·n ≤ 255·n² < 2⁶³).
+ */
+object PHashOps {
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (bytes(i) & 0xff); i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      val st = b * n / 64
+      val en = (b + 1) * n / 64
+      var s = 0L
+      var j = st
+      while (j < en) { s += (bytes(j) & 0xff); j += 1 }
+      if (s * n > total * (en - st)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+}
+
+case class PHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PHashOps.phash64(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PHashOps.phash64($a)")
+
+  override protected def withNewChildInternal(c: Expression): PHash64Expr = copy(child = c)
+}
+
 case class ByteEmbedExpr(child: Expression, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -392,6 +439,9 @@ object VectorFunctions {
 
   def byte_stride(payload: Column, k: Int): Column =
     ColumnBridge.column(ByteStrideExpr(ColumnBridge.expression(payload), k))
+
+  def phash64(payload: Column): Column =
+    ColumnBridge.column(PHash64Expr(ColumnBridge.expression(payload)))
 
   def crc16_slot(c: Column): Column =
     ColumnBridge.column(Crc16SlotExpr(ColumnBridge.expression(c)))

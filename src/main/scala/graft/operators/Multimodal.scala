@@ -146,4 +146,38 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")
       .filter(octet_length(col("frame")) > 0)
+
+  /**
+   * Perceptual-hash near-dup pairs over the binary payload: 64-bit
+   * [[graft.functions.PHash64Expr]] per payload (scan stage), then
+   * pairs within hamming distance ≤ `maxHamming`. Candidates come
+   * from 16-bit band buckets — by pigeonhole a pair ≤ 3 bits apart
+   * has at least one of its 4 bands identical, so recall is EXACT for
+   * maxHamming ≤ 3 while the join never compares across buckets (the
+   * all-pairs self-join the blocking avoids is quadratic in corpus
+   * size; buckets are capped like every Dedup candidate generator).
+   * The media analog of [[Dedup.simhashNearDupPairs]].
+   */
+  def phashNearDupPairs(withBinary: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit bands give exact recall only for hamming <= 3")
+    val ph = withBinary.select(col("doc_id"),
+      graft.functions.VectorFunctions.phash64(col("payload")).as("ph"))
+    val bands = ph.select(col("doc_id"), col("ph"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(65535L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = bands.groupBy("band", "bv")
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
+      .dropDuplicates("a_id", "b_id")
+    cand.select(col("a_id"), col("b_id"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -586,6 +586,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(0L).getAs[Long]("head_crc_slot") === feats(1L).getAs[Long]("head_crc_slot"))
   }
 
+  test("phashNearDupPairs: exact dups collide at hamming 0, distinct docs are apart") {
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.attachBinary(docs.withColumn("source", lit("s"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((0L, 1L)) === Some(0L))  // identical payloads
+    assert(!pairs.contains((3L, 4L)))         // unrelated docs
+    // a payload 1 flipped block apart is recalled through band blocking
+    val tweaked = docs.filter(col("doc_id") === 0L)
+      .select(lit(9L).as("doc_id"),
+        regexp_replace(col("text"), "done$", "doze").as("text"),
+        lit("s").as("source"))
+    val withNear = Multimodal.attachBinary(
+      docs.withColumn("source", lit("s")).unionByName(tweaked))
+    val ph = withNear.select(col("doc_id"),
+        graft.functions.VectorFunctions.phash64(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d09 = java.lang.Long.bitCount(ph(0L) ^ ph(9L))
+    val got = Multimodal.phashNearDupPairs(withNear).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (d09 <= 3) assert(got.contains((0L, 9L)), s"hamming $d09 pair missed")
+  }
+
   test("winnowing guarantee: any shared run of >= w+k-1 tokens shares a fingerprint") {
     // doc 5 embeds an 8-token run (= w+k-1 with k=4, w=5) of doc 0
     // inside otherwise-unrelated text; the winnowing guarantee says
