@@ -1301,6 +1301,24 @@ object SparkEntry {
         substring(substring_index(s, " ", -1), 1, 1)))
   }
 
+  /**
+   * Word-bigram set cosine ER (τ=0.7) on the same typo-planted part
+   * names as er_editdist: candidates from AllPairs prefix filtering
+   * (exact recall), verified with the Ochiai coefficient; planted
+   * typo pairs land at 3/4 shared bigrams = 0.75. The oracle is the
+   * UNBLOCKED all-pairs join — equality proves the prefix filter
+   * loses nothing.
+   */
+  private def erCosine(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val typo = part.filter(col("p_partkey") % 100 === 0)
+      .select((col("p_partkey") + 1000000L).as("p_partkey"),
+        concat(substring(col("p_name"), lit(1), length(col("p_name")) - 1), lit("x"))
+          .as("p_name"))
+    Dedup.tokenCosinePairs(part.unionAll(typo), "p_name", "p_partkey",
+      threshold = 0.7, shingle = 2)
+  }
+
   /** Per-source KL divergence against the corpus unigram distribution. */
   private def corpusSourceKl(s: SparkSession, dir: String): DataFrame =
     Curation.sourceDivergence(t(s, dir, "documents"))
@@ -1637,6 +1655,7 @@ object SparkEntry {
     "corpus_source_kl" -> (corpusSourceKl _),
     "text_jaccard_knn" -> (textJaccardKnn _),
     "er_editdist" -> (erEditdist _),
+    "er_cosine" -> (erCosine _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
     "corpus_split" -> (corpusSplit _),
@@ -2346,6 +2365,21 @@ object SparkEntry {
         "FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id " +
         "AND abs(length(a.s) - length(bb.s)) <= 2 " +
         "WHERE levenshtein(a.s, bb.s) <= 2"),
+    // UNBLOCKED all-pairs set cosine: equality with the engine's
+    // prefix-filtered run proves AllPairs blocking is lossless
+    "er_cosine" ->
+      ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +
+        "UNION ALL SELECT p_partkey + 1000000, " +
+        "substr(p_name, 1, length(p_name) - 1) || 'x' FROM part WHERE p_partkey % 100 = 0), " +
+        "w AS (SELECT id, string_split(lower(s), ' ') AS w FROM base), " +
+        "tok AS (SELECT DISTINCT id, array_to_string(w[i:i+1], ' ') AS tok " +
+        "FROM w, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS g(i)), " +
+        "sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id), " +
+        "i AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(inter / sqrt(sa.n * sb.n), 4) AS cos " +
+        "FROM i JOIN sz sa ON a_id = sa.id JOIN sz sb ON b_id = sb.id " +
+        "WHERE round(inter / sqrt(sa.n * sb.n), 4) >= 0.7"),
     // per-source unigram KL drift vs the corpus distribution
     "corpus_source_kl" ->
       ("WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +

@@ -547,6 +547,55 @@ object Dedup {
   }
 
   /**
+   * Token-set cosine entity resolution with AllPairs/PPJoin prefix
+   * filtering (Bayardo'07 / Xiao'08): pairs whose binary token
+   * vectors have cosine (Ochiai) ≥ `threshold`, candidates generated
+   * ONLY from each record's prefix — its |d| − ⌈τ²·|d|⌉ + 1 tokens
+   * that come first in the global (df asc, token asc) canonical
+   * order. Completeness: a pair with |∩| < τ²·|a| can't reach cosine
+   * τ (|∩| ≥ τ√(|a||b|) ≥ τ√(|a|·|∩|) ⇒ |∩| ≥ τ²|a|), so every
+   * match shares a prefix token and survives blocking — exact
+   * recall, while the candidate join touches only rare-token posting
+   * lists instead of the corpus cross product. The token-level
+   * complement to [[editDistancePairs]] (word swaps/reorders vs
+   * typos).
+   */
+  def tokenCosinePairs(items: DataFrame, strCol: String, idCol: String,
+      threshold: Double = 0.8, maxBucket: Int = 10000,
+      shingle: Int = 1): DataFrame = {
+    // the feature space is a tunable: word unigrams for short
+    // low-entropy strings can leave every posting list corpus-sized
+    // (candidate work Σ df² explodes); word `shingle`-grams sharpen
+    // the vocabulary so prefix tokens are genuinely rare — the
+    // standard AllPairs practice on name-matching workloads
+    val feats =
+      if (shingle == 1) split(lower(col(strCol)), " ")
+      else graft.functions.TextFunctions.shingle_strings(lower(col(strCol)), shingle)
+    val toks = items.select(col(idCol).as("id"),
+      explode(array_distinct(feats)).as("tok"))
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "tok")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df").asc, col("tok").asc)))
+      .join(sz, "id")
+    val prefix = ordered.filter(
+      col("r") <= col("n") - ceil(lit(threshold * threshold) * col("n")) + 1)
+    val cand = pairsFromBuckets(prefix, Seq("tok"), maxBucket = maxBucket)
+    val inter = cand
+      .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter") / sqrt(col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /**
    * Quality-aware representative selection: for each near-dup cluster,
    * keep the member that maximizes `quality` (min doc id on ties)
    * instead of [[dropNearDups]]'s min-id convention — the real

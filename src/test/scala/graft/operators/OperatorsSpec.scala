@@ -586,6 +586,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(0L).getAs[Long]("head_crc_slot") === feats(1L).getAs[Long]("head_crc_slot"))
   }
 
+  test("tokenCosinePairs: prefix filtering equals brute force, recalls reorders and typos") {
+    val names = Seq(
+      (1L, "acme global steel works"), (2L, "acme global steel works"),   // exact
+      (3L, "acme global steel work"),                                      // typo
+      (4L, "zenith dynamic plastic mold"), (5L, "totally unrelated name here"))
+      .toDF("id", "name")
+    val got = Dedup.tokenCosinePairs(names, "name", "id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) === 0.75)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // brute force over all pairs confirms the prefix filter lost nothing
+    val toks = names.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSet).toMap
+    val brute = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      inter = (toks(a) & toks(b)).size
+      cos = inter / math.sqrt(toks(a).size.toDouble * toks(b).size)
+      if math.rint(cos * 10000) / 10000 >= 0.6
+    } yield (a, b)).toSet
+    assert(got.keySet === brute)
+  }
+
   test("phashNearDupPairs: exact dups collide at hamming 0, distinct docs are apart") {
     val pairs = Multimodal.phashNearDupPairs(
         Multimodal.attachBinary(docs.withColumn("source", lit("s"))))
