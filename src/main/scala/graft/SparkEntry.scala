@@ -272,6 +272,18 @@ object SparkEntry {
   private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
     EventStreams.topUsersPerWindow(EventStreams.windowUserCounts(t(s, dir, "events")))
 
+  /**
+   * Batch twin of the streaming CMS: count-min estimates vs exact
+   * counts for the 10 busiest users. StreamingSpec proves the
+   * micro-batch-merged sketch (cells summed across batches) equals
+   * this single-shot sketch cell-for-cell — the mergeable-summary
+   * pattern for approximate frequency over an unbounded stream.
+   */
+  private def qStreamCms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsEstimates(
+        Tables.events(s, dir).select(col("user_id")), "user_id", topK = 10)
+      .select(col("k").cast("long").as("user_id"), col("exact"), col("est"))
+
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
     EventStreams.streamingSessions(t(s, dir, "events"))
       .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
@@ -1568,6 +1580,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "stream_sessions" -> (qStreamSessions _),
     "stream_topk" -> (qStreamTopk _),
+    "stream_cms" -> (qStreamCms _),
     "stream_zscore" -> (qStreamZscore _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_dedup" -> (qStreamDedup _),
@@ -2786,6 +2799,20 @@ object SparkEntry {
         "tot AS (SELECT count(*) AS n FROM tok) " +
         "SELECT tok, cnt FROM (SELECT tok, count(*) AS cnt, max(n) AS mn " +
         "FROM tok, tot GROUP BY tok) WHERE cnt >= ceil(0.03 * mn)"),
+    // the streaming CMS's batch twin — same cell replay as q_cms_topk
+    // on the events stream's user ids
+    "stream_cms" ->
+      ("WITH tok AS (SELECT user_id::VARCHAR AS k FROM events), " +
+        "ex AS (SELECT k, count(*) AS exact FROM tok GROUP BY k " +
+        "ORDER BY exact DESC, k LIMIT 10), " +
+        "sk AS (SELECT j, CAST((" + md5u("j::VARCHAR||':'||k") +
+        " & 8191::UBIGINT) AS BIGINT) AS b, count(*) AS c " +
+        "FROM tok, generate_series(0, 3) g(j) GROUP BY 1, 2) " +
+        "SELECT CAST(e.k AS BIGINT) AS user_id, e.exact, min(sk.c) AS est " +
+        "FROM ex e CROSS JOIN generate_series(0, 3) g(j) " +
+        "JOIN sk ON sk.j = g.j AND sk.b = CAST((" +
+        md5u("g.j::VARCHAR||':'||e.k") + " & 8191::UBIGINT) AS BIGINT) " +
+        "GROUP BY e.k, e.exact"),
     // every CMS cell replayed bit-identically: same md5 row hashes,
     // same width-8192 mask, est = min over the 4 rows' cells
     "q_cms_topk" ->

@@ -432,6 +432,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming CMS: sketch merged across micro-batches equals the single-shot sketch") {
+    import org.apache.spark.sql.functions.lit
+    // 3 parquet files -> maxFilesPerTrigger=1 forces 3 real micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString + "/ev"
+    Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("user_id")).repartition(3)
+      .write.parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // cells accumulate by ADDITION across batches — the mergeable-
+    // summary contract; the accumulator is bounded at depth x width
+    // cells by construction, never key-space-sized
+    val acc = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    var batches = 0
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        graft.operators.Sketches.countMinSketch(b, "user_id")
+          .collect().foreach { r =>
+            val cell = (r.getInt(0), r.getLong(1))
+            acc(cell) = acc.getOrElse(cell, 0L) + r.getLong(2)
+          }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val single = graft.operators.Sketches.countMinSketch(
+        Tables.events(spark, SparkTestSession.sfDir).select(col("user_id")), "user_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(acc.toMap === single)
+  }
+
   test("checkpoint recovery: a restarted query resumes from committed state, no reprocessing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
