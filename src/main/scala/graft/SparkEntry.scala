@@ -1264,6 +1264,10 @@ object SparkEntry {
   private def textWinnow(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowCensus(t(s, dir, "documents"))
 
+  /** Zipf slope/intercept over the top-100 token ranks (power-law governance check). */
+  private def textZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"))
+
   /**
    * Shared-winnowing-fingerprint contamination candidates: doc pairs
    * selecting ≥ 2 common fingerprints — candidate generation runs on
@@ -1656,6 +1660,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow" -> (textWinnow _),
+    "text_zipf" -> (textZipf _),
     "dedup_winnow" -> (dedupWinnow _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_classify" -> (textClassify _),
@@ -2501,6 +2506,20 @@ object SparkEntry {
     "text_winnow" ->
       (winnowCte + "SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp " +
         "FROM fp GROUP BY doc_id"),
+    // same closed-form least squares over round6'd (ln rank, ln freq)
+    // terms; round4 on the fitted coefficients
+    "text_zipf" ->
+      ("WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "f AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), " +
+        "r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rank, c FROM f " +
+        "ORDER BY c DESC, tok LIMIT 100), " +
+        "p AS (SELECT round(ln(rank), 6) AS x, round(ln(c), 6) AS y FROM r), " +
+        "s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(round(x * y, 6)) AS sxy, sum(round(x * x, 6)) AS sxx FROM p) " +
+        "SELECT CAST(n AS BIGINT) AS n_ranks, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope, " +
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept " +
+        "FROM s"),
     "dedup_winnow" ->
       (winnowCte + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "count(*) AS shared FROM fp a JOIN fp b " +

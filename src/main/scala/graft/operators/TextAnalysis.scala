@@ -447,6 +447,43 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf rank-frequency fit over the `topK` most frequent tokens:
+   * least-squares slope/intercept of ln(freq) against ln(rank) — the
+   * corpus-governance check that token frequencies follow the
+   * expected power law (slope ≈ −1 for natural text; a flat or
+   * broken slope flags templated/synthetic contamination). One
+   * distributed frequency aggregation; only topK rows (a TakeOrdered,
+   * not a sort) reach the driver for the closed-form fit. Terms are
+   * round6'd before summation in rank order so any engine replays the
+   * fold bit-comparably.
+   */
+  def zipfFit(docs: DataFrame, topK: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val top = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+      .collect().map(_.getLong(1))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xy = top.zipWithIndex.map { case (c, i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(c.toDouble)))
+    }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum
+    val sy = xy.map(_._2).sum
+    val sxy = xy.map { case (x, y) => r6(x * y) }.sum
+    val sxx = xy.map { case (x, _) => r6(x * x) }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((xy.length.toLong, r4(slope), r4(intercept)))
+      .toDF("n_ranks", "slope", "intercept")
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
    * the MOSS algorithm): hash every word `k`-gram, slide a window of
    * `w` consecutive hashes, keep each window's minimum. The selected
