@@ -275,6 +275,38 @@ object ScaleProbe {
           .filter(col("src") =!= col("dst"))
         Graph.triangleCount(half.union(half.select(col("dst").as("src"),
           col("src").as("dst"))).distinct()).count()
+      },
+      // winnowing: fingerprint selection is scan-stage HOFs; the
+      // shared-pair join moves only the ~2/(w+1)-density sample
+      time("winnow_census")(
+        graft.operators.TextAnalysis.winnowCensus(docs).count()),
+      time("winnow_pairs")(
+        graft.operators.TextAnalysis.winnowSharedPairs(docs, minShared = 2).count()),
+      // CMS build over the exploded token stream (~20M rows at 200k
+      // docs): the aggregation key space is depth x width, so the
+      // shuffle is bounded however large the vocabulary; estimates add
+      // one broadcast probe of topK x depth rows
+      time("cms_estimates") {
+        val toks = docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+        Sketches.cmsEstimates(toks, "tok", topK = 20).count()
+      },
+      // AllPairs prefix-filtered set cosine on 5-word synthetic names
+      // (bigram features): candidate work rides rare-token posting
+      // lists, never the name cross product
+      time("er_cosine") {
+        val names = spark.range(nDocs.toLong).toDF("id")
+          .withColumn("name", concat_ws(" ", transform(sequence(lit(0), lit(4)), i =>
+            concat(lit("n"), pmod(xxhash64(col("id") * 5 + i +
+              when(col("id") % 50 === 1 && i === 4, lit(1)).otherwise(lit(0))),
+              lit(2000))))))
+        Dedup.tokenCosinePairs(names, "name", "id",
+          threshold = 0.7, shingle = 2).count()
+      },
+      // phash census + band-blocked near-dup pairs over the payloads
+      time("phash_pairs") {
+        val withBin = graft.operators.Multimodal.attachBinary(
+          docs.withColumn("source", lit("probe")))
+        graft.operators.Multimodal.phashNearDupPairs(withBin).count()
       }) ++ {
       // relational probes at 10M rows (~17x the sf0.1 lineitem)
       val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong

@@ -431,6 +431,73 @@ object Md5Ops {
   }
 
   /**
+   * Winnowing fingerprint selection (MOSS) in ONE pass over the
+   * lowered text bytes: word-`k`-gram md5lo64 hashes (sign bit
+   * cleared so min-ordering matches any signed-64 engine), window-
+   * of-`w` minima, distinct. Byte windows between token offsets
+   * reproduce `concat_ws(" ", slice(split(text," "), i, k))` exactly
+   * (consecutive separators round-trip verbatim). The codegen'd
+   * replacement for the interpreted HOF composition, which
+   * re-evaluates its lambda per element (~20× slower measured at
+   * 200k docs).
+   */
+  def winnowMd5Doc(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1
+    val nGrams = nTokens - k + 1
+    if (nGrams < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    val md = md5.get()
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = starts(g + k) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      grams(g) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) |
+        ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) &
+        Long.MaxValue
+      g += 1
+    }
+    val nWins = nGrams - w + 1
+    val sel = new Array[Long](nWins)
+    var j = 0
+    while (j < nWins) {
+      var mn = grams(j)
+      var x = j + 1
+      while (x < j + w) { if (grams(x) < mn) mn = grams(x); x += 1 }
+      sel(j) = mn
+      j += 1
+    }
+    java.util.Arrays.sort(sel)
+    var uniq = 1
+    j = 1
+    while (j < nWins) { if (sel(j) != sel(j - 1)) uniq += 1; j += 1 }
+    val out = new Array[Long](uniq)
+    out(0) = sel(0)
+    var o = 1
+    j = 1
+    while (j < nWins) {
+      if (sel(j) != sel(j - 1)) { out(o) = sel(j); o += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * Order-sensitive polynomial fingerprint over md5lo64 token hashes,
    * mod 2^31-1 — the arithmetic stays in BIGINT range in any SQL
    * engine, so an oracle can fold the identical recurrence with
@@ -472,6 +539,18 @@ case class SimHashMd5DocExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.simhashMd5Doc($c, $n)")
   override protected def withNewChildInternal(c: Expression): SimHashMd5DocExpr = copy(child = c)
+}
+
+/** `winnow_md5_doc(text, k, w)` — distinct winnowing fingerprints, one pass (see Md5Ops.winnowMd5Doc). */
+case class WinnowMd5DocExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_md5_doc"
+  override protected def nullSafeEval(in: Any): Any =
+    Md5Ops.winnowMd5Doc(in.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.winnowMd5Doc($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowMd5DocExpr = copy(child = c)
 }
 
 /** `simhash_md5(features)` — 64-bit simhash over md5lo64 hashes of a string array. */
@@ -655,6 +734,10 @@ object TextFunctions {
   /** Single-pass md5 simhash over word-n-gram shingles of an already-lowercased text. */
   def simhash_md5_doc(loweredText: Column, n: Int = 5): Column =
     ColumnBridge.column(SimHashMd5DocExpr(ColumnBridge.expression(loweredText), n))
+
+  /** Distinct winnowing fingerprints of an already-lowercased text, one pass. */
+  def winnow_md5_doc(loweredText: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowMd5DocExpr(ColumnBridge.expression(loweredText), k, w))
 
   /** Order-sensitive md5-based polynomial fingerprint mod 2^31-1. */
   def poly_fingerprint(tokens: Column): Column =

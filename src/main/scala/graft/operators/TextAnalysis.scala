@@ -504,19 +504,13 @@ object TextAnalysis {
    * Output: one row per (doc_id, fp), distinct.
    */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    // sequence(1, n) runs DESCENDING for n < 1 — guard to empty
-    def idxs(n: Column): Column =
-      when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
-    val grams = transform(idxs(size(toks) - (k - 1)),
-      i => md5lo64(concat_ws(" ", slice(toks, i, lit(k))))
-        .bitwiseAND(lit(Long.MaxValue)))
-    val fps = transform(idxs(size(grams) - (w - 1)),
-      j => array_min(slice(grams, j, lit(w))))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // one codegen'd pass per doc ([[graft.functions.WinnowMd5DocExpr]]);
+    // the HOF composition (transform/slice/array_min over the token
+    // array) runs its lambdas interpreted, re-evaluating per element —
+    // measured ~20× slower at 200k docs
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(fps)).as("fp"))
-  }
+      explode(winnow_md5_doc(lower(col(textCol)), k, w)).as("fp"))
 
   /**
    * Per-document winnowing census: k-gram count, selected-fingerprint
