@@ -112,25 +112,32 @@ object Curation {
    */
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = toks(col(textCol))
-    val n = org.apache.spark.sql.functions.size(w)
-    def grams(k: Int): Column =
+    // token and gram arrays staged as columns before any lambda
+    // references them: interpreted lambda bodies re-evaluate
+    // non-attribute subexpressions per element, so the inlined form
+    // re-split the text per gram and re-built the gram array per
+    // distinct gram — O(tokens²·k) scan work per doc
+    def gramsOf(w: Column, n: Column, k: Int): Column =
       when(n >= k, transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", slice(w, i, lit(k)))))
         .otherwise(array().cast("array<string>"))
+    val staged = docs.select(col(idCol), toks(col(textCol)).as("__w"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__w")))
+      .withColumn("__g2", gramsOf(col("__w"), col("__n"), 2))
+      .withColumn("__g3", gramsOf(col("__w"), col("__n"), 3))
     def topFrac(g: Column): Column = {
       val total = org.apache.spark.sql.functions.size(g)
       val maxFreq = array_max(transform(array_distinct(g),
         d => org.apache.spark.sql.functions.size(filter(g, x => x === d))))
       when(total > 0, round(maxFreq / total, 4)).otherwise(lit(0.0))
     }
-    docs.select(
+    staged.select(
       col(idCol),
-      n.cast("long").as("n_tokens"),
-      round((n - org.apache.spark.sql.functions.size(array_distinct(w))) / n, 4)
-        .as("dup_token_frac"),
-      topFrac(grams(2)).as("top2_frac"),
-      topFrac(grams(3)).as("top3_frac"))
+      col("__n").cast("long").as("n_tokens"),
+      round((col("__n") - org.apache.spark.sql.functions.size(array_distinct(col("__w"))))
+        / col("__n"), 4).as("dup_token_frac"),
+      topFrac(col("__g2")).as("top2_frac"),
+      topFrac(col("__g3")).as("top3_frac"))
   }
 
   // -------------------------------------------------------------------------
@@ -457,13 +464,18 @@ object Curation {
    */
   def quantizeEmbeddings(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-    val q = transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
-    embs.select(
+    // the cast vector and its scale are staged as columns: referenced
+    // inside the quantization lambda they would re-cast the array and
+    // re-run the array_max per ELEMENT (interpreted lambda bodies
+    // re-evaluate non-attribute subexpressions) — O(dims²) per row
+    val staged = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+    val q = transform(col("__v"), x => floor(x / col("__scale") + lit(0.5)).cast("long"))
+    staged.select(
       col(idCol),
-      round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"),
-      round(scale, 6).as("scale"),
+      round(sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"),
+      round(col("__scale"), 6).as("scale"),
       aggregate(q, lit(0L), (a, x) => a + x).as("sum_q"),
       aggregate(q, lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"))
   }

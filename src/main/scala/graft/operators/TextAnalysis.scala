@@ -264,13 +264,19 @@ object TextAnalysis {
    */
   def bigramLmScore(docs: DataFrame, alpha: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = tokens(col(textCol))
+    // the token array is materialized as a column BEFORE the bigram
+    // lambda indexes it: a lambda body runs interpreted and
+    // re-evaluates non-attribute subexpressions per element, so
+    // element_at(split(text), i) would re-run the regex split twice
+    // per bigram — O(tokens²) scan work per doc
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
     val n = size(w)
     val idxs = when(n >= 2, sequence(lit(1), n - 1))
       .otherwise(array().cast("array<int>"))
     val bgs = transform(idxs, i =>
       struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
-    val bg = docs.select(col(idCol), explode(bgs).as("bg"))
+    val bg = toked.select(col(idCol), explode(bgs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // ONE corpus-sized aggregation builds everything: the bigram
     // table c12, the context counts c1(w1) = Σ_w c12(w1, w) (the
@@ -316,18 +322,22 @@ object TextAnalysis {
    */
   def tokenEntropy(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks).cast("double")
-    val types = sort_array(array_distinct(toks))
+    // tokens/types/n staged as columns: the type lambda references
+    // them, and interpreted lambda bodies re-evaluate non-attribute
+    // subexpressions per element — inlined, every type iteration
+    // would re-split the text (O(types·tokens) regex work per doc)
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__types", sort_array(array_distinct(col("__toks"))))
+      .withColumn("__n", size(col("__toks")).cast("double"))
     val ent = -aggregate(
-      transform(types, t => {
-        val p = size(filter(toks, x => x === t)).cast("double") / n
+      transform(col("__types"), t => {
+        val p = size(filter(col("__toks"), x => x === t)).cast("double") / col("__n")
         p * log(p)
       }),
       lit(0.0), (acc, x) => acc + x)
-    docs.select(col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      size(types).cast("long").as("n_types"),
+    staged.select(col(idCol),
+      col("__n").cast("long").as("n_tokens"),
+      size(col("__types")).cast("long").as("n_types"),
       round(ent, 4).as("entropy"))
   }
 
