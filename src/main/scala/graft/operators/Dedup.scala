@@ -55,7 +55,12 @@ object Dedup {
 
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = tokens(col(textCol))
+    // token array staged as a column before the lambda slices it:
+    // interpreted lambda bodies re-evaluate non-attribute
+    // subexpressions per element, so the inlined split would re-run
+    // per shingle position — O(tokens²) regex work per doc
+    val staged = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
     // one shingle per start position i in [1, len-n+1] (1-based
     // slice); the `when` guard matters — sequence(1, 0) is a
     // DESCENDING [1, 0] in Spark, not empty
@@ -63,7 +68,7 @@ object Dedup {
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+    staged.select(col("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
   /**
@@ -335,7 +340,15 @@ object Dedup {
       .agg(count("*").as("n_shared_spans"))
   }
 
-  /** All word-n-gram shingle strings (non-distinct — simhash weights repeats). */
+  /**
+   * All word-n-gram shingle strings (non-distinct — simhash weights
+   * repeats). Test-oracle helper only: the lambda re-tokenizes per
+   * shingle position (interpreted HOFs re-evaluate non-attribute
+   * subexpressions per element — O(tokens²) per doc). Production
+   * paths use the one-pass codegen [[graft.functions]] expressions;
+   * this composed form stays deliberately independent of them so
+   * specs can cross-check the two.
+   */
   def shingleStringsAll(text: Column, n: Int): Column = {
     val w = tokens(text)
     when(size(w) >= n,
