@@ -938,6 +938,28 @@ object SparkEntry {
   }
 
   /**
+   * One-pass KMV column profiler over `orders`: rows / nulls /
+   * min-max / distinct estimate per column, every value (estimate
+   * included) md5-replayable — [[graft.operators.Sketches.profile]].
+   */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.profile(t(s, dir, "orders"), Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice").cast("decimal(12,2)"),
+      "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "o_orderpriority" -> col("o_orderpriority")))
+
+  /**
+   * Theta-style KMV set algebra between document sources over
+   * word-5-gram shingles: exact union/intersection plus the sketch
+   * estimates, all bit-replayable — [[graft.operators.Sketches.kmvSourceOps]].
+   */
+  private def qKmvOps(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.kmvSourceOps(t(s, dir, "documents"))
+
+  /**
    * Deterministic train/val/test split (8/1/1) by content-independent
    * id hash — the reproducible-split step every training pipeline
    * runs. Same md5 discipline as the samplers: split = low bits of
@@ -1676,6 +1698,8 @@ object SparkEntry {
     "er_cosine" -> (erCosine _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
+    "q_profile" -> (qProfile _),
+    "q_kmv_ops" -> (qKmvOps _),
     "corpus_split" -> (corpusSplit _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
@@ -2579,6 +2603,68 @@ object SparkEntry {
       ("SELECT r_name, count(DISTINCT c_custkey) AS exact, TRUE AS union_ok " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    // every profile value replayed bit-identically: same string forms,
+    // same md5 bottom-256 hash sets, est = 255·2^63/h_(256)
+    "q_profile" ->
+      ("WITH m AS (" +
+        "SELECT 'o_orderkey' AS col_name, o_orderkey::VARCHAR AS v FROM orders " +
+        "UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders " +
+        "UNION ALL SELECT 'o_totalprice', o_totalprice::DECIMAL(12,2)::VARCHAR FROM orders " +
+        "UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders " +
+        "UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders), " +
+        "s AS (SELECT col_name, count(*) AS n_rows, " +
+        "count(*) FILTER (WHERE v IS NULL) AS n_null, " +
+        "min(v) AS min_v, max(v) AS max_v FROM m GROUP BY col_name), " +
+        "hs AS (SELECT DISTINCT col_name, CAST((" + md5u("'kmv:'||col_name||':'||v") +
+        " & 9223372036854775807::UBIGINT) AS BIGINT) AS h FROM m WHERE v IS NOT NULL), " +
+        "bk AS (SELECT col_name, h, row_number() OVER " +
+        "(PARTITION BY col_name ORDER BY h) AS rn FROM hs), " +
+        "e AS (SELECT col_name, count(*) AS m_used, max(h) AS kth " +
+        "FROM bk WHERE rn <= 256 GROUP BY col_name) " +
+        "SELECT s.col_name, s.n_rows, s.n_null, s.min_v, s.max_v, e.m_used, " +
+        "round(CASE WHEN e.m_used < 256 THEN e.m_used::DOUBLE " +
+        "ELSE 255.0 * 9223372036854775808.0 / e.kth END, 2) AS distinct_est " +
+        "FROM s JOIN e USING (col_name)"),
+    // KMV set algebra replayed exactly: per-source bottom-256 md5 hash
+    // sets, union sketch = bottom-256 of the merged sets, jaccard =
+    // |L∩A∩B|/|L|, intersection = jaccard·union_est — no tolerance band
+    "q_kmv_ops" ->
+      ("WITH tok AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "hs AS (SELECT DISTINCT source, CAST((" + md5u("'kmv:'||g") +
+        " & 9223372036854775807::UBIGINT) AS BIGINT) AS h FROM g), " +
+        "ex AS (SELECT source, count(*) AS n FROM g GROUP BY source), " +
+        "bk AS (SELECT source, h, row_number() OVER " +
+        "(PARTITION BY source ORDER BY h) AS rn FROM hs), " +
+        "bks AS (SELECT source, h FROM bk WHERE rn <= 256), " +
+        "xi AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS exact_inter " +
+        "FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2), " +
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb " +
+        "FROM ex a JOIN ex b ON a.source < b.source), " +
+        "uh AS (SELECT DISTINCT p.source_a, p.source_b, k.h " +
+        "FROM pr p JOIN bks k ON k.source IN (p.source_a, p.source_b)), " +
+        "mk AS (SELECT source_a, source_b, h, row_number() OVER " +
+        "(PARTITION BY source_a, source_b ORDER BY h) AS rn FROM uh), " +
+        "mks AS (SELECT source_a, source_b, h FROM mk WHERE rn <= 256), " +
+        "mag AS (SELECT source_a, source_b, count(*) AS m, max(h) AS kth " +
+        "FROM mks GROUP BY 1, 2), " +
+        "ib AS (SELECT m.source_a, m.source_b, count(*) AS inboth " +
+        "FROM mks m JOIN bks ka ON ka.source = m.source_a AND ka.h = m.h " +
+        "JOIN bks kb ON kb.source = m.source_b AND kb.h = m.h GROUP BY 1, 2) " +
+        "SELECT p.source_a, p.source_b, " +
+        "p.na + p.nb - coalesce(x.exact_inter, 0) AS exact_union, " +
+        "coalesce(x.exact_inter, 0) AS exact_inter, " +
+        "round(CASE WHEN q.m < 256 THEN q.m::DOUBLE " +
+        "ELSE 255.0 * 9223372036854775808.0 / q.kth END, 2) AS union_est, " +
+        "round((coalesce(ib.inboth, 0)::DOUBLE / q.m) * " +
+        "CASE WHEN q.m < 256 THEN q.m::DOUBLE " +
+        "ELSE 255.0 * 9223372036854775808.0 / q.kth END, 2) AS inter_est, " +
+        "round(coalesce(ib.inboth, 0)::DOUBLE / q.m, 6) AS jaccard_est " +
+        "FROM pr p JOIN mag q USING (source_a, source_b) " +
+        "LEFT JOIN xi x USING (source_a, source_b) " +
+        "LEFT JOIN ib USING (source_a, source_b)"),
     "q_percentile_approx" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median, " +
         "TRUE AS approx_ok FROM orders GROUP BY o_orderstatus"),

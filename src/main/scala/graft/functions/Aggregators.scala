@@ -56,4 +56,57 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /**
+   * KMV (k-minimum-values) sketch core: the `k` smallest DISTINCT
+   * hash values of the group, as a sorted ascending array. The
+   * mergeable distinct-count summary (Bar-Yossef et al. 2002; the
+   * Theta-sketch base): distinct ≈ (k−1)/h_(k) with h normalized to
+   * [0,1), and the bottom-k of a UNION is computable from the two
+   * bottom-k's alone — so partial aggregation bounds the shuffle at
+   * partitions×k longs per group at ANY cardinality, and downstream
+   * set algebra (union / intersection / Jaccard) needs only the
+   * sketches. `Long.MinValue` inputs are skipped (the engine's
+   * null-value sentinel; real hashes are sign-bit-masked ≥ 0).
+   *
+   * Buffer is a sorted distinct ascending Array[Long] of length ≤ k:
+   * insert is a binary search + bounded memcpy (rejections are
+   * O(log k) once the buffer saturates with small hashes), merge is
+   * a linear merge cut at k.
+   */
+  class BottomKDistinct(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], in: Long): Array[Long] = {
+      if (in == Long.MinValue) return b
+      var idx = java.util.Arrays.binarySearch(b, in)
+      if (idx >= 0) return b                       // already present
+      idx = -idx - 1
+      if (idx >= k) return b                       // larger than all k kept
+      val n = math.min(b.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(b, 0, out, 0, idx)
+      out(idx) = in
+      System.arraycopy(b, idx, out, idx + 1, n - idx - 1)
+      out
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -125,4 +125,112 @@ object Sketches {
     probes.join(broadcast(sk), Seq("j", "b"))
       .groupBy("k", "exact").agg(min("c").as("est"))
   }
+
+  /** 2^63 as a double (KMV hashes are sign-bit-masked into [0, 2^63)). */
+  private val Norm63 = 9.223372036854775808e18
+
+  /**
+   * KMV hash of a string value: md5lo64 with the sign bit cleared
+   * (non-negative, so BIGINT min-order matches any engine), null in →
+   * `Long.MinValue` sentinel (skipped by [[graft.functions.Aggregators.BottomKDistinct]]).
+   * The "kmv:" domain prefix keeps this hash stream independent of
+   * the minhash / CMS / winnowing streams built on the same md5 base.
+   */
+  private def kmvHash(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v.isNotNull, graft.functions.TextFunctions
+      .md5lo64(concat(lit("kmv:"), v)).bitwiseAND(lit(Long.MaxValue)))
+      .otherwise(lit(Long.MinValue))
+
+  /** KMV distinct estimate from a sorted bottom-k array: exact below k, (k−1)/h_(k) normalized at k. */
+  private def kmvEstimate(ks: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val m = org.apache.spark.sql.functions.size(ks)
+    when(m < k, m.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Norm63) / element_at(ks, k).cast("double"))
+  }
+
+  /**
+   * One-pass column profiler: for each named column expression,
+   * row count, null count, lexicographic min/max of the string form,
+   * and a KMV distinct-count estimate — the governance scan a 100 TB
+   * ingest runs per table. ONE melt (rows×cols) feeds ONE aggregation;
+   * the KMV buffer caps partial state at k longs per (column,
+   * partition), so the shuffle is bounded by cols×partitions×k at any
+   * cardinality — no count(DISTINCT) expand, no second scan. Every
+   * output value (hashes included) replays bit-identically in any
+   * engine with md5: est = (k−1)·2^63/h_(k) over md5lo64 sign-masked
+   * hashes, exact count below saturation.
+   */
+  def profile(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)],
+      k: Int = 256): DataFrame = {
+    val bottomK = udaf(new graft.functions.Aggregators.BottomKDistinct(k))
+    val melted = df.select(explode(array(cols.map { case (name, c) =>
+        struct(lit(name).as("col_name"), c.cast("string").as("v"))
+      }: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+    melted
+      .withColumn("h", kmvHash(concat(col("col_name"), lit(":"), col("v"))))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        bottomK(col("h")).as("ks"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_v"), col("max_v"),
+        org.apache.spark.sql.functions.size(col("ks")).cast("long").as("m_used"),
+        round(kmvEstimate(col("ks"), k), 2).as("distinct_est"))
+  }
+
+  /**
+   * KMV set algebra between document sources over word-n-gram
+   * shingles: per source-pair, exact distinct-shingle union /
+   * intersection (posting-list form, no self-join) alongside the
+   * sketch estimates — union from the bottom-k of the merged sketch,
+   * intersection via the Theta-style Jaccard estimator |L∩A∩B|/|L|
+   * on L = bottom-k of the union. The cross-source-contamination
+   * governance query: at 100 TB only the k-long sketches (sources×k
+   * longs) meet in the pair stage; the exact columns ride the same
+   * bounded posting-list shuffle as [[graft.operators.Curation.sourceOverlapMatrix]].
+   * Estimates are deterministic functions of md5 hash sets — an
+   * oracle replays them exactly, no tolerance band. The distinct
+   * (source, shingle) set feeds both the sketch and the exact
+   * branches as separate plan subtrees; at real scale persist it (or
+   * drop the exact columns — the sketches alone answer the query).
+   */
+  def kmvSourceOps(docs: DataFrame, n: Int = 5, k: Int = 256,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val bottomK = udaf(new graft.functions.Aggregators.BottomKDistinct(k))
+    // distinct shingle strings per source, hashed in the scan stage
+    val sh = docs.select(col(srcCol).as("src"),
+        explode(graft.functions.TextFunctions
+          .shingle_strings(lower(col(textCol)), n)).as("g"))
+      .distinct()
+    val sk = sh.groupBy("src")
+      .agg(bottomK(kmvHash(col("g"))).as("ks"), count(lit(1)).as("n_exact"))
+    // exact pairwise intersection: posting lists of source sets per
+    // shingle — single-source shingles never leave the aggregate
+    val inter = sh.groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
+      .filter(org.apache.spark.sql.functions.size(col("ss")) >= 2)
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+    val a = sk.select(col("src").as("source_a"), col("ks").as("ka"), col("n_exact").as("na"))
+    val b = sk.select(col("src").as("source_b"), col("ks").as("kb"), col("n_exact").as("nb"))
+    val merged = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val m = org.apache.spark.sql.functions.size(col("mk"))
+    val inBoth = org.apache.spark.sql.functions.size(
+      array_intersect(array_intersect(col("mk"), col("ka")), col("kb")))
+    a.join(b, col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("mk", merged)
+      .select(
+        col("source_a"), col("source_b"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        round(kmvEstimate(col("mk"), k), 2).as("union_est"),
+        round((inBoth.cast("double") / m) * kmvEstimate(col("mk"), k), 2).as("inter_est"),
+        round(inBoth.cast("double") / m, 6).as("jaccard_est"))
+  }
 }

@@ -222,4 +222,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
       s"2-D box predicate not pushed to the z-ordered parquet scan:\n$p")
   }
+
+  test("q_profile: KMV sketch partially aggregates map-side off one pruned scan") {
+    val p = plan("q_profile")
+    // partial bottom-k before the exchange: the shuffle carries at
+    // most cols×partitions×k longs at ANY column cardinality
+    assert(p.contains("partial_bottomkdistinct"),
+      s"KMV buffer not map-side combined — shuffle scales with cardinality:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "profile should be one melt + one aggregation exchange")
+    assert(!p.contains("Expand"), "profile must not fall back to count-distinct expand")
+  }
+
+  test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
+    val p = plan("q_kmv_ops")
+    assert(p.contains("partial_bottomkdistinct"),
+      "per-source KMV not map-side combined")
+    // sources×k sketch rows are broadcast for the pairwise algebra;
+    // only posting lists and sketch buffers ever hash-exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"pair stage shuffled a sketch-sized table:\n${p.take(3000)}")
+  }
 }

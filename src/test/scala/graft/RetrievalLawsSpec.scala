@@ -52,6 +52,71 @@ class RetrievalLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("kmv law: bottom-k aggregation is partition-invariant and keeps the k smallest distinct") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 2000)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L))   // dense range forces duplicates
+      k <- Gen.oneOf(4, 16, 64)
+      split <- Gen.chooseNum(1, 7)
+    } yield (vals, k, split)
+    check("kmvMerge", Prop.forAll(gen) { case (vals, k, split) =>
+      val agg = new graft.functions.Aggregators.BottomKDistinct(k)
+      val whole = vals.foldLeft(agg.zero)(agg.reduce)
+      val merged = vals.grouped(math.max(1, vals.size / split)).toSeq
+        .map(g => g.foldLeft(agg.zero)(agg.reduce)).fold(agg.zero)(agg.merge)
+      val expect = vals.distinct.sorted.take(k)
+      whole.toSeq == expect && merged.toSeq == expect
+    })
+  }
+
+  test("kmv estimate: exact below saturation, within 20% of truth at 20k distinct") {
+    val small = Sketches.profile((1 to 100).map(i => s"v$i").toDF("v"),
+      Seq("v" -> col("v"))).collect().head
+    assert(small.getAs[Long]("m_used") === 100L)
+    assert(small.getAs[Double]("distinct_est") === 100.0)
+    val big = Sketches.profile((1 to 20000).map(i => s"v$i").toDF("v"),
+      Seq("v" -> col("v"))).collect().head
+    assert(big.getAs[Long]("m_used") === 256L)
+    val est = big.getAs[Double]("distinct_est")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"est=$est")
+  }
+
+  test("kmv profile counts nulls and ranks min/max on the string form") {
+    val df = Seq(Some("b"), None, Some("a"), Some("c"), Some("a"))
+      .toDF("v")
+    val r = Sketches.profile(df, Seq("v" -> col("v"))).collect().head
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[String]("min_v") === "a")
+    assert(r.getAs[String]("max_v") === "c")
+    assert(r.getAs[Double]("distinct_est") === 3.0)
+  }
+
+  test("kmv set ops: clone sources measure jaccard 1 exactly, disjoint sources 0") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven")
+    val docs = (
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, "sA", t) } ++
+      texts.zipWithIndex.map { case (t, i) => (10L + i, "sB", t) } ++
+      Seq((20L, "sC", "red orange yellow green blue indigo")))
+      .toDF("doc_id", "source", "text")
+    val out = Sketches.kmvSourceOps(docs, n = 5, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("sA", "sB"))
+    // 6- and 7-token texts -> 2 + 3 = 5 distinct 5-gram shingles per
+    // source, below k: every estimate collapses to the exact value
+    assert(ab.getAs[Long]("exact_inter") === 5L)
+    assert(ab.getAs[Long]("exact_union") === 5L)
+    assert(ab.getAs[Double]("jaccard_est") === 1.0)
+    assert(ab.getAs[Double]("union_est") === 5.0)
+    assert(ab.getAs[Double]("inter_est") === 5.0)
+    val ac = out(("sA", "sC"))
+    assert(ac.getAs[Long]("exact_inter") === 0L)
+    assert(ac.getAs[Double]("jaccard_est") === 0.0)
+    assert(ac.getAs[Double]("inter_est") === 0.0)
+  }
+
   test("bm25 law: scores are nonnegative, bounded by sum of idf*(k1+1), zero iff no term") {
     val docGen = for {
       n <- Gen.chooseNum(1, 60)
