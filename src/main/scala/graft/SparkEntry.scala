@@ -960,6 +960,15 @@ object SparkEntry {
     operators.Sketches.kmvSourceOps(t(s, dir, "documents"))
 
   /**
+   * Per-status price quantiles off the deterministic md5 bottom-512
+   * row sample — type-1 quantiles, bit-replayable —
+   * [[graft.operators.Sketches.sampleQuantiles]].
+   */
+  private def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.sampleQuantiles(t(s, dir, "orders"),
+      groupCol = "o_orderstatus", valCol = "o_totalprice", idCol = "o_orderkey")
+
+  /**
    * Deterministic train/val/test split (8/1/1) by content-independent
    * id hash — the reproducible-split step every training pipeline
    * runs. Same md5 discipline as the samplers: split = low bits of
@@ -1700,6 +1709,7 @@ object SparkEntry {
     "q_hll_union" -> (qHllUnion _),
     "q_profile" -> (qProfile _),
     "q_kmv_ops" -> (qKmvOps _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
@@ -2665,6 +2675,19 @@ object SparkEntry {
         "FROM pr p JOIN mag q USING (source_a, source_b) " +
         "LEFT JOIN xi x USING (source_a, source_b) " +
         "LEFT JOIN ib USING (source_a, source_b)"),
+    // the md5 bottom-512 sample and the type-1 quantile indexes replay
+    // exactly — outputs are raw data values, no interpolation
+    "q_sketch_quantiles" ->
+      ("WITH h AS (SELECT o_orderstatus, o_totalprice, o_orderkey, " +
+        wrapSigned(md5u("'qs:'||o_orderkey")) + " AS qh FROM orders), " +
+        "r AS (SELECT o_orderstatus, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY qh, o_orderkey) AS rn FROM h), " +
+        "s AS (SELECT o_orderstatus, list(o_totalprice ORDER BY o_totalprice) AS vs, " +
+        "count(*) AS n_sampled FROM r WHERE rn <= 512 GROUP BY o_orderstatus) " +
+        "SELECT o_orderstatus, n_sampled, " +
+        "vs[CAST(ceil(0.5 * n_sampled) AS INT)] AS p50, " +
+        "vs[CAST(ceil(0.9 * n_sampled) AS INT)] AS p90, " +
+        "vs[CAST(ceil(0.99 * n_sampled) AS INT)] AS p99 FROM s"),
     "q_percentile_approx" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS median, " +
         "TRUE AS approx_ok FROM orders GROUP BY o_orderstatus"),

@@ -183,6 +183,37 @@ object Sketches {
   }
 
   /**
+   * Deterministic sample-based quantile summary per group — the
+   * third mergeable summary beside KMV (distinct) and CMS/MG
+   * (frequency). The md5 bottom-k row sample is uniform, content-
+   * independent, and merge-stable (bottom-k of a union is computable
+   * from per-part bottom-k's — the growth-stable reservoir
+   * replacement `corpus_bottomk` pins), and it rides the TopKPerKey
+   * two-phase heap plan: exchange ≤ partitions×k rows per group at
+   * any table size. Quantiles are type-1 (element at ⌈q·m⌉ of the
+   * sorted sample) — the output is a VALUE from the data, no
+   * interpolation arithmetic, so any engine replays it bit-equal.
+   * Sample error is the standard DKW bound ε ≈ √(ln(2/δ)/2k) on rank
+   * fraction (~5% at k=512) — and when a group has ≤ k rows the
+   * "sample" is the whole group and the quantiles are exact.
+   */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, k: Int = 512, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val hashed = df.withColumn("__qh", graft.functions.TextFunctions
+      .md5lo64(concat(lit("qs:"), col(idCol).cast("string"))))
+    val sampled = graft.relational.Relational.topKPerKey(hashed,
+      keys = Seq(col(groupCol)),
+      order = Seq(col("__qh").asc, col(idCol).asc), k = k)
+    val agged = sampled.groupBy(groupCol)
+      .agg(sort_array(collect_list(col(valCol))).as("__vs"),
+        count(lit(1)).as("n_sampled"))
+    agged.select(col(groupCol) +: col("n_sampled") +: qs.map { q =>
+      element_at(col("__vs"), ceil(lit(q) * col("n_sampled")).cast("int"))
+        .as(s"p${(q * 100).round}")
+    }: _*)
+  }
+
+  /**
    * KMV set algebra between document sources over word-n-gram
    * shingles: per source-pair, exact distinct-shingle union /
    * intersection (posting-list form, no self-join) alongside the

@@ -92,6 +92,27 @@ class RetrievalLawsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("distinct_est") === 3.0)
   }
 
+  test("sample quantiles: exact type-1 quantiles below k, order-invariant, monotone") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 400)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
+      parts <- Gen.chooseNum(1, 8)
+    } yield (vals, parts)
+    check("sampleQuantiles", Prop.forAll(gen) { case (vals, parts) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "grp", "v").repartition(parts)
+      val r = Sketches.sampleQuantiles(df, "grp", "v", "id", k = 512).collect().head
+      val sorted = vals.sorted
+      def t1(q: Double) = sorted(math.ceil(q * vals.size).toInt - 1)
+      r.getAs[Long]("n_sampled") == vals.size.toLong &&
+        r.getAs[Double]("p50") == t1(0.5) &&
+        r.getAs[Double]("p90") == t1(0.9) &&
+        r.getAs[Double]("p99") == t1(0.99) &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p90") &&
+        r.getAs[Double]("p90") <= r.getAs[Double]("p99")
+    })
+  }
+
   test("kmv set ops: clone sources measure jaccard 1 exactly, disjoint sources 0") {
     val texts = Seq(
       "alpha beta gamma delta epsilon zeta",
