@@ -341,7 +341,40 @@ object ScaleProbe {
             lit(100000000L)))
           BloomJoin.preFilteredJoin(fact, spark.range(0, 100000000L, 50).toDF("k"),
             "fk", "k", expectedItems = 2000000L).count()
-        })
+        },
+        // KMV profiler over 10M rows × 4 columns (one 10M-distinct, one
+        // 1M-distinct): the melt is 40M rows but the aggregation
+        // buffer caps at cols×partitions×256 longs — vs the naive
+        // 2×count(DISTINCT) expand that shuffles every distinct value
+        // collect() (tiny outputs), not count(): count-after-aggregate
+        // lets Catalyst prune the aggregate expressions themselves
+        time("kmv_profile_10m")(Sketches.profile(ord, Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_status" -> col("o_status"),
+          "o_totalprice" -> col("o_totalprice").cast("decimal(12,2)")))
+          .collect().length.toLong),
+        time("profile_naive_distinct_10m")(
+          ord.select(
+            countDistinct(col("o_orderkey")), countDistinct(col("o_custkey")),
+            countDistinct(col("o_status")),
+            countDistinct(col("o_totalprice").cast("decimal(12,2)")))
+            .collect().length.toLong),
+        // deterministic-sample quantiles at 10M rows: the heap plan
+        // exchanges ≤ partitions×512 rows per status group
+        time("sample_quantiles_10m")(Sketches.sampleQuantiles(ord,
+          "o_status", "o_totalprice", "o_orderkey").collect().length.toLong),
+        // KMV set algebra across 64 sources at probe-doc scale: the
+        // pair stage sees only sources×256 sketch longs
+        time("kmv_source_ops")(Sketches.kmvSourceOps(
+          docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")))
+          .collect().length.toLong),
+        // sketch-only mode: drops the exact posting-list branch — the
+        // pair algebra runs on sources×256 longs alone
+        time("kmv_source_ops_sketch")(Sketches.kmvSourceOps(
+          docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")),
+          withExact = false)
+          .collect().length.toLong))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }

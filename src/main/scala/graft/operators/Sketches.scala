@@ -230,38 +230,51 @@ object Sketches {
    * drop the exact columns — the sketches alone answer the query).
    */
   def kmvSourceOps(docs: DataFrame, n: Int = 5, k: Int = 256,
-      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+      textCol: String = "text", srcCol: String = "source",
+      withExact: Boolean = true): DataFrame = {
     val bottomK = udaf(new graft.functions.Aggregators.BottomKDistinct(k))
-    // distinct shingle strings per source, hashed in the scan stage
-    val sh = docs.select(col(srcCol).as("src"),
-        explode(graft.functions.TextFunctions
-          .shingle_strings(lower(col(textCol)), n)).as("g"))
-      .distinct()
-    val sk = sh.groupBy("src")
-      .agg(bottomK(kmvHash(col("g"))).as("ks"), count(lit(1)).as("n_exact"))
-    // exact pairwise intersection: posting lists of source sets per
-    // shingle — single-source shingles never leave the aggregate
-    val inter = sh.groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
-      .filter(org.apache.spark.sql.functions.size(col("ss")) >= 2)
-      .select(explode(col("ss")).as("source_a"), col("ss"))
-      .select(col("source_a"), explode(col("ss")).as("source_b"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+    // shingle strings from the one-pass scan expression; NOT
+    // pre-distinct'd for the sketch — BottomKDistinct dedups inside
+    // its buffer, so the sketch build shuffles only partial buffers
+    // (partitions×sources×k longs), never a shingle string
+    val raw = docs.select(col(srcCol).as("src"),
+      explode(graft.functions.TextFunctions
+        .shingle_strings(lower(col(textCol)), n)).as("g"))
+    val sh = raw.distinct()
+    val sketch = raw.groupBy("src").agg(bottomK(kmvHash(col("g"))).as("ks"))
+    val sk =
+      if (withExact)
+        sketch.join(sh.groupBy("src").agg(count(lit(1)).as("n_exact")), "src")
+      else sketch.withColumn("n_exact", lit(0L))
     val a = sk.select(col("src").as("source_a"), col("ks").as("ka"), col("n_exact").as("na"))
     val b = sk.select(col("src").as("source_b"), col("ks").as("kb"), col("n_exact").as("nb"))
     val merged = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
     val m = org.apache.spark.sql.functions.size(col("mk"))
     val inBoth = org.apache.spark.sql.functions.size(
       array_intersect(array_intersect(col("mk"), col("ka")), col("kb")))
-    a.join(b, col("source_a") < col("source_b"))
-      .join(inter, Seq("source_a", "source_b"), "left")
+    val pairs = a.join(b, col("source_a") < col("source_b"))
       .withColumn("mk", merged)
-      .select(
-        col("source_a"), col("source_b"),
-        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
-        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
-        round(kmvEstimate(col("mk"), k), 2).as("union_est"),
-        round((inBoth.cast("double") / m) * kmvEstimate(col("mk"), k), 2).as("inter_est"),
-        round(inBoth.cast("double") / m, 6).as("jaccard_est"))
+    val ests = Seq(
+      round(kmvEstimate(col("mk"), k), 2).as("union_est"),
+      round((inBoth.cast("double") / m) * kmvEstimate(col("mk"), k), 2).as("inter_est"),
+      round(inBoth.cast("double") / m, 6).as("jaccard_est"))
+    if (!withExact) {
+      // 100 TB mode: the estimate columns alone — everything after
+      // the per-source aggregation touches only sources×k longs
+      pairs.select(col("source_a") +: col("source_b") +: ests: _*)
+    } else {
+      // exact pairwise intersection: posting lists of source sets per
+      // shingle — single-source shingles never leave the aggregate
+      val inter = sh.groupBy("g").agg(sort_array(collect_set(col("src"))).as("ss"))
+        .filter(org.apache.spark.sql.functions.size(col("ss")) >= 2)
+        .select(explode(col("ss")).as("source_a"), col("ss"))
+        .select(col("source_a"), explode(col("ss")).as("source_b"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+      pairs.join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a") +: col("source_b") +:
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L))).as("exact_union") +:
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter") +: ests: _*)
+    }
   }
 }
