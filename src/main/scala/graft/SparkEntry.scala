@@ -284,6 +284,17 @@ object SparkEntry {
         Tables.events(s, dir).select(col("user_id")), "user_id", topK = 10)
       .select(col("k").cast("long").as("user_id"), col("exact"), col("est"))
 
+  /**
+   * Batch twin of the streaming KMV distinct counter: per event type,
+   * distinct users exactly and by the mergeable bottom-256 sketch —
+   * [[graft.operators.Sketches.kmvDistinctByKey]]; StreamingSpec
+   * proves sketches merged across real micro-batches equal this.
+   */
+  private def qStreamKmv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinctByKey(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")),
+      "event_type", "user_id")
+
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
     EventStreams.streamingSessions(t(s, dir, "events"))
       .select(col("user_id"), date_trunc("second", col("session_start")).as("session_start"),
@@ -1616,6 +1627,7 @@ object SparkEntry {
     "stream_sessions" -> (qStreamSessions _),
     "stream_topk" -> (qStreamTopk _),
     "stream_cms" -> (qStreamCms _),
+    "stream_kmv" -> (qStreamKmv _),
     "stream_zscore" -> (qStreamZscore _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_dedup" -> (qStreamDedup _),
@@ -2675,6 +2687,22 @@ object SparkEntry {
         "FROM pr p JOIN mag q USING (source_a, source_b) " +
         "LEFT JOIN xi x USING (source_a, source_b) " +
         "LEFT JOIN ib USING (source_a, source_b)"),
+    // per-event-type KMV distinct-user estimates replayed exactly from
+    // the same md5 bottom-256 hash sets (batch twin of the streaming
+    // mergeable sketch)
+    "stream_kmv" ->
+      ("WITH v AS (SELECT DISTINCT event_type, user_id::VARCHAR AS v FROM events), " +
+        "hs AS (SELECT DISTINCT event_type, CAST((" + md5u("'kmv:'||v") +
+        " & 9223372036854775807::UBIGINT) AS BIGINT) AS h FROM v), " +
+        "bk AS (SELECT event_type, h, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM hs), " +
+        "e AS (SELECT event_type, count(*) AS m_used, max(h) AS kth " +
+        "FROM bk WHERE rn <= 256 GROUP BY event_type), " +
+        "ex AS (SELECT event_type, count(*) AS n_exact FROM v GROUP BY event_type) " +
+        "SELECT ex.event_type, ex.n_exact, e.m_used, " +
+        "round(CASE WHEN e.m_used < 256 THEN e.m_used::DOUBLE " +
+        "ELSE 255.0 * 9223372036854775808.0 / e.kth END, 2) AS distinct_est " +
+        "FROM ex JOIN e USING (event_type)"),
     // the md5 bottom-512 sample and the type-1 quantile indexes replay
     // exactly — outputs are raw data values, no interpolation
     "q_sketch_quantiles" ->

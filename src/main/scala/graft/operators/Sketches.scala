@@ -214,6 +214,40 @@ object Sketches {
   }
 
   /**
+   * Per-key KMV distinct-count estimate: the streaming-friendly
+   * distinct counter (sketch cells are mergeable across micro-batches
+   * by the bottom-k union — StreamingSpec pins merged == single-shot,
+   * the same contract as the CMS cells). The sketch aggregates
+   * straight off the scan via partial BottomKDistinct buffers
+   * (shuffle ≤ partitions×keys×k longs at any cardinality); the exact
+   * column, when requested, rides a separate distinct subframe so the
+   * sketch plan never pays a count-distinct Expand.
+   */
+  /** Raw per-key KMV sketch (key, ks: sorted bottom-k hash array) — the mergeable feed. */
+  def kmvSketchByKey(df: DataFrame, keyCol: String, valCol: String,
+      k: Int = 256): DataFrame = {
+    val bottomK = udaf(new graft.functions.Aggregators.BottomKDistinct(k))
+    df.select(col(keyCol).as("key"), col(valCol).cast("string").as("v"))
+      .groupBy("key").agg(bottomK(kmvHash(col("v"))).as("ks"))
+      .select(col("key").as(keyCol), col("ks"))
+  }
+
+  def kmvDistinctByKey(df: DataFrame, keyCol: String, valCol: String,
+      k: Int = 256, withExact: Boolean = true): DataFrame = {
+    val sketch = kmvSketchByKey(df, keyCol, valCol, k)
+      .withColumnRenamed(keyCol, "key")
+    val base =
+      if (withExact)
+        sketch.join(df.select(col(keyCol).as("key"),
+            col(valCol).cast("string").as("v")).distinct()
+          .groupBy("key").agg(count(lit(1)).as("n_exact")), "key")
+      else sketch.withColumn("n_exact", lit(0L))
+    base.select(col("key").as(keyCol), col("n_exact"),
+      org.apache.spark.sql.functions.size(col("ks")).cast("long").as("m_used"),
+      round(kmvEstimate(col("ks"), k), 2).as("distinct_est"))
+  }
+
+  /**
    * KMV set algebra between document sources over word-n-gram
    * shingles: per source-pair, exact distinct-shingle union /
    * intersection (posting-list form, no self-join) alongside the

@@ -468,6 +468,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.toMap === single)
   }
 
+  test("streaming KMV: bottom-k sketches merged across micro-batches equal the single-shot sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString + "/ev"
+    Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("event_type"), col("user_id")).repartition(3)
+      .write.parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // per-key buffers merge by the bottom-k union — the same
+    // mergeable-summary contract the CMS cells satisfy by addition
+    val agg = new graft.functions.Aggregators.BottomKDistinct(256)
+    val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    var batches = 0
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        graft.operators.Sketches.kmvSketchByKey(b, "event_type", "user_id")
+          .collect().foreach { r =>
+            val ks = r.getSeq[Long](1).toArray
+            val key = r.getString(0)
+            acc(key) = agg.merge(acc.getOrElse(key, agg.zero), ks)
+          }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val single = graft.operators.Sketches.kmvSketchByKey(
+        Tables.events(spark, SparkTestSession.sfDir)
+          .select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(acc.nonEmpty)
+    assert(acc.view.mapValues(_.toSeq).toMap === single)
+  }
+
   test("checkpoint recovery: a restarted query resumes from committed state, no reprocessing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
