@@ -997,6 +997,31 @@ object SparkEntry {
         sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
   }
 
+  /**
+   * Recrawl snapshot delta: two snapshots carved deterministically out
+   * of `documents` by the md5("snap:"+id) bucket (prev drops bucket%20=0,
+   * next drops bucket%23=1 and rewrites text for bucket%17=2), then
+   * [[graft.operators.Curation.snapshotDiff]] classifies every id as
+   * added/removed/changed/unchanged off (id, content-hash) projections —
+   * the join never moves document text. Output: per-source status counts.
+   */
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bk = md5lo64(concat(lit("snap:"), col("doc_id").cast("string")))
+      .bitwiseAND(lit(16383L))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      bk.as("__bk"))
+    val prev = base.filter(col("__bk") % 20 =!= 0).select(col("doc_id"), col("text"))
+    val next = base.filter(col("__bk") % 23 =!= 1)
+      .select(col("doc_id"),
+        when(col("__bk") % 17 === 2, concat(col("text"), lit(" [updated]")))
+          .otherwise(col("text")).as("text"))
+    Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** DSIR resampling over the oracled importance weights (rate 0.5, hash gate). */
   private def corpusResample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1723,6 +1748,7 @@ object SparkEntry {
     "q_kmv_ops" -> (qKmvOps _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_diff" -> (corpusDiff _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2416,6 +2442,20 @@ object SparkEntry {
         "ELSE 'test' END AS split, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1, 2"),
+    // recrawl delta: full-outer join of the two hash-carved snapshots on
+    // (id, md5(text)) projections, statuses counted per source
+    "corpus_diff" ->
+      ("WITH b AS (SELECT doc_id, source, text, " +
+        "(('0x'||substr(md5('snap:'||doc_id), 13, 4))::UINTEGER % 16384) AS bk FROM documents), " +
+        "prev AS (SELECT doc_id, md5(text) AS h FROM b WHERE bk % 20 != 0), " +
+        "nxt AS (SELECT doc_id, md5(CASE WHEN bk % 17 = 2 THEN text || ' [updated]' " +
+        "ELSE text END) AS h FROM b WHERE bk % 23 != 1), " +
+        "d AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN p.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN p.h != n.h THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id) " +
+        "SELECT b.source, d.status, count(*) AS n_docs " +
+        "FROM d JOIN b USING (doc_id) GROUP BY 1, 2"),
     // fuzzy-ER pairs: planted typo twins recovered through first-token
     // + length-band blocking and exact Levenshtein verification
     "er_editdist" ->

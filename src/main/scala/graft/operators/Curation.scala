@@ -450,6 +450,38 @@ object Curation {
   }
 
   // -------------------------------------------------------------------------
+  // Snapshot delta (recrawl / CDC diff)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Row-level delta between two corpus snapshots keyed by `idCol`:
+   * `added` (key only in `next`), `removed` (key only in `prev`),
+   * `changed` (key in both, content hash differs), `unchanged`.
+   * The step a continuous-crawl pipeline runs per recrawl so only the
+   * changed slice flows downstream (re-embed / re-dedup / re-score)
+   * instead of the whole corpus.
+   *
+   * Scale stance (100 TB): each side is first projected to
+   * (id, md5(content)) — the full-outer join moves ~50 bytes per row,
+   * never document text; on a real deployment both snapshots live
+   * bucketed by id ([[graft.sources.Bucketing]]) so the join is
+   * shuffle-free sort-merge. The id survives in the output so the
+   * changed set re-joins its text by key.
+   */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    def slim(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"),
+        md5(concat_ws("", contentCols.map(col): _*)).as(s"${side}_h"))
+    slim(prev, "p").join(slim(next, "n"), col("p_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("p_id"), col("n_id")).as(idCol),
+        when(col("p_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("p_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  // -------------------------------------------------------------------------
   // Embedding quantization
   // -------------------------------------------------------------------------
 

@@ -108,6 +108,23 @@ class CurationSpec extends AnyFunSuite {
     assert(seqs.head.getAs[Long]("n_docs") == 3L)      // offsets 0,100,200 < 256
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // scale contract: the join's inputs are slim (id, hash) projections —
+    // no text column may survive below the full-outer join
+    val joinNode = Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.head
+    val joined = joinNode.children.flatMap(_.output).map(_.name)
+    assert(!joined.exists(_.contains("text")), s"text leaked into join: $joined")
+  }
+
   test("quantizeEmbeddings keeps values in int8 range and preserves scale") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
     val r = Curation.quantizeEmbeddings(d).head()
