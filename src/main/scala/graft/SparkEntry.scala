@@ -1022,6 +1022,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /**
+   * Weighted sample: 20 docs per source, probability ∝ token count,
+   * via deterministic A-ES ([[graft.operators.Curation.weightedSample]]);
+   * the round6'd ranking key is part of the output so the oracle pins
+   * the key arithmetic, not just membership.
+   */
+  private def corpusWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(t(s, dir, "documents"), k = 20,
+        weight = size(split(lower(col("text")), " ")))
+      .select(col("source"), col("doc_id"), col("ws_key"))
+
   /** DSIR resampling over the oracled importance weights (rate 0.5, hash gate). */
   private def corpusResample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1749,6 +1760,7 @@ object SparkEntry {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
     "corpus_diff" -> (corpusDiff _),
+    "corpus_weighted_sample" -> (corpusWeightedSample _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2456,6 +2468,17 @@ object SparkEntry {
         "FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id) " +
         "SELECT b.source, d.status, count(*) AS n_docs " +
         "FROM d JOIN b USING (doc_id) GROUP BY 1, 2"),
+    // A-ES weighted sample: u from the low-63 md5 bits, key=round6(ln(u)/w),
+    // top-20 per source by (key DESC, doc_id) — selection and key replay
+    "corpus_weighted_sample" ->
+      ("WITH w AS (SELECT source, doc_id, " +
+        "greatest(len(string_split(lower(text), ' '))::DOUBLE, 1.0) AS wt, " +
+        "((" + md5u("'ws:'||doc_id") + " & 9223372036854775807::UBIGINT)::DOUBLE + 1.0) " +
+        "/ 9.223372036854776e18 AS u FROM documents), " +
+        "r AS (SELECT source, doc_id, round(ln(u)/wt, 6) AS ws_key, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY round(ln(u)/wt, 6) DESC, doc_id) AS rn FROM w) " +
+        "SELECT source, doc_id, ws_key FROM r WHERE rn <= 20"),
     // fuzzy-ER pairs: planted typo twins recovered through first-token
     // + length-band blocking and exact Levenshtein verification
     "er_editdist" ->

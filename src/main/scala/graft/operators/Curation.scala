@@ -234,6 +234,35 @@ object Curation {
   }
 
   /**
+   * Deterministic weighted k-sample per source WITHOUT replacement —
+   * Efraimidis–Spirakis A-ES with the md5 hash as the uniform draw:
+   * u = (low63(md5("ws:"+id)) + 1) / 2^63 ∈ (0,1], key = ln(u)/w;
+   * keeping the k LARGEST keys samples each doc with probability
+   * proportional to its weight w, without replacement. Like
+   * [[bottomKSample]] the sample is reproducible and mergeable (pool
+   * and re-cut); the key is rounded to 6 decimals before ranking
+   * (ties broken by id) so any engine's libm replays the selection —
+   * the BM25 round6 discipline.
+   *
+   * Runs on the [[graft.plans.TopKPerKey]] two-phase heap plan:
+   * exchange ≤ partitions×k rows per source at any corpus size.
+   */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val u = (md5lo64(concat(lit("ws:"), col(idCol).cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)).cast("double") + lit(1.0)) /
+      lit(9.223372036854776e18)
+    // weight is staged as a column so the ranking key references an
+    // attribute, not a re-evaluated subexpression
+    val staged = docs.withColumn("__w", greatest(weight.cast("double"), lit(1.0)))
+      .withColumn("ws_key", round(log(u) / col("__w"), 6))
+    graft.relational.Relational.topKPerKey(staged,
+        keys = Seq(col(sourceCol)),
+        order = Seq(col("ws_key").desc, col(idCol).asc), k = k)
+      .drop("__w")
+  }
+
+  /**
    * Budget-constrained training-mix sampling: allocate a global token
    * budget across sources with sqrt smoothing (over-represented
    * sources are downsampled harder — the standard multi-source mixing

@@ -202,4 +202,25 @@ class CurationLawsSpec extends AnyFunSuite {
         recut == s
     })
   }
+
+  test("weighted-sample law: exact size, partition-invariant, weight-monotone") {
+    check("weightedSample", Prop.forAll(Gen.chooseNum(5L, 40L), Gen.chooseNum(1, 5)) { (n, k) =>
+      val docs = (1L to n).map(i => (i, "s", 1.0 + (i % 7)))
+        .toDF("doc_id", "source", "w")
+      def ids(df: org.apache.spark.sql.DataFrame, wc: org.apache.spark.sql.Column) =
+        Curation.weightedSample(df, k, wc)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+      val s = ids(docs, col("w"))
+      // selection is a deterministic function of the data, not its layout
+      val repart = ids(docs.repartition(7), col("w"))
+      // A-ES monotonicity: raising one sampled doc's weight 100x keeps it
+      // sampled (its key ln(u)/w only moves toward 0)
+      val boosted = s.headOption.forall { kept =>
+        ids(docs.withColumn("w",
+          when(col("doc_id") === kept, col("w") * 100).otherwise(col("w"))),
+          col("w")).contains(kept)
+      }
+      s.size == math.min(k.toLong, n) && repart == s && boosted
+    })
+  }
 }
