@@ -173,6 +173,79 @@ object SparkEntry {
         count("*").as("n_items"))
   }
 
+  /**
+   * TPC-H Q7 (volume shipping), hand-shaped for scale: the 2-nation
+   * filter is applied to supplier and customer BEFORE the fact joins
+   * (Catalyst cannot split the cross-pair OR across both sides), so
+   * lineitem shrinks ~2/25 ahead of the orders shuffle; the final
+   * supp≠cust predicate removes the two same-nation pairs. Nation-
+   * filtered supplier broadcasts; orders/customer joins stay
+   * shuffle joins (they do not fit an executor at 100 TB — AQE
+   * converts them at small SF).
+   */
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation").filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /**
+   * TPC-H Q8 (national market share): NATION_3's share of EUROPE's
+   * ECONOMY-part import volume per order year. Part/region/nation
+   * prefilters broadcast into the fact side before the orders and
+   * customer shuffles; the share divides the two ROUNDED sums so the
+   * oracle's division replays exactly.
+   */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val euroNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(euroNations), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-01-01", "1997-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))), 2).as("nation_volume"),
+        round(sum(col("volume")), 2).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        round(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
+  }
+
   private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     t(s, dir, "orders")
@@ -258,6 +331,30 @@ object SparkEntry {
 
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionCounts(t(s, dir, "events"))
+
+  /**
+   * Cohort retention matrix: users grouped by first-seen day, activity
+   * counted per (cohort, day-offset). The activity frame is distinct
+   * on (user, day) BEFORE the cohort join, so each group's active-user
+   * count is a plain count(*) — no count-distinct Expand; both the
+   * first-seen agg and the join shuffle on user_id (one exchange
+   * reused), and the per-cohort size table (≤ days rows) broadcasts.
+   */
+  private def qEventCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort_day"))
+    val active = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day")).distinct()
+    val sizes = firstSeen.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    active.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        round(col("active_users") / col("cohort_users"), 4).as("retention"))
+  }
 
   /** Stream-stream-joinable click→purchase attribution (batch twin; streaming in StreamingSpec). */
   private def qClickToPurchase(s: SparkSession, dir: String): DataFrame =
@@ -1626,6 +1723,8 @@ object SparkEntry {
     "q1_pricing" -> (q1Pricing _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q_window_latest_orders" -> (qWindowLatestOrders _),
     "q_rollup" -> (qRollup _),
     "q_intersect" -> (qIntersect _),
@@ -1660,6 +1759,7 @@ object SparkEntry {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_event_cohorts" -> (qEventCohorts _),
     "stream_sessions" -> (qStreamSessions _),
     "stream_topk" -> (qStreamTopk _),
     "stream_cms" -> (qStreamCms _),
@@ -2041,6 +2141,37 @@ object SparkEntry {
         "count(*) AS n_items FROM lineitem " +
         "JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"),
+    "q7_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name IN ('NATION_3', 'NATION_7') " +
+        "AND n2.n_name IN ('NATION_3', 'NATION_7') AND n1.n_name != n2.n_name " +
+        "AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31') " +
+        "GROUP BY 1, 2, 3"),
+    "q8_market_share" ->
+      ("WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS supp_nation " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE' " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE o_orderdate BETWEEN '1996-01-01' AND '1997-12-31') " +
+        "SELECT o_year, " +
+        "round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2) AS nation_volume, " +
+        "round(sum(volume), 2) AS total_volume, " +
+        "round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2) " +
+        "/ round(sum(volume), 2), 4) AS mkt_share " +
+        "FROM vol GROUP BY 1"),
     "q_window_latest_orders" ->
       ("SELECT o_custkey, o_orderkey, rn, total FROM (" +
         "SELECT o_custkey, o_orderkey, " +
@@ -2182,6 +2313,18 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
         "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, " +
         "count(*) AS n_events FROM d GROUP BY user_id"),
+    // cohort retention: first-seen day x day-offset active-user matrix;
+    // activity is pre-distinct per (user, day) so counts are plain count(*)
+    "q_event_cohorts" ->
+      ("WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day " +
+        "FROM events GROUP BY 1), " +
+        "act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "sz AS (SELECT cohort_day, count(*) AS cohort_users FROM fs GROUP BY 1), " +
+        "m AS (SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset, " +
+        "count(*) AS active_users FROM act a JOIN fs f USING (user_id) GROUP BY 1, 2) " +
+        "SELECT m.cohort_day, m.day_offset, m.active_users, " +
+        "round(m.active_users / sz.cohort_users, 4) AS retention " +
+        "FROM m JOIN sz USING (cohort_day)"),
     "stream_sessions" ->
       ("WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
         "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_session " +

@@ -234,6 +234,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), "profile must not fall back to count-distinct expand")
   }
 
+  test("q_event_cohorts: no count-distinct Expand; cohort-size side broadcasts") {
+    val p = plan("q_event_cohorts")
+    // the activity frame is pre-distinct per (user, day): active-user
+    // counts must stay plain count(*), never an Expand-based distinct
+    assert(!p.contains("Expand"),
+      s"cohort counts fell back to count-distinct expand:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "cohort-size table did not broadcast")
+  }
+
+  test("q7_volume_shipping: shipdate pushed to parquet; nation-filtered supplier broadcasts") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed to scan")
+    assert(p.contains("BroadcastHashJoin"), "prefiltered supplier side did not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
     val p = plan("q_kmv_ops")
     assert(p.contains("partial_bottomkdistinct"),
