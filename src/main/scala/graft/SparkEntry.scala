@@ -333,6 +333,26 @@ object SparkEntry {
     EventStreams.sessionCounts(t(s, dir, "events"))
 
   /**
+   * Last-touch attribution: each purchase credits the user's latest
+   * preceding view/click/signup (or 'none'), via the custom
+   * [[graft.operators.AsOfJoin]] — one hash exchange on user_id plus a
+   * per-key window sort, |P|+|T| rows total, never a range explosion.
+   * The oracle replays it with DuckDB's native ASOF LEFT JOIN.
+   */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"))
+    AsOfJoin.asofBackward(purchases, touches, "user_id", "t_user", "ts", "t_ts")
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+  }
+
+  /**
    * Cohort retention matrix: users grouped by first-seen day, activity
    * counted per (cohort, day-offset). The activity frame is distinct
    * on (user, day) BEFORE the cohort join, so each group's active-user
@@ -1102,21 +1122,40 @@ object SparkEntry {
    * added/removed/changed/unchanged off (id, content-hash) projections —
    * the join never moves document text. Output: per-source status counts.
    */
-  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** The hash-carved recrawl snapshots shared by corpus_diff / corpus_incr_stats. */
+  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val bk = md5lo64(concat(lit("snap:"), col("doc_id").cast("string")))
       .bitwiseAND(lit(16383L))
-    val base = docs.select(col("doc_id"), col("source"), col("text"),
-      bk.as("__bk"))
-    val prev = base.filter(col("__bk") % 20 =!= 0).select(col("doc_id"), col("text"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), bk.as("__bk"))
+    val prev = base.filter(col("__bk") % 20 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
     val next = base.filter(col("__bk") % 23 =!= 1)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         when(col("__bk") % 17 === 2, concat(col("text"), lit(" [updated]")))
           .otherwise(col("text")).as("text"))
-    Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    (prev, next)
+  }
+
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val (prev, next) = snapshots(s, dir)
+    Curation.snapshotDiff(prev.select("doc_id", "text"),
+        next.select("doc_id", "text"), "doc_id", Seq("text"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /**
+   * Materialized-view maintenance: per-source stats of the `next`
+   * snapshot produced by merging the `prev` view with delta-only
+   * aggregates ([[graft.operators.Curation.incrementalStats]]); the
+   * oracle aggregates `next` directly — equality proves the
+   * incremental algebra end-to-end.
+   */
+  private def corpusIncrStats(s: SparkSession, dir: String): DataFrame = {
+    val (prev, next) = snapshots(s, dir)
+    Curation.incrementalStats(prev, next)
   }
 
   /**
@@ -1760,6 +1799,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_event_cohorts" -> (qEventCohorts _),
+    "q_attribution" -> (qAttribution _),
     "stream_sessions" -> (qStreamSessions _),
     "stream_topk" -> (qStreamTopk _),
     "stream_cms" -> (qStreamCms _),
@@ -1861,6 +1901,7 @@ object SparkEntry {
     "corpus_split" -> (corpusSplit _),
     "corpus_diff" -> (corpusDiff _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
+    "corpus_incr_stats" -> (corpusIncrStats _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -2313,6 +2354,16 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
         "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, " +
         "count(*) AS n_events FROM d GROUP BY user_id"),
+    // last-touch attribution replayed with DuckDB's native ASOF LEFT JOIN
+    // (inclusive t.ts <= p.ts matches asofBackward's equal-ts ordering)
+    "q_attribution" ->
+      ("WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "tch AS (SELECT user_id, ts, event_type AS touch_type FROM events " +
+        "WHERE event_type IN ('view', 'click', 'signup')) " +
+        "SELECT coalesce(t.touch_type, 'none') AS touch_type, count(*) AS n_purchases, " +
+        "round(sum(p.value), 2) AS attributed_value " +
+        "FROM p ASOF LEFT JOIN tch t ON p.user_id = t.user_id AND t.ts <= p.ts " +
+        "GROUP BY 1"),
     // cohort retention: first-seen day x day-offset active-user matrix;
     // activity is pre-distinct per (user, day) so counts are plain count(*)
     "q_event_cohorts" ->
@@ -2611,6 +2662,16 @@ object SparkEntry {
         "FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id) " +
         "SELECT b.source, d.status, count(*) AS n_docs " +
         "FROM d JOIN b USING (doc_id) GROUP BY 1, 2"),
+    // incremental-maintenance proof: the oracle aggregates the next
+    // snapshot DIRECTLY; the engine merges the prev view with delta aggs
+    "corpus_incr_stats" ->
+      ("WITH b AS (SELECT doc_id, source, text, " +
+        "(('0x'||substr(md5('snap:'||doc_id), 13, 4))::UINTEGER % 16384) AS bk FROM documents), " +
+        "nxt AS (SELECT doc_id, source, CASE WHEN bk % 17 = 2 THEN text || ' [updated]' " +
+        "ELSE text END AS text FROM b WHERE bk % 23 != 1) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
+        "FROM nxt GROUP BY 1"),
     // A-ES weighted sample: u from the low-63 md5 bits, key=round6(ln(u)/w),
     // top-20 per source by (key DESC, doc_id) — selection and key replay
     "corpus_weighted_sample" ->

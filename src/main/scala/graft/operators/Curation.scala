@@ -510,6 +510,37 @@ object Curation {
           .otherwise("unchanged").as("status"))
   }
 
+  /**
+   * Incremental aggregate maintenance (materialized-view update): the
+   * per-source (doc count, token sum) statistics of `next` computed
+   * WITHOUT re-aggregating the unchanged corpus — base stats from
+   * `prev` (standing in for the stored view) merged with delta
+   * aggregates taken only over [[snapshotDiff]]'s added/removed/
+   * changed rows. Because count and sum are abelian-group aggregates,
+   * view(next) = view(prev) − agg(removed ∪ changed_old)
+   *            + agg(added ∪ changed_new) — the update cost scales
+   * with the delta, not the corpus. Output equals a direct aggregation
+   * of `next` (the oracle), proving the maintenance algebra.
+   */
+  def incrementalStats(prev: DataFrame, next: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    def stats(df: DataFrame, sign: Int) =
+      df.groupBy(col(srcCol)).agg(
+        (count(lit(1)) * sign).as("n_docs"),
+        (sum(size(toks(col(textCol)))) * sign).cast("long").as("n_tokens"))
+    val diff = snapshotDiff(prev, next, idCol, Seq(textCol))
+    val minus = stats(prev.join(
+      diff.filter(col("status").isin("removed", "changed")).select(idCol), idCol), -1)
+    val plus = stats(next.join(
+      diff.filter(col("status").isin("added", "changed")).select(idCol), idCol), 1)
+    stats(prev, 1).unionByName(minus).unionByName(plus)
+      .groupBy(col(srcCol))
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_docs") > 0)
+  }
+
   // -------------------------------------------------------------------------
   // Embedding quantization
   // -------------------------------------------------------------------------

@@ -203,6 +203,29 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("incremental-stats law: merged view equals direct aggregation of next") {
+    check("incrStats", Prop.forAll(corpusGen, corpusGen) { (as, bs) =>
+      val prev = as.zipWithIndex
+        .map { case (txt, i) => (i.toLong, if (i % 2 == 0) "x" else "y", txt) }
+        .toDF("doc_id", "source", "text")
+      // next: drop every 5th, rewrite every 3rd, append bs as new docs
+      val next = as.zipWithIndex.collect {
+        case (txt, i) if i % 5 != 0 =>
+          (i.toLong, if (i % 2 == 0) "x" else "y",
+            if (i % 3 == 0) txt + " changed" else txt)
+      }.++(bs.zipWithIndex.map { case (txt, i) =>
+        (1000L + i, if (i % 2 == 0) "x" else "y", txt)
+      }).toDF("doc_id", "source", "text")
+      val incr = Curation.incrementalStats(prev, next)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = next.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(lower(col("text")), " "))).cast("long").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      incr == direct
+    })
+  }
+
   test("weighted-sample law: exact size, partition-invariant, weight-monotone") {
     check("weightedSample", Prop.forAll(Gen.chooseNum(5L, 40L), Gen.chooseNum(1, 5)) { (n, k) =>
       val docs = (1L to n).map(i => (i, "s", 1.0 + (i % 7)))
