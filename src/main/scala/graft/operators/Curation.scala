@@ -524,7 +524,7 @@ object Curation {
    */
   def incrementalStats(prev: DataFrame, next: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): DataFrame = {
+      srcCol: String = "source", baseView: Option[DataFrame] = None): DataFrame = {
     def stats(df: DataFrame, sign: Int) =
       df.groupBy(col(srcCol)).agg(
         (count(lit(1)) * sign).as("n_docs"),
@@ -534,7 +534,9 @@ object Curation {
       diff.filter(col("status").isin("removed", "changed")).select(idCol), idCol), -1)
     val plus = stats(next.join(
       diff.filter(col("status").isin("added", "changed")).select(idCol), idCol), 1)
-    stats(prev, 1).unionByName(minus).unionByName(plus)
+    // a deployment passes the STORED view (source, n_docs, n_tokens);
+    // recomputing it from prev is the self-contained/oracle mode
+    baseView.getOrElse(stats(prev, 1)).unionByName(minus).unionByName(plus)
       .groupBy(col(srcCol))
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"))

@@ -216,13 +216,17 @@ class CurationLawsSpec extends AnyFunSuite {
       }.++(bs.zipWithIndex.map { case (txt, i) =>
         (1000L + i, if (i % 2 == 0) "x" else "y", txt)
       }).toDF("doc_id", "source", "text")
-      val incr = Curation.incrementalStats(prev, next)
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      val direct = next.groupBy("source")
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(lower(col("text")), " "))).cast("long").as("n_tokens"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      incr == direct
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val incr = rows(Curation.incrementalStats(prev, next))
+      // the deployment path: the base view is stored, not recomputed
+      val stored = rows(Curation.incrementalStats(prev, next,
+        baseView = Some(agg(prev))))
+      val direct = rows(agg(next))
+      incr == direct && stored == direct
     })
   }
 
