@@ -246,6 +246,67 @@ object SparkEntry {
         round(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
   }
 
+  /**
+   * TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+   * lost to returns in 1996 H1. Returnflag + date filters push to the
+   * scans, nation broadcasts, and the final top-20 lowers to
+   * TakeOrderedAndProject (revenue DESC, custkey tiebreak) — no
+   * global sort ever materializes.
+   */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate").between("1996-01-01", "1996-06-30"))
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /**
+   * TPC-H Q12 flavor (shipping-priority audit; the fixture has no
+   * shipmode/receiptdate, so lateness = shipped >90 days after the
+   * order): high- vs low-priority late/on-time lineitem counts.
+   */
+  private def q12LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .otherwise("low").as("priority_class"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      .groupBy("priority_class", "late")
+      .agg(count(lit(1)).as("n_items"))
+  }
+
+  /**
+   * TPC-H Q14 (promotion effect): PROMO-part share of monthly revenue
+   * in 1996; part broadcasts into the filtered fact scan, and the
+   * share divides the two ROUNDED sums (the q8 discipline).
+   */
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .select(col("mon"), col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue"), 4).as("promo_share"))
+  }
+
   private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     t(s, dir, "orders")
@@ -1764,6 +1825,9 @@ object SparkEntry {
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q12_late_shipments" -> (q12LateShipments _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q_window_latest_orders" -> (qWindowLatestOrders _),
     "q_rollup" -> (qRollup _),
     "q_intersect" -> (qIntersect _),
@@ -2213,6 +2277,33 @@ object SparkEntry {
         "round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2) " +
         "/ round(sum(volume), 2), 4) AS mkt_share " +
         "FROM vol GROUP BY 1"),
+    // top-20 on the ROUNDED revenue with custkey tiebreak (both engines
+    // order by identical values)
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, revenue FROM (" +
+        "SELECT c_custkey, c_name, n_name, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate BETWEEN '1996-01-01' AND '1996-06-30' " +
+        "GROUP BY 1, 2, 3) ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q12_late_shipments" ->
+      ("SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' " +
+        "ELSE 'low' END AS priority_class, " +
+        "date_diff('day', o_orderdate, l_shipdate) > 90 AS late, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"),
+    "q14_promo_share" ->
+      ("SELECT mon, promo_revenue, total_revenue, " +
+        "round(promo_revenue / total_revenue, 4) AS promo_share FROM (" +
+        "SELECT date_trunc('month', l_shipdate) AS mon, " +
+        "round(sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' GROUP BY 1)"),
     "q_window_latest_orders" ->
       ("SELECT o_custkey, o_orderkey, rn, total FROM (" +
         "SELECT o_custkey, o_orderkey, " +

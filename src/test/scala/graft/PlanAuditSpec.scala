@@ -250,6 +250,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q10_returned_items: returnflag pushed to parquet; top-20 lowers to heap") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag not pushed to scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 did not lower, global sort")
+  }
+
   test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
     val p = plan("q_kmv_ops")
     assert(p.contains("partial_bottomkdistinct"),
