@@ -508,6 +508,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.view.mapValues(_.toSeq).toMap === single)
   }
 
+  test("streaming view maintenance: signed delta micro-batches converge to the direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // recrawl: drop every 20th doc, rewrite every 17th, add fresh docs
+    val prev = docs
+    val next = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 2, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.limit(50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(lit("fresh "), col("text")).as("text")))
+    // the delta stream: del rows (sign -1, old text) + add rows (sign
+    // +1, new text) for every removed/changed/added doc — what a
+    // crawler's changelist emits per recrawl wave
+    val diff = graft.operators.Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
+    val dels = prev.join(diff.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"), lit(-1L).as("sign"))
+    val adds = next.join(diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"), lit(1L).as("sign"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString + "/delta"
+    dels.unionByName(adds).repartition(4).write.parquet(dir)
+    // the stored view starts at agg(prev); each micro-batch merges its
+    // signed aggregates — the abelian-group maintenance contract
+    def toks(c: org.apache.spark.sql.Column) = size(split(lower(c), " "))
+    val view = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    prev.groupBy("source").agg(count(lit(1)).as("n"), sum(toks(col("text"))).cast("long").as("tk"))
+      .collect().foreach(r => view(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+    var batches = 0
+    val q = spark.readStream.schema(dels.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        b.groupBy("source").agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * toks(col("text"))).cast("long").as("dtk"))
+          .collect().foreach { r =>
+            val (n0, t0) = view.getOrElse(r.getString(0), (0L, 0L))
+            view(r.getString(0)) = (n0 + r.getLong(1), t0 + r.getLong(2))
+          }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    val direct = next.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(toks(col("text"))).cast("long").as("tk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view.filter(_._2._1 > 0).toMap === direct)
+  }
+
   test("checkpoint recovery: a restarted query resumes from committed state, no reprocessing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
