@@ -9,9 +9,15 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The fixture writer may mark timestamps isAdjustedToUTC=false, which
+    // Spark 4 infers as TIMESTAMP_NTZ — a type unix_millis/unix_micros
+    // reject. Read them as session-TZ (UTC) instants instead: every
+    // engine/oracle comparison assumes instant semantics.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /**
    * The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which

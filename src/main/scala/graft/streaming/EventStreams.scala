@@ -17,20 +17,30 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** On-disk schema: `ts` is parquet TIMESTAMP(NANOS), surfaced as long (see [[graft.Tables.events]]). */
-  val rawEventSchema: StructType = StructType(Seq(
+  /** Event schema with `ts` of the given physical type (the fixture has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)). */
+  def rawEventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet (ns ts → µs TimestampType). */
+  /**
+   * File-source stream over a directory of event parquet. The fixture
+   * writer has shipped `ts` as both TIMESTAMP(NANOS) (which Spark 4
+   * surfaces as long under the legacy flag — floor-convert ns→µs) and
+   * plain TIMESTAMP(MICROS); a streaming source needs a user-declared
+   * schema, so peek at the directory's batch-inferred footer schema
+   * once and declare the matching one.
+   */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawEventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawEventSchema(tsType)).parquet(dir)
+    if (tsType == LongType) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /**

@@ -169,11 +169,23 @@ class StreamingSpec extends AnyFunSuite {
       // the global watermark is the MIN across the three branch
       // watermarks, so the sentinel must advance view/click/purchase
       // alike (distinct users keep it out of any funnel)
-      Seq((999997L, 4102444800L * 1000000000L, -1L, "view", 0.0, ""),
-          (999998L, 4102444800L * 1000000000L, -2L, "click", 0.0, ""),
-          (999999L, 4102444800L * 1000000000L, -3L, "purchase", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("append").parquet(dir)
+      // the sentinel file's ts physical type must match the fixture's
+      // (the stream's declared schema), whichever variant it shipped as
+      val tsIsLong = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val far = 4102444800L // 2100-01-01 epoch seconds
+      val sentinel =
+        if (tsIsLong)
+          Seq((999997L, far * 1000000000L, -1L, "view", 0.0, ""),
+              (999998L, far * 1000000000L, -2L, "click", 0.0, ""),
+              (999999L, far * 1000000000L, -3L, "purchase", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        else
+          Seq((999997L, new java.sql.Timestamp(far * 1000L), -1L, "view", 0.0, ""),
+              (999998L, new java.sql.Timestamp(far * 1000L), -2L, "click", 0.0, ""),
+              (999999L, new java.sql.Timestamp(far * 1000L), -3L, "purchase", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinel.write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("funnel_triples").collect()
