@@ -307,6 +307,160 @@ object SparkEntry {
         round(col("promo_revenue") / col("total_revenue"), 4).as("promo_share"))
   }
 
+  /**
+   * TPC-H Q4 (order-priority checking; the fixture has no commit/
+   * receipt dates, so "late" = a lineitem shipped >60 days after the
+   * order date): per-priority counts of Q1'96 orders with at least
+   * one late item. The EXISTS lowers to one left-semi shuffle join
+   * whose condition carries the cross-table date predicate; the date
+   * filter on orders pushes to its scan.
+   */
+  private def q4PriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        datediff(l("l_shipdate"), o("o_orderdate")) > 60, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /**
+   * TPC-H Q6 (forecasting-revenue change): the pure scan-side query —
+   * all three predicates and both columns push into the parquet scan,
+   * one partial-aggregated row per partition reaches the driver.
+   */
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-12-31") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /**
+   * TPC-H Q13 (customer order-count distribution): customer LEFT
+   * OUTER orders (excluding 5-LOW priority — the comment-filter
+   * analog), per-customer order counts, then the count histogram.
+   * The outer join and first aggregation share the custkey exchange.
+   */
+  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /**
+   * TPC-H Q15 (top supplier): Q1'96 revenue per supplier, then the
+   * supplier(s) achieving the max. Revenue rounds to 2 decimals
+   * BEFORE the max compare so both engines pick identical winners;
+   * the 1-row max and the winners broadcast into the supplier join.
+   */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val winners = rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+    t(s, dir, "supplier")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /**
+   * TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+   * below-20%-of-average-quantity orders of one brand's parts were no
+   * longer filled. The brand prefilter broadcasts into both lineitem
+   * passes (~1/25 of parts), and the per-part quantity averages —
+   * exact: quantities are integer-valued doubles, so the sums are
+   * order-independent — broadcast into the final filter.
+   */
+  private def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+      .select("p_partkey")
+    val l = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val lim = l.groupBy(col("l_partkey").as("lp"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+    l.join(broadcast(lim), col("l_partkey") === col("lp"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(count(lit(1)).as("n_items"),
+        round(round(sum(col("l_extendedprice")), 2) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /**
+   * TPC-H Q18 (large-volume customers): orders whose total quantity
+   * exceeds 300, top-100. The HAVING aggregate runs on lineitem alone
+   * (map-side combine on orderkey), and only the ~0.1% surviving
+   * orders join orders/customer; quantity sums are integer-exact so
+   * the threshold and ordering replay bit-identically.
+   */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("total_price"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /**
+   * TPC-H Q19 (discounted-revenue, disjunctive predicates): revenue
+   * over an OR of three (brand, size-range, quantity-range) conjunct
+   * groups. Each side's subsuming prefilter is applied explicitly
+   * before the join — Catalyst cannot split an OR spanning both
+   * sides — so the broadcast hash join probes only candidate rows
+   * and re-checks the exact disjunction as its residual condition.
+   */
+  private def q19BrandPromo(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)))
+    val l = t(s, dir, "lineitem").filter(col("l_quantity").between(1, 30))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+        (p("p_brand") === "Brand#1" && p("p_size").between(1, 10) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#2" && p("p_size").between(1, 20) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#3" && p("p_size").between(1, 30) &&
+          l("l_quantity").between(20, 30))))
+      .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /**
+   * TPC-H Q22 (global-sales-opportunity; every fixture customer has
+   * orders, so "never ordered" becomes "inactive since 2000"):
+   * above-average-balance customers with no recent orders, by nation.
+   * The positive-balance average is a 1-row broadcast scalar, rounded
+   * to 6 decimals before the compare (the round6 discipline); the
+   * NOT EXISTS is a left-anti join against the date-filtered orders
+   * scan — orders shrinks before the shuffle.
+   */
+  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    val recent = t(s, dir, "orders").filter(col("o_orderdate") >= "2000-01-01")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
   private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     t(s, dir, "orders")
@@ -1828,6 +1982,14 @@ object SparkEntry {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q12_late_shipments" -> (q12LateShipments _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q4_priority_check" -> (q4PriorityCheck _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_brand_promo" -> (q19BrandPromo _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q_window_latest_orders" -> (qWindowLatestOrders _),
     "q_rollup" -> (qRollup _),
     "q_intersect" -> (qIntersect _),
@@ -2304,6 +2466,63 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' GROUP BY 1)"),
+    "q4_priority_check" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND date_diff('day', o_orderdate, l_shipdate) > 60) GROUP BY 1"),
+    "q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q13_order_distribution" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders " +
+        "ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' " +
+        "GROUP BY c_custkey) GROUP BY c_count"),
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31' " +
+        "GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier " +
+        "JOIN rev ON s_suppkey = l_suppkey " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"),
+    "q17_small_qty_revenue" ->
+      ("WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#3'), " +
+        "lim AS (SELECT l_partkey AS lp, avg(l_quantity) * 0.2 AS qty_limit " +
+        "FROM bl GROUP BY 1) " +
+        "SELECT count(*) AS n_items, " +
+        "round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly " +
+        "FROM bl JOIN lim ON l_partkey = lp WHERE l_quantity < qty_limit"),
+    "q18_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+        "round(o_totalprice, 2) AS total_price, total_qty FROM (" +
+        "SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem " +
+        "GROUP BY 1 HAVING sum(l_quantity) > 300) " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 100"),
+    "q19_brand_promo" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 " +
+        "AND l_quantity BETWEEN 20 AND 30)"),
+    "q22_idle_customers" ->
+      ("SELECT c_nationkey, count(*) AS n_customers, " +
+        "round(sum(c_acctbal), 2) AS total_bal FROM customer " +
+        "WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer " +
+        "WHERE c_acctbal > 0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= '2000-01-01') GROUP BY 1"),
     "q_window_latest_orders" ->
       ("SELECT o_custkey, o_orderkey, rn, total FROM (" +
         "SELECT o_custkey, o_orderkey, " +
