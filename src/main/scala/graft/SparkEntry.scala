@@ -595,6 +595,21 @@ object SparkEntry {
   private def qClickToPurchase(s: SparkSession, dir: String): DataFrame =
     EventStreams.clickToPurchaseStats(t(s, dir, "events"))
 
+  /**
+   * Batch twin of the stream-stream LEFT OUTER join
+   * ([[EventStreams.clickToPurchaseOuter]]): per user, attribution
+   * rows and the unconverted-click count (null purchase side).
+   */
+  private def qStreamUnconverted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    EventStreams.clickToPurchaseOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("p_ts").isNull, 1)).as("n_unconverted"))
+  }
+
   /** Streaming volume-anomaly batch twin: |z| >= 2 windows per event type. */
   private def qStreamZscore(s: SparkSession, dir: String): DataFrame =
     EventStreams.zscoreReport(EventStreams.windowedCounts(t(s, dir, "events"))
@@ -2032,6 +2047,7 @@ object SparkEntry {
     "stream_kmv" -> (qStreamKmv _),
     "stream_zscore" -> (qStreamZscore _),
     "stream_click_purchase" -> (qClickToPurchase _),
+    "stream_unconverted" -> (qStreamUnconverted _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_curate" -> (qStreamCurate _),
     "q_crc16_slots" -> (qCrc16Slots _),
@@ -2719,6 +2735,15 @@ object SparkEntry {
         "ON c.user_id = p.user_id " +
         "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 1800000000 " +
         "GROUP BY c.user_id"),
+    "stream_unconverted" ->
+      ("SELECT user_id, count(*) AS n_rows, " +
+        "count(*) FILTER (p_ts IS NULL) AS n_unconverted FROM (" +
+        "SELECT c.user_id, p.ts AS p_ts " +
+        "FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 1800000000" +
+        ") GROUP BY user_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),

@@ -148,6 +148,56 @@ object EventStreams {
   }
 
   /**
+   * Click→purchase LEFT OUTER attribution: every click surfaces, with
+   * a purchase when one follows within `windowMinutes`, else null
+   * purchase columns. On a stream this is the watermarked
+   * stream-stream outer join: Spark holds a click only until the
+   * watermark passes its join window, then emits the unmatched row —
+   * state stays bounded by the interval condition exactly as in the
+   * inner form, and the unmatched tail needs only watermark advance
+   * (no end-of-stream). Batch compares epoch micros ≡ the streaming
+   * raw-µs comparisons at every boundary (see [[clickToPurchase]]).
+   */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined =
+      if (clicks.isStreaming)
+        c.withWatermark("click_ts", "2 hours").join(
+          p.withWatermark("p_ts", "2 hours"),
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+          "left_outer")
+      else
+        c.join(p,
+          col("user_id") === col("p_user") &&
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .between(1L, windowMinutes * 60000000L),
+          "left_outer")
+    joined.select(col("user_id"), col("click_ts"), col("p_ts"))
+  }
+
+  /**
+   * Exact event dedup with BOUNDED state: on a stream, a key is
+   * remembered only until the watermark passes its event time
+   * (`dropDuplicatesWithinWatermark`), so state is O(one watermark
+   * window of keys), not O(every id ever seen) — the only dedup shape
+   * that survives continuous ingest at 100 TB. The batch twin is
+   * plain dropDuplicates; the two agree whenever duplicate copies
+   * arrive within one watermark of each other (true of replay/retry
+   * duplication, the case this operator exists for).
+   */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  /**
    * Three-step funnel view→click→purchase: per user, ordered triples
    * where each step follows the previous within `windowMinutes`.
    * Batch and streaming share the plan; streaming chains TWO

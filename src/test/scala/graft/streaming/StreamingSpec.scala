@@ -14,6 +14,42 @@ import graft.{SparkTestSession, Tables}
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** Stage the events fixture into a fresh stream-source directory. */
+  private def stageEvents(prefix: String, copies: Int = 1): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, s"events$i.parquet"),
+        java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"))
+    }
+    dir
+  }
+
+  /**
+   * Append a far-future (2100) sentinel row per event type to push
+   * every branch's watermark past all real data (the global watermark
+   * is the MIN across branches). Sentinel user_ids are negative so
+   * they join/aggregate with nothing. The file's ts physical type
+   * must match the fixture's declared stream schema, whichever
+   * variant the fixture shipped as (ns-as-long or µs timestamp).
+   */
+  private def appendWatermarkSentinel(dir: String, types: Seq[String]): Unit = {
+    import spark.implicits._
+    val tsIsLong = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val far = 4102444800L // 2100-01-01 epoch seconds
+    val rows = types.zipWithIndex.map { case (tp, i) => (999900L + i, -(i + 1).toLong, tp) }
+    val sentinel =
+      if (tsIsLong)
+        rows.map { case (id, uid, tp) => (id, far * 1000000000L, uid, tp, 0.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      else
+        rows.map { case (id, uid, tp) =>
+          (id, new java.sql.Timestamp(far * 1000L), uid, tp, 0.0, "")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinel.write.mode("append").parquet(dir)
+  }
+
   test("streaming windowed counts equal the batch twin") {
     // FileStreamSource needs a directory; stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
@@ -165,27 +201,10 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      import spark.implicits._
       // the global watermark is the MIN across the three branch
       // watermarks, so the sentinel must advance view/click/purchase
       // alike (distinct users keep it out of any funnel)
-      // the sentinel file's ts physical type must match the fixture's
-      // (the stream's declared schema), whichever variant it shipped as
-      val tsIsLong = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
-        .schema("ts").dataType == org.apache.spark.sql.types.LongType
-      val far = 4102444800L // 2100-01-01 epoch seconds
-      val sentinel =
-        if (tsIsLong)
-          Seq((999997L, far * 1000000000L, -1L, "view", 0.0, ""),
-              (999998L, far * 1000000000L, -2L, "click", 0.0, ""),
-              (999999L, far * 1000000000L, -3L, "purchase", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        else
-          Seq((999997L, new java.sql.Timestamp(far * 1000L), -1L, "view", 0.0, ""),
-              (999998L, new java.sql.Timestamp(far * 1000L), -2L, "click", 0.0, ""),
-              (999999L, new java.sql.Timestamp(far * 1000L), -3L, "purchase", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      sentinel.write.mode("append").parquet(dir)
+      appendWatermarkSentinel(dir, Seq("view", "click", "purchase"))
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("funnel_triples").collect()
@@ -263,6 +282,46 @@ class StreamingSpec extends AnyFunSuite {
     val batch = EventStreams.clickToPurchase(
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase")).count()
+    assert(streamed > 0)
+    assert(streamed === batch)
+  }
+
+  test("stream-stream LEFT OUTER join: unconverted clicks equal the batch twin") {
+    val dir = stageEvents("graft-ssouter")
+    val s1 = EventStreams.readEventStream(spark, dir).filter(col("event_type") === "click")
+    val s2 = EventStreams.readEventStream(spark, dir).filter(col("event_type") === "purchase")
+    val q = EventStreams.clickToPurchaseOuter(s1, s2).writeStream
+      .outputMode("append").format("memory").queryName("ss_outer").start()
+    try {
+      q.processAllAvailable()
+      // unmatched clicks flush only when the watermark passes their
+      // join window — push it past all real data
+      appendWatermarkSentinel(dir, Seq("click", "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_outer").filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val batch = EventStreams.clickToPurchaseOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+    assert(streamed.exists(_._3.isEmpty), "no unmatched (outer) rows were flushed")
+    assert(streamed === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark: bounded-state streamed dedup equals batch distinct") {
+    // stage the fixture TWICE so every event_id arrives duplicated
+    val dir = stageEvents("graft-wmdedup", copies = 2)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.dedupWithinWatermark(stream).writeStream
+      .outputMode("append").format("memory").queryName("wm_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wm_dedup").count()
+    val batch = EventStreams.dedupWithinWatermark(
+      Tables.events(spark, SparkTestSession.sfDir).unionAll(
+        Tables.events(spark, SparkTestSession.sfDir))).count()
     assert(streamed > 0)
     assert(streamed === batch)
   }
