@@ -256,6 +256,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-20 did not lower, global sort")
   }
 
+  test("q6_forecast_revenue: all three predicates reach the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    // PushedFilters truncates in toString; assert via the scan's
+    // DataFilters prefix + the full Filter node expressions
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), "no filters pushed to scan")
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), "discount band missing")
+    assert(p.contains("< 24.0)"), "quantity bound missing")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a global aggregate needs no hash exchange, only the 1-row gather")
+  }
+
+  test("q18_large_orders: HAVING partial-aggregates map-side; top-100 lowers to heap") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("partial_sum"), "quantity sum not map-side combined")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 did not lower, global sort")
+  }
+
+  test("q19_brand_promo: per-side prefilters pushed; part side broadcasts") {
+    val p = plan("q19_brand_promo")
+    assert(p.contains("BroadcastHashJoin"), "part side did not broadcast")
+    // the explicit subsuming prefilters reach both parquet scans
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#1)") ||
+      p.contains("In(p_brand, [Brand#1,Brand#2,Brand#3])") ||
+      p.contains("EqualTo(p_brand,Brand#1)"), "part prefilter not pushed to scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "lineitem quantity prefilter not pushed to scan")
+  }
+
+  test("q22_idle_customers: scalar average broadcasts; anti-join sees a date-filtered orders scan") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not lower to an anti join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), "date cutoff not pushed to orders scan")
+    assert(p.contains("BroadcastExchange"), "1-row average did not broadcast")
+  }
+
   test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
     val p = plan("q_kmv_ops")
     assert(p.contains("partial_bottomkdistinct"),
