@@ -1856,6 +1856,10 @@ object SparkEntry {
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLmScore(t(s, dir, "documents"), maxVocab = 20)
 
+  /** CCNet head/middle/tail perplexity buckets per language (LM capped as in text_lm_score). */
+  private def textPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pplBuckets(t(s, dir, "documents"), maxVocab = 20)
+
   /**
    * Batch twin of the streaming curation census
    * (streaming.DocumentStreams.curatedCensus — the plan is shared
@@ -2147,6 +2151,7 @@ object SparkEntry {
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
+    "text_ppl_buckets" -> (textPplBuckets _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -3754,6 +3759,37 @@ object SparkEntry {
         "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
         "ELSE -ln(p_oov) END), 4) AS nll " +
         "FROM tok LEFT JOIN kept USING (tok), ov GROUP BY doc_id"),
+    // replays the text_lm_score LM, then the tercile thresholds as
+    // running counts over the per-(lang, nll) table
+    "text_ppl_buckets" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
+        "FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS vocab_all FROM freq), " +
+        "kept AS (SELECT tok, cnt FROM freq WHERE cnt >= 2 " +
+        "QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 20), " +
+        "ks AS (SELECT sum(cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+        "ov AS (SELECT total, " +
+        "(total - kept_total) / (vocab_all - kept_types) / total AS p_oov " +
+        "FROM tot, ks), " +
+        "scored AS (SELECT doc_id, " +
+        "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
+        "ELSE -ln(p_oov) END), 4) AS nll " +
+        "FROM tok LEFT JOIN kept USING (tok), ov GROUP BY doc_id), " +
+        "sl AS (SELECT s.doc_id, d.lang, s.nll FROM scored s " +
+        "JOIN documents d USING (doc_id)), " +
+        "counts AS (SELECT lang, nll, count(*) AS c FROM sl GROUP BY 1, 2), " +
+        "cum AS (SELECT lang, nll, c, " +
+        "sum(c) OVER (PARTITION BY lang ORDER BY nll) AS cum FROM counts), " +
+        "tot2 AS (SELECT lang, sum(c) AS n FROM counts GROUP BY 1), " +
+        "thr AS (SELECT cum.lang, " +
+        "min(CASE WHEN cum >= ceil(n / 3.0) THEN nll END) AS t1, " +
+        "min(CASE WHEN cum >= ceil(n * 2.0 / 3.0) THEN nll END) AS t2 " +
+        "FROM cum JOIN tot2 USING (lang) GROUP BY 1) " +
+        "SELECT sl.lang, CASE WHEN nll <= t1 THEN 'head' " +
+        "WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "count(*) AS n_docs, round(avg(nll), 4) AS avg_nll " +
+        "FROM sl JOIN thr ON sl.lang = thr.lang GROUP BY 1, 2"),
     // --- corpus curation (round 3) ---
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -144,7 +144,8 @@ object TextAnalysis {
    */
   def unigramLmScoreOn(train: DataFrame, score: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
+      minCount: Long = 2, maxVocab: Int = 1000000,
+      carry: Seq[String] = Nil): DataFrame = {
     // one distributed pass builds the LM; only a BOUNDED vocabulary
     // reaches the driver: tokens below `minCount` (the hapax tail —
     // most of a raw web corpus's types: base64 blobs, URLs, numeric
@@ -185,9 +186,47 @@ object TextAnalysis {
       }
       if (n == 0) 0.0 else s / n
     }
-    score.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      round(nll(tokens(col(textCol))), 4).as("nll"))
+    score.select(col(idCol) +: carry.map(col) :+
+      size(tokens(col(textCol))).cast("long").as("n_tokens") :+
+      round(nll(tokens(col(textCol))), 4).as("nll"): _*)
+  }
+
+  /**
+   * CCNet-style perplexity bucketing: per language, documents split
+   * into head/middle/tail by the corpus's own unigram-LM NLL
+   * terciles (CCNet, LREC'20 — the standard quality partition before
+   * sampling mostly from the head). The tercile thresholds are exact
+   * order statistics computed WITHOUT any per-language sort of the
+   * corpus: doc scores collapse to a per-(lang, nll) count table
+   * first — bounded by the 4-decimal score space, ≪ corpus — and the
+   * running counts + thresholds live on that small table; docs then
+   * map to buckets by comparing against the two broadcast thresholds
+   * in one narrow pass. Ties share a bucket (threshold semantics,
+   * exactly replayable), so bucket sizes are near-, not exactly-,
+   * n/3 — as in CCNet itself.
+   */
+  def pplBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang",
+      minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLmScoreOn(docs, docs, textCol, idCol, minCount,
+      maxVocab, carry = Seq(langCol))
+    val counts = scored.groupBy(col(langCol), col("nll"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(langCol)).orderBy(col("nll"))
+    val tot = counts.groupBy(col(langCol).as("lc")).agg(sum("c").as("n"))
+    val cum = counts.withColumn("cum", sum("c").over(w))
+      .join(broadcast(tot), col(langCol) === col("lc"))
+    val thr = cum.groupBy(col(langCol).as("tl"))
+      .agg(min(when(col("cum") >= ceil(col("n") / 3.0), col("nll"))).as("t1"),
+        min(when(col("cum") >= ceil(col("n") * 2.0 / 3.0), col("nll"))).as("t2"))
+    scored.join(broadcast(thr), col(langCol) === col("tl"))
+      .withColumn("bucket",
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 4).as("avg_nll"))
   }
 
   /**

@@ -236,6 +236,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("pplBuckets: per-lang terciles partition every doc, ordered head<=middle<=tail") {
+    // two langs, scores spread by token rarity: common docs -> head
+    val corpus = ((0L until 30L).map(i => (i, "aa bb cc dd", "en")) ++
+      (30L until 50L).map(i => (i, s"aa bb rare$i odd$i", "en")) ++
+      (50L until 80L).map(i => (i, "xx yy zz", "de")) ++
+      (80L until 95L).map(i => (i, s"xx weird$i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.pplBuckets(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // partition: per-lang doc counts sum to the lang totals
+    assert(out.collect { case ((l, _), (n, _)) if l == "en" => n }.sum == 50L)
+    assert(out.collect { case ((l, _), (n, _)) if l == "de" => n }.sum == 45L)
+    // ordering: mean nll must not decrease across head -> middle -> tail
+    for (l <- Seq("en", "de"); (a, b) <- Seq(("head", "middle"), ("middle", "tail")))
+      for (x <- out.get((l, a)); y <- out.get((l, b)))
+        assert(x._2 <= y._2, s"$l: $a avg ${x._2} > $b avg ${y._2}")
+  }
+
   test("simhash oversized buckets refine by sub-pieces instead of dropping (recall kept)") {
     // 600 sketches share chunk 0 (low 16 bits = 0) but are far apart
     // elsewhere — the (0, 0) bucket exceeds maxBucket=500. A planted
