@@ -596,6 +596,16 @@ object SparkEntry {
     EventStreams.clickToPurchaseStats(t(s, dir, "events"))
 
   /**
+   * The Spark 4 `transformWithState` StatefulProcessor run as a BATCH
+   * query (the new arbitrary-state API executes on batch frames too —
+   * one pass, state discarded): per-user event stats ≡ groupBy agg.
+   * The streaming run of the same processor converges to these rows
+   * (StreamingSpec).
+   */
+  private def qUserStatsTws(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Stateful.runningUserStats(t(s, dir, "events")).toDF()
+
+  /**
    * Batch twin of the stream-stream LEFT OUTER join
    * ([[EventStreams.clickToPurchaseOuter]]): per user, attribution
    * rows and the unconverted-click count (null purchase side).
@@ -2052,6 +2062,7 @@ object SparkEntry {
     "stream_zscore" -> (qStreamZscore _),
     "stream_click_purchase" -> (qClickToPurchase _),
     "stream_unconverted" -> (qStreamUnconverted _),
+    "stream_user_stats" -> (qUserStatsTws _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_curate" -> (qStreamCurate _),
     "q_crc16_slots" -> (qCrc16Slots _),
@@ -2749,6 +2760,10 @@ object SparkEntry {
         "ON c.user_id = p.user_id " +
         "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 1800000000" +
         ") GROUP BY user_id"),
+    "stream_user_stats" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "floor(sum(value) * 100 + 0.5) / 100 AS total_value, " +
+        "max(value) AS max_value FROM events GROUP BY user_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),

@@ -43,6 +43,64 @@ object Stateful {
           UserTotals(uid, n, math.rint(sum * 100) / 100)
       }
 
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      max_value: Double)
+  case class StatsState(n: Long, sum: Double, max: Double)
+
+  private implicit val statsStateEnc: Encoder[StatsState] = ExpressionEncoder[StatsState]()
+  private implicit val statsEnc: Encoder[UserStats] = ExpressionEncoder[UserStats]()
+
+  /**
+   * [[runningUserTotals]] re-expressed on Spark 4's
+   * `transformWithState` arbitrary-state API — `StatefulProcessor`
+   * with named, typed state handles (the successor to
+   * mapGroupsWithState: composable ValueState/ListState/MapState,
+   * per-state TTL, timers). State here is one `ValueState[StatsState]`
+   * per user; every micro-batch emits the updated summary for the
+   * users it touched (update mode). On a batch frame it degenerates
+   * to one pass ≡ `groupBy(user).agg(count, sum, max)` — the
+   * equivalence StreamingSpec asserts. Sums round to cents at
+   * emission so accumulation order can't leak into comparisons.
+   */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[StatsState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[StatsState]("userStats",
+        implicitly[Encoder[StatsState]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else StatsState(0L, 0.0, Double.NegativeInfinity)
+      var n = prev.n
+      var sum = prev.sum
+      var mx = prev.max
+      rows.foreach { case (_, v) => n += 1; sum += v; mx = math.max(mx, v) }
+      state.update(StatsState(n, sum, mx))
+      // HALF_UP cents (the floor(x*100+0.5) discipline) so the DuckDB
+      // oracle replays the emission exactly
+      Iterator.single(UserStats(uid, n, math.floor(sum * 100 + 0.5) / 100, mx))
+    }
+  }
+
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    // batch execution of TransformWithStateExec still reports to the
+    // StateStoreCoordinator, which only a streaming query would have
+    // created — force it into existence for batch-only sessions
+    val mgr = events.sparkSession.streams
+    try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    catch { case _: ReflectiveOperationException => () } // non-classic session
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   case class LastType(t: String)
   case class Transition(user_id: Long, from_type: String, to_type: String)
 

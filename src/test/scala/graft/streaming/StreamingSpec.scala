@@ -216,6 +216,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("transformWithState: streaming running stats converge to the batch aggregate") {
+    val dir = stageEvents("graft-tws")
+    val stream = EventStreams.readEventStream(spark, dir)
+    // transformWithState needs a multi-column-family store → RocksDB
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Stateful.runningUserStats(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("user_stats_tws")
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // last emitted row per user == final state
+    val fin = spark.table("user_stats_tws")
+      .withColumn("_r", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("_r").desc)))
+      .filter(col("_rn") === 1)
+      .select("user_id", "n_events", "total_value", "max_value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy("user_id")
+      .agg(count("*").as("n"), sum("value").as("s"), max("value").as("m"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), math.floor(r.getDouble(2) * 100 + 0.5) / 100, r.getDouble(3)))).toMap
+    assert(fin.nonEmpty)
+    assert(fin === batch)
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
