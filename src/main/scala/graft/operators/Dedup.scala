@@ -596,6 +596,11 @@ object Dedup {
     val prefix = ordered.filter(
       col("r") <= col("n") - ceil(lit(threshold * threshold) * col("n")) + 1)
     val cand = pairsFromBuckets(prefix, Seq("tok"), maxBucket = maxBucket)
+    // verification: pair×token explode-join-regroup. The tempting
+    // alternative — join each pair to both members' collected feature
+    // ARRAYS and size(array_intersect) — measured 1.8× SLOWER at
+    // sf0.1: every pair row then carries two string arrays through
+    // the shuffle, far heavier than the exploded (pair, token) rows.
     val inter = cand
       .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
