@@ -1871,6 +1871,26 @@ object SparkEntry {
     TextAnalysis.pplBuckets(t(s, dir, "documents"), maxVocab = 20)
 
   /**
+   * The composed CCNet curation pipeline in ONE statement: predict
+   * language (marker heuristic, a scan column), perplexity-score
+   * against the corpus LM, tercile-bucket per PREDICTED language,
+   * keep head+middle — reporting per-language doc counts, kept
+   * counts, and the kept set's mean NLL. The decision path an actual
+   * CCNet run takes, end-to-end: every stage is the narrow/broadcast
+   * shape of its standalone operator.
+   */
+  private def pipelineCcnet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("pred_lang", TextAnalysis.predLangCol(col("text")))
+    TextAnalysis.pplBucketed(docs, langCol = "pred_lang", maxVocab = 20)
+      .withColumn("keep", col("bucket").isin("head", "middle"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        round(avg(when(col("keep"), col("nll"))), 4).as("kept_avg_nll"))
+  }
+
+  /**
    * Batch twin of the streaming curation census
    * (streaming.DocumentStreams.curatedCensus — the plan is shared
    * verbatim with the readStream path; StreamingSpec proves the
@@ -2163,6 +2183,7 @@ object SparkEntry {
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
     "text_ppl_buckets" -> (textPplBuckets _),
+    "pipeline_ccnet" -> (pipelineCcnet _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -3805,6 +3826,42 @@ object SparkEntry {
         "WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket, " +
         "count(*) AS n_docs, round(avg(nll), 4) AS avg_nll " +
         "FROM sl JOIN thr ON sl.lang = thr.lang GROUP BY 1, 2"),
+    // the composed CCNet decision: langid CTE + the capped-LM scoring
+    // + per-predicted-language terciles + keep head+middle
+    "pipeline_ccnet" ->
+      ("WITH lang AS (" + langidSql + "), " +
+        "tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok " +
+        "FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS vocab_all FROM freq), " +
+        "kept AS (SELECT tok, cnt FROM freq WHERE cnt >= 2 " +
+        "QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 20), " +
+        "ks AS (SELECT sum(cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+        "ov AS (SELECT total, " +
+        "(total - kept_total) / (vocab_all - kept_types) / total AS p_oov " +
+        "FROM tot, ks), " +
+        "scored AS (SELECT doc_id, " +
+        "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
+        "ELSE -ln(p_oov) END), 4) AS nll " +
+        "FROM tok LEFT JOIN kept USING (tok), ov GROUP BY doc_id), " +
+        "sl AS (SELECT s.doc_id, l.pred_lang, s.nll FROM scored s " +
+        "JOIN lang l USING (doc_id)), " +
+        "counts AS (SELECT pred_lang, nll, count(*) AS c FROM sl GROUP BY 1, 2), " +
+        "cum AS (SELECT pred_lang, nll, c, " +
+        "sum(c) OVER (PARTITION BY pred_lang ORDER BY nll) AS cum FROM counts), " +
+        "tot2 AS (SELECT pred_lang, sum(c) AS n FROM counts GROUP BY 1), " +
+        "thr AS (SELECT cum.pred_lang, " +
+        "min(CASE WHEN cum >= ceil(n / 3.0) THEN nll END) AS t1, " +
+        "min(CASE WHEN cum >= ceil(n * 2.0 / 3.0) THEN nll END) AS t2 " +
+        "FROM cum JOIN tot2 USING (pred_lang) GROUP BY 1), " +
+        "b AS (SELECT sl.pred_lang, sl.nll, " +
+        "CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket " +
+        "FROM sl JOIN thr ON sl.pred_lang = thr.pred_lang) " +
+        "SELECT pred_lang, count(*) AS n_docs, " +
+        "count(*) FILTER (bucket IN ('head', 'middle')) AS n_kept, " +
+        "round(avg(nll) FILTER (bucket IN ('head', 'middle')), 4) AS kept_avg_nll " +
+        "FROM b GROUP BY 1"),
     // --- corpus curation (round 3) ---
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -207,6 +207,14 @@ object TextAnalysis {
    */
   def pplBuckets(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", langCol: String = "lang",
+      minCount: Long = 2, maxVocab: Int = 1000000): DataFrame =
+    pplBucketed(docs, textCol, idCol, langCol, minCount, maxVocab)
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 4).as("avg_nll"))
+
+  /** Per-doc form of [[pplBuckets]]: (id, lang, n_tokens, nll, bucket) rows. */
+  def pplBucketed(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang",
       minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = unigramLmScoreOn(docs, docs, textCol, idCol, minCount,
@@ -225,8 +233,7 @@ object TextAnalysis {
         when(col("nll") <= col("t1"), "head")
           .when(col("nll") <= col("t2"), "middle")
           .otherwise("tail"))
-      .groupBy(col(langCol), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 4).as("avg_nll"))
+      .drop("tl", "t1", "t2")
   }
 
   /**
