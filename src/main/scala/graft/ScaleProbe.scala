@@ -152,6 +152,24 @@ object ScaleProbe {
         graft.operators.TextAnalysis.unigramLmScore(noisy, maxVocab = 100000).count()
       },
       time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
+      // CCNet bucketing under web-noise: the per-(lang, nll) count
+      // table the tercile thresholds live on is bounded by the
+      // 4-decimal score space (≪ corpus) and the LM vocabulary is
+      // capped — no per-language corpus sort, no unbounded driver state
+      time("ppl_buckets_hapax") {
+        // common/hapax ratio varies per doc (5..24 common tokens) so
+        // the nll distribution spreads across genuinely distinct values
+        val noisy = spark.range(nDocs.toLong).toDF("doc_id")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(49)), i =>
+              when(i < pmod(col("doc_id"), lit(20)) + 5, concat(lit("c"), pmod(i, lit(40))))
+                .otherwise(concat(lit("u"), col("doc_id") * 50 + i)))))
+          .withColumn("lang", element_at(
+            array(lit("en"), lit("fr"), lit("es"), lit("de"), lit("zh")),
+            (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+        graft.operators.TextAnalysis.pplBuckets(noisy,
+          maxVocab = 100000).count()
+      },
       // join-path bigram LM: ~100 bigrams/doc over a 400-token vocab →
       // ~160k-row count tables; doc-bigrams shuffle twice (c12 + c1
       // joins), nothing ever collects to the driver
