@@ -69,9 +69,12 @@ class KeysTable(numKeys: Int, shards: Int) extends Table with SupportsRead {
 }
 
 class KeysScanBuilder(numKeys: Int, shards: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var prefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KeysSource.schema
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -84,14 +87,30 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new KeysScan(numKeys, shards, prefix)
+
+  /**
+   * Column pruning ≡ the reference KeysReader's keys-only vs
+   * keys-and-values read modes (tests/mr_test_module/src/lib.rs:
+   * 822-916 — readallkeys never fetches values): a pruned `payload`
+   * is never computed/"fetched" by the reader.
+   */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Partial limit pushdown: each slot-range scan stops after `limit` rows; Spark keeps the global Limit. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new KeysScan(numKeys, shards, prefix, required, limit)
 }
 
-class KeysScan(numKeys: Int, shards: Int, prefix: Option[String]) extends Scan with Batch {
-  override def readSchema(): StructType = KeysSource.schema
+class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
+    required: StructType, limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")}"
+    s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")} " +
+      s"columns=${required.fieldNames.mkString(",")} limit=$limit"
 
   /** One partition per shard = one contiguous slot range (Redis-cluster style). */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -99,7 +118,7 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String]) extends Scan w
     (0 until shards).map { s =>
       val lo = s * per
       val hi = if (s == shards - 1) Slots.NumSlots - 1 else (s + 1) * per - 1
-      SlotRangePartition(lo, hi, numKeys, prefix): InputPartition
+      SlotRangePartition(lo, hi, numKeys, prefix, required.fieldNames, limit): InputPartition
     }.toArray
   }
 
@@ -107,29 +126,35 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String]) extends Scan w
 }
 
 case class SlotRangePartition(slotLo: Int, slotHi: Int, numKeys: Int,
-    prefix: Option[String]) extends InputPartition
+    prefix: Option[String], columns: Array[String], limit: Int) extends InputPartition
 
 class KeysReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotRangePartition]
     new PartitionReader[InternalRow] {
       private var i = -1
+      private var emitted = 0
       private var row: InternalRow = _
 
       // pull-based, like ExecutionReader (reference: src/mr.h:80):
       // advance until a key owned by this shard's slot range passes
-      // the pushed prefix, or the keyspace is exhausted
+      // the pushed prefix, or the keyspace/limit is exhausted
       override def next(): Boolean = {
+        if (p.limit >= 0 && emitted >= p.limit) return false
         i += 1
         while (i < p.numKeys) {
           val key = KeysSource.keyAt(i)
           if (p.prefix.forall(key.startsWith)) {
             val slot = Slots.slot(key)
             if (slot >= p.slotLo && slot <= p.slotHi) {
-              row = InternalRow(
-                UTF8String.fromString(key),
-                slot,
-                UTF8String.fromString(KeysSource.payloadAt(key)))
+              // only requested columns materialize — a pruned payload
+              // is never computed (≡ not fetching the value)
+              row = InternalRow(p.columns.map {
+                case "key" => UTF8String.fromString(key)
+                case "slot" => slot
+                case "payload" => UTF8String.fromString(KeysSource.payloadAt(key))
+              }.toIndexedSeq: _*)
+              emitted += 1
               return true
             }
           }
