@@ -70,11 +70,13 @@ class KeysTable(numKeys: Int, shards: Int) extends Table with SupportsRead {
 
 class KeysScanBuilder(numKeys: Int, shards: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var prefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KeysSource.schema
   private var limit: Int = -1
+  private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -101,16 +103,36 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new KeysScan(numKeys, shards, prefix, required, limit)
+  /**
+   * COUNT(*) pushdown ≡ the reference's `dbsize` RPC (one count per
+   * shard, summed at the initiator — src/mr.h:94-113,
+   * tests/mr_test_module/src/lib.rs `LMRTEST.DBSIZE`): each slot-range
+   * partition emits its count as one row — no key/payload rows ever
+   * materialize — and Spark's final aggregate sums the shard counts.
+   */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = limit < 0 && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+
+  override def build(): Scan =
+    new KeysScan(numKeys, shards, prefix, required, limit, countStar)
 }
 
 class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
-    required: StructType, limit: Int) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    required: StructType, limit: Int, countStar: Boolean) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")} " +
-      s"columns=${required.fieldNames.mkString(",")} limit=$limit"
+      s"columns=${required.fieldNames.mkString(",")} limit=$limit" +
+      (if (countStar) " agg=count(*)" else "")
 
   /** One partition per shard = one contiguous slot range (Redis-cluster style). */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -118,7 +140,8 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
     (0 until shards).map { s =>
       val lo = s * per
       val hi = if (s == shards - 1) Slots.NumSlots - 1 else (s + 1) * per - 1
-      SlotRangePartition(lo, hi, numKeys, prefix, required.fieldNames, limit): InputPartition
+      SlotRangePartition(lo, hi, numKeys, prefix, required.fieldNames, limit,
+        countStar): InputPartition
     }.toArray
   }
 
@@ -126,11 +149,31 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
 }
 
 case class SlotRangePartition(slotLo: Int, slotHi: Int, numKeys: Int,
-    prefix: Option[String], columns: Array[String], limit: Int) extends InputPartition
+    prefix: Option[String], columns: Array[String], limit: Int,
+    countStar: Boolean) extends InputPartition
 
 class KeysReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotRangePartition]
+    if (p.countStar) return new PartitionReader[InternalRow] {
+      // dbsize path: one count row per shard, nothing materializes
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        var n = 0L
+        var i = 0
+        while (i < p.numKeys) {
+          val key = KeysSource.keyAt(i)
+          if (p.prefix.forall(key.startsWith)) {
+            val slot = Slots.slot(key)
+            if (slot >= p.slotLo && slot <= p.slotHi) n += 1
+          }
+          i += 1
+        }
+        InternalRow(n)
+      }
+      override def close(): Unit = ()
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       private var emitted = 0

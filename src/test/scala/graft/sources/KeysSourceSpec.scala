@@ -64,6 +64,18 @@ class KeysSourceSpec extends AnyFunSuite {
     reordered.foreach(r => assert(r.getInt(0) === Slots.slot(r.getString(1))))
   }
 
+  test("COUNT(*) pushes into the source: one count row per shard, dbsize-style") {
+    val df = read().groupBy().count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=count(*)"), s"count not pushed in:\n$plan")
+    assert(df.collect().head.getLong(0) === 1000L)
+    // composes with the pushed prefix: count only the user:* keyspace
+    val filtered = read().filter(col("key").startsWith("user:")).groupBy().count()
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("agg=count(*)") && fplan.contains("prefix=user:"), fplan)
+    assert(filtered.collect().head.getLong(0) === 250L)
+  }
+
   test("limit pushes into the scan partially: each slot-range reader stops early") {
     val df = read(100000, 4).limit(7)
     val plan = df.queryExecution.executedPlan.toString
