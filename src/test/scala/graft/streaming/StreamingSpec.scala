@@ -367,6 +367,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("LibMR pipeline steps compose over a structured stream, error channel intact") {
+    // the reference is batch-only; the Spark-native builder's
+    // map/mapE/filter are narrow Dataset ops, so the SAME pipeline
+    // runs on a readStream — per-record errors surface per
+    // micro-batch instead of failing the query
+    import graft.pipeline.ExecutionBuilder
+    val dir = stageEvents("graft-pipe-stream")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val typed = stream.select(col("event_id"), col("event_type"))
+      .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+    def pipe(b: ExecutionBuilder[(Long, String)]) = b
+      .mapE { case (id, t) =>
+        if (id % 97 == 0) Left(s"poison $id") else Right((id, t))
+      }
+      .filter { case (_, t) => t != "error" }
+      .map { case (id, _) => id * 2 }
+    val q = pipe(ExecutionBuilder.reader(typed)).envelope.writeStream
+      .outputMode("append").format("memory").queryName("pipe_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("pipe_stream")
+    val streamedErr = out.filter(col("error").isNotNull).count()
+    val streamedVal = out.filter(col("value").isNotNull).count()
+
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("event_id"), col("event_type"))
+      .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+    val batch = pipe(ExecutionBuilder.reader(ev)).run()
+    assert(streamedErr > 0 && streamedVal > 0)
+    assert(streamedErr === batch.errors.length)
+    assert(streamedVal === batch.results.length)
+  }
+
   test("flatMapGroupsWithState: streaming type transitions equal the batch lag twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmgws").toString
     java.nio.file.Files.createSymbolicLink(
