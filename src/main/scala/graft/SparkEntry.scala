@@ -1866,6 +1866,10 @@ object SparkEntry {
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLmScore(t(s, dir, "documents"), maxVocab = 20)
 
+  /** Gopher rule census: per-source pass/fail counts for each quality gate. */
+  private def textGopherCensus(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherCensus(t(s, dir, "documents"))
+
   /** CCNet head/middle/tail perplexity buckets per language (LM capped as in text_lm_score). */
   private def textPplBuckets(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pplBuckets(t(s, dir, "documents"), maxVocab = 20)
@@ -2184,6 +2188,7 @@ object SparkEntry {
     "text_lm_score" -> (textLmScore _),
     "text_ppl_buckets" -> (textPplBuckets _),
     "pipeline_ccnet" -> (pipelineCcnet _),
+    "text_gopher_census" -> (textGopherCensus _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -2395,6 +2400,27 @@ object SparkEntry {
       "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio, " +
       "round(least(n_tokens / 64.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.2 " +
       "+ distinct_ratio * 0.4, 6) AS quality FROM m"
+
+  /** Gopher census oracle: the qualitySql signal arithmetic + the rule gates. */
+  private lazy val gopherCensusSql: String =
+    "WITH m AS (SELECT source, " +
+      "len(string_split(lower(text), ' ')) AS n, " +
+      "round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0 / " +
+      "len(string_split(lower(text), ' ')), 4) AS awl, " +
+      "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " + stopwordsSql + ")) " +
+      "* 1.0 / len(string_split(lower(text), ' ')), 4) AS sr, " +
+      "round(1.0 - len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+      "len(string_split(lower(text), ' ')), 4) AS dup FROM documents), " +
+      "f AS (SELECT source, (n < 25 OR n > 100000) AS f_len, " +
+      "(awl < 3.0 OR awl > 5.0) AS f_awl, sr < 0.02 AS f_stop, " +
+      "dup > 0.6 AS f_dup FROM m) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "count(*) FILTER (f_len) AS n_fail_len, " +
+      "count(*) FILTER (f_awl) AS n_fail_wordlen, " +
+      "count(*) FILTER (f_stop) AS n_fail_stopword, " +
+      "count(*) FILTER (f_dup) AS n_fail_dup, " +
+      "count(*) FILTER (NOT f_len AND NOT f_awl AND NOT f_stop AND NOT f_dup) AS n_kept " +
+      "FROM f GROUP BY source"
 
   private lazy val langidSql: String =
     "WITH s AS (SELECT doc_id, " +
@@ -2980,6 +3006,7 @@ object SparkEntry {
         "SELECT label AS label_true, clabel AS label_pred, count(*) AS n " +
         "FROM best WHERE rn = 1 GROUP BY 1, 2"),
     "text_quality" -> qualitySql,
+    "text_gopher_census" -> gopherCensusSql,
     "text_langid" -> langidSql,
     // add-α bigram LM, replayed with the identical count tables and
     // smoothing arithmetic (docs with < 2 tokens have no bigrams and

@@ -77,6 +77,42 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style quality-rule census (Rae et al. '21, table A1 — the
+   * subset expressible on this corpus): every rule evaluates as a
+   * scan-stage column off ONE pass (the [[qualityScore]] signal
+   * arithmetic, identical rounding), then a per-source aggregate
+   * reports how many docs fail each gate and how many survive all of
+   * them. Shuffle = the |sources|-row census only; at 100 TB this is
+   * the shape a filtering decision audit has to take — no per-doc
+   * frame ever leaves the scan.
+   */
+  def gopherCensus(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source",
+      minTokens: Int = 25, maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 5.0,
+      minStopRatio: Double = 0.02, maxDupFrac: Double = 0.6): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val awl = round((length(col(textCol)) - (nTok - lit(1))) / nTok, 4)
+    val stopR = round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok, 4)
+    val dupF = round(lit(1.0) - size(array_distinct(toks)) / nTok, 4)
+    val failLen = nTok < minTokens || nTok > maxTokens
+    val failAwl = awl < minAvgLen || awl > maxAvgLen
+    val failStop = stopR < minStopRatio
+    val failDup = dupF > maxDupFrac
+    docs.select(col(sourceCol), failLen.as("f_len"), failAwl.as("f_awl"),
+        failStop.as("f_stop"), failDup.as("f_dup"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("f_len"), 1)).as("n_fail_len"),
+        count(when(col("f_awl"), 1)).as("n_fail_wordlen"),
+        count(when(col("f_stop"), 1)).as("n_fail_stopword"),
+        count(when(col("f_dup"), 1)).as("n_fail_dup"),
+        count(when(!col("f_len") && !col("f_awl") && !col("f_stop") && !col("f_dup"), 1))
+          .as("n_kept"))
+  }
+
+  /**
    * Language-marker table for the heuristic classifier: per language,
    * a small set of high-frequency function words. Deterministic
    * argmax with fixed priority order (en > fr > es > de > zh) on
