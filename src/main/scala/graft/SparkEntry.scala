@@ -461,6 +461,36 @@ object SparkEntry {
         round(sum(col("c_acctbal")), 2).as("total_bal"))
   }
 
+  /**
+   * TPC-H Q21 (suppliers who kept orders waiting, adapted: lateness =
+   * shipped >90 days after the order date): per supplier, finished
+   * multi-supplier orders where THEY were late and no co-supplier
+   * was. The double-correlated EXISTS/NOT EXISTS lower to a left-semi
+   * and a left-anti self-join of lineitem on the orderkey — all three
+   * lineitem sides shuffle on the same key (one exchange family, AQE
+   * reuses it) and only (orderkey, suppkey[, shipdate]) projections
+   * ever move; the supplier name join broadcasts.
+   */
+  private def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"),
+        col("o_orderdate").as("od"))
+    val others = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+        col("l_shipdate").as("d2"))
+    val l1 = late
+      .join(others, col("lo") === col("o2") && col("ls") =!= col("s2"), "left_semi")
+      .join(others,
+        col("lo") === col("o2") && col("ls") =!= col("s2") &&
+          datediff(col("d2"), col("od")) > 90, "left_anti")
+    l1.join(broadcast(t(s, dir, "supplier")), col("ls") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     t(s, dir, "orders")
@@ -2042,6 +2072,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_brand_promo" -> (q19BrandPromo _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q_window_latest_orders" -> (qWindowLatestOrders _),
     "q_rollup" -> (qRollup _),
@@ -2595,6 +2626,18 @@ object SparkEntry {
         "AND l_quantity BETWEEN 10 AND 20) " +
         "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 " +
         "AND l_quantity BETWEEN 20 AND 30)"),
+    "q21_waiting_supplier" ->
+      ("SELECT s_name, count(*) AS numwait FROM supplier " +
+        "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+        "JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "WHERE o_orderstatus = 'F' " +
+        "AND date_diff('day', o_orderdate, l1.l_shipdate) > 90 " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND date_diff('day', o_orderdate, l3.l_shipdate) > 90) " +
+        "GROUP BY s_name"),
     "q22_idle_customers" ->
       ("SELECT c_nationkey, count(*) AS n_customers, " +
         "round(sum(c_acctbal), 2) AS total_bal FROM customer " +
