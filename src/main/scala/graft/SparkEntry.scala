@@ -1669,6 +1669,28 @@ object SparkEntry {
   }
 
   /**
+   * PQ quality measurement: recall@5 of the ADC code-only ranking
+   * against the exact cosine top-5 — the emb_recall pattern applied
+   * to product quantization (what m/k cost in recall is the decision
+   * a billion-vector deployment actually makes). Queries with zero
+   * overlap keep a 0.0 row (left join from the query set).
+   */
+  private def annRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopK(embs, queries, topk = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(pq, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) / 5.0).as("recall5"))
+  }
+
+  /**
    * IVF-PQ composition: coarse 32-list routing (nprobe=8) + ADC
    * scoring over PQ codes inside the probed lists — FAISS's standard
    * billion-scale index shape. Oracle replays both stages in SQL.
@@ -2179,6 +2201,7 @@ object SparkEntry {
     "text_vocab_coverage" -> (textVocabCoverage _),
     "emb_pq" -> (embPq _),
     "ann_pq" -> (annPq _),
+    "ann_recall_pq" -> (annRecallPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
@@ -2948,6 +2971,38 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
         "row_number() OVER (PARTITION BY query_id " +
         "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"),
+    // ann_pq's code/ADC replay joined against the exact cosine top-5
+    "ann_recall_pq" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "d AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
+        "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
+        "FROM v x, generate_series(1, 64) t(i) JOIN cent ce ON ce.i = t.i " +
+        "GROUP BY 1, 2, ce.b), " +
+        "best AS (SELECT vec_id, j, b, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM d), " +
+        "code AS (SELECT vec_id, j, b FROM best WHERE rn = 1), " +
+        "qd AS (SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id, " +
+        "sum((q.v[t.i] - ce.c) * (q.v[t.i] - ce.c)) AS raw " +
+        "FROM v q, code co JOIN cent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
+        "WHERE q.vec_id < 10 AND co.vec_id != q.vec_id " +
+        "AND (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2), " +
+        "pqtop AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5), " +
+        "ex AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank " +
+        "FROM v q JOIN v c ON q.vec_id != c.vec_id WHERE q.vec_id < 10) " +
+        "WHERE rank <= 5), " +
+        "ov AS (SELECT ex.query_id, count(*) AS hits FROM ex " +
+        "JOIN pqtop ON ex.query_id = pqtop.query_id " +
+        "AND ex.neighbor_id = pqtop.neighbor_id GROUP BY 1) " +
+        "SELECT q.vec_id AS query_id, coalesce(hits, 0) / 5.0 AS recall5 " +
+        "FROM embeddings q LEFT JOIN ov ON q.vec_id = ov.query_id " +
+        "WHERE q.vec_id < 10"),
     "ann_bruteforce" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

@@ -292,6 +292,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "1-row average did not broadcast")
   }
 
+  test("q21_waiting_supplier: semi/anti self-joins share the orderkey exchange family; supplier broadcasts") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS did not lower to semi/anti joins")
+    assert(p.contains("BroadcastHashJoin"), "supplier join did not broadcast")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), "status filter not pushed to orders scan")
+    // three lineitem sides + orders: the orderkey exchanges stay bounded
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p.take(2000))
+  }
+
   test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
     val p = plan("q_kmv_ops")
     assert(p.contains("partial_bottomkdistinct"),
