@@ -1373,6 +1373,10 @@ object SparkEntry {
    * md5("split:"+id) mod 10, so membership never changes as the
    * corpus grows and any engine reproduces it.
    */
+  /** Publishing layout: per-shard manifest (counts, sums, xor id checksum) off the md5 shard gate. */
+  private def corpusShardManifest(s: SparkSession, dir: String): DataFrame =
+    Curation.shardManifest(t(s, dir, "documents"), nShards = 16)
+
   private def corpusSplit(s: SparkSession, dir: String): DataFrame = {
     val bucket = md5lo64(concat(lit("split:"), col("doc_id").cast("string")))
       .bitwiseAND(lit(16383L)) % 10
@@ -2234,6 +2238,7 @@ object SparkEntry {
     "q_kmv_ops" -> (qKmvOps _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_shard_manifest" -> (corpusShardManifest _),
     "corpus_diff" -> (corpusDiff _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_incr_stats" -> (corpusIncrStats _),
@@ -3149,6 +3154,16 @@ object SparkEntry {
         "ELSE 'test' END AS split, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1, 2"),
+    // the shard gate is the corpus_split md5-bucket idiom; the xor
+    // checksum wraps the unsigned md5 prefix back to signed two's
+    // complement so both engines land on the same BIGINT
+    "corpus_shard_manifest" ->
+      ("SELECT CAST((('0x'||substr(md5('shard:'||doc_id), 13, 4))::UINTEGER % 16384) % 16 AS BIGINT) AS shard, " +
+        "count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        wrapSigned("bit_xor(('0x'||substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT)") +
+        " AS id_checksum FROM documents GROUP BY 1"),
     // recrawl delta: full-outer join of the two hash-carved snapshots on
     // (id, md5(text)) projections, statuses counted per source
     "corpus_diff" ->

@@ -573,4 +573,29 @@ object Curation {
       aggregate(q, lit(0L), (a, x) => a + x).as("sum_q"),
       aggregate(q, lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"))
   }
+
+  /**
+   * Deterministic shard layout + manifest for PUBLISHING a training
+   * corpus: doc → shard by the content-independent md5 gate (the
+   * [[trainValTest]] discipline — membership is growth-stable and
+   * engine-replayable), and a per-shard manifest the dataloader
+   * validates against: doc count, token/char sums, and an
+   * ORDER-INVARIANT membership checksum (xor of id hashes — any
+   * dropped/duplicated doc flips it, partition order can't). The
+   * manifest is the |shards|-row aggregate off one scan; the physical
+   * write is `df.withColumn("shard", …).write.partitionBy("shard")`
+   * (the q_partitioned_sink layout) — one directory per shard,
+   * pruning-friendly for shard-parallel loaders.
+   */
+  def shardManifest(docs: DataFrame, nShards: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shard = md5lo64(concat(lit("shard:"), col(idCol).cast("string")))
+      .bitwiseAND(lit(16383L)) % nShards
+    docs.withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        bit_xor(md5lo64(col(idCol).cast("string"))).as("id_checksum"))
+  }
 }

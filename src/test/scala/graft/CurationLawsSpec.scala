@@ -37,6 +37,28 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("shard-manifest law: counts conserve, checksum is order-invariant and drop-sensitive") {
+    check("shardManifest", Prop.forAll(corpusGen) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val m = Curation.shardManifest(df, nShards = 4).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("id_checksum"))).toMap
+      // partition layout can't change the manifest
+      val m2 = Curation.shardManifest(df.repartition(7), nShards = 4).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("id_checksum"))).toMap
+      // dropping the first doc flips exactly its shard's checksum
+      val dropped = Curation.shardManifest(df.filter(col("doc_id") =!= 0L), nShards = 4)
+        .collect().map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("id_checksum"))).toMap
+      val conserved = m.values.map(_._1).sum == texts.length.toLong
+      val changedShards = m.keySet.union(dropped.keySet)
+        .count(s => m.get(s).map(_._2) != dropped.get(s).map(_._2))
+      conserved && m == m2 && changedShards == 1
+    })
+  }
+
   test("pack law: token and doc counts are conserved; every sequence is within budget+maxdoc") {
     check("packConserves", Prop.forAll(corpusGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"s${i % 2}") }
