@@ -367,6 +367,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("shard manifest is a mergeable summary: per-batch manifests fold to the single-shot one") {
+    // counts/sums merge by addition, the id checksum by XOR — so a
+    // continuously-published corpus maintains its manifest from
+    // deltas without rescanning (the corpus_incr_stats contract)
+    import graft.operators.Curation
+    val docs = Tables.t(spark, SparkTestSession.sfDir, "documents")
+    val single = Curation.shardManifest(docs, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    val merged = batches.map(b => Curation.shardManifest(b, nShards = 8).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap)
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map { s =>
+          val x = a.getOrElse(s, (0L, 0L, 0L, 0L))
+          val y = b.getOrElse(s, (0L, 0L, 0L, 0L))
+          s -> (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 ^ y._4)
+        }.toMap
+      }
+    assert(single.nonEmpty)
+    assert(merged === single)
+  }
+
   test("LibMR pipeline steps compose over a structured stream, error channel intact") {
     // the reference is batch-only; the Spark-native builder's
     // map/mapE/filter are narrow Dataset ops, so the SAME pipeline
