@@ -1218,6 +1218,10 @@ object SparkEntry {
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7)
 
+  /** Asymmetric containment pairs: quotations/partial copies jaccard misses. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(t(s, dir, "documents"), n = 5, threshold = 0.8)
+
   /** Near-dup clusters: connected components over the exact-jaccard pair graph. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7))
@@ -2173,6 +2177,7 @@ object SparkEntry {
     // north-star LLM ops
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "dedup_corpus" -> (dedupCorpus _),
@@ -2886,6 +2891,17 @@ object SparkEntry {
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(inter * 1.0 / sa.n, 4) AS c_ab, " +
+        "round(inter * 1.0 / sb.n, 4) AS c_ba " +
+        "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
+        "WHERE greatest(inter * 1.0 / sa.n, inter * 1.0 / sb.n) >= 0.8"),
     // MinHash LSH + exact-jaccard verification ≡ the exhaustive pairs (see dedupMinhash note)
     "dedup_minhash" -> ngramJaccardSql,
     "dedup_simhash" ->

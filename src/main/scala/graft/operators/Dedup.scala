@@ -119,6 +119,39 @@ object Dedup {
   }
 
   /**
+   * N-gram CONTAINMENT pairs — the asymmetric near-superset relation
+   * symmetric jaccard misses: containment(A in B) = |A∩B| / |A| stays
+   * ≈1 when a small doc is quoted/embedded inside a much larger one
+   * even though their jaccard is tiny (Broder's resemblance vs
+   * containment). The quotation / partial-copy / boilerplate-wrapper
+   * detector. Same ONE-shuffle posting-list machinery as
+   * [[ngramJaccardPairs]]; a pair surfaces when EITHER direction
+   * clears the threshold, with both directional scores reported.
+   */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 5,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shinglesHashed(docs, n, textCol, idCol)
+    val sizes = docs.select(col(idCol).as("id"),
+      size(shingle_hashes(col(textCol), n)).cast("long").as("n_sh"))
+    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("c_ab", col("n_inter") / col("na"))
+      .withColumn("c_ba", col("n_inter") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+  }
+
+  /**
    * Candidate pairs from equal-bucket membership — the shared
    * sub-quadratic candidate generator: ONE groupBy shuffle builds
    * per-bucket posting lists, pairs explode from lists with ≥2

@@ -236,6 +236,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("containment catches a quoted doc that jaccard misses") {
+    val small = (1 to 8).map(i => s"tok$i").mkString(" ")          // 4 5-shingles
+    val big = ((1 to 8).map(i => s"tok$i") ++
+      (1 to 40).map(i => s"pad$i")).mkString(" ")                  // small is a prefix quote
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, n = 5, threshold = 0.9).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Double]("c_ab") == 1.0, "small-in-big containment must be 1")
+    assert(r.getAs[Double]("c_ba") < 0.2)
+    // symmetric jaccard at the same bar sees nothing
+    assert(Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.7).isEmpty)
+  }
+
   test("pplBuckets: per-lang terciles partition every doc, ordered head<=middle<=tail") {
     // two langs, scores spread by token rarity: common docs -> head
     val corpus = ((0L until 30L).map(i => (i, "aa bb cc dd", "en")) ++
