@@ -152,6 +152,29 @@ object ScaleProbe {
         graft.operators.TextAnalysis.unigramLmScore(noisy, maxVocab = 100000).count()
       },
       time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
+      // the COMPOSED curation pipeline (near-dup removal + quality +
+      // language gates + census) on the planted-near-dup corpus — the
+      // end-to-end shape a real run takes, not just its stages
+      time("pipeline_filter") {
+        Dedup.dropNearDups(docs.withColumn("source",
+            pmod(col("doc_id"), lit(64)).cast("string")), n = 5, threshold = 0.7)
+          .withColumn("quality",
+            graft.operators.TextAnalysis.qualityCol(col("text")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), avg("quality").as("avg_q"))
+          .count()
+      },
+      // the composed CCNet decision (langid column → corpus LM →
+      // per-language terciles → keep) end-to-end
+      time("pipeline_ccnet") {
+        graft.operators.TextAnalysis.pplBucketed(
+          docs.withColumn("pred_lang",
+            graft.operators.TextAnalysis.predLangCol(col("text"))),
+          langCol = "pred_lang", maxVocab = 100000)
+          .filter(col("bucket").isin("head", "middle"))
+          .groupBy("pred_lang").agg(count(lit(1)).as("n_kept"))
+          .count()
+      },
       // CCNet bucketing under web-noise: the per-(lang, nll) count
       // table the tercile thresholds live on is bounded by the
       // 4-decimal score space (≪ corpus) and the LM vocabulary is
