@@ -1727,6 +1727,21 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /**
+   * FILTERED vector search (the vector-DB "metadata predicate" shape):
+   * top-5 cosine neighbors restricted to one label's corpus slice.
+   * Pre-filtering beats post-filtering structurally — the predicate
+   * prunes the corpus BEFORE any distance work and top-k never
+   * under-fills; on a column-partitioned layout the filter becomes
+   * partition pruning at the scan.
+   */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(embs.filter(col("label") === 3),
+      embs.filter(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** MMR diversified top-5 for query vector 0 over its cosine top-20 pool. */
   private def annMmr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -2211,6 +2226,7 @@ object SparkEntry {
     "emb_pq" -> (embPq _),
     "ann_pq" -> (annPq _),
     "ann_recall_pq" -> (annRecallPq _),
+    "ann_filtered" -> (annFiltered _),
     "ann_ivfpq" -> (annIvfPq _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
@@ -3033,6 +3049,15 @@ object SparkEntry {
         "c.vec_id) AS BIGINT) AS rank " +
         "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
         "WHERE q.vec_id < 10) WHERE rank <= 5"),
+    "ann_filtered" ->
+      ("SELECT query_id, rank, neighbor_id, cos FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, " +
+        "c.vec_id) AS BIGINT) AS rank " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
+        "WHERE q.vec_id < 10 AND c.label = 3) WHERE rank <= 5"),
     "ann_mmr" -> mmrSql,
     // replays the deterministic IVF build: id%32 seed buckets → mean
     // centroids → nearest-centroid posting lists → 8-probe search
