@@ -236,6 +236,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(_._2).distinct.length == 1)
   }
 
+  test("pplBuckets degenerate cases: tiny language and all-equal scores stay deterministic") {
+    // 2-doc language: ceil(2/3)=1, ceil(4/3)=2 → one head, one in
+    // middle-or-tail by score; all-tied language collapses into head
+    val corpus = (Seq((1L, "aa bb", "xx"), (2L, "aa qq zz ww", "xx")) ++
+      (10L until 15L).map(i => (i, "mm nn", "yy")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.pplBuckets(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum == 7L, s"docs lost/duplicated: $out")
+    // the tied language lands entirely in head (nll <= t1 for every doc)
+    assert(out.get(("yy", "head")).contains(5L), s"tied lang split: $out")
+    // re-running gives the identical partition (determinism)
+    val again = TextAnalysis.pplBuckets(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === again)
+  }
+
+  test("shardManifest with one shard is the whole-corpus summary") {
+    val docs = (0L until 20L).map(i => (i, s"w$i w$i")).toDF("doc_id", "text")
+    val m = graft.operators.Curation.shardManifest(docs, nShards = 1).collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Long]("n_docs") == 20L)
+    assert(m.head.getAs[Long]("n_tokens") == 40L)
+  }
+
   test("containment catches a quoted doc that jaccard misses") {
     val small = (1 to 8).map(i => s"tok$i").mkString(" ")          // 4 5-shingles
     val big = ((1 to 8).map(i => s"tok$i") ++
