@@ -1377,6 +1377,26 @@ object SparkEntry {
    * md5("split:"+id) mod 10, so membership never changes as the
    * corpus grows and any engine reproduces it.
    */
+  /**
+   * Pipeline observability via `Dataset.observe` (the production
+   * metric hook: named aggregates ride the SAME job as the query —
+   * no second scan — and surface through the observation listener).
+   * The corpus scan runs once with doc/token counters observed; the
+   * query returns the observed metrics, so the oracle proves observe
+   * sees exactly what a direct aggregate sees.
+   */
+  private def qObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation("census")
+    val docs = t(s, dir, "documents").observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
+    docs.select("doc_id").foreach(_ => ()) // one materializing pass
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long], m("n_tokens").asInstanceOf[Long]))
+      .toDF("n_docs", "n_tokens")
+  }
+
   /** Publishing layout: per-shard manifest (counts, sums, xor id checksum) off the md5 shard gate. */
   private def corpusShardManifest(s: SparkSession, dir: String): DataFrame =
     Curation.shardManifest(t(s, dir, "documents"), nShards = 16)
@@ -2260,6 +2280,7 @@ object SparkEntry {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shard_manifest" -> (corpusShardManifest _),
+    "q_observe_metrics" -> (qObserveMetrics _),
     "corpus_diff" -> (corpusDiff _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_incr_stats" -> (corpusIncrStats _),
@@ -3195,6 +3216,10 @@ object SparkEntry {
         "ELSE 'test' END AS split, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1, 2"),
+    "q_observe_metrics" ->
+      ("SELECT count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents"),
     // the shard gate is the corpus_split md5-bucket idiom; the xor
     // checksum wraps the unsigned md5 prefix back to signed two's
     // complement so both engines land on the same BIGINT
