@@ -1114,6 +1114,32 @@ object SparkEntry {
    * re-pairing the corpus (Dedup.incrementalNearDupPairs — batch
    * shingles broadcast; the corpus is one scan).
    */
+  /**
+   * The bloom seen-before gate on the 90/10 ingest split: summary of
+   * the batch with the bloom's structural guarantees as assertion
+   * columns — `no_false_negatives` (an exact duplicate is NEVER waved
+   * through) must be true by construction, and `gate_effective` holds
+   * unless false positives exceed 10× the configured fpp. Exact
+   * counts are the oracle-replayable part; the bloom-dependent pass
+   * count stays internal (it varies with the sketch).
+   */
+  private def dedupBloomGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val gated = BloomJoin.seenGate(batch, corpus, expectedItems = 10000L)
+    val corpusTexts = corpus.select(col("text").as("t2")).distinct()
+    gated.join(corpusTexts, gated("text") === col("t2"), "left_outer")
+      .select(col("maybe_seen"), col("t2").isNotNull.as("is_dup"))
+      .agg(count(lit(1)).as("n_batch"),
+        count(when(col("is_dup"), 1)).as("n_true_dups"),
+        (count(when(!col("maybe_seen") && col("is_dup"), 1)) === 0)
+          .as("no_false_negatives"),
+        (count(when(col("maybe_seen") && !col("is_dup"), 1)) <=
+          greatest(count(lit(1)) * 0.1, lit(5.0))).as("gate_effective"))
+  }
+
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // "new batch" = the top 10% of doc ids (a metadata-only max scan)
@@ -2213,6 +2239,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_bloom_gate" -> (dedupBloomGate _),
     "dedup_clusters" -> (dedupClusters _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "dedup_corpus" -> (dedupCorpus _),
@@ -2928,6 +2955,15 @@ object SparkEntry {
       ("SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(text) HAVING count(*) > 1"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // bloom-gate summary: exact counts replay; the structural
+    // guarantees are assertion columns (the q_approx_distinct pattern)
+    "dedup_bloom_gate" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "b AS (SELECT text FROM documents, cut WHERE doc_id >= c), " +
+        "ct AS (SELECT DISTINCT text FROM documents, cut WHERE doc_id < c) " +
+        "SELECT count(*) AS n_batch, " +
+        "count(*) FILTER (b.text IN (SELECT text FROM ct)) AS n_true_dups, " +
+        "TRUE AS no_false_negatives, TRUE AS gate_effective FROM b"),
     "dedup_containment" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +

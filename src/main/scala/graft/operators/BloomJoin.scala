@@ -53,4 +53,31 @@ object BloomJoin {
       ColumnBridge.expression(col(factKey).cast("long"))))
     fact.filter(mightContain).join(dim, fact(factKey) === dim(dimKey))
   }
+
+  /**
+   * Bloom "seen-before" gate for continuous ingest — the filter a
+   * crawler/dedup pipeline runs before ANY expensive per-doc work:
+   * the corpus's content hashes build one compact bloom (~1.2
+   * bytes/doc at 1% fpp; shard by hash prefix when one filter won't
+   * fit), and each incoming doc probes it in the scan stage.
+   * `maybe_seen = false` is DEFINITELY new (bloom admits no false
+   * negatives) and skips the exact path entirely; `maybe_seen = true`
+   * routes to exact verification — at most fpp of the truly-new docs
+   * pay that detour. Returns `batch` + the `maybe_seen` column.
+   */
+  def seenGate(batch: DataFrame, corpus: DataFrame,
+      contentCol: String = "text",
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = corpus.select(xxhash64(col(contentCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bf.writeTo(b)
+      b.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col(contentCol)))))
+    batch.withColumn("maybe_seen", mightContain)
+  }
 }
