@@ -367,6 +367,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("bloom seen-gate composes on a document stream (scan-stage column, no state)") {
+    import graft.operators.BloomJoin
+    val docs = Tables.t(spark, SparkTestSession.sfDir, "documents")
+    val cut = (docs.agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    val corpus = docs.filter(col("doc_id") < cut)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    docs.filter(col("doc_id") >= cut).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(s"$dir/in")
+    val q = BloomJoin.seenGate(stream, corpus, expectedItems = 10000L)
+      .groupBy("maybe_seen").count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("bloom_gate_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bloom_gate_stream").collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val batch = BloomJoin.seenGate(docs.filter(col("doc_id") >= cut), corpus,
+        expectedItems = 10000L)
+      .groupBy("maybe_seen").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(streamed.values.sum > 0)
+    assert(streamed === batch)
+  }
+
   test("shard manifest is a mergeable summary: per-batch manifests fold to the single-shot one") {
     // counts/sums merge by addition, the id checksum by XOR — so a
     // continuously-published corpus maintains its manifest from
