@@ -292,6 +292,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "1-row average did not broadcast")
   }
 
+  test("q13_order_distribution: priority filter pushed; both aggregations partial map-side") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"), "priority filter not pushed")
+    assert(p.contains("partial_count"), "per-customer count not map-side combined")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "more than the custkey + histogram exchanges")
+  }
+
+  test("corpus_shard_manifest: one scan, map-side partials, one shard exchange") {
+    val p = plan("corpus_shard_manifest")
+    assert(p.contains("partial_bit_xor"), "checksum not map-side combined")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "extra exchange")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "corpus scanned more than once")
+  }
+
   test("q21_waiting_supplier: semi/anti self-joins share the orderkey exchange family; supplier broadcasts") {
     val p = plan("q21_waiting_supplier")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
