@@ -101,6 +101,67 @@ object Stateful {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  case class BurstState(n: Long, lastMs: Long)
+  case class IdleAlert(user_id: Long, n_events: Long)
+
+  private implicit val burstEnc: Encoder[BurstState] = ExpressionEncoder[BurstState]()
+  private implicit val alertEnc: Encoder[IdleAlert] = ExpressionEncoder[IdleAlert]()
+  private implicit val tsRowEnc: Encoder[(Long, java.sql.Timestamp)] =
+    ExpressionEncoder[(Long, java.sql.Timestamp)]()
+
+  /**
+   * Idle-user alerts via transformWithState EVENT-TIME TIMERS — the
+   * facility mapGroupsWithState never had cleanly: each user's state
+   * re-arms a timer at (last event + gap); when the WATERMARK passes
+   * it, `handleExpiredTimer` emits one burst-closed alert and clears
+   * the state — session-timeout semantics driven by event time, with
+   * state freed exactly at expiry. Streaming-only by nature (a batch
+   * frame has no watermark to expire timers); StreamingSpec pins the
+   * alert set against the batch per-user aggregate.
+   */
+  private class IdleAlertProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), IdleAlert] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[BurstState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[BurstState]("burst",
+        implicitly[Encoder[BurstState]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleAlert] = {
+      val prev = if (state.exists()) state.get() else BurstState(0L, Long.MinValue)
+      var n = prev.n
+      var last = prev.lastMs
+      rows.foreach { case (_, ts) => n += 1; last = math.max(last, ts.getTime) }
+      state.update(BurstState(n, last))
+      // re-arm: one live timer per user at (last event + gap)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleAlert] = {
+      val out = if (state.exists()) Iterator.single(IdleAlert(uid, state.get().n))
+        else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  def idleUserAlerts(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 minute"): Dataset[IdleAlert] =
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleAlertProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+
   case class LastType(t: String)
   case class Transition(user_id: Long, from_type: String, to_type: String)
 

@@ -257,6 +257,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin === batch)
   }
 
+  test("transformWithState event-time timers: idle alerts close every user burst") {
+    val dir = stageEvents("graft-timer")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Stateful.idleUserAlerts(stream, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("idle_alerts").start()
+    try {
+      q.processAllAvailable()
+      // timers expire on WATERMARK advance — push it past every
+      // (last event + gap) with a far-future sentinel
+      appendWatermarkSentinel(dir, Seq("view"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val alerts = spark.table("idle_alerts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alerts.nonEmpty)
+    // every real user's burst closed exactly once, with its full count
+    assert(alerts === batch)
+  }
+
   test("stateful mapGroupsWithState: streaming running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful").toString
     java.nio.file.Files.createSymbolicLink(
