@@ -399,6 +399,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("Dataset.observe on a stream: named metrics surface in the query progress") {
+    val dir = stageEvents("graft-observe")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val observed = stream.observe("ingest",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+      org.apache.spark.sql.functions.sum(col("value")).as("sum_value"))
+    val q = observed.groupBy("event_type").count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("observe_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest")))
+    assert(metrics.nonEmpty, "no observed metrics in progress")
+    val total = metrics.map(_.getAs[Long]("n_rows")).sum
+    val batch = Tables.events(spark, SparkTestSession.sfDir).count()
+    assert(total === batch, s"observed $total rows, batch has $batch")
+  }
+
   test("bloom seen-gate composes on a document stream (scan-stage column, no state)") {
     import graft.operators.BloomJoin
     val docs = Tables.t(spark, SparkTestSession.sfDir, "documents")
