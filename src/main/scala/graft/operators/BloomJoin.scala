@@ -80,4 +80,53 @@ object BloomJoin {
       ColumnBridge.expression(xxhash64(col(contentCol)))))
     batch.withColumn("maybe_seen", mightContain)
   }
+
+  /**
+   * [[seenGate]] at the scale one filter can't hold: the corpus's
+   * content hashes split across `shards` filters by hash prefix, all
+   * built in ONE corpus pass (per-partition per-shard filters,
+   * shard-wise `mergeInPlace` — the bloom is a mergeable summary),
+   * and each incoming doc probes ONLY its own shard's filter. Driver
+   * memory is shards × filter bytes, but each filter sizes for 1/shards
+   * of the corpus — the total is the same ~1.2 bytes/doc, now in
+   * pieces that broadcast and (in a deployment) build/refresh
+   * independently. Same guarantee: no false negatives.
+   */
+  def seenGateSharded(batch: DataFrame, corpus: DataFrame,
+      contentCol: String = "text", shards: Int = 4,
+      expectedItemsPerShard: Long = 250000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val n = shards
+    val merged = corpus.select(xxhash64(col(contentCol)).as("h")).rdd
+      .mapPartitions { it =>
+        val fs = Array.fill(n)(BloomFilter.create(expectedItemsPerShard, fpp))
+        var any = false
+        it.foreach { r =>
+          val h = r.getLong(0)
+          fs(((h % n) + n).toInt % n).putLong(h)
+          any = true
+        }
+        if (any) fs.iterator.zipWithIndex.map { case (f, i) => (i, f) }
+        else Iterator.empty
+      }
+      .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+      .mapValues { f =>
+        val b = new java.io.ByteArrayOutputStream(); f.writeTo(b); b.toByteArray
+      }
+      .collect().toMap
+    val emptyBytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(expectedItemsPerShard, fpp).writeTo(b)
+      b.toByteArray
+    }
+    val h = xxhash64(col(contentCol))
+    val shardCol = pmod(h, lit(n.toLong))
+    val gate = (0 until n).foldLeft(lit(false)) { (acc, i) =>
+      when(shardCol === i.toLong,
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal(merged.getOrElse(i, emptyBytes), BinaryType),
+          ColumnBridge.expression(h)))).otherwise(acc)
+    }
+    batch.withColumn("maybe_seen", gate)
+  }
 }

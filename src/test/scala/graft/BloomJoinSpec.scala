@@ -20,6 +20,26 @@ class BloomJoinSpec extends AnyFunSuite {
       plain.select("k", "payload", "dk", "name")).isEmpty)
   }
 
+  test("sharded seen-gate: no false negatives, one corpus pass, agrees with the single filter") {
+    val corpus = (0L until 2000L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    // batch: 100 exact dups + 100 new docs
+    val batch = ((0L until 100L).map(i => (10000L + i, s"doc body number $i")) ++
+      (0L until 100L).map(i => (20000L + i, s"fresh text $i")))
+      .toDF("doc_id", "text")
+    val sharded = BloomJoin.seenGateSharded(batch, corpus, shards = 4,
+      expectedItemsPerShard = 1000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_seen")).toMap
+    // bloom guarantee: every true dup is flagged, whatever its shard
+    (0L until 100L).foreach(i => assert(sharded(10000L + i), s"dup $i missed"))
+    // effectiveness: the overwhelming majority of new docs pass
+    val fp = (0L until 100L).count(i => sharded(20000L + i))
+    assert(fp <= 10, s"$fp of 100 new docs false-positived")
+    // and the single-filter gate flags the same true dups
+    val single = BloomJoin.seenGate(batch, corpus, expectedItems = 4000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_seen")).toMap
+    (0L until 100L).foreach(i => assert(single(10000L + i)))
+  }
+
   test("the probe appears as a codegen'd filter before the join") {
     // must be a real scan: over a LocalRelation the optimizer
     // constant-folds the probe away (ConvertToLocalRelation), which
