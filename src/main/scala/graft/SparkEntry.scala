@@ -1991,6 +1991,21 @@ object SparkEntry {
   private def textGopherCensus(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherCensus(t(s, dir, "documents"))
 
+  /**
+   * HELD-OUT LM scoring: the LM trains on the md5-gate train split
+   * (buckets 0-7) and scores the test split (bucket 9) — docs the LM
+   * has never seen, so tokens absent from the training vocabulary
+   * take the smoothed-OOV branch. This pins the held-out/OOV
+   * arithmetic cross-engine, not just in unit tests.
+   */
+  private def textLmHeldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = md5lo64(concat(lit("split:"), col("doc_id").cast("string")))
+      .bitwiseAND(lit(16383L)) % 10
+    TextAnalysis.unigramLmScoreOn(
+      docs.filter(bucket <= 7), docs.filter(bucket === 9), maxVocab = 20)
+  }
+
   /** CCNet head/middle/tail perplexity buckets per language (LM capped as in text_lm_score). */
   private def textPplBuckets(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pplBuckets(t(s, dir, "documents"), maxVocab = 20)
@@ -2317,6 +2332,7 @@ object SparkEntry {
     "text_ppl_buckets" -> (textPplBuckets _),
     "pipeline_ccnet" -> (pipelineCcnet _),
     "text_gopher_census" -> (textGopherCensus _),
+    "text_lm_heldout" -> (textLmHeldout _),
     "text_chunks" -> (textChunks _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -4037,6 +4053,27 @@ object SparkEntry {
         "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
         "ELSE -ln(p_oov) END), 4) AS nll " +
         "FROM tok LEFT JOIN kept USING (tok), ov GROUP BY doc_id"),
+    // the LM CTEs restricted to the train split; held-out tokens fall
+    // to the OOV branch exactly as the engine's getOrElse does
+    "text_lm_heldout" ->
+      ("WITH tr AS (SELECT * FROM documents WHERE " +
+        "(('0x'||substr(md5('split:'||doc_id), 13, 4))::UINTEGER % 16384) % 10 <= 7), " +
+        "te AS (SELECT * FROM documents WHERE " +
+        "(('0x'||substr(md5('split:'||doc_id), 13, 4))::UINTEGER % 16384) % 10 = 9), " +
+        "tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM tr), " +
+        "freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS vocab_all FROM freq), " +
+        "kept AS (SELECT tok, cnt FROM freq WHERE cnt >= 2 " +
+        "QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 20), " +
+        "ks AS (SELECT sum(cnt) AS kept_total, count(*) AS kept_types FROM kept), " +
+        "ov AS (SELECT total, " +
+        "(total - kept_total) / (vocab_all - kept_types) / total AS p_oov " +
+        "FROM tot, ks), " +
+        "ttok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM te) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(CASE WHEN cnt IS NOT NULL THEN -ln(cnt / total) " +
+        "ELSE -ln(p_oov) END), 4) AS nll " +
+        "FROM ttok LEFT JOIN kept USING (tok), ov GROUP BY doc_id"),
     // replays the text_lm_score LM, then the tercile thresholds as
     // running counts over the per-(lang, nll) table
     "text_ppl_buckets" ->
