@@ -152,6 +152,16 @@ object ScaleProbe {
         graft.operators.TextAnalysis.unigramLmScore(noisy, maxVocab = 100000).count()
       },
       time("dedup_spans")(Dedup.sharedSpanReport(docs, span = 20).count()),
+      // bloom seen-gate: one distributed filter build over the corpus
+      // (treeAggregate inside stat.bloomFilter) + a scan-stage probe
+      // of the batch — the cheap pre-filter before any per-doc work
+      time("bloom_gate") {
+        val isBatch = col("doc_id") >= nDocs - 20000
+        graft.operators.BloomJoin.seenGate(
+          docs.filter(isBatch), docs.filter(!isBatch),
+          expectedItems = nDocs.toLong)
+          .filter(!col("maybe_seen")).count()
+      },
       // the COMPOSED curation pipeline (near-dup removal + quality +
       // language gates + census) on the planted-near-dup corpus — the
       // end-to-end shape a real run takes, not just its stages
