@@ -261,6 +261,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.head.getAs[Long]("n_tokens") == 40L)
   }
 
+  test("containment law: max-direction containment dominates jaccard on every pair") {
+    // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always — so at equal
+    // thresholds the containment pair set is a superset of jaccard's
+    val docs = (0L until 40L).map { i =>
+      val base = (1 to 12).map(j => s"w${(i * 3 + j) % 25}")
+      (i, (base ++ base.take((i % 5).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.ngramContainmentPairs(docs, n = 5, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cont),
+      s"jaccard pairs missing from containment: ${jac -- cont}")
+  }
+
   test("containment catches a quoted doc that jaccard misses") {
     val small = (1 to 8).map(i => s"tok$i").mkString(" ")          // 4 5-shingles
     val big = ((1 to 8).map(i => s"tok$i") ++
