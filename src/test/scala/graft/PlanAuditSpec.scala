@@ -317,6 +317,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p.take(2000))
   }
 
+  test("text_lm_heldout: scoring is one join-free scan (the LM broadcasts as a map)") {
+    val p = plan("text_lm_heldout")
+    assert(!p.contains("Join"), s"LM scoring pass grew a join:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-doc scoring should not shuffle")
+  }
+
+  test("text_ppl_buckets / pipeline_ccnet: threshold tables broadcast, never sort-merge") {
+    for (n <- Seq("text_ppl_buckets", "pipeline_ccnet")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: thresholds not broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n: a bounded threshold table shuffled:\n${p.take(1500)}")
+    }
+  }
+
   test("q_kmv_ops: sketches meet in a broadcast pair stage, never a shuffle join") {
     val p = plan("q_kmv_ops")
     assert(p.contains("partial_bottomkdistinct"),
