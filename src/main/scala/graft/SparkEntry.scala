@@ -1659,6 +1659,19 @@ object SparkEntry {
    * over the co-purchase graph; output is the community-size census.
    * The oracle replays each round as chained CTEs.
    */
+  /**
+   * Degree distribution of the co-purchase graph — the first
+   * governance look at any graph (hub detection, skew sizing for the
+   * wedge/LPA joins): degree per node off one edge aggregation, then
+   * the |distinct degrees|-row histogram.
+   */
+  private def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -2278,6 +2291,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
+    "graph_degrees" -> (graphDegrees _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_project" -> (embProject _),
@@ -3886,6 +3900,10 @@ object SparkEntry {
         "GROUP BY e.k, e.exact"),
     // the same 3 pagerank iterations as chained CTEs (no recursion
     // needed for a fixed iteration count)
+    "graph_degrees" ->
+      (graphEdgeCte.stripSuffix(", ") +
+        " SELECT degree, count(*) AS n_nodes FROM (" +
+        "SELECT src, count(*) AS degree FROM e GROUP BY src) GROUP BY degree"),
     "graph_pagerank" ->
       (graphEdgeCte +
         "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +
