@@ -4231,7 +4231,7 @@ object SparkEntry {
         "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +
         "FROM tok t JOIN thr ON t.source = thr.source) " +
         "SELECT source, CAST(min(thr) AS BIGINT) AS thr, count(*) AS n_kept, " +
-        "sum(ntok) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
+        "CAST(sum(ntok) AS BIGINT) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
     // τ=0.3 temperature mix: pow(toks, 0.3) weights; ulp differences
     // between engines' pow are absorbed by the round6-before-floor
     "corpus_mix_temp" ->
@@ -4246,7 +4246,7 @@ object SparkEntry {
         "(('0x'||substr(md5('mix:'||t.doc_id), 1, 16))::UBIGINT & 16383) AS h " +
         "FROM tok t JOIN thr ON t.source = thr.source) " +
         "SELECT source, CAST(min(thr) AS BIGINT) AS thr, count(*) AS n_kept, " +
-        "sum(ntok) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
+        "CAST(sum(ntok) AS BIGINT) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
     "corpus_pack" ->
       ("WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
         "c AS (SELECT source, doc_id, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id " +

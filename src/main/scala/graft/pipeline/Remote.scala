@@ -79,7 +79,14 @@ object Remote {
   private def withTimeout[A](spark: SparkSession, timeoutMs: Long)(body: => A): Either[String, A] = {
     val sc = spark.sparkContext
     val group = s"graft-remote-${java.util.UUID.randomUUID()}"
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // A dedicated single-use thread, NOT a shared pool: setJobGroup is a
+    // thread-local SparkContext property, and pool threads are reused by
+    // concurrent callers — a job submitted later from the same pooled
+    // thread would inherit this group and die with our cancelJobGroup.
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, group); t.setDaemon(true); t
+    }
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(exec)
     val fut = Future {
       sc.setJobGroup(group, "graft remote task", interruptOnCancel = true)
       try body finally sc.clearJobGroup()
@@ -90,6 +97,6 @@ object Remote {
         sc.cancelJobGroup(group)
         Left("task timed out")
       case ex: Exception => Left(ExecutionBuilder.errMsg(ex))
-    }
+    } finally exec.shutdown()
   }
 }
