@@ -256,6 +256,19 @@ object ScaleProbe {
         time("dedup_index_batch")(
           Dedup.indexedNearDupPairs(batch, "graft_probe_idx").count())
       },
+      // index MAINTENANCE: appending the fixed 400-doc batch must cost
+      // the batch, not the corpus — the probe's time should stay flat
+      // as nDocs grows (the build above pays the corpus; this doesn't)
+      {
+        val isBatch = col("doc_id") % 50 === 1 && col("doc_id") >= nDocs - 20000
+        val batch =
+          if (only.forall(_.contains("dedup_index_append")))
+            docs.filter(isBatch).localCheckpoint()
+          else docs.limit(0)
+        time("dedup_index_append") {
+          Dedup.appendToMinhashIndex(batch, "graft_probe_idx"); 0L
+        }
+      },
       // nlist scales with the corpus: 100k vecs / 512 clusters keeps
       // the within-cluster quadratic term at ~200²/2 per cluster
       time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,

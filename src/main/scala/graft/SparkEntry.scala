@@ -1168,6 +1168,64 @@ object SparkEntry {
   }
 
   /**
+   * Index MAINTENANCE under continuous ingest: the corpus arrives in
+   * two installments — the first 80% is indexed at build time, the
+   * next 10% lands later and is APPENDED (Dedup.appendToMinhashIndex:
+   * batch-sized bucketed inserts, no rebuild, no corpus rescan) —
+   * and the final 10% probes the maintained index. Correct iff the
+   * probe sees appended docs exactly like built ones: the result
+   * equals the exhaustive batch×corpus pairs at the 90% cut, the
+   * same oracle as dedup_incremental.
+   */
+  private def dedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    val cut80 = mx * 8L / 10L
+    val cut90 = mx * 9L / 10L
+    if (!s.catalog.tableExists("graft_dedup_idxa_bands")) {
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") < cut80), "graft_dedup_idxa")
+      Dedup.appendToMinhashIndex(
+        docs.filter(col("doc_id") >= cut80 && col("doc_id") < cut90),
+        "graft_dedup_idxa")
+    }
+    Dedup.indexedNearDupPairs(docs.filter(col("doc_id") >= cut90), "graft_dedup_idxa")
+  }
+
+  /**
+   * The persisted, incrementally-maintained form of the bloom
+   * seen-gate: filters built from the first 80%, the next 10% merged
+   * in by appendToSeenFilters (one batch pass — blooms are mergeable
+   * summaries), final 10% gated from the stored bank. Summary columns
+   * as in dedup_bloom_gate; `no_false_negatives` now also proves the
+   * append path (a dup of an APPENDED doc must be flagged too).
+   */
+  private def dedupBloomPersist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    val cut80 = mx * 8L / 10L
+    val cut90 = mx * 9L / 10L
+    if (!s.catalog.tableExists("graft_seen_filters")) {
+      BloomJoin.writeSeenFilters(docs.filter(col("doc_id") < cut80),
+        "graft_seen_filters", expectedItemsPerShard = 10000L)
+      BloomJoin.appendToSeenFilters(
+        docs.filter(col("doc_id") >= cut80 && col("doc_id") < cut90),
+        "graft_seen_filters")
+    }
+    val gated = BloomJoin.seenGateFromTable(
+      docs.filter(col("doc_id") >= cut90), "graft_seen_filters")
+    val corpusTexts = docs.filter(col("doc_id") < cut90)
+      .select(col("text").as("t2")).distinct()
+    gated.join(corpusTexts, gated("text") === col("t2"), "left_outer")
+      .select(col("maybe_seen"), col("t2").isNotNull.as("is_dup"))
+      .agg(count(lit(1)).as("n_batch"),
+        count(when(col("is_dup"), 1)).as("n_true_dups"),
+        (count(when(!col("maybe_seen") && col("is_dup"), 1)) === 0)
+          .as("no_false_negatives"),
+        (count(when(col("maybe_seen") && !col("is_dup"), 1)) <=
+          greatest(count(lit(1)) * 0.1, lit(5.0))).as("gate_effective"))
+  }
+
+  /**
    * Range-clustered sorted sink: orders written range-partitioned +
    * sorted on o_orderdate, re-read with a date-range predicate that
    * parquet stats satisfy by skipping files/row-groups (FileIO
@@ -2277,6 +2335,8 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_index_incremental" -> (dedupIndexIncremental _),
+    "dedup_index_append" -> (dedupIndexAppend _),
+    "dedup_bloom_persist" -> (dedupBloomPersist _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "text_importance" -> (textImportance _),
@@ -3740,6 +3800,17 @@ object SparkEntry {
     // 0.7 threshold — so the exhaustive batch×corpus SQL is its
     // oracle too (exactly as dedup_minhash reuses ngramJaccardSql)
     "dedup_index_incremental" -> incrementalDedupSql,
+    // index built on 80% + appended 10% ≡ index built on 90%: the
+    // maintained index must answer exactly like a fresh build
+    "dedup_index_append" -> incrementalDedupSql,
+    // persisted+appended filter bank: same summary as dedup_bloom_gate
+    "dedup_bloom_persist" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "b AS (SELECT text FROM documents, cut WHERE doc_id >= c), " +
+        "ct AS (SELECT DISTINCT text FROM documents, cut WHERE doc_id < c) " +
+        "SELECT count(*) AS n_batch, " +
+        "count(*) FILTER (b.text IN (SELECT text FROM ct)) AS n_true_dups, " +
+        "TRUE AS no_false_negatives, TRUE AS gate_effective FROM b"),
     // bloom pre-filter is transparent: result ≡ the plain join
     "q_bloom_join" ->
       ("SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS sum_value " +

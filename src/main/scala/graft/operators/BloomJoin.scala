@@ -95,11 +95,20 @@ object BloomJoin {
   def seenGateSharded(batch: DataFrame, corpus: DataFrame,
       contentCol: String = "text", shards: Int = 4,
       expectedItemsPerShard: Long = 250000L, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val n = shards
-    val merged = corpus.select(xxhash64(col(contentCol)).as("h")).rdd
+    val merged = shardFilters(corpus, contentCol, shards, expectedItemsPerShard, fpp)
+      .view.mapValues(serialize).toMap
+    batch.withColumn("maybe_seen",
+      gateColumn(merged, shards, expectedItemsPerShard, fpp, contentCol))
+  }
+
+  import org.apache.spark.util.sketch.BloomFilter
+
+  /** One corpus pass → per-shard bloom filters (hash-prefix sharding). */
+  private def shardFilters(df: DataFrame, contentCol: String, n: Int,
+      expected: Long, fpp: Double): Map[Int, BloomFilter] =
+    df.select(xxhash64(col(contentCol)).as("h")).rdd
       .mapPartitions { it =>
-        val fs = Array.fill(n)(BloomFilter.create(expectedItemsPerShard, fpp))
+        val fs = Array.fill(n)(BloomFilter.create(expected, fpp))
         var any = false
         it.foreach { r =>
           val h = r.getLong(0)
@@ -110,23 +119,96 @@ object BloomJoin {
         else Iterator.empty
       }
       .reduceByKey { (a, b) => a.mergeInPlace(b); a }
-      .mapValues { f =>
-        val b = new java.io.ByteArrayOutputStream(); f.writeTo(b); b.toByteArray
-      }
       .collect().toMap
-    val emptyBytes = {
-      val b = new java.io.ByteArrayOutputStream()
-      BloomFilter.create(expectedItemsPerShard, fpp).writeTo(b)
-      b.toByteArray
-    }
+
+  private def serialize(f: BloomFilter): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream(); f.writeTo(b); b.toByteArray
+  }
+
+  /** Codegen'd probe: route each row's hash to its shard's filter. */
+  private def gateColumn(filters: Map[Int, Array[Byte]], n: Int,
+      expected: Long, fpp: Double,
+      contentCol: String): org.apache.spark.sql.Column = {
+    val emptyBytes = serialize(BloomFilter.create(expected, fpp))
     val h = xxhash64(col(contentCol))
     val shardCol = pmod(h, lit(n.toLong))
-    val gate = (0 until n).foldLeft(lit(false)) { (acc, i) =>
+    (0 until n).foldLeft(lit(false)) { (acc, i) =>
       when(shardCol === i.toLong,
         ColumnBridge.column(BloomFilterMightContain(
-          Literal(merged.getOrElse(i, emptyBytes), BinaryType),
+          Literal(filters.getOrElse(i, emptyBytes), BinaryType),
           ColumnBridge.expression(h)))).otherwise(acc)
     }
-    batch.withColumn("maybe_seen", gate)
+  }
+
+  /**
+   * Persist the sharded seen-filter bank as a tiny managed table of
+   * (shard, expected_items, fpp, filter bytes) — the durable form of
+   * [[seenGateSharded]]'s state, so the crawler front door survives
+   * restarts and is MAINTAINED incrementally ([[appendToSeenFilters]])
+   * instead of rebuilt from the corpus each run. `shards` rows ×
+   * ~1.2 bytes/doc of filter payload; at 100 TB the filters total the
+   * same bytes they would as one filter, in pieces that refresh
+   * independently.
+   */
+  def writeSeenFilters(corpus: DataFrame, table: String,
+      contentCol: String = "text", shards: Int = 4,
+      expectedItemsPerShard: Long = 250000L, fpp: Double = 0.01): Unit = {
+    val spark = corpus.sparkSession
+    val merged = shardFilters(corpus, contentCol, shards, expectedItemsPerShard, fpp)
+    val rows = (0 until shards).map { i =>
+      (i, expectedItemsPerShard, fpp,
+        serialize(merged.getOrElse(i, BloomFilter.create(expectedItemsPerShard, fpp))))
+    }
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    rows.toDF("shard", "expected_items", "fpp", "filter")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /**
+   * Merge an accepted batch's content hashes into the persisted
+   * filter bank — bloom filters are mergeable summaries, so the
+   * update is: one BATCH pass builds per-shard filters with the
+   * stored parameters (mergeInPlace-compatible by construction), OR
+   * them into the stored filters, rewrite the `shards`-row table.
+   * The corpus is never rescanned; cost tracks the batch.
+   */
+  def appendToSeenFilters(batch: DataFrame, table: String,
+      contentCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val stored = spark.table(table)
+      .select("shard", "expected_items", "fpp", "filter").collect()
+    require(stored.nonEmpty, s"$table is empty — writeSeenFilters first")
+    val expected = stored.head.getLong(1)
+    val fpp = stored.head.getDouble(2)
+    val n = stored.length
+    val batchFilters = shardFilters(batch, contentCol, n, expected, fpp)
+    val rows = stored.map { r =>
+      val i = r.getInt(0)
+      val f = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      batchFilters.get(i).foreach(f.mergeInPlace)
+      (i, expected, fpp, serialize(f))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("shard", "expected_items", "fpp", "filter")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** [[seenGateSharded]]'s probe side against the persisted bank. */
+  def seenGateFromTable(batch: DataFrame, table: String,
+      contentCol: String = "text"): DataFrame = {
+    val stored = batch.sparkSession.table(table)
+      .select("shard", "expected_items", "fpp", "filter").collect()
+    require(stored.nonEmpty, s"$table is empty — writeSeenFilters first")
+    val filters = stored.map(r => r.getInt(0) -> r.getAs[Array[Byte]](3)).toMap
+    batch.withColumn("maybe_seen",
+      gateColumn(filters, stored.length, stored.head.getLong(1),
+        stored.head.getDouble(2), contentCol))
   }
 }

@@ -261,19 +261,57 @@ object Dedup {
   def writeMinhashIndex(docs: DataFrame, table: String, k: Int = 128,
       bands: Int = 32, shingleN: Int = 5, buckets: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      bandRows(docs, k, bands, shingleN, textCol, idCol),
+      s"${table}_bands", "band_hash", buckets)
+    graft.sources.Bucketing.writeBucketed(
+      shingleRows(docs, shingleN, textCol, idCol),
+      s"${table}_shingles", "id", buckets)
+  }
+
+  /** (id, band_idx, band_hash) rows for the index's candidate side. */
+  private def bandRows(docs: DataFrame, k: Int, bands: Int, shingleN: Int,
+      textCol: String, idCol: String): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val bandTable = docs
+    docs
       .select(col(idCol).as("id"), minhash_doc(col(textCol), shingleN, k).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    graft.sources.Bucketing.writeBucketed(bandTable, s"${table}_bands",
-      "band_hash", buckets)
-    val shTable = docs.select(col(idCol).as("id"),
+  }
+
+  /** (id, sh_set) rows for the index's verification side. */
+  private def shingleRows(docs: DataFrame, shingleN: Int,
+      textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
       shingle_hashes(col(textCol), shingleN).as("sh_set"))
-    graft.sources.Bucketing.writeBucketed(shTable, s"${table}_shingles", "id", buckets)
+
+  /**
+   * Index maintenance for continuous ingest: append an ACCEPTED
+   * batch's band and shingle rows into a [[writeMinhashIndex]] index,
+   * so the next batch's [[indexedNearDupPairs]] sees this batch as
+   * part of the corpus — without ever rebuilding the index or
+   * rescanning the standing corpus. Banding parameters must match
+   * the build-time ones.
+   *
+   * Cost model (the 100 TB contract): the append computes signatures
+   * for the BATCH only and lands ≤ `buckets` new files per table —
+   * corpus size never appears in the job. The reference's analog is
+   * its mutable keyspace (tests/mr_test_module/src/lib.rs:744-764,
+   * the write-back ETL): accepted records become part of what future
+   * queries see, incrementally.
+   */
+  def appendToMinhashIndex(batch: DataFrame, table: String, k: Int = 128,
+      bands: Int = 32, shingleN: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    graft.sources.Bucketing.appendBucketed(
+      bandRows(batch, k, bands, shingleN, textCol, idCol),
+      s"${table}_bands", "band_hash")
+    graft.sources.Bucketing.appendBucketed(
+      shingleRows(batch, shingleN, textCol, idCol),
+      s"${table}_shingles", "id")
   }
 
   /**

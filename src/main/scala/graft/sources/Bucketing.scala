@@ -42,6 +42,32 @@ object Bucketing {
   }
 
   /**
+   * Append rows to an existing bucketed table written by
+   * [[writeBucketed]], preserving the bucket spec — the
+   * continuous-ingest maintenance path: each batch lands as at most
+   * `buckets` new files (one per bucket it touches), already hashed
+   * and sorted, so bucket pruning and exchange-free joins keep
+   * working over old + new rows alike. Append cost is batch-sized;
+   * the standing data is never rewritten. (At very high batch
+   * frequency the per-append files accumulate — a periodic compaction
+   * rewrite is the standard companion; here the contract is that the
+   * APPEND itself never pays corpus cost.)
+   */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    require(spec.bucketColumnNames == Seq(bucketCol),
+      s"$table is bucketed by ${spec.bucketColumnNames}, not $bucketCol")
+    df.repartition(spec.numBuckets, col(bucketCol))
+      .write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  /**
    * Join two bucketed tables on their bucket keys. The merge hint
    * pins sort-merge so the plan demonstrates the point: with equal
    * bucket counts the join needs NO exchange on either side (the

@@ -40,6 +40,31 @@ class BloomJoinSpec extends AnyFunSuite {
     (0L until 100L).foreach(i => assert(single(10000L + i)))
   }
 
+  test("persisted filter bank: append path flags dups of both installments") {
+    val partA = (0L until 1000L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    val partB = (1000L until 1500L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    BloomJoin.writeSeenFilters(partA, "graft_seen_spec", shards = 4,
+      expectedItemsPerShard = 1000L)
+    BloomJoin.appendToSeenFilters(partB, "graft_seen_spec")
+    // probe: dups of A, dups of appended B, and fresh docs
+    val batch = ((0L until 50L).map(i => (30000L + i, s"doc body number $i")) ++
+      (0L until 50L).map(i => (31000L + i, s"doc body number ${1000L + i}")) ++
+      (0L until 100L).map(i => (32000L + i, s"fresh text $i"))).toDF("doc_id", "text")
+    val gated = BloomJoin.seenGateFromTable(batch, "graft_seen_spec").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_seen")).toMap
+    (0L until 50L).foreach { i =>
+      assert(gated(30000L + i), s"dup of built doc $i missed")
+      assert(gated(31000L + i), s"dup of APPENDED doc ${1000 + i} missed")
+    }
+    val fp = (0L until 100L).count(i => gated(32000L + i))
+    assert(fp <= 10, s"$fp of 100 new docs false-positived")
+    // and the persisted bank answers exactly like the one-shot sharded gate
+    val direct = BloomJoin.seenGateSharded(batch, partA.union(partB), shards = 4,
+      expectedItemsPerShard = 1000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_seen")).toMap
+    assert(gated == direct)
+  }
+
   test("the probe appears as a codegen'd filter before the join") {
     // must be a real scan: over a LocalRelation the optimizer
     // constant-folds the probe away (ConvertToLocalRelation), which

@@ -182,6 +182,29 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("index-append law: build(A) + append(B) answers exactly like build(A ∪ B)") {
+    import graft.operators.Dedup
+    val seedGen = Gen.chooseNum(0, 1000)
+    check("appendEqRebuild", Prop.forAll(seedGen) { seed =>
+      val mk = (id: Long, s: Long) =>
+        (id, (0 until 30).map(j => s"t${(s * 31 + j * 7) % 400}").mkString(" "))
+      val partA = (0L until 40L).map(i => mk(i, i + seed)).toDF("doc_id", "text")
+      val partB = (40L until 60L).map(i => mk(i, i + seed)).toDF("doc_id", "text")
+      // probe: one dup of an A doc, one dup of an APPENDED B doc, one fresh
+      val batch = Seq(mk(300L, seed + 10L), mk(301L, seed + 50L),
+        mk(302L, seed + 5000L)).toDF("doc_id", "text")
+      Dedup.writeMinhashIndex(partA, "graft_law_app", buckets = 8)
+      Dedup.appendToMinhashIndex(partB, "graft_law_app")
+      val maintained = Dedup.indexedNearDupPairs(batch, "graft_law_app")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.writeMinhashIndex(partA.union(partB), "graft_law_reb", buckets = 8)
+      val rebuilt = Dedup.indexedNearDupPairs(batch, "graft_law_reb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      maintained == rebuilt &&
+        maintained.contains((300L, 10L)) && maintained.contains((301L, 50L))
+    })
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
