@@ -325,6 +325,28 @@ object ScaleProbe {
         embs.filter(col("vec_id") < 100)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         topk = 5, nlist = 256, nprobe = 16, m = 8, k = 256).count()),
+      // persisted ANN index: the build pays the corpus once; the query
+      // reads only probed buckets, so its time should stay flat as
+      // nVecs grows; the append encodes a fixed 100-vector batch under
+      // the frozen quantizer — also corpus-independent
+      time("ann_index_build") {
+        Similarity.writeAnnIndex(
+          embs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "graft_probe_ann", nlist = 256, m = 8, k = 256)
+        0L
+      },
+      time("ann_index_query")(Similarity.annIndexTopK(
+        embs.filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "graft_probe_ann", topk = 5, nprobe = 16).count()),
+      time("ann_index_vec_append") {
+        Similarity.appendToAnnIndex(
+          embs.filter(col("vec_id") < 100)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+          "graft_probe_ann")
+        0L
+      },
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),

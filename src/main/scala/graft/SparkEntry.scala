@@ -1826,6 +1826,37 @@ object SparkEntry {
   }
 
   /**
+   * IVF-PQ search against the PERSISTED index (Similarity
+   * .writeAnnIndex): centroids/codebooks/codes live as tables, the
+   * query reads only its probed lists' buckets, the float corpus is
+   * never rescanned. Built from the same id-seeded quantizer ⇒
+   * results bit-identical to ann_ivfpq (same oracle).
+   */
+  private def annIndexPersisted(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    if (!s.catalog.tableExists("graft_ann_idx_codes"))
+      Similarity.writeAnnIndex(embs, "graft_ann_idx")
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idx")
+  }
+
+  /**
+   * Vector-index MAINTENANCE: index built from the first 90% (which
+   * also trains the frozen quantizer), last 10% appended under it
+   * (Similarity.appendToAnnIndex — encode + route only, batch-sized),
+   * then searched. Oracle replays the same frozen-quantizer
+   * semantics: centroids/codebooks from the 90%, search over all.
+   */
+  private def annIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val cut = (embs.agg(max("vec_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_ann_idxa_codes")) {
+      Similarity.writeAnnIndex(embs.filter(col("vec_id") < cut), "graft_ann_idxa")
+      Similarity.appendToAnnIndex(embs.filter(col("vec_id") >= cut), "graft_ann_idxa")
+    }
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idxa")
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -2364,6 +2395,8 @@ object SparkEntry {
     "ann_recall_pq" -> (annRecallPq _),
     "ann_filtered" -> (annFiltered _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_index_persisted" -> (annIndexPersisted _),
+    "ann_index_append" -> (annIndexAppend _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_mmr" -> (annMmr _),
@@ -2558,6 +2591,48 @@ object SparkEntry {
       "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
       "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
+
+  /**
+   * IVF-PQ oracle, parameterized by the quantizer's TRAINING SET
+   * (`trainFilter` restricts the vectors that derive the coarse
+   * centroids and PQ codebooks; assignment/encoding/search always
+   * cover the full corpus). Empty filter ⇒ train on everything —
+   * the ann_ivfpq / ann_index_persisted case; a vec_id cut ⇒ the
+   * frozen-quantizer append case (ann_index_append).
+   */
+  private def ivfPqSql(trainFilter: String): String =
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"tv AS (SELECT * FROM v $trainFilter), " +
+      "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM tv, " +
+      "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+      "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+      "assign AS (SELECT vec_id, _b FROM (" +
+      "SELECT x.vec_id, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+      "FROM v x, cent ct) WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS query_id, v AS qv, _b FROM (" +
+      "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+      "FROM v x, cent ct WHERE x.vec_id < 10) WHERE rn <= 8), " +
+      "pcent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM tv, " +
+      "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+      "pd AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
+      "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
+      "FROM v x, generate_series(1, 64) t(i) JOIN pcent ce ON ce.i = t.i " +
+      "GROUP BY 1, 2, ce.b), " +
+      "pbest AS (SELECT vec_id, j, b, row_number() OVER " +
+      "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM pd), " +
+      "code AS (SELECT vec_id, j, b FROM pbest WHERE rn = 1), " +
+      "qd AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "sum((p.qv[t.i] - ce.c) * (p.qv[t.i] - ce.c)) AS raw " +
+      "FROM probes p JOIN assign a ON p._b = a._b AND a.vec_id != p.query_id " +
+      "JOIN code co ON co.vec_id = a.vec_id " +
+      "JOIN pcent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
+      "WHERE (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2) " +
+      "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (" +
+      "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"
 
   /** Exhaustive batch×corpus jaccard pairs at the 10%-cut — oracle for both the broadcast and the persistent-index incremental paths. */
   private val incrementalDedupSql: String =
@@ -3230,38 +3305,14 @@ object SparkEntry {
     // IVF routing (ann_ivf's assign/probes) composed with PQ codes +
     // ADC scoring (ann_pq's codebooks) — each corpus vector lives in
     // exactly one list so each (query, neighbor) scores once
-    "ann_ivfpq" ->
-      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM v, " +
-        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
-        "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
-        "assign AS (SELECT vec_id, _b FROM (" +
-        "SELECT x.vec_id, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
-        "FROM v x, cent ct) WHERE rn = 1), " +
-        "probes AS (SELECT vec_id AS query_id, v AS qv, _b FROM (" +
-        "SELECT x.vec_id, x.v, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
-        "FROM v x, cent ct WHERE x.vec_id < 10) WHERE rn <= 8), " +
-        "pcent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM v, " +
-        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
-        "pd AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
-        "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
-        "FROM v x, generate_series(1, 64) t(i) JOIN pcent ce ON ce.i = t.i " +
-        "GROUP BY 1, 2, ce.b), " +
-        "pbest AS (SELECT vec_id, j, b, row_number() OVER " +
-        "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM pd), " +
-        "code AS (SELECT vec_id, j, b FROM pbest WHERE rn = 1), " +
-        "qd AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
-        "sum((p.qv[t.i] - ce.c) * (p.qv[t.i] - ce.c)) AS raw " +
-        "FROM probes p JOIN assign a ON p._b = a._b AND a.vec_id != p.query_id " +
-        "JOIN code co ON co.vec_id = a.vec_id " +
-        "JOIN pcent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
-        "WHERE (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2) " +
-        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM (" +
-        "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
-        "row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"),
+    "ann_ivfpq" -> ivfPqSql(""),
+    // the persisted index is built from the same id-seeded quantizer,
+    // so its answers are bit-identical to the in-memory ivfpq path
+    "ann_index_persisted" -> ivfPqSql(""),
+    // frozen-quantizer maintenance: centroids/codebooks train on the
+    // first 90% only; the appended 10% is encoded under them
+    "ann_index_append" -> ivfPqSql(
+      "WHERE vec_id < (SELECT (max(vec_id) + 1) * 9 // 10 FROM embeddings)"),
     // replays the md5-plane LSH: ±1 weights from md5('lsh:t:b:i'),
     // 4 tables × 8-bit buckets, candidates ranked by exact cosine
     "ann_lsh" ->

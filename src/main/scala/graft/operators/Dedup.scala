@@ -29,7 +29,7 @@ object Dedup {
    * (O(1) planning, hash-probe eval) and still qualifies for bucket
    * pruning and data-source filter pushdown.
    */
-  private def inSet(c: Column, values: Seq[Long]): Column = {
+  private[operators] def inSet(c: Column, values: Seq[Long]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
       ColumnBridge.eagerExpression(c), values.toSet[Any]))

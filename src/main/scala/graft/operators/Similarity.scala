@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,18 +114,29 @@ object Similarity {
    * on ties, matching the oracles' ORDER BY cos DESC, _b.
    */
   private[operators] def coarseTopListsUdf(corpus: DataFrame, nlist: Int,
-      vecCol: String, idCol: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      vecCol: String, idCol: String): org.apache.spark.sql.expressions.UserDefinedFunction =
+    topListsFromMatrix(corpus.sparkSession,
+      coarseCentroids(corpus, nlist, vecCol, idCol))
+
+  /** Id-seeded coarse centroids, collected as the (nlist × dims) matrix. */
+  private def coarseCentroids(corpus: DataFrame, nlist: Int,
+      vecCol: String, idCol: String): Array[(Long, Array[Double])] = {
     val vsum = udaf(graft.functions.Aggregators.VecSum)
-    val cent = corpus
+    corpus
       .withColumn("_b", pmod(col(idCol), lit(nlist)))
       .select(col("_b"), col(vecCol).cast("array<double>").as("v"))
       .groupBy("_b")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
-    val centMatrix: Array[(Long, Array[Double])] = cent.collect()
+      .collect()
       .map(r => (r.getAs[Number]("_b").longValue(), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val bcCent = corpus.sparkSession.sparkContext.broadcast(centMatrix)
+  }
+
+  /** The nearest-n-centroids probe over an already-known matrix. */
+  private def topListsFromMatrix(spark: SparkSession,
+      centMatrix: Array[(Long, Array[Double])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bcCent = spark.sparkContext.broadcast(centMatrix)
     udf { (v: Seq[Double], n: Int) =>
       val cents = bcCent.value
       val va = v.toArray
@@ -571,6 +582,119 @@ object Similarity {
    * recomputes identical buckets — the verification-grade
    * configuration (same plan shape and cost either way).
    */
+  /**
+   * Persist an IVF-PQ index as tables — at a billion vectors the
+   * index IS the artifact, so the coarse quantizer, codebooks, and
+   * codes are written once and every query (and every appended
+   * batch) reuses them instead of re-deriving the whole structure
+   * from the float corpus:
+   *
+   *  - `{table}_centroids` (list_id, centroid) — nlist rows
+   *  - `{table}_codebooks` (b, centroid)       — k rows
+   *  - `{table}_codes` (id, list_id, codes)    — the corpus, as
+   *    m·log2(k)-bit codes, BUCKETED by list_id so a query's nprobe
+   *    lists prune to their buckets (the [[graft.operators.Dedup
+   *    .writeMinhashIndex]] pattern applied to vectors)
+   *
+   * Parameters (nlist, m, k) must match at query/append time, as
+   * with the MinHash index. Same determinism contract as
+   * [[ivfPqTopK]]; built from the same id-seeded centroids, so
+   * [[annIndexTopK]] over a fresh index equals ivfPqTopK exactly.
+   */
+  def writeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
+      m: Int = 8, k: Int = 16, buckets: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = coarseCentroids(corpus, nlist, vecCol, idCol)
+    val books = pqCodebooks(v, k)
+    def saveSmall(df: DataFrame, name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    saveSmall(cents.toSeq.map { case (b, c) => (b, c.toSeq) }
+      .toDF("list_id", "centroid"), s"${table}_centroids")
+    saveSmall(books.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c.toSeq) }
+      .toDF("b", "centroid"), s"${table}_codebooks")
+    graft.sources.Bucketing.writeBucketed(
+      encodeRows(v, cents, books, m), s"${table}_codes", "list_id", buckets)
+  }
+
+  /** (id, list_id, codes) rows under a FIXED quantizer — shared by build and append. */
+  private def encodeRows(v: DataFrame, cents: Array[(Long, Array[Double])],
+      books: Array[Array[Double]], m: Int): DataFrame = {
+    val topLists = topListsFromMatrix(v.sparkSession, cents)
+    val bc = v.sparkSession.sparkContext.broadcast(books)
+    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
+    v.select(col("id"), topLists(col("v"), lit(1))(0).as("list_id"),
+      encode(col("v")).as("codes"))
+  }
+
+  private def readCentroids(spark: SparkSession, name: String,
+      keyCol: String): Array[(Long, Array[Double])] =
+    spark.table(name).collect()
+      .map(r => (r.getAs[Number](keyCol).longValue(),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1)
+
+  /**
+   * Add a batch of vectors to a persisted index under the FROZEN
+   * coarse quantizer and codebooks (how IVF indexes grow in
+   * production: training is an offline step, adds just encode +
+   * route). One batch-sized scan; codes land as bucketed inserts —
+   * corpus size never appears in the job.
+   */
+  def appendToAnnIndex(batch: DataFrame, table: String, m: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
+    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    graft.sources.Bucketing.appendBucketed(
+      encodeRows(v, cents, books, m), s"${table}_codes", "list_id")
+  }
+
+  /**
+   * IVF-PQ search against a persisted index: queries route through
+   * the stored centroids to their nprobe lists, and the codes scan
+   * reads ONLY those lists' buckets (InSet on the bucket column —
+   * bucket pruning + parquet stats), scoring by asymmetric PQ
+   * distance over the stored codebooks. Per-query cost tracks the
+   * probed lists, not the corpus; the float corpus is never read.
+   */
+  def annIndexTopK(queries: DataFrame, table: String, topk: Int = 5,
+      nprobe: Int = 8, m: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
+    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val topLists = topListsFromMatrix(spark, cents)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
+      .localCheckpoint() // query-sized; consumed by the prune collect AND the join
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
+    val codes = spark.table(s"${table}_codes")
+      .filter(Dedup.inSet(col("list_id"), probedLists))
+      .withColumnRenamed("id", "neighbor_id")
+    val scored = codes.join(broadcast(probes), "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(pq_adc(col("qv"), col("codes"), books, m), 6))
+    val top = graft.relational.Relational.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("adist").asc, col("neighbor_id").asc), topk)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       bits: Int = 8, tables: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",

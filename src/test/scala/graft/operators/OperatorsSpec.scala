@@ -366,6 +366,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"something scored closer than the exact duplicate: ${top.take(3).toSeq}")
   }
 
+  test("persisted ANN index: equals the in-memory IVF-PQ path; append finds new vectors") {
+    val base = (0L until 200L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d)).toArray)
+    }
+    val embs = base.toDF("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 5L)
+    Similarity.writeAnnIndex(embs, "graft_ann_spec", buckets = 8)
+    val viaIdx = Similarity.annIndexTopK(queries, "graft_ann_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaMem = Similarity.ivfPqTopK(embs, queries, topk = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaIdx === viaMem)
+    // append an exact copy of vector 7 under the frozen quantizer: it
+    // shares 7's codes, so a query AT vector 7 must see it at the
+    // quantization floor (the pqTopK duplicate law, through the index)
+    val dup = Seq((999L, base(7)._2)).toDF("vec_id", "embedding")
+    Similarity.appendToAnnIndex(dup, "graft_ann_spec")
+    val top = Similarity.annIndexTopK(embs.filter(col("vec_id") === 7L),
+      "graft_ann_spec", topk = 300, nprobe = 32).orderBy("rank").collect()
+    val dupDist = top.find(_.getLong(2) == 999L).get.getDouble(3)
+    assert(dupDist === top.head.getDouble(3),
+      s"appended duplicate not at the ADC floor: ${top.take(3).toSeq}")
+  }
+
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
     val docs = Seq(
       (1L, "a b a b c"), // both (a,b) occurrences merge
