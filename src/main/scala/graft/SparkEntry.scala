@@ -1609,6 +1609,23 @@ object SparkEntry {
   }
 
   /**
+   * TRUE iterative BPE (TextAnalysis.bpeTrainIterative): merge r is
+   * selected after re-counting over the corpus as segmented by
+   * merges 1..r-1. Output = the learned merge table (rank, x, y,
+   * count-at-selection), U+0001 joiners rendered as spaces. The
+   * DuckDB oracle replays every round: a generated chain of
+   * (count → top-1 → replace) CTEs over the same double-space
+   * encoding as text_bpe_apply.
+   */
+  private def textBpeIterative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeTrainIterative(t(s, dir, "documents"), nMerges = 8)
+      .zipWithIndex.map { case ((x, y, c), i) =>
+        ((i + 1).toLong, x.replace('\u0001', ' '), y.replace('\u0001', ' '), c)
+      }.toDF("rank", "x", "y", "cnt")
+  }
+
+  /**
    * Stream-static enrichment census (batch twin — the streaming run
    * over the same plan, with the dimension broadcast, is proven
    * equivalent in StreamingSpec).
@@ -2375,6 +2392,7 @@ object SparkEntry {
     "retrieval_rrf" -> (retrievalRrf _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_apply" -> (textBpeApply _),
+    "text_bpe_iterative" -> (textBpeIterative _),
     "stream_enrich" -> (qStreamEnrich _),
     "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -2633,6 +2651,39 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, round(raw, 6) AS adist, " +
       "row_number() OVER (PARTITION BY query_id " +
       "ORDER BY round(raw, 6), neighbor_id) AS rank FROM qd) WHERE rank <= 5"
+
+  /**
+   * Generated oracle for TRUE iterative BPE: round r counts adjacent
+   * unit pairs over the corpus as left by rounds 1..r-1 (the
+   * double-space encoding of text_bpe_apply: each unit wrapped in its
+   * own spaces, merges replace '␠x␠␠y␠' with '␠x<chr1>y␠' left-to-
+   * right non-overlapping), takes the top pair (count desc, pair
+   * asc), applies it, and recurses — n chained CTE pairs, since the
+   * per-round aggregate can't live inside one recursive CTE. Output:
+   * the merge table with selection counts.
+   */
+  private def bpeIterativeSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS (SELECT doc_id, ' ' || array_to_string(" +
+      "string_split(lower(text), ' '), '  ') || ' ' AS s FROM documents)"
+    for (r <- 1 to n) {
+      sb ++= s", m$r AS (SELECT array_to_string(u[i:i+1], ' ') AS pair, " +
+        "count(*) AS cnt FROM (SELECT string_split(trim(s), '  ') AS u " +
+        s"FROM s${r - 1}), UNNEST(generate_series(1, greatest(len(u) - 1, 0))) t(i) " +
+        "GROUP BY pair HAVING count(*) >= 2 ORDER BY cnt DESC, pair LIMIT 1)"
+      sb ++= s", s$r AS (SELECT doc_id, replace(s, " +
+        "' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ', " +
+        "' ' || split_part(pair, ' ', 1) || chr(1) || split_part(pair, ' ', 2) || ' ') AS s " +
+        s"FROM s${r - 1}, m$r)"
+    }
+    sb ++= " SELECT * FROM (" + (1 to n).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, " +
+        "replace(split_part(pair, ' ', 1), chr(1), ' ') AS x, " +
+        "replace(split_part(pair, ' ', 2), chr(1), ' ') AS y, cnt " +
+        s"FROM m$r"
+    }.mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
 
   /** Exhaustive batch×corpus jaccard pairs at the 10%-cut — oracle for both the broadcast and the persistent-index incremental paths. */
   private val incrementalDedupSql: String =
@@ -3972,6 +4023,7 @@ object SparkEntry {
         "CAST(len(f.units) AS BIGINT) AS n_units, " +
         "replace(array_to_string(f.units, '|'), chr(1), ' ') AS seg " +
         "FROM fin f JOIN tok t ON f.doc_id = t.doc_id"),
+    "text_bpe_iterative" -> bpeIterativeSql(8),
     "stream_enrich" ->
       ("SELECT c.c_mktsegment AS segment, count(*) AS n_events, " +
         "round(sum(e.value), 2) AS sum_value FROM events e " +

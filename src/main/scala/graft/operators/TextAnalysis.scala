@@ -505,6 +505,46 @@ object TextAnalysis {
       }.toSeq
 
   /**
+   * TRUE iterative BPE training (opt-in): re-count adjacent-unit
+   * pairs after every merge, so merge r is chosen over the corpus as
+   * segmented by merges 1..r-1 — the textbook algorithm, `nMerges`
+   * bounded corpus passes instead of [[bpeTrain]]'s single round.
+   * Each round is one explode + count + TakeOrdered(1); the corpus
+   * state is never materialized (the segmentation re-derives in the
+   * scan via the codegen'd [[graft.functions.BpeSegmentExpr]], whose
+   * merge table — the only state — is r rows on the driver). Merged
+   * units join with U+0001, so later rounds can merge already-merged
+   * units; tie-break (count desc, pair asc) matches [[bpeTrain]].
+   * Returns (x, y, count-at-selection) per rank; stops early if the
+   * corpus runs out of repeated pairs.
+   */
+  def bpeTrainIterative(docs: DataFrame, nMerges: Int = 8,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    var out = Vector.empty[(String, String, Long)]
+    val lowered = docs.select(lower(col(textCol)).as("t"))
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val seg =
+        if (merges.isEmpty) col("t")
+        else concat_ws(" ", bpe_segment(col("t"), merges))
+      val top = lowered.select(explode(shingle_strings(seg, 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
+      else {
+        val p = top(0).getString(0).split(" ", 2)
+        merges :+= ((p(0), p(1)))
+        out :+= ((p(0), p(1), top(0).getLong(1)))
+      }
+      r += 1
+    }
+    out
+  }
+
+  /**
    * Apply a learned BPE merge table ([[bpeTrain]]) to segment each
    * document: merges apply in rank order, left-to-right,
    * non-overlapping ([[graft.functions.BpeSegmentExpr]] — scan-stage,

@@ -390,6 +390,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"appended duplicate not at the ADC floor: ${top.take(3).toSeq}")
   }
 
+  test("bpeTrainIterative: re-counts between merges; equals one-round when pairs don't interact") {
+    // genuinely non-interacting pairs: each repeated pair is isolated
+    // by unique filler tokens, so merging one never changes another's
+    // count (or creates a new repeated pair) — iterative must equal
+    // the single counting round
+    val disjoint = Seq(
+      (1L, "e f w1 e f w2 e f w3 e f"),
+      (2L, "a b u1 a b u2 a b"),
+      (3L, "c d v1 c d")
+    ).toDF("doc_id", "text")
+    val oneRound = TextAnalysis.bpeTrain(disjoint, nMerges = 3)
+    val iter = TextAnalysis.bpeTrainIterative(disjoint, nMerges = 3).map(m => (m._1, m._2))
+    assert(iter === oneRound)
+    // interacting pairs: "a a a a" — after merging (a,a), the pair
+    // (a,a) no longer repeats; iterative picks (a+a merged)
+    // next from the SEGMENTED corpus, one-round would pick (a,a) again
+    val runs = Seq((1L, "a a a a a a a a"), (2L, "a a a a")).toDF("doc_id", "text")
+    val it2 = TextAnalysis.bpeTrainIterative(runs, nMerges = 2)
+    // doc1 segments to 4 merged units, doc2 to 2: 3 + 1 = 4 adjacent
+    // (a\u0001a, a\u0001a) pairs - merged units pair in later rounds
+    assert(it2.head === (("a", "a", 10L)))
+    assert(it2(1) === (("a\u0001a", "a\u0001a", 4L)),
+      s"second merge should pair merged units: ${it2.toSeq}")
+  }
+
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
     val docs = Seq(
       (1L, "a b a b c"), // both (a,b) occurrences merge
