@@ -1978,6 +1978,29 @@ object SparkEntry {
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
+  /**
+   * The classifier scored from a (bucket, weight) MODEL TABLE
+   * (TextAnalysis.classifierScoreFromTable): the weights parquet is
+   * written once (here, from the stub generator — in production, by a
+   * training job), and the scoring path only ever sees the table.
+   * Proves the model-swap claim in code: same oracle as text_classify.
+   */
+  private def textClassifyTable(s: SparkSession, dir: String): DataFrame = {
+    if (!s.catalog.tableExists("graft_clf_weights"))
+      graft.sources.Bucketing.writeSmallTable(
+        TextAnalysis.classifierWeights(s), "graft_clf_weights")
+    TextAnalysis.classifierScoreFromTable(
+      t(s, dir, "documents"), s.table("graft_clf_weights"))
+  }
+
+  /** Language ID from a (priority, lang, token) marker table — same swap contract. */
+  private def textLangidTable(s: SparkSession, dir: String): DataFrame = {
+    if (!s.catalog.tableExists("graft_lang_markers"))
+      graft.sources.Bucketing.writeSmallTable(
+        TextAnalysis.langMarkerTable(s), "graft_lang_markers")
+    TextAnalysis.langIdFromTable(t(s, dir, "documents"), s.table("graft_lang_markers"))
+  }
+
   /** Per-doc token entropy: the gibberish/boilerplate band signal. */
   private def textEntropy(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(t(s, dir, "documents"))
@@ -2430,6 +2453,8 @@ object SparkEntry {
     "dedup_winnow" -> (dedupWinnow _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_classify" -> (textClassify _),
+    "text_classify_table" -> (textClassifyTable _),
+    "text_langid_table" -> (textLangidTable _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "corpus_quality_topk" -> (corpusQualityTopk _),
     "text_dup_fraction" -> (textDupFraction _),
@@ -2765,6 +2790,15 @@ object SparkEntry {
       "count(*) FILTER (f_dup) AS n_fail_dup, " +
       "count(*) FILTER (NOT f_len AND NOT f_awl AND NOT f_stop AND NOT f_dup) AS n_kept " +
       "FROM f GROUP BY source"
+
+  /** Hashed-linear-classifier replay (md5 bucket → stub weight → sigmoid of the mean). */
+  private lazy val classifySql: String =
+    "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+      "s AS (SELECT doc_id, len(w) AS n, list_reduce(list_prepend(0.0, list_transform(w, " +
+      "x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)::BIGINT * 2654435761 + 7) " +
+      "% 2000001) / 1000000.0 - 1.0))), (a, b) -> a + b) AS wsum FROM tok) " +
+      "SELECT doc_id, round(1.0 / (1.0 + exp(-(wsum / n))), 4) AS clf_score, " +
+      "wsum >= 0 AS clf_label FROM s"
 
   private lazy val langidSql: String =
     "WITH s AS (SELECT doc_id, " +
@@ -3419,13 +3453,11 @@ object SparkEntry {
     // hashed linear classifier: bucket = low 10 bits of md5lo64
     // (= last 4 hex chars of the first 8 md5 bytes mod 1024); the
     // label compares the exact ordered fold, not the rounded sigmoid
-    "text_classify" ->
-      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
-        "s AS (SELECT doc_id, len(w) AS n, list_reduce(list_prepend(0.0, list_transform(w, " +
-        "x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)::BIGINT * 2654435761 + 7) " +
-        "% 2000001) / 1000000.0 - 1.0))), (a, b) -> a + b) AS wsum FROM tok) " +
-        "SELECT doc_id, round(1.0 / (1.0 + exp(-(wsum / n))), 4) AS clf_score, " +
-        "wsum >= 0 AS clf_label FROM s"),
+    "text_classify" -> classifySql,
+    // same oracle: the table-driven path must score identically to
+    // the inline-stub path (the model-swap contract, proven in code)
+    "text_classify_table" -> classifySql,
+    "text_langid_table" -> langidSql,
     // near-dup clusters resolved to their best-quality representative
     "dedup_keep_best" ->
       ("SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality, " +

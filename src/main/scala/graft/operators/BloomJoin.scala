@@ -160,13 +160,8 @@ object BloomJoin {
         serialize(merged.getOrElse(i, BloomFilter.create(expectedItemsPerShard, fpp))))
     }
     import spark.implicits._
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-    rows.toDF("shard", "expected_items", "fpp", "filter")
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+    graft.sources.Bucketing.writeSmallTable(
+      rows.toDF("shard", "expected_items", "fpp", "filter"), table)
   }
 
   /**
@@ -195,9 +190,8 @@ object BloomJoin {
       (i, expected, fpp, serialize(f))
     }.toSeq
     import spark.implicits._
-    rows.toDF("shard", "expected_items", "fpp", "filter")
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(table)
+    graft.sources.Bucketing.writeSmallTable(
+      rows.toDF("shard", "expected_items", "fpp", "filter"), table)
   }
 
   /** [[seenGateSharded]]'s probe side against the persisted bank. */

@@ -609,18 +609,12 @@ object Similarity {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cents = coarseCentroids(corpus, nlist, vecCol, idCol)
     val books = pqCodebooks(v, k)
-    def saveSmall(df: DataFrame, name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val path = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.delete(path, true)
-      df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(name)
-    }
-    saveSmall(cents.toSeq.map { case (b, c) => (b, c.toSeq) }
-      .toDF("list_id", "centroid"), s"${table}_centroids")
-    saveSmall(books.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c.toSeq) }
-      .toDF("b", "centroid"), s"${table}_codebooks")
+    graft.sources.Bucketing.writeSmallTable(
+      cents.toSeq.map { case (b, c) => (b, c.toSeq) }
+        .toDF("list_id", "centroid"), s"${table}_centroids")
+    graft.sources.Bucketing.writeSmallTable(
+      books.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c.toSeq) }
+        .toDF("b", "centroid"), s"${table}_codebooks")
     graft.sources.Bucketing.writeBucketed(
       encodeRows(v, cents, books, m), s"${table}_codes", "list_id", buckets)
   }

@@ -485,6 +485,88 @@ object TextAnalysis {
   }
 
   /**
+   * The stub classifier weights materialized as a (bucket, weight)
+   * MODEL TABLE — the artifact a real training run would produce.
+   * [[classifierScoreFromTable]] scores from such a table, so
+   * swapping in learned weights is literally "point at a different
+   * parquet file": the operator's code path is identical either way.
+   */
+  def classifierWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    spark.range(buckets).toDF("bucket")
+      .select(col("bucket"),
+        (((col("bucket") * lit(2654435761L) + lit(7L)) % lit(2000001L)) /
+          lit(1000000.0) - lit(1.0)).as("weight"))
+  }
+
+  /**
+   * [[classifierScore]] with the model loaded from a (bucket, weight)
+   * table instead of the inline stub — the table-driven half of the
+   * model-swap contract. The dense weight vector is driver-bounded by
+   * the hashing trick itself (2^b buckets ≈ 8·2^b bytes — a fastText
+   * quality classifier is a few MB), collected once and folded into
+   * the plan as an array literal; scoring stays a single narrow
+   * scan-stage pass with the exact same fold order as the stub path,
+   * so the two produce bit-identical scores for equal weights.
+   */
+  def classifierScoreFromTable(docs: DataFrame, weights: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val wrows = weights.select(col("bucket").cast("long"), col("weight").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val buckets = wrows.length
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    require(wrows.map(_._1).sameElements(0L until buckets.toLong),
+      "weights table must cover buckets 0..n-1 exactly")
+    val warr = wrows.map(_._2).toSeq
+    val w = tokens(col(textCol))
+    def weight(tok: Column): Column = {
+      val bucket = md5lo64(tok).bitwiseAND(lit((buckets - 1).toLong))
+      element_at(typedLit(warr), bucket.cast("int") + 1)
+    }
+    val wsum = aggregate(transform(w, weight _), lit(0.0), (a, x) => a + x)
+    docs.select(
+      col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-(wsum / size(w)))), 4).as("clf_score"),
+      (wsum >= 0).as("clf_label"))
+  }
+
+  /**
+   * The language-marker lists materialized as a (priority, lang,
+   * token) MODEL TABLE; [[langIdFromTable]] predicts from such a
+   * table — same swap contract as [[classifierWeights]]: replace the
+   * markers with learned ones (e.g. top function words per language
+   * from a labeled corpus) and nothing else changes.
+   */
+  def langMarkerTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    langMarkers.zipWithIndex.flatMap { case ((lang, ms), p) =>
+      ms.map(tok => (p.toLong, lang, tok))
+    }.toDF("priority", "lang", "token")
+  }
+
+  /** [[langId]] with markers loaded from a (priority, lang, token) table. */
+  def langIdFromTable(docs: DataFrame, markers: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val m = markers.select(col("priority").cast("long"), col("lang"), col("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byLang: Seq[(String, Seq[String])] = m.groupBy(x => (x._1, x._2)).toSeq
+      .sortBy(_._1._1).map { case ((_, lang), rows) => (lang, rows.map(_._3).toSeq) }
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: byLang.map { case (lang, ms) =>
+        size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
+      }): _*)
+    val scoreCols = byLang.map(x => col(s"s_${x._1}"))
+    val maxScore = if (scoreCols.size == 1) scoreCols.head else greatest(scoreCols: _*)
+    val pred = byLang.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"s_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col(idCol), col("pred_lang"))
+  }
+
+  /**
    * Train a word-level BPE merge table: ONE pair-counting round over
    * the corpus, top-`nMerges` adjacent-token pairs by (count desc,
    * pair asc). The count is a single shuffle of fused one-pass bigram

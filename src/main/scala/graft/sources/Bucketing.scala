@@ -42,6 +42,21 @@ object Bucketing {
   }
 
   /**
+   * Write a small (driver-boundable) frame as a single-file managed
+   * parquet table — model artifacts, filter banks, codebooks. Clears
+   * an orphaned warehouse directory like [[writeBucketed]].
+   */
+  def writeSmallTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /**
    * Append rows to an existing bucketed table written by
    * [[writeBucketed]], preserving the bucket spec — the
    * continuous-ingest maintenance path: each batch lands as at most

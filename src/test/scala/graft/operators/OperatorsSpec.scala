@@ -523,6 +523,41 @@ class OperatorsSpec extends AnyFunSuite {
     scored.foreach { case (id, s, _) => assert(again(id) === s) }
   }
 
+  test("table-driven models: equal the inline stubs for stub weights, and the table drives the result") {
+    // classifier: stub-table path is bit-identical to the inline path
+    val wStub = TextAnalysis.classifierWeights(spark)
+    val viaTable = TextAnalysis.classifierScoreFromTable(docs, wStub).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    val inline = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    assert(viaTable === inline)
+    // a DIFFERENT model flips every label: all-negative weights ⇒
+    // wsum < 0 ⇒ label false, score < 0.5 — proving the table is the
+    // model, not a decoration over a fixed stub
+    val wNeg = wStub.select(col("bucket"), (col("weight") * 0 - 1.0).as("weight"))
+    val neg = TextAnalysis.classifierScoreFromTable(docs, wNeg).collect()
+    neg.foreach { r =>
+      assert(!r.getBoolean(2) && r.getDouble(1) < 0.5,
+        s"all-negative model must score below 0.5: $r")
+    }
+    // langid: marker-table path equals the inline marker list
+    val m = TextAnalysis.langMarkerTable(spark)
+    val lidTable = TextAnalysis.langIdFromTable(docs, m).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val lidInline = TextAnalysis.langId(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(lidTable === lidInline)
+    // swapped markers change predictions: call every "the/and/of" doc xx
+    import spark.implicits._
+    val mXx = Seq((0L, "xx", "the"), (0L, "xx", "and"), (0L, "xx", "of"))
+      .toDF("priority", "lang", "token")
+    val xx = TextAnalysis.langIdFromTable(docs, mXx).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    lidInline.filter(_._2 == "en").foreach { case (id, _) =>
+      assert(xx(id) === "xx", s"doc $id should re-label under the swapped model")
+    }
+  }
+
   test("keepBestPerCluster keeps the max-quality member (min id on quality ties)") {
     val kept = Dedup.keepBestPerCluster(docs, TextAnalysis.qualityCol(col("text"))).collect()
     assert(kept.length === 1, "fixture has exactly one near-dup cluster {0,1,2}")
