@@ -83,6 +83,36 @@ object Bucketing {
   }
 
   /**
+   * Compact a bucketed table back to one file per bucket — the
+   * periodic companion to [[appendBucketed]]: each append adds up to
+   * `buckets` files, and after many batches the per-file
+   * footer/listing overhead starts to tax reads. One rewrite restores
+   * the one-file-per-bucket layout without touching the bucket spec
+   * (so pruning and exchange-free joins are unaffected); runs out of
+   * band of both appends and queries, like any LSM-style maintenance
+   * job. Implementation: rewrite into a sibling table, then swap by
+   * catalog rename — the compacted data is fully written before the
+   * old table disappears.
+   */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val bucketCol = spec.bucketColumnNames.head
+    val tmp = s"${table}__compact"
+    // read the files as PLAIN parquet, not through the bucketed-table
+    // scan: a bucket-aligned scan already reports the target hash
+    // distribution, which lets the planner elide the repartition the
+    // bucketed WRITE needs to land one file per bucket — and the
+    // scan's multi-file read partitions are not bucket-pure
+    writeBucketed(spark.read.parquet(meta.location.toString), tmp,
+      bucketCol, spec.numBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /**
    * Join two bucketed tables on their bucket keys. The merge hint
    * pins sort-merge so the plan demonstrates the point: with equal
    * bucket counts the join needs NO exchange on either side (the

@@ -67,4 +67,36 @@ object DocumentStreams {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  /**
+   * The FULL continuous-ingest dedup loop: each micro-batch is (1)
+   * probed against the persistent MinHash index, (2) its detected
+   * near-dup pairs appended to `outPath`, (3) its NOVEL documents
+   * (no pair above threshold) APPENDED to the index
+   * ([[graft.operators.Dedup.appendToMinhashIndex]] — bucketed
+   * batch-sized inserts), so batch N+1 sees batch N's accepted docs
+   * as corpus. This closes the maintenance gap of
+   * [[streamingIndexDedup]]: the index stays current under ingest
+   * with no rebuild and no corpus rescan — probe AND update both
+   * track the batch size. foreachBatch gives exactly-once batch
+   * boundaries (a replayed batch re-probes before re-appending; an
+   * exact replay yields self-pairs filtered by the probe contract,
+   * and its docs are already dups so they do not re-append).
+   */
+  def streamingIndexIngest(docStream: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint() // probed twice below
+        val pairs = graft.operators.Dedup
+          .indexedNearDupPairs(b, indexTable, threshold = threshold)
+          .localCheckpoint() // consumed by the sink AND the novelty anti-join
+        pairs.write.mode("append").parquet(outPath)
+        val novel = b.join(pairs.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
+      }
+      .start()
 }

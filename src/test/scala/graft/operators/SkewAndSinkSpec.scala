@@ -56,6 +56,36 @@ class SkewAndSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBucketed + compactBucketed: appends preserve the layout contract; compaction restores one file per bucket") {
+    import graft.sources.Bucketing
+    val base = (0L until 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_compact_t", "k", 4)
+    // three appends → up to 4 new files each
+    (1 to 3).foreach { b =>
+      Bucketing.appendBucketed(
+        (0L until 100L).map(i => (1000L * b + i, s"a$b$i")).toDF("k", "v"),
+        "graft_compact_t", "k")
+    }
+    def files(): Int = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t"))
+      val p = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(s => s.getPath.getName.startsWith("part-"))
+    }
+    val before = spark.table("graft_compact_t").collect().map(_.toString).sorted
+    assert(files() > 4, s"appends should add files, saw ${files()}")
+    Bucketing.compactBucketed(spark, "graft_compact_t")
+    assert(files() === 4, s"compaction should leave one file per bucket, saw ${files()}")
+    val after = spark.table("graft_compact_t").collect().map(_.toString).sorted
+    assert(after === before, "compaction must not change table contents")
+    // bucket spec survives the swap: metadata still says 4 buckets on k
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
+    spark.sql("DROP TABLE IF EXISTS graft_compact_t")
+  }
+
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")

@@ -129,6 +129,49 @@ class StreamingSpec extends AnyFunSuite {
       s"planted near-dup not detected from the stream: $streamed")
   }
 
+  test("streaming index INGEST: batch N+1 sees batch N's novel docs; dups never re-enter the index") {
+    import graft.operators.Dedup
+    val s = spark; import s.implicits._
+    // per-doc token namespaces: no accidental cross-doc shingle overlap
+    val mkText = (ns: String, seed: Long) =>
+      (0 until 40).map(j => s"$ns${seed}t$j").mkString(" ")
+    val row = (id: Long, text: String) => (id, text, "en", "src0", 200L)
+    val corpus = (0L until 100L).map(i => row(i, mkText("c", i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Dedup.writeMinhashIndex(corpus, "graft_ingest_idx")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // batch 1: novel docs 6000-6004 (+ a dup of corpus doc 11)
+    val b1 = (Seq(row(5999L, mkText("c", 11L))) ++
+      (6000L to 6004L).map(i => row(i, mkText("b", i))))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // batch 2: a near-dup of batch-1 doc 6002 (one token edited) + a
+    // dup of the batch-1 DUP 5999 (must match corpus 11, NOT 5999 —
+    // 5999 was a dup and must not have entered the index)
+    val edited = mkText("b", 6002L).split(" ").updated(5, "EDITED").mkString(" ")
+    val b2 = Seq(row(7000L, edited), row(7001L, mkText("c", 11L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = s"$dir/pairs"
+    val q1 = DocumentStreams.streamingIndexIngest(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"),
+      "graft_ingest_idx", out, s"$dir/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = DocumentStreams.streamingIndexIngest(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"),
+      "graft_ingest_idx", out, s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5999L, 11L)), s"batch-1 dup of corpus doc missed: $pairs")
+    assert(pairs.contains((7000L, 6002L)),
+      s"batch-2 near-dup of batch-1 NOVEL doc missed — append didn't happen: $pairs")
+    assert(pairs.contains((7001L, 11L)), s"batch-2 dup of corpus doc missed: $pairs")
+    assert(!pairs.contains((7001L, 5999L)),
+      s"batch-1 DUP entered the index — novelty gate failed: $pairs")
+  }
+
   test("streaming decontamination: the batch operator runs unchanged on a doc stream") {
     // train side is a STREAM; the eval n-gram set is a broadcast
     // static — exactly the 100 TB ingest shape, and the operator
