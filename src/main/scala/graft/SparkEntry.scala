@@ -2041,6 +2041,15 @@ object SparkEntry {
    * typo pairs land at 3/4 shared bigrams = 0.75. The oracle is the
    * UNBLOCKED all-pairs join — equality proves the prefix filter
    * loses nothing.
+   *
+   * Bench note (the suite's one >2s query): the COST is the output,
+   * not the plan — TPC-H part names draw from a ~90-word adjective
+   * vocabulary, so at sf0.1 τ=0.7 legitimately admits ~3.1M similar
+   * pairs (~1M result rows/s writing them). The fixture keeps τ=0.7 /
+   * shingle=2 because the planted typos sit at 0.75 — raising τ above
+   * 0.75 or the shingle order would shrink the output but lose the
+   * planted recall the oracle checks. A production run on low-entropy
+   * keys would raise τ or block harder; the operator is unchanged.
    */
   private def erCosine(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))

@@ -150,6 +150,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
   }
 
+  test("ann_index_persisted: the codes scan prunes to the probed lists' buckets; probes broadcast") {
+    val p = plan("ann_index_persisted")
+    assert(p.contains("SelectedBucketsCount"),
+      s"codes read is not bucket-pruned:\n$p")
+    // the probed-lists InSet must reach the codes scan, and the
+    // query-side probe table must broadcast onto it
+    // the probed-lists InSet must reach the codes read, and the
+    // query-side probe table must broadcast onto it
+    assert(p.toLowerCase.contains("inset"),
+      s"probed-list filter not applied at the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "probes not broadcast onto the codes scan")
+  }
+
   test("q_sorted_sink: the date-range predicate is pushed to the re-read scan") {
     val p = plan("q_sorted_sink")
     assert(p.contains("PushedFilters") &&
