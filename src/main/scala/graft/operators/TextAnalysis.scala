@@ -550,8 +550,15 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val m = markers.select(col("priority").cast("long"), col("lang"), col("token"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val byLang: Seq[(String, Seq[String])] = m.groupBy(x => (x._1, x._2)).toSeq
-      .sortBy(_._1._1).map { case ((_, lang), rows) => (lang, rows.map(_._3).toSeq) }
+    // one entry per LANGUAGE (a learned table may list the same lang
+    // under several priority rows — merge its marker set, rank the
+    // language at its best priority) so s_<lang> columns stay unique
+    val byLang: Seq[(String, Seq[String])] = m.groupBy(_._2).toSeq
+      .map { case (lang, rows) =>
+        (rows.map(_._1).min, lang, rows.map(_._3).distinct.toSeq)
+      }
+      .sortBy(x => (x._1, x._2))
+      .map { case (_, lang, toks) => (lang, toks) }
     val toks = tokens(col(textCol))
     val scored = docs.select(
       (col(idCol) +: byLang.map { case (lang, ms) =>

@@ -92,15 +92,28 @@ object Bucketing {
    * band of both appends and queries, like any LSM-style maintenance
    * job. Implementation: rewrite into a sibling table, then swap by
    * catalog rename — the compacted data is fully written before the
-   * old table disappears.
+   * old table disappears. The DROP→RENAME swap is two catalog ops,
+   * not one atomic move; a crash between them leaves the data intact
+   * under `{table}__compact`, and RE-RUNNING compactBucketed detects
+   * that state and completes the swap.
    */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val tmpName = s"${table}__compact"
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table))) {
+      // crash recovery: a prior compaction finished its rewrite but
+      // died after DROP and before RENAME — finish the swap
+      require(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)),
+        s"neither $table nor $tmpName exists")
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+      return
+    }
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
     val bucketCol = spec.bucketColumnNames.head
-    val tmp = s"${table}__compact"
+    val tmp = tmpName
     // read the files as PLAIN parquet, not through the bucketed-table
     // scan: a bucket-aligned scan already reports the target hash
     // distribution, which lets the planner elide the repartition the

@@ -78,23 +78,31 @@ object DocumentStreams {
    * as corpus. This closes the maintenance gap of
    * [[streamingIndexDedup]]: the index stays current under ingest
    * with no rebuild and no corpus rescan — probe AND update both
-   * track the batch size. foreachBatch gives exactly-once batch
-   * boundaries (a replayed batch re-probes before re-appending; an
-   * exact replay yields self-pairs filtered by the probe contract,
-   * and its docs are already dups so they do not re-append).
+   * track the batch size.
+   *
+   * Replay safety (foreachBatch is at-least-once): a batch replayed
+   * after a crash between the index append and the checkpoint commit
+   * finds its own docs in the index. The novelty gate keeps them from
+   * appending twice (a self-match marks the doc as seen), self-pairs
+   * are filtered from the emitted log, and the pair sink writes each
+   * batch to its own `batch=<id>` directory with overwrite — so a
+   * replay rewrites the same output instead of appending duplicates.
    */
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().localCheckpoint() // probed twice below
-        val pairs = graft.operators.Dedup
+        val rawPairs = graft.operators.Dedup
           .indexedNearDupPairs(b, indexTable, threshold = threshold)
           .localCheckpoint() // consumed by the sink AND the novelty anti-join
-        pairs.write.mode("append").parquet(outPath)
-        val novel = b.join(pairs.select(col("new_id").as("doc_id")).distinct(),
+        rawPairs.filter(col("new_id") =!= col("corpus_id"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // the anti-join keeps self-matches: a replayed doc matches its
+        // own index entry and correctly does NOT re-append
+        val novel = b.join(rawPairs.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
       }

@@ -154,8 +154,6 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("ann_index_persisted")
     assert(p.contains("SelectedBucketsCount"),
       s"codes read is not bucket-pruned:\n$p")
-    // the probed-lists InSet must reach the codes scan, and the
-    // query-side probe table must broadcast onto it
     // the probed-lists InSet must reach the codes read, and the
     // query-side probe table must broadcast onto it
     assert(p.toLowerCase.contains("inset"),

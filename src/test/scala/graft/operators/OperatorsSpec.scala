@@ -556,6 +556,14 @@ class OperatorsSpec extends AnyFunSuite {
     lidInline.filter(_._2 == "en").foreach { case (id, _) =>
       assert(xx(id) === "xx", s"doc $id should re-label under the swapped model")
     }
+    // a learned table may list one language under SEVERAL priority
+    // rows — marker sets merge per language (best priority ranks it)
+    // instead of colliding on duplicate s_<lang> columns
+    val mSplit = m.unionAll(Seq((9L, "en", "zzzunseen"))
+      .toDF("priority", "lang", "token"))
+    val split = TextAnalysis.langIdFromTable(docs, mSplit).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(split === lidTable, "split-priority markers must merge, not collide")
   }
 
   test("keepBestPerCluster keeps the max-quality member (min id on quality ties)") {

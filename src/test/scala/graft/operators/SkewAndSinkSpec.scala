@@ -83,6 +83,15 @@ class SkewAndSinkSpec extends AnyFunSuite {
     val spec = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t")).bucketSpec
     assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
+    // crash recovery: simulate dying between DROP and RENAME — the
+    // rewrite exists under __compact, the original name is gone;
+    // re-running compactBucketed must complete the swap losslessly
+    Bucketing.writeBucketed(spark.table("graft_compact_t"),
+      "graft_compact_t__compact", "k", 4)
+    spark.sql("DROP TABLE graft_compact_t")
+    Bucketing.compactBucketed(spark, "graft_compact_t")
+    val recovered = spark.table("graft_compact_t").collect().map(_.toString).sorted
+    assert(recovered === after, "recovery swap must restore the full table")
     spark.sql("DROP TABLE IF EXISTS graft_compact_t")
   }
 

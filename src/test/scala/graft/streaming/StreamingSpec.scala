@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
       "graft_ingest_idx", out, s"$dir/ckpt")
     try q2.processAllAvailable() finally q2.stop()
 
-    val pairs = spark.read.parquet(out).collect()
+    val pairs = spark.read.parquet(out).select("new_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((5999L, 11L)), s"batch-1 dup of corpus doc missed: $pairs")
     assert(pairs.contains((7000L, 6002L)),
@@ -170,6 +170,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.contains((7001L, 11L)), s"batch-2 dup of corpus doc missed: $pairs")
     assert(!pairs.contains((7001L, 5999L)),
       s"batch-1 DUP entered the index — novelty gate failed: $pairs")
+
+    // replay simulation: a FRESH checkpoint reprocesses every input
+    // file against the already-updated index (the at-least-once
+    // failure mode). Nothing may re-append, and the emitted log must
+    // never contain self-pairs.
+    val sizeBefore = spark.table("graft_ingest_idx_shingles").count()
+    val q3 = DocumentStreams.streamingIndexIngest(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"),
+      "graft_ingest_idx", out, s"$dir/ckpt_replay")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("graft_ingest_idx_shingles").count() === sizeBefore,
+      "replayed docs re-appended to the index")
+    val replayed = spark.read.parquet(out).select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(replayed.forall { case (a, b) => a != b },
+      s"self-pairs leaked into the pair log: ${replayed.filter(p => p._1 == p._2).toSeq}")
   }
 
   test("streaming decontamination: the batch operator runs unchanged on a doc stream") {
