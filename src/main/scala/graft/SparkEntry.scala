@@ -1226,6 +1226,23 @@ object SparkEntry {
   }
 
   /**
+   * The composed INGEST DECISION — what a crawler actually runs per
+   * batch, as one statement: each arriving doc gets ONE verdict with
+   * fixed priority — exact duplicate of the corpus > near-duplicate
+   * (jaccard ≥ 0.7 against the standing corpus) > low quality
+   * (composite score < 0.5) > accepted. Exact/near flags are
+   * batch-sized broadcasts onto the batch scan; quality is a
+   * scan-stage column; the corpus contributes one distinct-text pass
+   * and the shingle probe — nothing corpus-sized ever shuffles twice.
+   */
+  private def pipelineIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    Curation.ingestDecision(
+      docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut))
+  }
+
+  /**
    * Range-clustered sorted sink: orders written range-partitioned +
    * sorted on o_orderdate, re-read with a date-range predicate that
    * parquet stats satisfy by skipping files/row-groups (FileIO
@@ -2490,6 +2507,7 @@ object SparkEntry {
     "text_lm_score" -> (textLmScore _),
     "text_ppl_buckets" -> (textPplBuckets _),
     "pipeline_ccnet" -> (pipelineCcnet _),
+    "pipeline_ingest" -> (pipelineIngest _),
     "text_gopher_census" -> (textGopherCensus _),
     "text_lm_heldout" -> (textLmHeldout _),
     "text_chunks" -> (textChunks _),
@@ -4065,6 +4083,32 @@ object SparkEntry {
         "replace(array_to_string(f.units, '|'), chr(1), ' ') AS seg " +
         "FROM fin f JOIN tok t ON f.doc_id = t.doc_id"),
     "text_bpe_iterative" -> bpeIterativeSql(8),
+    // the composed ingest decision: exact > near > quality > accepted,
+    // each branch the same replay as its standalone oracle
+    "pipeline_ingest" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "b AS (SELECT doc_id, text FROM documents, cut WHERE doc_id >= c), " +
+        "ct AS (SELECT DISTINCT text FROM documents, cut WHERE doc_id < c), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS new_id, b2.doc_id AS corpus_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b2 ON a.shingle = b2.shingle, cut " +
+        "WHERE a.doc_id >= cut.c AND b2.doc_id < cut.c GROUP BY 1, 2), " +
+        "near AS (SELECT DISTINCT new_id FROM pr " +
+        "JOIN sizes sa ON new_id = sa.doc_id JOIN sizes sb ON corpus_id = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
+        "q AS (SELECT doc_id, " +
+        "round(least(len(string_split(lower(text), ' ')) / 64.0, 1.0) * 0.4 " +
+        "+ least(round(len(list_filter(string_split(lower(text), ' '), x -> x IN " +
+        stopwordsSql + ")) * 1.0 / len(string_split(lower(text), ' ')), 4) * 5.0, 1.0) * 0.2 " +
+        "+ round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) * 0.4, 6) AS quality FROM b) " +
+        "SELECT b.doc_id, CASE WHEN b.text IN (SELECT text FROM ct) THEN 'dup_exact' " +
+        "WHEN b.doc_id IN (SELECT new_id FROM near) THEN 'near_dup' " +
+        "WHEN q.quality < 0.5 THEN 'low_quality' ELSE 'accepted' END AS verdict, " +
+        "q.quality FROM b JOIN q USING (doc_id)"),
     "stream_enrich" ->
       ("SELECT c.c_mktsegment AS segment, count(*) AS n_events, " +
         "round(sum(e.value), 2) AS sum_value FROM events e " +

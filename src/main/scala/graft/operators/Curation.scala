@@ -598,4 +598,37 @@ object Curation {
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         bit_xor(md5lo64(col(idCol).cast("string"))).as("id_checksum"))
   }
+
+  /**
+   * The composed per-doc INGEST DECISION against a standing corpus:
+   * one verdict per batch doc with fixed priority — `dup_exact`
+   * (text identical to a corpus doc) > `near_dup` (jaccard ≥
+   * `threshold` against the corpus, [[Dedup.incrementalNearDupPairs]])
+   * > `low_quality` (composite [[TextAnalysis.qualityCol]] <
+   * `minQuality`) > `accepted`. Exact/near flags are batch-sized
+   * broadcasts onto the batch scan; quality is a scan-stage column —
+   * the corpus contributes one distinct-text pass and the shingle
+   * probe, nothing corpus-sized shuffles twice.
+   */
+  def ingestDecision(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7, minQuality: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val exactIds = batch.join(corpus.select(col(textCol).as("t2")).distinct(),
+        batch(textCol) === col("t2"), "left_semi")
+      .select(col(idCol), lit(true).as("is_exact"))
+    val nearIds = Dedup.incrementalNearDupPairs(batch, corpus,
+        threshold = threshold, textCol = textCol, idCol = idCol)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("is_near", lit(true))
+    batch
+      .join(broadcast(exactIds), Seq(idCol), "left_outer")
+      .join(broadcast(nearIds), Seq(idCol), "left_outer")
+      .withColumn("quality", TextAnalysis.qualityCol(col(textCol)))
+      .select(col(idCol),
+        when(col("is_exact"), "dup_exact")
+          .when(col("is_near"), "near_dup")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("accepted").as("verdict"),
+        col("quality"))
+  }
 }

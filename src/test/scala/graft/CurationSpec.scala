@@ -125,6 +125,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!joined.exists(_.contains("text")), s"text leaked into join: $joined")
   }
 
+  test("ingestDecision: one verdict per doc, exact > near > quality > accepted") {
+    // corpus doc 0 is high-quality, long, diverse; the batch plants
+    // one of each verdict
+    val mkGood = (seed: Int) => (0 until 70).map(j => s"tok${seed}x$j").mkString(" ")
+    val corpus = (0L until 5L).map(i => (i, mkGood(i.toInt))).toDF("doc_id", "text")
+    val nearText = mkGood(3).split(" ").updated(10, "EDITED").mkString(" ")
+    val batch = Seq(
+      (100L, mkGood(0)),           // exact copy of corpus doc 0
+      (101L, nearText),            // near-dup of corpus doc 3
+      (102L, "a a a a a"),         // degenerate: low distinct ratio + short
+      (103L, mkGood(99))           // novel and high quality
+    ).toDF("doc_id", "text")
+    val got = Curation.ingestDecision(batch, corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100L) === "dup_exact",
+      s"exact copy must outrank its own near-dup match: $got")
+    assert(got(101L) === "near_dup", got.toString)
+    assert(got(102L) === "low_quality", got.toString)
+    assert(got(103L) === "accepted", got.toString)
+  }
+
   test("quantizeEmbeddings keeps values in int8 range and preserves scale") {
     val d = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
     val r = Curation.quantizeEmbeddings(d).head()
