@@ -269,6 +269,13 @@ object ScaleProbe {
           Dedup.appendToMinhashIndex(batch, "graft_probe_idx"); 0L
         }
       },
+      // the composed per-doc ingest decision: exact/near/quality gates
+      // against the standing corpus — cost should track batch + one
+      // corpus pass, like dedup_incremental
+      time("ingest_decision") {
+        val isBatch = col("doc_id") % 50 === 1 && col("doc_id") >= nDocs - nDocs / 10
+        Curation.ingestDecision(docs.filter(isBatch), docs.filter(!isBatch)).count()
+      },
       // nlist scales with the corpus: 100k vecs / 512 clusters keeps
       // the within-cluster quadratic term at ~200²/2 per cluster
       time("semantic_dedup")(Similarity.semanticDedup(embs, nlist = 512,

@@ -150,6 +150,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "new-batch shingles not broadcast")
   }
 
+  test("pipeline_ingest: verdict flags broadcast onto the batch scan; quality never joins") {
+    val p = plan("pipeline_ingest")
+    // exact + near flags and the incremental-dedup internals broadcast;
+    // nothing falls back to a corpus-sized sort-merge join
+    assert(p.contains("BroadcastHashJoin"), s"verdict flags not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join leaked in:\n$p")
+  }
+
   test("ann_index_persisted: the codes scan prunes to the probed lists' buckets; probes broadcast") {
     val p = plan("ann_index_persisted")
     assert(p.contains("SelectedBucketsCount"),
