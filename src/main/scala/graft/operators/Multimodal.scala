@@ -54,21 +54,31 @@ object Multimodal {
     StructField("head_crc_slot", LongType, nullable = false)))
 
   /**
-   * Batched "decode"/feature-extract over the binary payload —
-   * the `mapInPandas`-shaped stage of a media pipeline, expressed as
-   * `mapPartitions` (JVM-side; batch = partition iterator).
-   *
-   * STUB: `stubFeatures` computes deterministic byte statistics where
-   * a real implementation would decode pixels/samples. Swap the body,
-   * keep the signature.
+   * The decoder plug point: a real deployment implements this with a
+   * codec handle (libjpeg/ffmpeg context, model session, …) opened in
+   * the factory passed to [[decodeWith]] — construction is the
+   * expensive part the per-partition batch shape amortizes.
    */
-  def decodeStub(withBinary: DataFrame): DataFrame = {
+  trait PayloadDecoder extends Serializable {
+    def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long)
+  }
+
+  /**
+   * Batched decode/feature-extract over the binary payload with a
+   * CALLER-SUPPLIED decoder — the `mapInPandas`-shaped stage of a
+   * media pipeline, expressed as `mapPartitions` (JVM-side; batch =
+   * partition iterator). The factory runs ONCE per partition and the
+   * handle is reused for every record — exactly what mapInPandas
+   * batching buys a Python media pipeline. Swapping in a real codec
+   * is passing a different factory; the plumbing (schema, batching,
+   * partitioning) is identical — and tested, via a spec that plugs a
+   * non-stub decoder in.
+   */
+  def decodeWith(withBinary: DataFrame,
+      openDecoder: () => PayloadDecoder): DataFrame = {
     val spark = withBinary.sparkSession
     val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      // the point of the batch shape: open the (heavyweight) decoder
-      // ONCE per partition and reuse it for every record — exactly
-      // what mapInPandas batching buys a Python media pipeline
-      val decoder = StubDecoder.open()
+      val decoder = openDecoder()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -79,16 +89,22 @@ object Multimodal {
   }
 
   /**
-   * Stand-in for a real codec handle (libjpeg/ffmpeg context, model
-   * session, …): construction is the expensive part a production
-   * decoder amortizes per batch. `opens` counts constructions so
+   * [[decodeWith]] plugged with the deterministic stub (byte
+   * statistics standing in for pixel/sample features — the sandbox
+   * ships no codecs; the oracle replays the stub arithmetic exactly).
+   */
+  def decodeStub(withBinary: DataFrame): DataFrame =
+    decodeWith(withBinary, () => StubDecoder.open())
+
+  /**
+   * Stand-in for a real codec handle: `opens` counts constructions so
    * tests can assert once-per-partition, never per-record.
    */
   object StubDecoder {
     val opens = new java.util.concurrent.atomic.AtomicLong(0L)
     def open(): StubDecoder = { opens.incrementAndGet(); new StubDecoder }
   }
-  final class StubDecoder {
+  final class StubDecoder extends PayloadDecoder {
     def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) =
       stubFeatures(id, bytes)
   }

@@ -118,6 +118,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() == 100L)
     val opened = Multimodal.StubDecoder.opens.get() - before
     assert(opened == 4L, s"decoder constructed $opened times for 4 partitions")
+    // the swap contract in code: a NON-stub decoder plugs into the same
+    // plumbing and its features come out — the factory is the model
+    val custom = Multimodal.decodeWith(Multimodal.attachBinary(docs),
+      () => new Multimodal.PayloadDecoder {
+        def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) =
+          (id, bytes.length.toLong, -1L, -2L, -3L)
+      }).collect()
+    assert(custom.length === 100)
+    assert(custom.forall(r => r.getLong(2) == -1L && r.getLong(3) == -2L &&
+      r.getLong(4) == -3L), "custom decoder's features must surface unchanged")
   }
 
   test("sharedSpanReport flags exactly the docs sharing a verbatim window") {
