@@ -175,25 +175,17 @@ object Multimodal {
    * The media analog of [[Dedup.simhashNearDupPairs]].
    */
   def phashNearDupPairs(withBinary: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming <= 3, "4x16-bit bands give exact recall only for hamming <= 3")
-    val ph = withBinary.select(col("doc_id"),
-      graft.functions.VectorFunctions.phash64(col("payload")).as("ph"))
-    val bands = ph.select(col("doc_id"), col("ph"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("ph"), b * 16).bitwiseAND(lit(65535L))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val cand = bands.groupBy("band", "bv")
-      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.ph").as("pa"), col("b.ph").as("pb"))
-      .dropDuplicates("a_id", "b_id")
-    cand.select(col("a_id"), col("b_id"),
-        bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      maxBucket: Int = 500): DataFrame = {
+    // a phash is a 64-bit sketch under hamming distance — exactly the
+    // simhash pair problem, so delegate to the hardened generator:
+    // 4×16-bit band buckets, and OVERSIZED buckets refine into 12-bit
+    // sub-piece buckets instead of paying bucket² or dropping recall
+    // (pigeonhole keeps recall exact for hamming ≤ 3). The previous
+    // band-only formulation measured 194 s at 200k payloads — similar
+    // payloads collide whole 16-bit bands, and capped-but-huge buckets
+    // still exploded quadratically.
+    val ph = withBinary.select(col("doc_id").as("id"),
+      graft.functions.VectorFunctions.phash64(col("payload")).as("sk"))
+    graft.operators.Dedup.simhashPairsFromSketches(ph, maxHamming, maxBucket)
   }
 }
