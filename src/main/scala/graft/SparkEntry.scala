@@ -578,6 +578,35 @@ object SparkEntry {
     EventStreams.sessionCounts(t(s, dir, "events"))
 
   /**
+   * Slowly-changing-dimension TYPE 2 build from an event log: each
+   * user's event_type transitions become versioned validity intervals
+   * ([valid_from, valid_to), open interval = current) — the warehouse
+   * history-table pattern, derived with two per-user windows (change
+   * detection by lag, interval close by lead). One hash exchange on
+   * user_id; per-user sort only (users are bounded, the log is not —
+   * the window never sees more than one user's rows). Timestamps are
+   * compared and emitted at ms precision on both engines (the fixture
+   * is ns parquet; Spark floors ns→µs→ms, DuckDB ns→ms — identical
+   * floors).
+   */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+  }
+
+  /**
    * Last-touch attribution: each purchase credits the user's latest
    * preceding view/click/signup (or 'none'), via the custom
    * [[graft.operators.AsOfJoin]] — one hash exchange on user_id plus a
@@ -2130,6 +2159,49 @@ object SparkEntry {
   }
 
   /**
+   * Per-domain contribution cap (the RefinedWeb/C4 "no domain may
+   * contribute more than N docs" rule): keep a deterministic random
+   * N per source — priority is an md5 gate, so the kept set is stable
+   * under re-runs and the cut is unbiased within each domain. Runs on
+   * the two-phase heap operator: map-side per-source heaps, one
+   * exchange of ≤ k·sources rows — never a per-domain sort of the
+   * corpus (at 100 TB a domain can be billions of rows; the heap
+   * carries k).
+   */
+  private def corpusDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("pri", md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
+        .bitwiseAND(lit(16383L)))
+    graft.relational.Relational.topKPerKey(
+      docs,
+      keys = Seq(col("source")),
+      order = Seq(col("pri").asc, col("doc_id").asc),
+      k = 15)
+      .select(col("source"), col("doc_id"))
+  }
+
+  /**
+   * Deterministic EPOCH SHUFFLE: the training-order materializer.
+   * Every (epoch, doc) pair hashes to a shard and a within-shard
+   * position — different order every epoch, bit-reproducible from the
+   * seed string alone, and shard files are built with one exchange on
+   * (epoch, shard) + a per-shard sort (shard count is chosen so a
+   * shard fits an executor — the WebDataset/Megatron shard-building
+   * shape; there is never a global sort of the corpus).
+   */
+  private def corpusEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val epochs = s.range(0, 2).toDF("epoch") // 2-row side: broadcast nested loop
+    val assigned = docs.crossJoin(epochs)
+      .withColumn("h", md5lo64(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))).bitwiseAND(lit(16383L)))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+    assigned.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /**
    * Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics — the
    * engine rejects UNION inside recursion, so cyclic-graph closure
    * stays with the iterative Dedup.dupClusters loop): an acyclic
@@ -2382,6 +2454,9 @@ object SparkEntry {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_scd2" -> (qScd2 _),
+    "corpus_domain_cap" -> (corpusDomainCap _),
+    "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
     "q_event_cohorts" -> (qEventCohorts _),
     "q_attribution" -> (qAttribution _),
     "stream_sessions" -> (qStreamSessions _),
@@ -3160,6 +3235,17 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) " +
         "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, " +
         "count(*) AS n_events FROM d GROUP BY user_id"),
+    // SCD2: change rows by lag, intervals closed by lead — ms-floored
+    // timestamps on both engines (ns→ms floors agree)
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events), " +
+        "d AS (SELECT user_id, event_id, event_type, ms, lag(event_type) OVER w AS prev_type " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+        "c AS (SELECT * FROM d WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, CAST(row_number() OVER w2 AS BIGINT) AS version, " +
+        "event_type AS state, ms AS valid_from_ms, lead(ms) OVER w2 AS valid_to_ms, " +
+        "lead(ms) OVER w2 IS NULL AS is_current " +
+        "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)"),
     // last-touch attribution replayed with DuckDB's native ASOF LEFT JOIN
     // (inclusive t.ts <= p.ts matches asofBackward's equal-ts ordering)
     "q_attribution" ->
@@ -3655,6 +3741,22 @@ object SparkEntry {
         "r AS (SELECT source, doc_id, quality, row_number() OVER " +
         "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM src) " +
         "SELECT source, doc_id, quality FROM r WHERE rn <= 25"),
+    // per-domain cap: deterministic-random keep-N per source
+    "corpus_domain_cap" ->
+      ("WITH k AS (SELECT source, doc_id, " +
+        "(('0x'||substr(md5('cap:'||doc_id), 1, 16))::UBIGINT & 16383) AS pri FROM documents), " +
+        "r AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY pri, doc_id) AS rn FROM k) " +
+        "SELECT source, doc_id FROM r WHERE rn <= 15"),
+    // epoch shuffle: (epoch, doc) → shard + in-shard position, md5-driven
+    "corpus_epoch_shuffle" ->
+      ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), " +
+        "a AS (SELECT d.doc_id, e.epoch, " +
+        "(('0x'||substr(md5('ep'||e.epoch||':'||d.doc_id), 1, 16))::UBIGINT & 16383) AS h " +
+        "FROM documents d CROSS JOIN e) " +
+        "SELECT CAST(epoch AS BIGINT) AS epoch, CAST(h % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos, " +
+        "doc_id FROM a"),
     // the composed training-data pipeline: quality + language gates,
     // near-dup removal, per-source rollup
     "pipeline_filter" ->

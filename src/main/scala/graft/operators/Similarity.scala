@@ -654,6 +654,31 @@ object Similarity {
   }
 
   /**
+   * Idempotent [[appendToAnnIndex]] for at-least-once ingest
+   * (streaming `foreachBatch` replays a batch after a crash between
+   * the index write and the checkpoint commit): the encoded batch
+   * rows anti-join the ids already stored in their routed lists'
+   * buckets — an InSet bucket-pruned, batch-sized read, never a
+   * corpus scan — so a replayed batch appends nothing and ingest
+   * stays exactly-once on the index.
+   */
+  def appendNovelToAnnIndex(batch: DataFrame, table: String, m: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
+    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val v = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val enc = encodeRows(v, cents, books, m)
+      .localCheckpoint() // batch-sized; consumed by the prune collect AND the append
+    val routed = enc.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by min(nlist, batch)
+    val existing = spark.table(s"${table}_codes")
+      .filter(Dedup.inSet(col("list_id"), routed)).select("id")
+    graft.sources.Bucketing.appendBucketed(
+      enc.join(existing, Seq("id"), "left_anti"), s"${table}_codes", "list_id")
+  }
+
+  /**
    * IVF-PQ search against a persisted index: queries route through
    * the stored centroids to their nprobe lists, and the codes scan
    * reads ONLY those lists' buckets (InSet on the bucket column —

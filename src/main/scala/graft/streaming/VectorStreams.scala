@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+
+/**
+ * Structured-Streaming surface over the `embeddings` table shape: the
+ * continuous-ingest half of the vector-index pipeline, mirroring
+ * [[DocumentStreams]] for the ANN family. Vectors arrive as files;
+ * each micro-batch (1) searches the PERSISTED IVF-PQ index
+ * ([[Similarity.writeAnnIndex]]) for its nearest neighbors — the
+ * retrieval/near-dup signal a training-data pipeline logs at ingest —
+ * and (2) grows the index under the FROZEN stored quantizer, so batch
+ * N+1 searches against batch N's vectors. Probe and append both track
+ * the batch size, never the corpus: the cost model a 100 TB/day
+ * embedding ingest needs.
+ */
+object VectorStreams {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over a directory of embeddings parquet. */
+  def readVectorStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(vecSchema).parquet(dir)
+
+  /**
+   * The full continuous vector-ingest loop: per micro-batch, top-k
+   * neighbors of every arriving vector from the persisted index
+   * ([[Similarity.annIndexTopK]] — reads only the probed lists'
+   * buckets), then the batch joins the index via
+   * [[Similarity.appendNovelToAnnIndex]].
+   *
+   * Replay safety (foreachBatch is at-least-once): the neighbor log
+   * writes each batch to its own `batch=<id>` directory with
+   * overwrite, so a replayed batch rewrites the same output;
+   * annIndexTopK's self-match filter keeps a replayed vector's own
+   * index entry out of the log; and the novel-only append reads back
+   * just the routed buckets, so a replayed batch never double-inserts
+   * codes. Index growth is exactly-once end to end.
+   */
+  def streamingAnnIngest(vecStream: DataFrame, table: String,
+      outPath: String, checkpoint: String,
+      topk: Int = 5, nprobe: Int = 8, m: Int = 8): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint() // searched AND appended below
+        Similarity.annIndexTopK(b, table, topk = topk, nprobe = nprobe, m = m)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        Similarity.appendNovelToAnnIndex(b, table, m = m)
+      }
+      .start()
+}

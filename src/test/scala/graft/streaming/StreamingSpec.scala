@@ -920,4 +920,57 @@ class StreamingSpec extends AnyFunSuite {
     val byUserLag = lagBased.collect().map(r => r.getLong(0) -> r.getAs[Long]("n_sessions")).toMap
     assert(byUserStream === byUserLag)
   }
+
+  test("streaming ANN INGEST: batch N+1 searches batch N's vectors; replay never re-appends") {
+    import graft.operators.Similarity
+    val s = spark; import s.implicits._
+    val mkVec = (i: Long) => (0 until 64).map(d => math.sin(i * 64 + d).toFloat)
+    val row = (id: Long) => (id, mkVec(id), 0)
+    val corpus = (0L until 200L).map(row).toDF("vec_id", "embedding", "label")
+    Similarity.writeAnnIndex(corpus, "graft_ann_stream", buckets = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    // batch 1: five novel vectors
+    val b1 = (6000L to 6004L).map(row).toDF("vec_id", "embedding", "label")
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val out = s"$dir/nn"
+    val q1 = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"),
+      "graft_ann_stream", out, s"$dir/ckpt", nprobe = 32)
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2: an exact copy of batch-1 vector 6002 — it shares 6002's
+    // codes under the frozen quantizer, so its neighbor log must rank
+    // 6002 at the ADC floor (the pqTopK duplicate law, through the
+    // stream): proof that batch 1's vectors entered the index
+    val b2 = Seq((7000L, mkVec(6002L), 0)).toDF("vec_id", "embedding", "label")
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // topk wide enough that the floor tie-set (PQ cannot separate
+    // same-code vectors; ties cut by neighbor_id) can't exclude 6002
+    val q2 = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"),
+      "graft_ann_stream", out, s"$dir/ckpt", topk = 300, nprobe = 32)
+    try q2.processAllAvailable() finally q2.stop()
+    val nn7000 = spark.read.parquet(out).filter(col("query_id") === 7000L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(nn7000.nonEmpty, "batch-2 vector produced no neighbor log")
+    val floor = nn7000.head._2
+    assert(nn7000.find(_._1 == 6002L).exists(_._2 === floor),
+      s"batch-1 vector 6002 not at the ADC floor for its copy: ${nn7000.take(3).toSeq}")
+
+    // replay simulation: a FRESH checkpoint reprocesses every input
+    // file against the already-updated index. The novel-only append
+    // must insert nothing, and the rewritten neighbor log must carry
+    // no self-pairs (annIndexTopK's self-match filter).
+    val sizeBefore = spark.table("graft_ann_stream_codes").count()
+    val q3 = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"),
+      "graft_ann_stream", out, s"$dir/ckpt_replay", nprobe = 32)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("graft_ann_stream_codes").count() === sizeBefore,
+      "replayed vectors re-appended to the index")
+    val replayed = spark.read.parquet(out).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(replayed.forall { case (a, b) => a != b },
+      s"self-pairs leaked into the neighbor log: ${replayed.filter(p => p._1 == p._2).toSeq}")
+  }
 }
