@@ -1587,6 +1587,29 @@ object SparkEntry {
   }
 
   /**
+   * CDC APPLY (MERGE INTO semantics): the recrawl delta between the
+   * two hash-carved snapshots — deletes (ids leaving), upserts (ids
+   * arriving or rewritten) — applied to the prev snapshot via
+   * [[graft.operators.Curation.applyDelta]]. The oracle constructs
+   * the next snapshot DIRECTLY: equality proves the merge reproduces
+   * the target table from base + delta, the warehouse upsert
+   * contract. The anti-join's right side is the delta's id set
+   * (broadcasts at any corpus size); document text never shuffles.
+   */
+  private def corpusApplyDelta(s: SparkSession, dir: String): DataFrame = {
+    val (prev, next) = snapshots(s, dir)
+    val bk = md5lo64(concat(lit("snap:"), col("doc_id").cast("string")))
+      .bitwiseAND(lit(16383L))
+    val dels = prev.withColumn("__bk", bk).filter(col("__bk") % 23 === 1)
+      .select(col("doc_id"), col("source"), col("text"), lit("D").as("op"))
+    val upserts = next.withColumn("__bk", bk)
+      .filter(col("__bk") % 20 === 0 || col("__bk") % 17 === 2)
+      .select(col("doc_id"), col("source"), col("text"), lit("U").as("op"))
+    Curation.applyDelta(prev, dels.unionByName(upserts))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+  }
+
+  /**
    * Weighted sample: 20 docs per source, probability ∝ token count,
    * via deterministic A-ES ([[graft.operators.Curation.weightedSample]]);
    * the round6'd ranking key is part of the output so the oracle pins
@@ -1986,6 +2009,19 @@ object SparkEntry {
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents"))
+
+  /**
+   * Classifier QA: the confusion matrix of predicted vs labeled
+   * language — the acceptance gate run before any classifier's
+   * verdicts drive corpus filtering. One scan (the prediction is a
+   * per-row column, [[TextAnalysis.predLangCol]]) + one bounded
+   * aggregation: langs² cells regardless of corpus size.
+   */
+  private def textLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("pred_lang", TextAnalysis.predLangCol(col("text")))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(t(s, dir, "documents"))
@@ -2547,6 +2583,7 @@ object SparkEntry {
     "ann_ivf" -> (annIvf _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow" -> (textWinnow _),
@@ -2577,6 +2614,7 @@ object SparkEntry {
     "corpus_diff" -> (corpusDiff _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_incr_stats" -> (corpusIncrStats _),
+    "corpus_apply_delta" -> (corpusApplyDelta _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
     "text_lm_score" -> (textLmScore _),
@@ -3548,6 +3586,11 @@ object SparkEntry {
     "text_quality" -> qualitySql,
     "text_gopher_census" -> gopherCensusSql,
     "text_langid" -> langidSql,
+    // classifier QA: label×prediction cells off the shared langid CTE
+    "text_langid_confusion" ->
+      ("WITH pl AS (" + langidSql + ") " +
+        "SELECT d.lang, pl.pred_lang, count(*) AS n_docs " +
+        "FROM documents d JOIN pl USING (doc_id) GROUP BY 1, 2"),
     // add-α bigram LM, replayed with the identical count tables and
     // smoothing arithmetic (docs with < 2 tokens have no bigrams and
     // drop from both engines)
@@ -3627,6 +3670,14 @@ object SparkEntry {
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
         "FROM nxt GROUP BY 1"),
+    // CDC apply: the oracle builds the next snapshot directly; the
+    // engine reproduces it by merging prev with the delete/upsert delta
+    "corpus_apply_delta" ->
+      ("WITH b AS (SELECT doc_id, source, text, " +
+        "(('0x'||substr(md5('snap:'||doc_id), 13, 4))::UINTEGER % 16384) AS bk FROM documents), " +
+        "nxt AS (SELECT doc_id, source, CASE WHEN bk % 17 = 2 THEN text || ' [updated]' " +
+        "ELSE text END AS text FROM b WHERE bk % 23 != 1) " +
+        "SELECT doc_id, source, md5(text) AS text_md5 FROM nxt"),
     // A-ES weighted sample: u from the low-63 md5 bits, key=round6(ln(u)/w),
     // top-20 per source by (key DESC, doc_id) — selection and key replay
     "corpus_weighted_sample" ->

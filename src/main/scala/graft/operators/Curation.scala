@@ -511,6 +511,24 @@ object Curation {
   }
 
   /**
+   * Apply a CDC delta to a stored snapshot — MERGE INTO semantics
+   * expressed relationally: deletes drop their target row, updates
+   * replace it, inserts append, and rows untouched by the delta pass
+   * through unchanged. The delta carries an `op` column ('D' delete,
+   * anything else upsert) plus the full payload for upserts. At scale
+   * the anti-join's right side is the delta's id set — delta-sized,
+   * so it broadcasts and the corpus never shuffles; with both sides
+   * bucketed on the id the join co-locates instead. Composes with
+   * [[snapshotDiff]]: a delta derived from diff(prev, next) applied
+   * to prev reproduces next exactly (law-tested).
+   */
+  def applyDelta(prev: DataFrame, delta: DataFrame, idCol: String = "doc_id",
+      opCol: String = "op"): DataFrame = {
+    val untouched = prev.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+    untouched.unionByName(delta.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
+  /**
    * Incremental aggregate maintenance (materialized-view update): the
    * per-source (doc count, token sum) statistics of `next` computed
    * WITHOUT re-aggregating the unchanged corpus — base stats from

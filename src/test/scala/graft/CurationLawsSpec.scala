@@ -275,6 +275,35 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("apply-delta law: a diff-derived delta applied to prev reproduces next exactly") {
+    check("applyDelta", Prop.forAll(corpusGen, corpusGen) { (as, bs) =>
+      val prev = as.zipWithIndex
+        .map { case (txt, i) => (i.toLong, if (i % 2 == 0) "x" else "y", txt) }
+        .toDF("doc_id", "source", "text")
+      // next: drop every 5th, rewrite every 3rd, append bs as new docs
+      val nextRows = as.zipWithIndex.collect {
+        case (txt, i) if i % 5 != 0 =>
+          (i.toLong, if (i % 2 == 0) "x" else "y",
+            if (i % 3 == 0) txt + " changed" else txt)
+      } ++ bs.zipWithIndex.map { case (txt, i) =>
+        (1000L + i, if (i % 2 == 0) "x" else "y", txt)
+      }
+      val next = nextRows.toDF("doc_id", "source", "text")
+      // the CDC shape: diff classifies, the delta carries D rows for
+      // removed ids and the NEXT payload for added/changed ids
+      val diff = Curation.snapshotDiff(prev, next, "doc_id", Seq("text"))
+      val dels = prev.join(diff.filter(col("status") === "removed")
+          .select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("source"), col("text"), lit("D").as("op"))
+      val ups = next.join(diff.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("source"), col("text"), lit("U").as("op"))
+      val merged = Curation.applyDelta(prev, dels.unionByName(ups))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      merged == nextRows.toSet
+    })
+  }
+
   test("weighted-sample law: exact size, partition-invariant, weight-monotone") {
     check("weightedSample", Prop.forAll(Gen.chooseNum(5L, 40L), Gen.chooseNum(1, 5)) { (n, k) =>
       val docs = (1L to n).map(i => (i, "s", 1.0 + (i % 7)))

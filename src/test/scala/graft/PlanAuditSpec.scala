@@ -362,4 +362,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"pair stage shuffled a sketch-sized table:\n${p.take(3000)}")
   }
+
+  test("corpus_domain_cap: the per-domain cut runs on the heap, never a per-domain sort") {
+    val p = plan("corpus_domain_cap")
+    assert(p.contains("TopKPerKey"), "domain cap not lowered to the heap operator")
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      s"domain cap materialized a sort/window over the corpus:\n$p")
+  }
+
+  test("corpus_epoch_shuffle: one exchange on (epoch, shard); the 2-row epoch frame broadcasts") {
+    val p = plan("corpus_epoch_shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"epoch shuffle should exchange exactly once:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the epochs frame should ride a broadcast nested loop, not a shuffle")
+  }
+
+  test("q_scd2: both windows share ONE user_id exchange (same key, same order)") {
+    val p = plan("q_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"the lag and lead windows should reuse a single exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("corpus_apply_delta: the delta id set broadcasts; the corpus is never sort-merged") {
+    val p = plan("corpus_apply_delta")
+    assert(p.contains("BroadcastHashJoin"), "anti-join's delta side should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"the upsert shuffled the corpus against a delta-sized side:\n${p.take(2000)}")
+  }
 }
