@@ -2238,6 +2238,37 @@ object SparkEntry {
   }
 
   /**
+   * The composed TRAIN-PREP pipeline — quality gate → per-domain cap
+   * → deterministic shard assignment → per-shard manifest, the
+   * end-to-end "corpus in, training shards out" chain. Every stage
+   * keeps its scale shape when composed: the quality gate is a scan
+   * column (no join), the cap runs on the two-phase heap (k·sources
+   * rows out), the shard hash is one exchange, and the manifest is a
+   * bounded aggregate — so the whole pipeline is two narrow-output
+   * shuffles end to end regardless of corpus size. The oracle replays
+   * the entire chain.
+   */
+  private def pipelineTrainPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("pri", md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
+        .bitwiseAND(lit(16383L)))
+    val capped = graft.relational.Relational.topKPerKey(docs,
+      Seq(col("source")), Seq(col("pri").asc, col("doc_id").asc), k = 15)
+    capped
+      .withColumn("shard", pmod(md5lo64(concat(lit("ep0:"), col("doc_id").cast("string")))
+        .bitwiseAND(lit(16383L)), lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
+  }
+
+  /** Per-doc top-3 tf-idf keywords over the full vocabulary (Retrieval.keywordsTopK). */
+  private def textKeywords(s: SparkSession, dir: String): DataFrame =
+    Retrieval.keywordsTopK(t(s, dir, "documents"), k = 3)
+
+  /**
    * Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL semantics — the
    * engine rejects UNION inside recursion, so cyclic-graph closure
    * stays with the iterative Dedup.dupClusters loop): an acyclic
@@ -2493,6 +2524,8 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
+    "pipeline_train_prep" -> (pipelineTrainPrep _),
+    "text_keywords" -> (textKeywords _),
     "q_event_cohorts" -> (qEventCohorts _),
     "q_attribution" -> (qAttribution _),
     "stream_sessions" -> (qStreamSessions _),
@@ -3808,6 +3841,32 @@ object SparkEntry {
         "SELECT CAST(epoch AS BIGINT) AS epoch, CAST(h % 8 AS BIGINT) AS shard, " +
         "CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos, " +
         "doc_id FROM a"),
+    // the full train-prep chain replayed: quality CTE → per-source
+    // rank cap → md5 shard hash → per-shard manifest
+    "pipeline_train_prep" ->
+      ("WITH q AS (" + qualitySql + "), " +
+        "g AS (SELECT d.doc_id, d.source, d.text, " +
+        "(('0x'||substr(md5('cap:'||d.doc_id), 1, 16))::UBIGINT & 16383) AS pri " +
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= 0.5), " +
+        "c AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM g), " +
+        "sh AS (SELECT doc_id, text, " +
+        "(('0x'||substr(md5('ep0:'||doc_id), 1, 16))::UBIGINT & 16383) % 8 AS shard " +
+        "FROM c WHERE rn <= 15) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
+        "FROM sh GROUP BY 1"),
+    // full-vocabulary tf-idf keywords: tf and df CTEs, idf = ln((N+1)/(df+1))
+    "text_keywords" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, " +
+        "round(tf.tf * ln((n.n_docs + 1.0) / (dft.df + 1.0)), 6) AS tfidf " +
+        "FROM tf JOIN dft USING (term) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3"),
     // the composed training-data pipeline: quality + language gates,
     // near-dup removal, per-source rollup
     "pipeline_filter" ->

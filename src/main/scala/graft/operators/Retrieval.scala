@@ -122,4 +122,29 @@ object Retrieval {
     }
     docs.select(col(idCol) +: cols: _*)
   }
+
+  /**
+   * Per-document KEYWORD EXTRACTION: top-k terms by tf-idf over the
+   * FULL vocabulary (not a fixed term list — the doc-tagging /
+   * snippet-labeling op). Two bounded-width shuffles: (doc, term)
+   * term frequencies, then the vocabulary-sized df table joins back
+   * on the term — a hash join keyed by the term exactly as the bigram
+   * LM joins its model (never a broadcast of an unbounded vocab, and
+   * the rank cut runs on the two-phase heap, k rows per doc out).
+   * Corpus size rides one 1-row stats aggregate.
+   */
+  def keywordsTopK(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nDocs = docs.count() // 1 driver value, any corpus size
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both the df aggregate and the score join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + lit(1.0))), 6))
+    graft.relational.Relational.topKPerKey(scored,
+      Seq(col(idCol)), Seq(col("tfidf").desc, col("term").asc), k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
 }

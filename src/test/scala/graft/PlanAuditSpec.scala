@@ -385,6 +385,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("pipeline_train_prep: composed chain keeps the heap cut and two narrow-output exchanges") {
+    val p = plan("pipeline_train_prep")
+    assert(p.contains("TopKPerKey"), "the domain cap lost its heap lowering in composition")
+    assert(!p.contains("Window"), "composition materialized a window over the corpus")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"train-prep chain should be two exchanges (cap, shard manifest):\n$p")
+  }
+
+  test("text_keywords: full-vocab rank cut runs on the heap; no product joins") {
+    val p = plan("text_keywords")
+    assert(p.contains("TopKPerKey"), "per-doc keyword cut not lowered to the heap operator")
+    assert(!p.contains("Window"), "keyword extraction materialized a window over all terms")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "corpus-size stats should ride the plan as a literal, not a join")
+  }
+
   test("corpus_apply_delta: the delta id set broadcasts; the corpus is never sort-merged") {
     val p = plan("corpus_apply_delta")
     assert(p.contains("BroadcastHashJoin"), "anti-join's delta side should broadcast")
