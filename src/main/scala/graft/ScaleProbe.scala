@@ -354,6 +354,16 @@ object ScaleProbe {
           "graft_probe_ann")
         0L
       },
+      // the streaming-ingest append: idempotence adds a read of the
+      // routed buckets only — still batch-sized, not corpus-sized
+      time("ann_index_novel_append") {
+        Similarity.appendNovelToAnnIndex(
+          embs.filter(col("vec_id") < 100)
+            .select((col("vec_id") + 20000000L).as("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+          "graft_probe_ann")
+        0L
+      },
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),
@@ -401,6 +411,53 @@ object ScaleProbe {
           docs.withColumn("source", lit("probe")))
         graft.operators.Multimodal.phashNearDupPairs(withBin).count()
       },
+      // the composed train-prep chain: quality column → per-source heap
+      // cap → shard hash → manifest. Two narrow-output exchanges; cost
+      // must track the corpus scan, not the cap targets
+      time("train_prep") {
+        // slim-heap shape: ntok projects in the scan, the heap never
+        // holds text (a 2000-doc heap of full documents per source is
+        // the memory bill; 32-byte rows are not)
+        val srcd = docs
+          .filter(graft.operators.TextAnalysis.qualityCol(col("text")) >= 0.3)
+          .select(pmod(col("doc_id"), lit(64)).cast("string").as("source"),
+            col("doc_id"),
+            pmod(xxhash64(col("doc_id")), lit(16384L)).as("pri"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+        Relational.topKPerKey(srcd, Seq(col("source")),
+            Seq(col("pri").asc, col("doc_id").asc), 2000)
+          .withColumn("shard", pmod(xxhash64(col("doc_id") + 99), lit(64L)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .count()
+      },
+      // epoch shuffle: 2 epochs × corpus → shard + in-shard position;
+      // one exchange on (epoch, shard), per-shard sorts only
+      time("epoch_shuffle") {
+        val epochs = spark.range(0, 2).toDF("epoch")
+        val assigned = docs.select("doc_id").crossJoin(epochs)
+          .withColumn("h", xxhash64(col("epoch") * 1000000007L + col("doc_id")))
+          .withColumn("shard", pmod(col("h"), lit(64L)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+        assigned.withColumn("pos", row_number().over(w)).count()
+      },
+      // CDC apply: merge a ~10%-of-corpus delete/upsert delta into the
+      // snapshot — one corpus scan + a broadcast anti-join on the
+      // delta's id set; cost must not exceed ~a corpus pass
+      time("apply_delta") {
+        val bk = pmod(xxhash64(col("doc_id")), lit(16384L))
+        val dels = docs.filter(bk % 20 === 0)
+          .select(col("doc_id"), col("text"), lit("D").as("op"))
+        val ups = docs.filter(bk % 17 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" u")).as("text"),
+            lit("U").as("op"))
+        Curation.applyDelta(docs.select("doc_id", "text"),
+          dels.unionByName(ups)).count()
+      },
+      // full-vocab keywords: ~20M (doc, term) tf rows, vocab-sized df
+      // join on the term, heap cut per doc — no window over the corpus
+      time("keywords")(Retrieval.keywordsTopK(docs, k = 3).count()),
       // recrawl delta over the full corpus: ~5% dropped, ~6% rewritten,
       // 4% new — the diff full-outer-joins (id, md5) projections only,
       // never text; cost is two scans + one slim join at any size

@@ -2249,19 +2249,22 @@ object SparkEntry {
    * the entire chain.
    */
   private def pipelineTrainPrep(s: SparkSession, dir: String): DataFrame = {
+    // token counts project in the scan stage so the heap carries
+    // (source, doc_id, pri, ntok) — text never leaves the scan (at
+    // real cap sizes a heap of full documents is the memory bill)
     val docs = t(s, dir, "documents")
-      .withColumn("quality", TextAnalysis.qualityCol(col("text")))
-      .filter(col("quality") >= 0.5)
-      .withColumn("pri", md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
-        .bitwiseAND(lit(16383L)))
+      .filter(TextAnalysis.qualityCol(col("text")) >= 0.5)
+      .select(col("source"), col("doc_id"),
+        md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit(16383L)).as("pri"),
+        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
     val capped = graft.relational.Relational.topKPerKey(docs,
       Seq(col("source")), Seq(col("pri").asc, col("doc_id").asc), k = 15)
     capped
       .withColumn("shard", pmod(md5lo64(concat(lit("ep0:"), col("doc_id").cast("string")))
         .bitwiseAND(lit(16383L)), lit(8L)))
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
   }
 
   /** Per-doc top-3 tf-idf keywords over the full vocabulary (Retrieval.keywordsTopK). */
