@@ -1118,6 +1118,31 @@ object SparkEntry {
       .agg(count("*").as("n"), round(sum("p_retailprice"), 2).as("price"))
 
   /**
+   * SCHEMA EVOLUTION round-trip: a dataset written in two generations
+   * — the second adding a column the first never had (the 100 TB
+   * reality: files accumulate for years, schemas drift) — read back
+   * with parquet schema merging. Old files surface the new column as
+   * NULL; aggregates must treat both generations uniformly. The
+   * oracle replays the generation split and the NULL semantics.
+   */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "evo")
+    val cust = t(s, dir, "customer")
+    val gen1 = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val gen2 = cust.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("acctbal")) // the evolved column
+    gen1.write.mode("overwrite").parquet(s"$path/gen=1")
+    gen2.write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/gen=1", s"$path/gen=2")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_total"),
+        count(col("acctbal")).as("n_with_balance"),
+        round(sum(coalesce(col("acctbal"), lit(0.0))), 2).as("sum_balance"))
+  }
+
+  /**
    * Bucketed co-located join (sources.Bucketing): both sides written
    * bucketed by the join key, so the (sort-merge-pinned) join runs
    * with no exchange on either input — the write-once, join-forever
@@ -2557,6 +2582,7 @@ object SparkEntry {
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sorted_sink" -> (qSortedSink _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -4162,6 +4188,15 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       ("SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS price " +
         "FROM part GROUP BY p_brand"),
+    // schema drift: gen-1 rows surface the evolved column as NULL
+    "q_schema_evolution" ->
+      ("WITH g AS (SELECT c_custkey, c_nationkey, " +
+        "CASE WHEN c_custkey % 2 <> 0 THEN round(c_acctbal, 2) END AS acctbal " +
+        "FROM customer) " +
+        "SELECT c_nationkey, count(*) AS n_total, " +
+        "count(acctbal) AS n_with_balance, " +
+        "round(sum(coalesce(acctbal, 0.0)), 2) AS sum_balance " +
+        "FROM g GROUP BY c_nationkey"),
     "q_sorted_sink" ->
       ("SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
         "FROM orders WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-03-31' " +
