@@ -921,6 +921,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUserStream === byUserLag)
   }
 
+  test("streaming SCD2: bucketed dimension table equals the batch derivation; replay idempotent") {
+    import org.apache.spark.sql.functions.unix_millis
+    val ev = Tables.t(spark, SparkTestSession.sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val r = ev.agg(org.apache.spark.sql.functions.min("ms"),
+      org.apache.spark.sql.functions.max("ms")).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val tablePath = s"$dir/dim"
+    DimensionStreams.initScd2Table(spark, tablePath)
+    // three CDC waves in event-time order (the per-key ordered-delivery
+    // contract), each its own micro-batch run against the same checkpoint
+    val waves = Seq(ev.filter(col("ms") <= cut1),
+      ev.filter(col("ms") > cut1 && col("ms") <= cut2),
+      ev.filter(col("ms") > cut2))
+    waves.foreach { w =>
+      w.coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = DimensionStreams.streamingScd2(
+        spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+        tablePath, s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def dimRows() = spark.read.parquet(tablePath)
+      .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSet
+    val streamed = dimRows()
+    // the batch twin: the oracled q_scd2 derivation over the full log
+    val direct = graft.SparkEntry.queries("q_scd2")(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamed === direct)
+    // replay: a FRESH checkpoint reprocesses every wave against the
+    // already-maintained table — the change-point union re-derives the
+    // same buckets, so the table must not change
+    val q2 = DimensionStreams.streamingScd2(
+      spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+      tablePath, s"$dir/ckpt_replay")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dimRows() === streamed, "replay mutated the dimension table")
+  }
+
   test("streaming ANN INGEST: batch N+1 searches batch N's vectors; replay never re-appends") {
     import graft.operators.Similarity
     val s = spark; import s.implicits._
