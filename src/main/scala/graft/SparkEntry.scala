@@ -2250,17 +2250,8 @@ object SparkEntry {
    * shard fits an executor — the WebDataset/Megatron shard-building
    * shape; there is never a global sort of the corpus).
    */
-  private def corpusEpochShuffle(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id")
-    val epochs = s.range(0, 2).toDF("epoch") // 2-row side: broadcast nested loop
-    val assigned = docs.crossJoin(epochs)
-      .withColumn("h", md5lo64(concat(lit("ep"), col("epoch").cast("string"),
-        lit(":"), col("doc_id").cast("string"))).bitwiseAND(lit(16383L)))
-      .withColumn("shard", pmod(col("h"), lit(8L)))
-    val w = Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
-    assigned.withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
-  }
+  private def corpusEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    Curation.epochShuffle(t(s, dir, "documents"), epochs = 2, shards = 8)
 
   /**
    * The composed TRAIN-PREP pipeline — quality gate → per-domain cap

@@ -511,6 +511,28 @@ object Curation {
   }
 
   /**
+   * Deterministic EPOCH SHUFFLE: materialize per-epoch training order.
+   * Every (epoch, doc) pair hashes to a shard and a within-shard
+   * position — a different order every epoch, bit-reproducible from
+   * the seed string alone. One exchange on (epoch, shard) + per-shard
+   * sorts; shard count is chosen so a shard fits an executor (the
+   * WebDataset/Megatron shard-building shape) — there is never a
+   * global sort of the corpus.
+   */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2, shards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val eps = spark.range(0, epochs.toLong).toDF("epoch")
+    val assigned = docs.select(idCol).crossJoin(eps) // epochs-row side: broadcast
+      .withColumn("h", md5lo64(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col(idCol).cast("string"))).bitwiseAND(lit(16383L)))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("h"), col(idCol))
+    assigned.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col(idCol))
+  }
+
+  /**
    * Apply a CDC delta to a stored snapshot — MERGE INTO semantics
    * expressed relationally: deletes drop their target row, updates
    * replace it, inserts append, and rows untouched by the delta pass

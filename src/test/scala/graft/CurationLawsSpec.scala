@@ -304,6 +304,28 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("epoch-shuffle law: total assignment, contiguous in-shard positions, epochs reorder") {
+    check("epochShuffle", Prop.forAll(Gen.chooseNum(2, 40)) { n =>
+      val docs = (0 until n).map(i => (i.toLong, s"d$i"))
+        .toDF("doc_id", "text")
+      val rows = Curation.epochShuffle(docs, epochs = 2, shards = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // total: every (epoch, doc) assigned exactly once
+      val total = rows.length == 2 * n &&
+        rows.map(r => (r._1, r._4)).toSet.size == 2 * n
+      // contiguity: within each (epoch, shard) positions are 1..k
+      val contiguous = rows.groupBy(r => (r._1, r._2)).values.forall { g =>
+        g.map(_._3).sorted.toSeq == (1L to g.length).toSeq
+      }
+      // reproducible: a second run is bit-identical
+      val again = Curation.epochShuffle(docs, epochs = 2, shards = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      total && contiguous && again.toSet == rows.toSet
+    })
+  }
+
   test("weighted-sample law: exact size, partition-invariant, weight-monotone") {
     check("weightedSample", Prop.forAll(Gen.chooseNum(5L, 40L), Gen.chooseNum(1, 5)) { (n, k) =>
       val docs = (1L to n).map(i => (i, "s", 1.0 + (i % 7)))
