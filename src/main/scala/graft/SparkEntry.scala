@@ -607,6 +607,37 @@ object SparkEntry {
   }
 
   /**
+   * POINT-IN-TIME dimension lookup — the consuming side of SCD2: each
+   * purchase joins the dimension version valid AT its event time.
+   * Because a key's versions partition time, the interval join
+   * collapses to a backward as-of against the version starts — the
+   * custom [[graft.operators.AsOfJoin]], one hash exchange on the
+   * key, |facts|+|versions| rows total, never an interval-explosion
+   * range join. The oracle proves the interval semantics directly
+   * (BETWEEN valid_from AND valid_to with the open current interval).
+   */
+  private def qDimLookup(s: SparkSession, dir: String): DataFrame = {
+    // dimension = the user's BROWSING state (non-purchase transitions);
+    // facts = purchases looked up against it — "purchases by current
+    // context". Purchases before a user's first tracked state → 'none'.
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val track = ev.filter(col("event_type") =!= "purchase")
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val dim = track
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id").as("d_user"), col("ms").as("valid_from_ms"),
+        col("event_type").as("state"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("value"))
+    AsOfJoin.asofBackward(purchases, dim, "user_id", "d_user", "ms", "valid_from_ms")
+      .groupBy(coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  /**
    * Last-touch attribution: each purchase credits the user's latest
    * preceding view/click/signup (or 'none'), via the custom
    * [[graft.operators.AsOfJoin]] — one hash exchange on user_id plus a
@@ -2541,6 +2572,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_scd2" -> (qScd2 _),
+    "q_dim_lookup" -> (qDimLookup _),
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
     "pipeline_train_prep" -> (pipelineTrainPrep _),
@@ -3337,6 +3369,24 @@ object SparkEntry {
         "event_type AS state, ms AS valid_from_ms, lead(ms) OVER w2 AS valid_to_ms, " +
         "lead(ms) OVER w2 IS NULL AS is_current " +
         "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)"),
+    // point-in-time lookup replayed as the explicit interval join
+    // (>= valid_from, < valid_to, open current interval)
+    "q_dim_lookup" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms, value FROM events), " +
+        "d0 AS (SELECT user_id, event_id, event_type, ms, lag(event_type) OVER w AS prev_type " +
+        "FROM (SELECT * FROM e WHERE event_type <> 'purchase') " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+        "c AS (SELECT * FROM d0 WHERE prev_type IS NULL OR prev_type <> event_type), " +
+        "dim AS (SELECT user_id, event_type AS state, ms AS valid_from_ms, " +
+        "lead(ms) OVER w2 AS valid_to_ms " +
+        "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+        "p AS (SELECT user_id, ms, value FROM e WHERE event_type = 'purchase') " +
+        "SELECT coalesce(dim.state, 'none') AS state, count(*) AS n_purchases, " +
+        "round(sum(p.value), 2) AS sum_value " +
+        "FROM p LEFT JOIN dim ON p.user_id = dim.user_id " +
+        "AND p.ms >= dim.valid_from_ms " +
+        "AND (dim.valid_to_ms IS NULL OR p.ms < dim.valid_to_ms) " +
+        "GROUP BY 1"),
     // last-touch attribution replayed with DuckDB's native ASOF LEFT JOIN
     // (inclusive t.ts <= p.ts matches asofBackward's equal-ts ordering)
     "q_attribution" ->
