@@ -458,6 +458,41 @@ object ScaleProbe {
       // full-vocab keywords: ~20M (doc, term) tf rows, vocab-sized df
       // join on the term, heap cut per doc — no window over the corpus
       time("keywords")(Retrieval.keywordsTopK(docs, k = 3).count()),
+      // streaming SCD2 maintenance: a 1024-bucket dimension over nDocs
+      // keys; a FIXED 2000-event batch touching ~2000 keys must
+      // re-derive only its buckets — cost stays flat as the dimension
+      // grows (the base dimension materializes OUTSIDE the timing, as
+      // a stored table would)
+      {
+        import graft.streaming.DimensionStreams
+        val dimPath = s"${Bench.shmLocalDir}/graft_probe_scd2_$nDocs"
+        val wanted = only.forall(_.contains("scd2_maintain"))
+        // batch keys stride by the bucket count → ONE bucket touched;
+        // the pruned read is 1/1024 of the dimension at any size
+        val batch = spark.range(2000).select(
+          (col("id") * 1024L).as("user_id"),
+          (col("id") + 7000000000L).as("event_id"),
+          lit("click").as("event_type"),
+          (col("id") * 1000L + 500L).as("ms"))
+        if (wanted) {
+          spark.range(nDocs.toLong).select(
+            col("id").as("user_id"), lit(1L).as("version"),
+            lit("view").as("state"), (col("id") * 1000L).as("valid_from_ms"),
+            lit(null).cast("long").as("valid_to_ms"), lit(true).as("is_current"),
+            col("id").as("tie"), pmod(col("id"), lit(1024L)).as("bucket"))
+            .write.partitionBy("bucket")
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)
+        }
+        time("scd2_maintain") {
+          val dir = java.nio.file.Files.createTempDirectory("graft-scd2probe").toString
+          batch.coalesce(1).write.parquet(s"$dir/in")
+          val q = DimensionStreams.streamingScd2(
+            spark.readStream.schema(batch.schema).parquet(s"$dir/in"),
+            dimPath, s"$dir/ckpt", nBuckets = 1024)
+          try q.processAllAvailable() finally q.stop()
+          0L
+        }
+      },
       // recrawl delta over the full corpus: ~5% dropped, ~6% rewritten,
       // 4% new — the diff full-outer-joins (id, md5) projections only,
       // never text; cost is two scans + one slim join at any size
