@@ -2273,6 +2273,31 @@ object SparkEntry {
   }
 
   /**
+   * Per-domain TOKEN-budget cap — the cap real corpus specs state
+   * ("≤ N tokens per domain", not doc counts): docs are admitted in
+   * deterministic-random priority order until their source's running
+   * token total crosses the budget. A per-source cumulative-sum
+   * window over (pri, doc_id) — one hash exchange, the window carries
+   * (pri, ntok), never text; the admit test uses the EXCLUSIVE prefix
+   * sum so the doc that crosses the line is still admitted (budgets
+   * are soft-capped at one doc overshoot, the standard greedy fill).
+   */
+  private def corpusDomainTokenCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit(16383L)).as("pri"),
+        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .filter(col("tok_before") < 500L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /**
    * Deterministic EPOCH SHUFFLE: the training-order materializer.
    * Every (epoch, doc) pair hashes to a shard and a within-shard
    * position — different order every epoch, bit-reproducible from the
@@ -2574,6 +2599,7 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_dim_lookup" -> (qDimLookup _),
     "corpus_domain_cap" -> (corpusDomainCap _),
+    "corpus_domain_token_cap" -> (corpusDomainTokenCap _),
     "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
     "pipeline_train_prep" -> (pipelineTrainPrep _),
     "text_keywords" -> (textKeywords _),
@@ -3902,6 +3928,17 @@ object SparkEntry {
         "r AS (SELECT source, doc_id, row_number() OVER " +
         "(PARTITION BY source ORDER BY pri, doc_id) AS rn FROM k) " +
         "SELECT source, doc_id FROM r WHERE rn <= 15"),
+    // token-budget cap: exclusive prefix sum in priority order, soft
+    // cap (the crossing doc admits)
+    "corpus_domain_token_cap" ->
+      ("WITH k AS (SELECT source, doc_id, " +
+        "(('0x'||substr(md5('cap:'||doc_id), 1, 16))::UBIGINT & 16383) AS pri, " +
+        "len(string_split(lower(text), ' ')) AS ntok FROM documents), " +
+        "r AS (SELECT source, ntok, coalesce(sum(ntok) OVER " +
+        "(PARTITION BY source ORDER BY pri, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM k) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens " +
+        "FROM r WHERE tok_before < 500 GROUP BY source"),
     // epoch shuffle: (epoch, doc) → shard + in-shard position, md5-driven
     "corpus_epoch_shuffle" ->
       ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), " +
