@@ -2274,28 +2274,17 @@ object SparkEntry {
 
   /**
    * Per-domain TOKEN-budget cap — the cap real corpus specs state
-   * ("≤ N tokens per domain", not doc counts): docs are admitted in
-   * deterministic-random priority order until their source's running
-   * token total crosses the budget. A per-source cumulative-sum
-   * window over (pri, doc_id) — one hash exchange, the window carries
-   * (pri, ntok), never text; the admit test uses the EXCLUSIVE prefix
-   * sum so the doc that crosses the line is still admitted (budgets
-   * are soft-capped at one doc overshoot, the standard greedy fill).
+   * ("≤ N tokens per domain", not doc counts): greedy fill in
+   * deterministic-random priority order, soft-capped (the crossing
+   * doc admits). Runs on [[graft.operators.Curation.domainTokenCap]]:
+   * a distributed global prefix sum over the (source, pri, id) total
+   * order + broadcast per-source base offsets — a billion-doc domain
+   * spans partitions instead of collapsing into one task's window.
    */
-  private def corpusDomainTokenCap(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        md5lo64(concat(lit("cap:"), col("doc_id").cast("string")))
-          .bitwiseAND(lit(16383L)).as("pri"),
-        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
-    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
-      .filter(col("tok_before") < 500L)
+  private def corpusDomainTokenCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainTokenCap(t(s, dir, "documents"), budgetTokens = 500L)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-  }
 
   /**
    * Deterministic EPOCH SHUFFLE: the training-order materializer.

@@ -511,6 +511,42 @@ object Curation {
   }
 
   /**
+   * Per-domain TOKEN-budget cap: admit docs in deterministic-random
+   * priority order until the source's running token total crosses the
+   * budget (soft cap — the crossing doc admits: the standard greedy
+   * fill). The naive form is a per-source cumulative window, which
+   * puts an ENTIRE domain in one task — a billion-doc domain is the
+   * classic skew-killer. Instead: one GLOBAL distributed prefix sum
+   * over the (source, pri, id) total order
+   * ([[graft.relational.Relational.cumulativeSums]] — range
+   * partitions, so a big domain SPANS partitions), then subtract each
+   * source's base offset (exclusive running total of whole preceding
+   * sources — a sources-sized table that broadcasts). No single task
+   * ever holds a domain.
+   */
+  def domainTokenCap(docs: DataFrame, budgetTokens: Long,
+      srcCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val slim = docs.select(col(srcCol).as("source"), col(idCol),
+      md5lo64(concat(lit("cap:"), col(idCol).cast("string")))
+        .bitwiseAND(lit(16383L)).as("pri"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("ntok"))
+    val cum = graft.relational.Relational.cumulativeSums(slim,
+      Seq(col("source"), col("pri"), col(idCol)), Seq(col("ntok") -> "cum_incl"))
+    // exclusive running total of whole preceding sources: bounded by
+    // the (few) distinct sources — the interleaveBySource idiom
+    val bases = slim.groupBy("source").agg(sum(col("ntok")).as("tot"))
+      .withColumn("base",
+        coalesce(sum(col("tot")).over(Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("base"))
+    cum.join(broadcast(bases), "source")
+      .withColumn("tok_before", col("cum_incl") - col("ntok") - col("base"))
+      .filter(col("tok_before") < budgetTokens)
+      .select(col("source"), col(idCol), col("pri"), col("ntok"))
+  }
+
+  /**
    * Deterministic EPOCH SHUFFLE: materialize per-epoch training order.
    * Every (epoch, doc) pair hashes to a shard and a within-shard
    * position — a different order every epoch, bit-reproducible from

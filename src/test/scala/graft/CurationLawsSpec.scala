@@ -326,6 +326,34 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("token-cap law: equals the reference greedy fill per source, partition-invariant") {
+    check("domainTokenCap", Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (txt, i) => (i.toLong, if (i % 3 == 0) "x" else "y", txt) }
+        .toDF("doc_id", "source", "text")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Curation.domainTokenCap(df, budgetTokens = 30L)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = run(docs)
+      // reference: per source, sort by (md5 pri, id), admit while the
+      // EXCLUSIVE running token total is under budget
+      val rows = docs
+        .withColumn("pri", graft.functions.TextFunctions.md5lo64(
+          concat(lit("cap:"), col("doc_id").cast("string"))).bitwiseAND(lit(16383L)))
+        .withColumn("ntok", size(split(lower(col("text")), " ")).cast("long"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("pri"), r.getAs[Long]("ntok")))
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+        var acc = 0L
+        g.sortBy(r => (r._3, r._2)).takeWhile { r =>
+          val admit = acc < 30L; acc += r._4; admit
+        }.map(r => (src, r._2)).toSeq
+      }.toSet
+      got == expect && run(docs.repartition(7)) == expect
+    })
+  }
+
   test("weighted-sample law: exact size, partition-invariant, weight-monotone") {
     check("weightedSample", Prop.forAll(Gen.chooseNum(5L, 40L), Gen.chooseNum(1, 5)) { (n, k) =>
       val docs = (1L to n).map(i => (i, "s", 1.0 + (i % 7)))
