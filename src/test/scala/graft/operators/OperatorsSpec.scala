@@ -400,6 +400,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"appended duplicate not at the ADC floor: ${top.take(3).toSeq}")
   }
 
+  test("ANN index maintenance cycle: append fragments, compaction restores, answers unchanged") {
+    val base = (0L until 200L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d)).toArray)
+    }
+    val embs = base.toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(embs, "graft_ann_compact", buckets = 8)
+    // several small appends fragment the bucket files — the real
+    // continuous-ingest wear pattern
+    (0 until 3).foreach { b =>
+      val batch = (0 until 10).map { j =>
+        val id = 5000L + b * 10 + j
+        (id, (0 until 64).map(d => math.sin(id * 64 + d)).toArray)
+      }.toDF("vec_id", "embedding")
+      Similarity.appendToAnnIndex(batch, "graft_ann_compact")
+    }
+    val queries = embs.filter(col("vec_id") < 5L)
+    def answers() = Similarity.annIndexTopK(queries, "graft_ann_compact")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = answers()
+    val filesBefore = spark.table("graft_ann_compact_codes").inputFiles.length
+    graft.sources.Bucketing.compactBucketed(spark, "graft_ann_compact_codes")
+    val filesAfter = spark.table("graft_ann_compact_codes").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce file count ($filesBefore -> $filesAfter)")
+    assert(answers() === before, "compaction changed ANN answers")
+  }
+
   test("bpeTrainIterative: re-counts between merges; equals one-round when pairs don't interact") {
     // genuinely non-interacting pairs: each repeated pair is isolated
     // by unique filler tokens, so merging one never changes another's
