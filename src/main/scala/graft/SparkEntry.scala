@@ -1982,6 +1982,22 @@ object SparkEntry {
   }
 
   /**
+   * Metadata-FILTERED search against the persisted index — the
+   * vector-DB pattern: the label rides the codes table (writeAnnIndex
+   * metaCols), so the predicate applies inside the bucket-pruned
+   * index scan. Top-k is computed over passing candidates only (a
+   * post-filtered top-k can come up short; this can't), and the float
+   * corpus is never read.
+   */
+  private def annIndexFiltered(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    if (!s.catalog.tableExists("graft_ann_idxf_codes"))
+      Similarity.writeAnnIndex(embs, "graft_ann_idxf", metaCols = Seq("label"))
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idxf",
+      candidateFilter = Some(col("label") === 3))
+  }
+
+  /**
    * Vector-index MAINTENANCE: index built from the first 90% (which
    * also trains the frozen quantizer), last 10% appended under it
    * (Similarity.appendToAnnIndex — encode + route only, batch-sized),
@@ -2674,6 +2690,7 @@ object SparkEntry {
     "ann_filtered" -> (annFiltered _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index_persisted" -> (annIndexPersisted _),
+    "ann_index_filtered" -> (annIndexFiltered _),
     "ann_index_append" -> (annIndexAppend _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
@@ -2883,7 +2900,7 @@ object SparkEntry {
    * the ann_ivfpq / ann_index_persisted case; a vec_id cut ⇒ the
    * frozen-quantizer append case (ann_index_append).
    */
-  private def ivfPqSql(trainFilter: String): String =
+  private def ivfPqSql(trainFilter: String, candJoin: String = ""): String =
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       s"tv AS (SELECT * FROM v $trainFilter), " +
       "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM tv, " +
@@ -2909,6 +2926,7 @@ object SparkEntry {
       "qd AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
       "sum((p.qv[t.i] - ce.c) * (p.qv[t.i] - ce.c)) AS raw " +
       "FROM probes p JOIN assign a ON p._b = a._b AND a.vec_id != p.query_id " +
+      candJoin +
       "JOIN code co ON co.vec_id = a.vec_id " +
       "JOIN pcent ce ON ce.b = co.b, generate_series(1, 64) t(i) " +
       "WHERE (t.i - 1) // 8 = co.j AND ce.i = t.i GROUP BY 1, 2) " +
@@ -3663,6 +3681,10 @@ object SparkEntry {
     // the persisted index is built from the same id-seeded quantizer,
     // so its answers are bit-identical to the in-memory ivfpq path
     "ann_index_persisted" -> ivfPqSql(""),
+    // filtered search: the label predicate restricts CANDIDATES (top-k
+    // over passing rows), replayed as a join on the labeled corpus
+    "ann_index_filtered" -> ivfPqSql("",
+      "JOIN embeddings em ON em.vec_id = a.vec_id AND em.label = 3 "),
     // frozen-quantizer maintenance: centroids/codebooks train on the
     // first 90% only; the appended 10% is encoded under them
     "ann_index_append" -> ivfPqSql(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -603,12 +603,14 @@ object Similarity {
    */
   def writeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
       m: Int = 8, k: Int = 16, buckets: Int = 16,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = corpus.select(Seq(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
     val cents = coarseCentroids(corpus, nlist, vecCol, idCol)
-    val books = pqCodebooks(v, k)
+    val books = pqCodebooks(v.select("id", "v"), k)
     graft.sources.Bucketing.writeSmallTable(
       cents.toSeq.map { case (b, c) => (b, c.toSeq) }
         .toDF("list_id", "centroid"), s"${table}_centroids")
@@ -616,17 +618,22 @@ object Similarity {
       books.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c.toSeq) }
         .toDF("b", "centroid"), s"${table}_codebooks")
     graft.sources.Bucketing.writeBucketed(
-      encodeRows(v, cents, books, m), s"${table}_codes", "list_id", buckets)
+      encodeRows(v, cents, books, m, metaCols), s"${table}_codes", "list_id", buckets)
   }
 
-  /** (id, list_id, codes) rows under a FIXED quantizer — shared by build and append. */
+  /**
+   * (id, list_id, codes[, meta...]) rows under a FIXED quantizer —
+   * shared by build and append. `metaCols` ride along so predicates
+   * can filter candidates INSIDE the index scan (the vector-DB
+   * metadata-filter pattern) without ever touching the float corpus.
+   */
   private def encodeRows(v: DataFrame, cents: Array[(Long, Array[Double])],
-      books: Array[Array[Double]], m: Int): DataFrame = {
+      books: Array[Array[Double]], m: Int, metaCols: Seq[String] = Nil): DataFrame = {
     val topLists = topListsFromMatrix(v.sparkSession, cents)
     val bc = v.sparkSession.sparkContext.broadcast(books)
     val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
-    v.select(col("id"), topLists(col("v"), lit(1))(0).as("list_id"),
-      encode(col("v")).as("codes"))
+    v.select(Seq(col("id"), topLists(col("v"), lit(1))(0).as("list_id"),
+      encode(col("v")).as("codes")) ++ metaCols.map(col): _*)
   }
 
   private def readCentroids(spark: SparkSession, name: String,
@@ -644,13 +651,15 @@ object Similarity {
    * corpus size never appears in the job.
    */
   def appendToAnnIndex(batch: DataFrame, table: String, m: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, s"${table}_centroids", "list_id")
     val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
-    val v = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = batch.select(Seq(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
     graft.sources.Bucketing.appendBucketed(
-      encodeRows(v, cents, books, m), s"${table}_codes", "list_id")
+      encodeRows(v, cents, books, m, metaCols), s"${table}_codes", "list_id")
   }
 
   /**
@@ -663,12 +672,14 @@ object Similarity {
    * stays exactly-once on the index.
    */
   def appendNovelToAnnIndex(batch: DataFrame, table: String, m: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, s"${table}_centroids", "list_id")
     val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
-    val v = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val enc = encodeRows(v, cents, books, m)
+    val v = batch.select(Seq(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
+    val enc = encodeRows(v, cents, books, m, metaCols)
       .localCheckpoint() // batch-sized; consumed by the prune collect AND the append
     val routed = enc.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by min(nlist, batch)
@@ -688,7 +699,8 @@ object Similarity {
    */
   def annIndexTopK(queries: DataFrame, table: String, topk: Int = 5,
       nprobe: Int = 8, m: Int = 8,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      candidateFilter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val cents = readCentroids(spark, s"${table}_centroids", "list_id")
     val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
@@ -700,8 +712,12 @@ object Similarity {
       .localCheckpoint() // query-sized; consumed by the prune collect AND the join
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
-    val codes = spark.table(s"${table}_codes")
+    val pruned = spark.table(s"${table}_codes")
       .filter(Dedup.inSet(col("list_id"), probedLists))
+    // metadata predicate applies INSIDE the pruned index scan — the
+    // vector-DB filtered-search pattern: no post-filtering of a top-k
+    // that might then come up short, and no float-corpus access
+    val codes = candidateFilter.fold(pruned)(pruned.filter)
       .withColumnRenamed("id", "neighbor_id")
     val scored = codes.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
