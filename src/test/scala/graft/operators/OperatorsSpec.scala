@@ -400,6 +400,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"appended duplicate not at the ADC floor: ${top.take(3).toSeq}")
   }
 
+  test("filtered index search: k results from PASSING labels even when the unfiltered top-k has none") {
+    // labels cluster with the vectors: the query's nearest neighbors
+    // are all label 0; label-1 vectors live far away — a post-filter
+    // of the unfiltered top-k would return nothing
+    val near = (0L until 100L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d)).toArray, 0)
+    }
+    val far = (200L until 300L).map { i =>
+      (i, (0 until 64).map(d => 5.0 + math.cos(i * 64 + d)).toArray, 1)
+    }
+    val embs = (near ++ far).toDF("vec_id", "embedding", "label")
+    Similarity.writeAnnIndex(embs, "graft_ann_labelf", buckets = 8,
+      metaCols = Seq("label"))
+    val q = embs.filter(col("vec_id") === 0L)
+    val unfiltered = Similarity.annIndexTopK(q, "graft_ann_labelf",
+      topk = 5, nprobe = 32).collect()
+    assert(unfiltered.forall(_.getLong(2) < 200L),
+      "setup broken: unfiltered top-5 should be all label-0 neighbors")
+    val filtered = Similarity.annIndexTopK(q, "graft_ann_labelf",
+      topk = 5, nprobe = 32, candidateFilter = Some(col("label") === 1)).collect()
+    assert(filtered.length === 5, s"filtered search came up short: ${filtered.length}")
+    assert(filtered.forall(_.getLong(2) >= 200L), "a non-passing candidate leaked")
+  }
+
   test("ANN index maintenance cycle: append fragments, compaction restores, answers unchanged") {
     val base = (0L until 200L).map { i =>
       (i, (0 until 64).map(d => math.sin(i * 64 + d)).toArray)
