@@ -332,12 +332,22 @@ object Curation {
    */
   def packSequences(docs: DataFrame, budget: Int = 256,
       groupCol: String = "source", orderCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      textCol: String = "text", skewSafe: Boolean = false): DataFrame = {
+    // two shapes, identical results (law-tested): the window form is
+    // cheaper when groups are balanced; `skewSafe` swaps in the
+    // grouped prefix sum (Relational.groupedPrefixSums) so a giant
+    // source SPANS partitions instead of collapsing into one window
+    // task — pick it when one domain dominates the corpus. Either
+    // way the running totals carry counts only, never text.
     val nTok = org.apache.spark.sql.functions.size(split(col(textCol), " "))
-    docs
-      .select(col(groupCol), col(orderCol), nTok.as("_n"))
-      .withColumn("_cum", sum(col("_n")).over(w))
+    val slim = docs.select(col(groupCol), col(orderCol), nTok.cast("long").as("_n"))
+    val cum =
+      if (skewSafe)
+        graft.relational.Relational.groupedPrefixSums(slim,
+          col(groupCol), Seq(col(orderCol)), Seq(col("_n") -> "_cum"))
+      else slim.withColumn("_cum", sum(col("_n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(orderCol))))
+    cum
       .withColumn("seq_id", floor((col("_cum") - col("_n")) / budget))
       .groupBy(col(groupCol), col("seq_id"))
       .agg(count("*").as("n_docs"), sum(col("_n")).cast("long").as("n_tokens"))
@@ -355,14 +365,24 @@ object Curation {
    * interleave on every run and every engine.
    */
   def interleaveBySource(docs: DataFrame, srcCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", skewSafe: Boolean = false): DataFrame = {
     val srcIdx = docs.select(col(srcCol).as("_s")).distinct()
       .withColumn("_sidx",
         row_number().over(Window.orderBy(col("_s"))).cast("long") - 1)
     val nSrc = srcIdx.groupBy().agg(count(lit(1)).as("_nsrc"))
-    val r = row_number().over(
-      Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long")
-    docs.select(col(idCol), col(srcCol), r.as("_r"))
+    // intra-source rank: the window form when sources are balanced;
+    // `skewSafe` computes it as a grouped prefix COUNT so a dominant
+    // source spans partitions instead of one window task (law-tested
+    // identical)
+    val ranked =
+      if (skewSafe)
+        graft.relational.Relational.groupedPrefixSums(
+          docs.select(col(idCol), col(srcCol)),
+          col(srcCol), Seq(col(idCol)), Seq(lit(1L) -> "_r"))
+      else docs.select(col(idCol), col(srcCol))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col(srcCol)).orderBy(col(idCol))).cast("long"))
+    ranked
       .join(broadcast(srcIdx), col(srcCol) === col("_s"))
       .crossJoin(broadcast(nSrc))
       .select(((col("_r") - 1) * col("_nsrc") + col("_sidx")).as("pos"),
@@ -531,17 +551,9 @@ object Curation {
       md5lo64(concat(lit("cap:"), col(idCol).cast("string")))
         .bitwiseAND(lit(16383L)).as("pri"),
       size(split(lower(col(textCol)), " ")).cast("long").as("ntok"))
-    val cum = graft.relational.Relational.cumulativeSums(slim,
-      Seq(col("source"), col("pri"), col(idCol)), Seq(col("ntok") -> "cum_incl"))
-    // exclusive running total of whole preceding sources: bounded by
-    // the (few) distinct sources — the interleaveBySource idiom
-    val bases = slim.groupBy("source").agg(sum(col("ntok")).as("tot"))
-      .withColumn("base",
-        coalesce(sum(col("tot")).over(Window.orderBy(col("source"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("base"))
-    cum.join(broadcast(bases), "source")
-      .withColumn("tok_before", col("cum_incl") - col("ntok") - col("base"))
+    graft.relational.Relational.groupedPrefixSums(slim, col("source"),
+        Seq(col("pri"), col(idCol)), Seq(col("ntok") -> "cum_incl"))
+      .withColumn("tok_before", col("cum_incl") - col("ntok"))
       .filter(col("tok_before") < budgetTokens)
       .select(col("source"), col(idCol), col("pri"), col("ntok"))
   }

@@ -44,6 +44,42 @@ object Relational {
    * checkpointed once so the offset job and the output job see the
    * same (sampled) range boundaries.
    */
+  /**
+   * Per-GROUP running totals without a per-group window task — the
+   * grouped form of [[cumulativeSums]]. A bare
+   * `Window.partitionBy(group).orderBy(...)` puts an ENTIRE group
+   * through one task: the skew-killer when a group is a web domain
+   * with billions of rows. Instead: one GLOBAL range-partitioned
+   * prefix sum over the (group, order...) total order — a huge group
+   * SPANS partitions — minus each group's base offset (the whole
+   * totals of preceding groups: a groups-sized table computed with a
+   * bounded global window and broadcast back). INCLUSIVE sums, named
+   * per `values`, exactly matching
+   * `sum(v).over(Window.partitionBy(group).orderBy(order...))`.
+   */
+  def groupedPrefixSums(df: DataFrame, group: Column, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = df.withColumn("_g", group)
+    val cum = cumulativeSums(tagged, col("_g") +: order,
+      values.map { case (v, n) => (v, s"_incl_$n") })
+    val aggs = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v.cast("long")).as(s"_tot_$i")
+    }
+    // one row per group; the global window is bounded by the group count
+    val w = Window.orderBy(col("_g")).rowsBetween(Window.unboundedPreceding, -1)
+    val bases = values.zipWithIndex.foldLeft(
+      tagged.groupBy("_g").agg(aggs.head, aggs.tail: _*)) { case (acc, ((_, n), i)) =>
+      acc.withColumn(s"_base_$n", coalesce(sum(col(s"_tot_$i")).over(w), lit(0L)))
+    }.select(col("_g") +: values.map { case (_, n) => col(s"_base_$n") }: _*)
+    val out = values.foldLeft(cum.join(broadcast(bases), "_g")) { case (acc, (_, n)) =>
+      acc.withColumn(n, col(s"_incl_$n") - col(s"_base_$n"))
+    }
+    out.drop("_g")
+      .drop(values.flatMap { case (_, n) => Seq(s"_incl_$n", s"_base_$n") }: _*)
+  }
+
   def cumulativeSums(df: DataFrame, order: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -326,6 +326,21 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("skew-safe law: grouped prefix sums equal the per-group window for pack and interleave") {
+    check("skewSafe", Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (txt, i) => (i.toLong, if (i % 3 == 0) "x" else "y", txt) }
+        .toDF("doc_id", "source", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val packEq = rows(Curation.packSequences(docs, budget = 40)) ==
+        rows(Curation.packSequences(docs, budget = 40, skewSafe = true))
+      val ivEq = rows(Curation.interleaveBySource(docs)) ==
+        rows(Curation.interleaveBySource(docs, skewSafe = true))
+      packEq && ivEq
+    })
+  }
+
   test("token-cap law: equals the reference greedy fill per source, partition-invariant") {
     check("domainTokenCap", Prop.forAll(corpusGen) { texts =>
       val docs = texts.zipWithIndex
