@@ -137,6 +137,21 @@ object ScaleProbe {
         docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")),
         budget = 2048).count()),
       time("quantize")(Curation.quantizeEmbeddings(embs).count()),
+      // skew stress: 90% of the corpus in ONE source. The window form
+      // drags the dominant group through a single task; skewSafe
+      // (grouped prefix sums) spans it across partitions
+      time("pack_skewed") {
+        val skewed = docs.withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            pmod(col("doc_id"), lit(64)).cast("string")).otherwise(lit("dom")))
+        Curation.packSequences(skewed, budget = 2048).count()
+      },
+      time("pack_skewed_safe") {
+        val skewed = docs.withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            pmod(col("doc_id"), lit(64)).cast("string")).otherwise(lit("dom")))
+        Curation.packSequences(skewed, budget = 2048, skewSafe = true).count()
+      },
       time("lm_score")(graft.operators.TextAnalysis.unigramLmScore(docs).count()),
       // web-noise vocabulary stress: 90% of each doc's tokens are
       // corpus-unique (URLs/base64-style hapax), so the raw type count
