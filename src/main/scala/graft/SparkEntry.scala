@@ -2315,6 +2315,26 @@ object SparkEntry {
     Curation.epochShuffle(t(s, dir, "documents"), epochs = 2, shards = 8)
 
   /**
+   * CURRICULUM ordering: within each training shard, higher-quality
+   * docs come first (descending quality band, hash-shuffled within a
+   * band so a band is not source-ordered) — the quality-curriculum
+   * schedule. Same scale shape as the epoch shuffle: one exchange on
+   * the shard, per-shard sorts, quality computed as a scan column.
+   */
+  private def corpusCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        floor(TextAnalysis.qualityCol(col("text")) * 4).cast("long").as("band"),
+        md5lo64(concat(lit("cur:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit(16383L)).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("band").desc, col("h"), col("doc_id"))
+    docs.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("band"), col("doc_id"))
+  }
+
+  /**
    * The composed TRAIN-PREP pipeline — quality gate → per-domain cap
    * → deterministic shard assignment → per-shard manifest, the
    * end-to-end "corpus in, training shards out" chain. Every stage
@@ -2606,6 +2626,7 @@ object SparkEntry {
     "corpus_domain_cap" -> (corpusDomainCap _),
     "corpus_domain_token_cap" -> (corpusDomainTokenCap _),
     "corpus_epoch_shuffle" -> (corpusEpochShuffle _),
+    "corpus_curriculum" -> (corpusCurriculum _),
     "pipeline_train_prep" -> (pipelineTrainPrep _),
     "text_keywords" -> (textKeywords _),
     "q_event_cohorts" -> (qEventCohorts _),
@@ -3959,6 +3980,14 @@ object SparkEntry {
         "SELECT CAST(epoch AS BIGINT) AS epoch, CAST(h % 8 AS BIGINT) AS shard, " +
         "CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos, " +
         "doc_id FROM a"),
+    // curriculum: per-shard positions by (quality band desc, hash)
+    "corpus_curriculum" ->
+      ("WITH q AS (" + qualitySql + "), " +
+        "k AS (SELECT doc_id, CAST(floor(q.quality * 4) AS BIGINT) AS band, " +
+        "(('0x'||substr(md5('cur:'||doc_id), 1, 16))::UBIGINT & 16383) AS h FROM q) " +
+        "SELECT CAST(h % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY h % 8 " +
+        "ORDER BY band DESC, h, doc_id) AS BIGINT) AS pos, band, doc_id FROM k"),
     // the full train-prep chain replayed: quality CTE → per-source
     // rank cap → md5 shard hash → per-shard manifest
     "pipeline_train_prep" ->
