@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AsOfJoin, BloomJoin, Curation, Dedup, Graph, Multimodal, Retrieval, Similarity, SkewJoin, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Checks, Curation, Dedup, Graph, Multimodal, Retrieval, Similarity, SkewJoin, Sketches, TextAnalysis}
 import graft.pipeline.{ExecutionBuilder, MRRecord, Remote}
 import graft.streaming.EventStreams
 
@@ -2559,6 +2559,70 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /**
+   * Zone-map metadata pruning ([[graft.sources.ZoneMap]]): lineitem
+   * written range-clustered on l_shipdate, per-file min/max zones
+   * hoisted into a files-sized stats table, and a one-quarter range
+   * query planned against the STATS — only intersecting files are
+   * opened (asserted in PlanAuditSpec). Oracle: the same predicate
+   * over the original table (the rewrite is content-preserving).
+   */
+  private def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val path = rtPath(dir, "zonemap")
+    graft.sources.FileIO.sortedRoundTrip(li, path, "l_shipdate", partitions = 16)
+    val stats = graft.sources.ZoneMap.build(s, path, Seq("l_shipdate"))
+    graft.sources.ZoneMap.prunedRead(s, stats, li.schema, "l_shipdate",
+        to_timestamp(lit("1995-01-01")), to_timestamp(lit("1995-03-31")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** C4/CCNet paragraph-level rewrite: dedup 15-token units corpus-wide, reassemble docs. */
+  private def dedupParagraphs(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(t(s, dir, "documents"), width = 15)
+
+  /**
+   * Sorted-neighborhood ER over the same corrupted-parts fixture as
+   * `er_editdist` — equality blocking misses a typo that lands in a
+   * different block; sort order keeps it adjacent.
+   */
+  private def erSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val base = part.select(col("p_partkey").as("id"), col("p_name").as("s"))
+      .unionByName(part.filter(col("p_partkey") % 100 === 0)
+        .select((col("p_partkey") + 1000000).as("id"),
+          concat(expr("substring(p_name, 1, length(p_name) - 1)"), lit("x")).as("s")))
+    Dedup.sortedNeighborhoodPairs(base, "s", "id", w = 10, maxDist = 2)
+  }
+
+  /**
+   * Declarative data-quality gate ([[graft.operators.Checks]]) over
+   * orders with planted corruption (every 500th order re-appended
+   * with negated price, unknown status, orphan custkey): four row
+   * constraints in ONE scan, uniqueness as its own keyed aggregate,
+   * referential integrity as an anti-join count.
+   */
+  private def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    val orders0 = t(s, dir, "orders")
+    val bad = orders0.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_custkey", col("o_custkey") + 900000000L)
+    val orders = orders0.unionByName(bad)
+    Checks.report(
+      Checks.rowChecks(orders, Seq(
+        "o_custkey_not_null" -> col("o_custkey").isNotNull,
+        "o_orderdate_in_window" -> col("o_orderdate").between(
+          to_timestamp(lit("1990-01-01")), to_timestamp(lit("2000-12-31"))),
+        "o_orderstatus_accepted" -> col("o_orderstatus").isin("O", "F", "P"),
+        "o_totalprice_nonneg" -> (col("o_totalprice") >= 0))),
+      Checks.uniqueCheck(orders, "o_orderkey_unique", Seq("o_orderkey")),
+      Checks.foreignKeyCheck(orders, "o_custkey_fk_customer", "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+  }
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2776,6 +2840,11 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_resize" -> (multimodalResize _),
+    // warehouse + curation closures (round 5 continuation)
+    "q_zonemap_prune" -> (qZonemapPrune _),
+    "dedup_paragraphs" -> (dedupParagraphs _),
+    "er_sorted_neighborhood" -> (erSortedNeighborhood _),
+    "q_constraints" -> (qConstraints _),
   )
 
   // ---------------------------------------------------------------------------
@@ -4891,5 +4960,57 @@ object SparkEntry {
         "AS l2_norm, round(scale, 6) AS scale, " +
         "CAST(list_sum(q) AS BIGINT) AS sum_q, " +
         "CAST(list_sum([abs(x) for x in q]) AS BIGINT) AS sum_abs_q FROM q"),
+    // the rewrite is content-preserving, so the original table IS the oracle
+    "q_zonemap_prune" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31' " +
+        "GROUP BY l_returnflag"),
+    // full replay of the paragraph rewrite: 15-token units, global
+    // keep-first in (doc order, position), per-doc reassembly
+    "dedup_paragraphs" ->
+      ("WITH sp AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, " +
+        "string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, ord, unnest(ws) AS word, " +
+        "generate_subscripts(ws, 1) AS i FROM sp), " +
+        "p AS (SELECT doc_id, ord, CAST(floor((i - 1) / 15) AS BIGINT) AS pidx, " +
+        "string_agg(word, ' ' ORDER BY i) AS ptext FROM w GROUP BY doc_id, ord, floor((i - 1) / 15)), " +
+        "k AS (SELECT doc_id, pidx, ptext, " +
+        "row_number() OVER (PARTITION BY ptext ORDER BY ord, pidx) AS rn FROM p), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(ptext, ' ' ORDER BY pidx) AS text_kept FROM k WHERE rn = 1 GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_paras, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(r.text_kept, '') AS text_kept FROM tot t LEFT JOIN r ON t.doc_id = r.doc_id"),
+    // SNM window w=10 over (s, id) order; same corrupted base as er_editdist
+    "er_sorted_neighborhood" ->
+      ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +
+        "UNION ALL SELECT p_partkey + 1000000, " +
+        "substr(p_name, 1, length(p_name) - 1) || 'x' FROM part WHERE p_partkey % 100 = 0), " +
+        "r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM base) " +
+        "SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist " +
+        "FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 10 " +
+        "WHERE levenshtein(a.s, b.s) <= 2"),
+    // verdict rows for every constraint over the corrupted union
+    "q_constraints" ->
+      ("WITH bad AS (SELECT o_orderkey, o_custkey + 900000000 AS o_custkey, " +
+        "'X' AS o_orderstatus, -o_totalprice AS o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderkey % 500 = 0), " +
+        "o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
+        "FROM orders UNION ALL SELECT * FROM bad), " +
+        "v AS (" +
+        "SELECT 'o_custkey_not_null' AS check_name, " +
+        "CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations FROM o " +
+        "UNION ALL SELECT 'o_orderdate_in_window', CAST(count(*) FILTER (WHERE NOT " +
+        "(o_orderdate BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2000-12-31')) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'o_orderstatus_accepted', " +
+        "CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'o_totalprice_nonneg', " +
+        "CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0)) AS BIGINT) FROM o " +
+        "UNION ALL SELECT 'o_orderkey_unique', CAST(coalesce((SELECT sum(n) FROM " +
+        "(SELECT count(*) AS n FROM o GROUP BY o_orderkey) WHERE n > 1), 0) AS BIGINT) " +
+        "UNION ALL SELECT 'o_custkey_fk_customer', CAST(count(*) FILTER (WHERE o_custkey " +
+        "NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM o) " +
+        "SELECT check_name, violations, violations = 0 AS passed FROM v"),
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality constraints (the Deequ/dbt-test shape) —
+ * the acceptance gate a 100 TB ingest runs BEFORE data reaches
+ * training or serving: assert the contract, get back one verdict row
+ * per constraint, fail the batch on any red row. The reference
+ * engine's closest analog is its per-record error channel
+ * (`[results, errors]` replies); this is the set-level complement:
+ * errors you can only see by looking at the whole table.
+ *
+ * Scale shape is the whole point of the API split:
+ *  - [[rowChecks]]: ANY number of row-predicate constraints
+ *    (not-null, range, accepted-values, regex, cross-column) fold
+ *    into ONE scan with a single map-side-combining aggregate — a
+ *    conditional count per constraint, no shuffle of data rows, no
+ *    per-constraint pass. Adding a constraint is free.
+ *  - [[uniqueCheck]]: key uniqueness is inherently a shuffle on the
+ *    key — priced as its own job, map-side partial counts first.
+ *  - [[foreignKeyCheck]]: referential integrity as a LEFT ANTI join
+ *    count — the optimizer broadcasts a small parent side on its
+ *    own; a fact-sized parent stays a shuffle join (correct at
+ *    100×).
+ * Verdict rows union into one report: (check, violations, passed).
+ */
+object Checks {
+
+  /**
+   * All row-level constraints in one scan: each (name, predicate)
+   * contributes `count(rows violating predicate)` to a single
+   * aggregate; the one output row is unpivoted to a verdict row per
+   * constraint.
+   */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    one.selectExpr(s"stack(${checks.size}, $stacked) AS (check_name, violations)")
+      .select(col("check_name"), coalesce(col("violations"), lit(0L)).as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("passed"))
+  }
+
+  /**
+   * Uniqueness of a (possibly composite) key: violations = rows
+   * carrying a key that occurs more than once (every row of a
+   * duplicated key counts — the number of rows you'd have to inspect
+   * to repair).
+   */
+  def uniqueCheck(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(when(col("_n") > 1, col("_n")).otherwise(0L)), lit(0L))
+        .as("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+
+  /**
+   * Referential integrity: violations = child rows whose non-null
+   * foreign key has no match in the parent key set (NULL fks are
+   * not orphans — that's [[rowChecks]] not-null's job).
+   */
+  def foreignKeyCheck(child: DataFrame, name: String, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+
+  /** Union of verdict frames into one report, ordered by check name. */
+  def report(parts: DataFrame*): DataFrame =
+    parts.reduce(_.unionByName(_)).orderBy("check_name")
+}

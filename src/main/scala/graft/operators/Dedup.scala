@@ -381,6 +381,93 @@ object Dedup {
   }
 
   /**
+   * Paragraph-level exact dedup with document REASSEMBLY — the
+   * C4/CCNet rewrite step ([[sharedSpanReport]] only *flags* docs;
+   * real corpus pipelines REMOVE the duplicated unit and keep the
+   * rest of the document). Units here are fixed `width`-token
+   * windows; a newline-delimited corpus would pass its own unit
+   * split — the dedup/reassembly machinery is unit-agnostic. A unit
+   * is kept iff it is the FIRST occurrence of its content corpus-wide
+   * under the total order (orderOf(doc), position); every later copy
+   * is dropped and each document's survivors are stitched back in
+   * position order.
+   *
+   * Scale shape: the only wide exchanges are keyed by the unit's
+   * md5 (uniform, no skew). First-occurrence is a map-side-combining
+   * `min(struct(ord, pos))` aggregate — NOT a window over the hash
+   * partition, which would put every copy of a viral boilerplate
+   * paragraph through one task; the winners table is one narrow row
+   * per distinct paragraph and the join back is AQE-skew-splittable.
+   * Reassembly is one groupBy(doc) of (pos, text) structs — rows =
+   * surviving units, grouped by the document they came from.
+   * Output: (idCol, n_paras, n_kept, text_kept); a fully-duplicated
+   * document survives as an empty string (count your losses before
+   * deleting rows).
+   */
+  def paragraphDedup(docs: DataFrame, width: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): DataFrame = {
+    val ord = orderOf(col(idCol))
+    // NOT tokens(): a rewrite must emit the document's own bytes, so
+    // no case folding — units match on exact content
+    val words = split(col(textCol), " ")
+    val paras = docs
+      .select(col(idCol), ord.as("_ord"),
+        when(size(words) > 0,
+          transform(sequence(lit(0), ceil(size(words) / lit(width.toDouble)).cast("int") - 1),
+            i => concat_ws(" ", slice(words, i * width + 1, lit(width)))))
+          .otherwise(array().cast("array<string>")).as("_paras"))
+      .select(col(idCol), col("_ord"), posexplode(col("_paras")).as(Seq("_pidx", "_ptext")))
+    val units = paras.withColumn("_h", md5(col("_ptext")))
+    val winners = units.groupBy("_h")
+      .agg(min(struct(col("_ord"), col("_pidx"))).as("_first"))
+    val kept = units.join(winners, "_h")
+      .filter(col("_ord") === col("_first._ord") && col("_pidx") === col("_first._pidx"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("_pidx"), col("_ptext")))),
+          s => s("_ptext"))).as("text_kept"))
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /**
+   * Sorted-neighborhood ER blocking (the classic SNM): order records
+   * by a blocking key, compare each record only against its `w`-1
+   * successors in that order — candidate count is `w`·n regardless of
+   * key distribution, the complement to equality blocking
+   * ([[editDistancePairs]]) when near-matches disagree on every
+   * equality block but sort adjacently (typo in the last word,
+   * shared prefix). The global sequence number comes from
+   * [[graft.relational.Relational.cumulativeSums]] — range-partitioned
+   * prefix counts, NOT a bare global window (which would serialize
+   * the corpus through one task). Neighbor pairing is a self-join on
+   * ⌊rn/w⌋ blocks: a pair at distance < w straddles at most two
+   * adjacent blocks, so the left side fans out to (block, block+1)
+   * and every qualifying pair is matched exactly once. Emits pairs in
+   * sequence order with levenshtein ≤ maxDist.
+   */
+  def sortedNeighborhoodPairs(items: DataFrame, strCol: String, idCol: String,
+      w: Int = 10, maxDist: Int = 2): DataFrame = {
+    import graft.relational.Relational
+    val seq0 = Relational.cumulativeSums(
+      items.select(col(idCol).as("id"), col(strCol).as("s")),
+      Seq(col("s"), col("id")), Seq((lit(1), "rn")))
+    val a = seq0.select(col("id").as("a_id"), col("s").as("a_s"), col("rn").as("a_rn"),
+      explode(array((col("rn") / w).cast("long"), (col("rn") / w).cast("long") + 1)).as("_blk"))
+    val b = seq0.select(col("id").as("b_id"), col("s").as("b_s"), col("rn").as("b_rn"),
+      (col("rn") / w).cast("long").as("_blk"))
+    a.join(b, Seq("_blk"))
+      .filter(col("b_rn") > col("a_rn") && col("b_rn") - col("a_rn") < w)
+      .filter(levenshtein(col("a_s"), col("b_s")) <= maxDist)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_s"), col("b_s")).cast("long").as("dist"))
+  }
+
+  /**
    * Span-level duplication report: documents containing a ≥`span`
    * -token window that appears verbatim in at least one other
    * document — the distributed form of exact-substring training-data
