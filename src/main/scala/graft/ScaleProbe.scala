@@ -627,6 +627,65 @@ object ScaleProbe {
           docs.withColumn("source", pmod(col("doc_id"), lit(64)).cast("string")),
           withExact = false)
           .collect().length.toLong))
+    } ++ {
+      // zone-map metadata pruning at 10M rows: a FIXED-width key range
+      // (50k keys) must cost the same as the corpus grows — the full
+      // scan is the growing cost it replaces. Layout written outside
+      // the timings (it's the sink's job, amortized over every query).
+      val wanted = only.forall(o => o.exists(_.startsWith("zonemap")))
+      val zmPath = java.nio.file.Files.createTempDirectory("graft_probe_zm").toString
+      val zmStats = if (wanted) {
+        val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
+        graft.sources.FileIO.sortedRoundTrip(synthOrders(spark, nOrd), zmPath,
+          "o_orderkey", partitions = 64)
+        graft.sources.ZoneMap.build(spark, zmPath, Seq("o_orderkey")).localCheckpoint()
+      } else spark.range(0).toDF("file").limit(0)
+      val zmLo = lit(1000000L); val zmHi = lit(1050000L)
+      Seq(
+        time("zonemap_build")(
+          graft.sources.ZoneMap.build(spark, zmPath, Seq("o_orderkey")).count()),
+        time("zonemap_full")(
+          spark.read.parquet(zmPath)
+            .filter(col("o_orderkey").between(zmLo, zmHi))
+            .agg(count(lit(1)), sum("o_totalprice")).collect().length.toLong),
+        time("zonemap_pruned")(
+          graft.sources.ZoneMap.prunedRead(spark, zmStats,
+              spark.read.parquet(zmPath).schema, "o_orderkey", zmLo, zmHi)
+            .agg(count(lit(1)), sum("o_totalprice")).collect().length.toLong))
+    } ++ {
+      // paragraph rewrite at probe-doc scale; the viral variant plants
+      // ONE boilerplate unit in every 10th doc (nDocs/10 copies of a
+      // single hash) — the min(struct) keep-first aggregate must not
+      // serialize those copies through one window task
+      val viral = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(lit("shared boiler plate unit of fifteen tokens exactly here now one two three four five "),
+            col("text")))
+          .otherwise(col("text")))
+      Seq(
+        time("para_dedup")(Dedup.paragraphDedup(docs, width = 15).count()),
+        time("para_dedup_viral")(Dedup.paragraphDedup(viral, width = 15).count()),
+        time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
+          docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
+          "s", "id", w = 10, maxDist = 2).count()))
+    } ++ {
+      // data-quality suite at 10M rows: four row constraints in ONE
+      // pass + uniqueness + fk — the whole gate, not per-check scans
+      val wanted = only.forall(o => o.contains("checks_suite"))
+      val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
+      val ord = if (wanted) synthOrders(spark, nOrd).localCheckpoint()
+        else synthOrders(spark, 1L)
+      val parent = spark.range(1000000L).toDF("c_custkey")
+      Seq(
+        time("checks_suite")(graft.operators.Checks.report(
+          graft.operators.Checks.rowChecks(ord, Seq(
+            "key_not_null" -> col("o_orderkey").isNotNull,
+            "price_nonneg" -> (col("o_totalprice") >= 0),
+            "price_bounded" -> (col("o_totalprice") <= 5001.0),
+            "status_accepted" -> col("o_status").isin("O", "F", "P"))),
+          graft.operators.Checks.uniqueCheck(ord, "key_unique", Seq("o_orderkey")),
+          graft.operators.Checks.foreignKeyCheck(ord, "cust_fk", "o_custkey",
+            parent, "c_custkey")).count()))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }

@@ -407,4 +407,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the upsert shuffled the corpus against a delta-sized side:\n${p.take(2000)}")
   }
+
+  test("q_zonemap_prune: the stats table prunes files BEFORE the scan; predicate still pushed") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, SparkTestSession.sfDir, "lineitem")
+    val path = java.nio.file.Files.createTempDirectory("graft_zonemap_audit").toString
+    graft.sources.FileIO.sortedRoundTrip(li, path, "l_shipdate", partitions = 16)
+    val stats = graft.sources.ZoneMap.build(spark, path, Seq("l_shipdate"))
+    val nTotal = stats.count()
+    val nCand = graft.sources.ZoneMap.candidateFiles(stats, "l_shipdate",
+      to_timestamp(lit("1995-01-01")), to_timestamp(lit("1995-03-31"))).count()
+    assert(nCand < nTotal,
+      s"metadata pruning did nothing: $nCand of $nTotal files survive a one-quarter range")
+    val pruned = graft.sources.ZoneMap.prunedRead(spark, stats, li.schema, "l_shipdate",
+      to_timestamp(lit("1995-01-01")), to_timestamp(lit("1995-03-31")))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "range predicate must still reach the parquet reader for row-group skipping")
+  }
+
+  test("dedup_paragraphs: keep-first is an aggregate, never a window over the hash") {
+    val p = plan("dedup_paragraphs")
+    assert(!p.contains("Window"),
+      "first-occurrence must be min(struct) partial agg — a per-hash window serializes viral paragraphs")
+    assert(p.contains("partial_min") || p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"expected a map-side-combining aggregate:\n${p.take(1500)}")
+  }
+
+  test("er_sorted_neighborhood: global sequence is range-partitioned, not single-task") {
+    val p = plan("er_sorted_neighborhood")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"SNM sequence collapsed to one task:\n${p.take(1500)}")
+    // the range exchange itself is behind cumulativeSums'
+    // localCheckpoint; what the visible plan must show is the
+    // PER-PARTITION window (partitioned by _pid), never a bare global
+    // window over the whole sort order
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"sequence window must be partitioned by _pid:\n${p.take(1500)}")
+  }
+
+  test("q_constraints: row checks fold into single-scan aggregates; fk parent broadcasts") {
+    val p = plan("q_constraints")
+    assert(p.contains("BroadcastHashJoin"), "customer key set should broadcast into the anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the FOUR row constraints share ONE aggregate pass (visible as a
+    // single HashAggregate with four sum(CASE...) functions): scans
+    // scale with verdict JOBS (row / unique / fk, each over the
+    // corrupted union's 2 branches, + parent lookups), never with the
+    // number of row constraints
+    assert("sum\\(CASE WHEN".r.findAllIn(p).size >= 4,
+      "row constraints did not fold into one aggregate")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 8, s"constraint suite re-scans its inputs ($scans parquet scans):\n${p.take(1500)}")
+  }
 }
