@@ -636,8 +636,11 @@ object ScaleProbe {
       val zmPath = java.nio.file.Files.createTempDirectory("graft_probe_zm").toString
       val zmStats = if (wanted) {
         val nOrd = sys.env.getOrElse("SPARK_GRAFT_PROBE_ORDERS", "10000000").toLong
+        // 512 files: the realistic shape (a 100 TB table is millions
+        // of files; at 64 local files both paths are footer-cheap and
+        // indistinguishable — the zone map's win IS the file count)
         graft.sources.FileIO.sortedRoundTrip(synthOrders(spark, nOrd), zmPath,
-          "o_orderkey", partitions = 64)
+          "o_orderkey", partitions = 512)
         graft.sources.ZoneMap.build(spark, zmPath, Seq("o_orderkey")).localCheckpoint()
       } else spark.range(0).toDF("file").limit(0)
       val zmLo = lit(1000000L); val zmHi = lit(1050000L)

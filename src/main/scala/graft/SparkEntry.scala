@@ -2623,6 +2623,42 @@ object SparkEntry {
         t(s, dir, "customer"), "c_custkey"))
   }
 
+  /**
+   * Index DELETE maintenance: docs with doc_id % 7 == 5 are
+   * tombstoned out of the built index (O(markers) append — no
+   * rebuild, no corpus rescan) and must vanish from the next batch's
+   * candidates. Oracle: the exhaustive batch×corpus pairs minus the
+   * deleted corpus docs.
+   */
+  private def dedupIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_dedup_idxd_bands"))
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") < cut), "graft_dedup_idxd")
+    if (!s.catalog.tableExists("graft_dedup_idxd_tombstones"))
+      Dedup.deleteFromMinhashIndex(
+        docs.filter(col("doc_id") < cut && col("doc_id") % 7 === 5),
+        "graft_dedup_idxd")
+    Dedup.indexedNearDupPairs(docs.filter(col("doc_id") >= cut), "graft_dedup_idxd")
+  }
+
+  /**
+   * Vector-index DELETE maintenance: tombstoned vectors (vec_id % 7
+   * == 3) drop out of the persisted IVF-PQ index's answers under the
+   * frozen quantizer (trained on the full corpus — deletes never
+   * retrain). Oracle: the IVF-PQ replay with the deleted ids excluded
+   * from candidates only.
+   */
+  private def annIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    if (!s.catalog.tableExists("graft_ann_idxd_codes"))
+      Similarity.writeAnnIndex(embs, "graft_ann_idxd")
+    if (!s.catalog.tableExists("graft_ann_idxd_tombstones"))
+      Similarity.deleteFromAnnIndex(embs.filter(col("vec_id") % 7 === 3),
+        "graft_ann_idxd")
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idxd")
+  }
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2845,6 +2881,8 @@ object SparkEntry {
     "dedup_paragraphs" -> (dedupParagraphs _),
     "er_sorted_neighborhood" -> (erSortedNeighborhood _),
     "q_constraints" -> (qConstraints _),
+    "dedup_index_delete" -> (dedupIndexDelete _),
+    "ann_index_delete" -> (annIndexDelete _),
   )
 
   // ---------------------------------------------------------------------------
@@ -3059,7 +3097,7 @@ object SparkEntry {
   }
 
   /** Exhaustive batch×corpus jaccard pairs at the 10%-cut — oracle for both the broadcast and the persistent-index incremental paths. */
-  private val incrementalDedupSql: String =
+  private def incrementalDedupSqlWith(corpusFilter: String): String =
     "WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
       "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
@@ -3067,12 +3105,14 @@ object SparkEntry {
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "pr AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter " +
       "FROM sh a JOIN sh b ON a.shingle = b.shingle, cut " +
-      "WHERE a.doc_id >= cut.c AND b.doc_id < cut.c GROUP BY 1, 2) " +
+      s"WHERE a.doc_id >= cut.c AND b.doc_id < cut.c ${corpusFilter}GROUP BY 1, 2) " +
       "SELECT new_id, corpus_id, " +
       "round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
       "FROM pr JOIN sizes sa ON new_id = sa.doc_id " +
       "JOIN sizes sb ON corpus_id = sb.doc_id " +
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
+
+  private val incrementalDedupSql: String = incrementalDedupSqlWith("")
 
   /** Recursive-CTE closure over the near-dup pair graph — oracle for both the iterative CC operator and the SQL-surface recursion. */
   private lazy val clustersSql: String =
@@ -5012,5 +5052,9 @@ object SparkEntry {
         "UNION ALL SELECT 'o_custkey_fk_customer', CAST(count(*) FILTER (WHERE o_custkey " +
         "NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM o) " +
         "SELECT check_name, violations, violations = 0 AS passed FROM v"),
+    // delete maintenance: corpus side minus the tombstoned ids
+    "dedup_index_delete" -> incrementalDedupSqlWith("AND b.doc_id % 7 <> 5 "),
+    // frozen quantizer (trained on ALL vectors) + candidate exclusion
+    "ann_index_delete" -> ivfPqSql("", "AND a.vec_id % 7 != 3 "),
   )
 }

@@ -697,6 +697,37 @@ object Similarity {
    * distance over the stored codebooks. Per-query cost tracks the
    * probed lists, not the corpus; the float corpus is never read.
    */
+  /**
+   * Delete vectors from a [[writeAnnIndex]] index by TOMBSTONE — an
+   * O(batch) marker append; [[annIndexTopK]] excludes marked ids
+   * inside the pruned codes scan, [[purgeAnnIndex]] drops their code
+   * rows physically out of band (the [[graft.operators.Dedup
+   * .deleteFromMinhashIndex]] contract applied to vectors; an
+   * in-place delete would rewrite corpus-sized bucket files on the
+   * serving path).
+   */
+  def deleteFromAnnIndex(ids: DataFrame, table: String,
+      idCol: String = "vec_id"): Unit =
+    graft.sources.Bucketing.appendSmallTable(
+      ids.select(col(idCol).cast("long").as("id")).distinct(),
+      s"${table}_tombstones")
+
+  private def minusTombstones(df: DataFrame, table: String): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(s"${table}_tombstones"))
+      df.join(spark.table(s"${table}_tombstones"), Seq("id"), "left_anti")
+    else df
+  }
+
+  /** Physically drop tombstoned code rows and clear the markers (crash-safe, idempotent). */
+  def purgeAnnIndex(spark: SparkSession, table: String): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_tombstones")) return
+    val tomb = spark.table(s"${table}_tombstones").select("id").localCheckpoint()
+    graft.sources.Bucketing.rewriteBucketed(spark, s"${table}_codes",
+      _.join(tomb, Seq("id"), "left_anti"))
+    spark.sql(s"DROP TABLE ${table}_tombstones")
+  }
+
   def annIndexTopK(queries: DataFrame, table: String, topk: Int = 5,
       nprobe: Int = 8, m: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id",
@@ -712,7 +743,7 @@ object Similarity {
       .localCheckpoint() // query-sized; consumed by the prune collect AND the join
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
-    val pruned = spark.table(s"${table}_codes")
+    val pruned = minusTombstones(spark.table(s"${table}_codes"), table)
       .filter(Dedup.inSet(col("list_id"), probedLists))
     // metadata predicate applies INSIDE the pruned index scan — the
     // vector-DB filtered-search pattern: no post-filtering of a top-k

@@ -83,6 +83,55 @@ object Bucketing {
   }
 
   /**
+   * Append rows to a small managed parquet table, creating it on
+   * first use (clears an orphaned warehouse directory then, like
+   * [[writeSmallTable]]) — the marker/tombstone tables that ride
+   * alongside a big bucketed index: each append is one small file,
+   * reads stay cheap because the table is bounded by design.
+   */
+  def appendSmallTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (!spark.sessionState.catalog.tableExists(ident)) {
+      val path = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    df.coalesce(1).write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /**
+   * Rewrite a bucketed table's rows through `f`, preserving the
+   * bucket spec — the shared machinery under compaction (f =
+   * identity) and physical tombstone purges (f = anti-join the
+   * tombstones). Same crash-safe DROP→RENAME swap and recovery
+   * contract as documented on [[compactBucketed]]; reads the files
+   * as PLAIN parquet for the same one-file-per-bucket reason.
+   */
+  def rewriteBucketed(spark: SparkSession, table: String,
+      f: DataFrame => DataFrame): Unit = {
+    val tmpName = s"${table}__compact"
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table))) {
+      // crash recovery: a prior rewrite finished but died between
+      // DROP and RENAME — finish the swap (f is NOT re-applied; the
+      // tmp table already holds the rewritten rows)
+      require(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)),
+        s"neither $table nor $tmpName exists")
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+      return
+    }
+    val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    writeBucketed(f(spark.read.parquet(meta.location.toString)), tmpName,
+      spec.bucketColumnNames.head, spec.numBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+  }
+
+  /**
    * Compact a bucketed table back to one file per bucket — the
    * periodic companion to [[appendBucketed]]: each append adds up to
    * `buckets` files, and after many batches the per-file
@@ -97,33 +146,8 @@ object Bucketing {
    * under `{table}__compact`, and RE-RUNNING compactBucketed detects
    * that state and completes the swap.
    */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
-    val tmpName = s"${table}__compact"
-    val cat = spark.sessionState.catalog
-    if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table))) {
-      // crash recovery: a prior compaction finished its rewrite but
-      // died after DROP and before RENAME — finish the swap
-      require(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)),
-        s"neither $table nor $tmpName exists")
-      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
-      return
-    }
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"$table is not bucketed"))
-    val bucketCol = spec.bucketColumnNames.head
-    val tmp = tmpName
-    // read the files as PLAIN parquet, not through the bucketed-table
-    // scan: a bucket-aligned scan already reports the target hash
-    // distribution, which lets the planner elide the repartition the
-    // bucketed WRITE needs to land one file per bucket — and the
-    // scan's multi-file read partitions are not bucket-pure
-    writeBucketed(spark.read.parquet(meta.location.toString), tmp,
-      bucketCol, spec.numBuckets)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-  }
+  def compactBucketed(spark: SparkSession, table: String): Unit =
+    rewriteBucketed(spark, table, identity)
 
   /**
    * Join two bucketed tables on their bucket keys. The merge hint

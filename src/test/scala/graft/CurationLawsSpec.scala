@@ -205,6 +205,68 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("index-delete law: tombstones ≡ rebuild-without; purge invisible; re-ingest revives") {
+    import graft.operators.Dedup
+    val mk = (id: Long, s: Long) =>
+      (id, (0 until 30).map(j => s"t${(s * 31 + j * 7) % 400}").mkString(" "))
+    val corpus = (0L until 60L).map(i => mk(i, i)).toDF("doc_id", "text")
+    // batch: dups of corpus docs 10, 50, 20 — 10 and 50 get deleted
+    val batch = Seq(mk(300L, 10L), mk(301L, 50L), mk(302L, 20L)).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, "graft_law_del", buckets = 8)
+    Dedup.deleteFromMinhashIndex(Seq(10L, 50L).toDF("doc_id"), "graft_law_del")
+    val afterDelete = Dedup.indexedNearDupPairs(batch, "graft_law_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tombstoned docs vanish; everything else answers as before
+    Dedup.writeMinhashIndex(corpus.filter(!col("doc_id").isin(10L, 50L)),
+      "graft_law_delr", buckets = 8)
+    val rebuilt = Dedup.indexedNearDupPairs(batch, "graft_law_delr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterDelete === rebuilt)
+    assert(afterDelete.contains((302L, 20L)))
+    assert(!afterDelete.exists(p => p._2 == 10L || p._2 == 50L))
+    // physical purge changes nothing observable and clears the markers
+    Dedup.purgeMinhashIndex(spark, "graft_law_del")
+    assert(!spark.catalog.tableExists("graft_law_del_tombstones"))
+    val afterPurge = Dedup.indexedNearDupPairs(batch, "graft_law_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterPurge === afterDelete)
+    Dedup.purgeMinhashIndex(spark, "graft_law_del") // idempotent no-op
+    // a takedown is not forever: re-appending the content revives it
+    Dedup.appendToMinhashIndex(Seq(mk(400L, 10L)).toDF("doc_id", "text"),
+      "graft_law_del")
+    val revived = Dedup.indexedNearDupPairs(batch, "graft_law_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(revived.contains((300L, 400L)))
+  }
+
+  test("ann-delete law: tombstones ≡ candidate filter; purge invisible; never resurrected") {
+    import graft.operators.Similarity
+    val vecs = (0L until 100L).map(i =>
+      (i, (0 until 64).map(j => ((i * 64 + j) % 2000) / 1000.0 - 1.0)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, "graft_law_annd")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val before = Similarity.annIndexTopK(queries, "graft_law_annd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // delete query 0's top neighbor
+    val victim = before.find(t => t._1 == 0L && t._2 == 1L).get._3
+    Similarity.deleteFromAnnIndex(Seq(victim).toDF("vec_id"), "graft_law_annd")
+    val afterDelete = Similarity.annIndexTopK(queries, "graft_law_annd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!afterDelete.exists(_._3 == victim))
+    // tombstone path ≡ explicit candidate exclusion on a clean index
+    Similarity.writeAnnIndex(vecs, "graft_law_annd_clean")
+    val viaFilter = Similarity.annIndexTopK(queries, "graft_law_annd_clean",
+        candidateFilter = Some(col("id") =!= victim))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterDelete === viaFilter)
+    Similarity.purgeAnnIndex(spark, "graft_law_annd")
+    assert(!spark.catalog.tableExists("graft_law_annd_tombstones"))
+    val afterPurge = Similarity.annIndexTopK(queries, "graft_law_annd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterPurge === afterDelete)
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
