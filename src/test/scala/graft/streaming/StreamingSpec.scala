@@ -1019,4 +1019,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.forall { case (a, b) => a != b },
       s"self-pairs leaked into the neighbor log: ${replayed.filter(p => p._1 == p._2).toSeq}")
   }
+
+  test("streaming quality gate: split + mergeable ledger equal batch checks; zones track the accepted sink") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Checks
+    val s = spark; import s.implicits._
+    val mk = (id: Long, lang: String, nChars: Long) =>
+      (id, s"doc $id body", lang, "src0", nChars)
+    // batch 1: 3 clean + 1 bad-lang; batch 2: 2 clean + 1 zero-chars
+    val b1 = (Seq(mk(1L, "en", 10L), mk(2L, "en", 12L), mk(3L, "fr", 9L),
+      mk(4L, "xx", 7L))).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = (Seq(mk(10L, "en", 20L), mk(11L, "fr", 30L), mk(12L, "en", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/stage_$name")
+      val part = new java.io.File(s"$dir/stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(b1, "one"); stage(b2, "two")
+    val checks = Seq(
+      "text_not_null" -> col("text").isNotNull,
+      "n_chars_positive" -> (col("n_chars") > 0),
+      "lang_accepted" -> col("lang").isin("en", "fr"))
+    val stream = spark.readStream.schema(DocumentStreams.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val out = s"$dir/out"
+    val q = QualityStreams.streamingQualityGate(stream, checks, out,
+      s"$dir/ckpt", zoneCols = Seq("doc_id"))
+    try q.processAllAvailable() finally q.stop()
+
+    val accepted = spark.read.parquet(s"$out/accepted").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rejected = spark.read.parquet(s"$out/rejected")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("failed_checks"))).toMap
+    assert(accepted === Set(1L, 2L, 3L, 10L, 11L))
+    assert(rejected === Map(4L -> "lang_accepted", 12L -> "n_chars_positive"))
+    // ledger merges to exactly the batch verdicts over the union
+    val summary = QualityStreams.ledgerSummary(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batchVerdicts = Checks.rowChecks(b1.unionByName(b2), checks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(summary === batchVerdicts)
+    // the accepted sink's streamed zone map equals a from-scratch build
+    val zs = QualityStreams.zoneStats(spark, out)
+      .select("file", "n_rows", "min_doc_id", "max_doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rebuilt = graft.sources.ZoneMap.build(spark, s"$out/accepted", Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"))).toSet
+    assert(zs === rebuilt && zs.nonEmpty)
+    // at-least-once replay: a fresh checkpoint re-processes everything
+    // into the same batch=<id> dirs — the gate's outputs are unchanged
+    val q2 = QualityStreams.streamingQualityGate(
+      spark.readStream.schema(DocumentStreams.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      checks, out, s"$dir/ckpt_replay", zoneCols = Seq("doc_id"))
+    try q2.processAllAvailable() finally q2.stop()
+    val summary2 = QualityStreams.ledgerSummary(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(summary2 === batchVerdicts)
+  }
 }
