@@ -871,6 +871,20 @@ object SparkEntry {
       .filter(col("key").startsWith("user:"))   // consumed by the scan
       .select(col("key"), col("payload"))
 
+  /**
+   * Shard-RPC aggregate fold through the DSv2 source: MIN/MAX/COUNT
+   * push into the scan together — each slot-range partition replies
+   * ONE partial row (no keys materialize) and Spark merges the shard
+   * replies, the reference's initiator-side accumulate over per-shard
+   * RPC results generalized past count.
+   */
+  private def qKeysMinmax(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-keys")
+      .option("numKeys", 2000).option("shards", 8).load()
+      .groupBy()
+      .agg(min("key").as("min_key"), max("key").as("max_key"),
+        count(lit(1)).as("n"))
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -2883,6 +2897,7 @@ object SparkEntry {
     "q_constraints" -> (qConstraints _),
     "dedup_index_delete" -> (dedupIndexDelete _),
     "ann_index_delete" -> (annIndexDelete _),
+    "q_keys_minmax" -> (qKeysMinmax _),
   )
 
   // ---------------------------------------------------------------------------
@@ -5056,5 +5071,12 @@ object SparkEntry {
     "dedup_index_delete" -> incrementalDedupSqlWith("AND b.doc_id % 7 <> 5 "),
     // frozen quantizer (trained on ALL vectors) + candidate exclusion
     "ann_index_delete" -> ivfPqSql("", "AND a.vec_id % 7 != 3 "),
+    // replays the deterministic keyspace generator (pools[i%4]:i)
+    "q_keys_minmax" ->
+      ("WITH k AS (SELECT concat(CASE WHEN i % 4 = 0 THEN 'user' " +
+        "WHEN i % 4 = 1 THEN 'order' WHEN i % 4 = 2 THEN 'item' " +
+        "ELSE 'session' END, ':', i) AS key " +
+        "FROM (SELECT unnest(generate_series(0, 1999)) AS i)) " +
+        "SELECT min(key) AS min_key, max(key) AS max_key, count(*) AS n FROM k"),
   )
 }

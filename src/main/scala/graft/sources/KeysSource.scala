@@ -76,7 +76,7 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KeysSource.schema
   private var limit: Int = -1
-  private var countStar = false
+  private var aggOps: Seq[String] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -104,35 +104,56 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
   override def isPartiallyPushed(): Boolean = true
 
   /**
-   * COUNT(*) pushdown ≡ the reference's `dbsize` RPC (one count per
-   * shard, summed at the initiator — src/mr.h:94-113,
-   * tests/mr_test_module/src/lib.rs `LMRTEST.DBSIZE`): each slot-range
-   * partition emits its count as one row — no key/payload rows ever
-   * materialize — and Spark's final aggregate sums the shard counts.
+   * Aggregate pushdown ≡ the reference's per-shard RPC fold: the
+   * initiator sends the aggregate to every shard and merges one
+   * partial reply per shard (src/mr.h:94-113 — `dbsize` is the
+   * count instance, tests/mr_test_module/src/lib.rs `LMRTEST
+   * .DBSIZE`). Accepted: any ungrouped combination of COUNT(*) and
+   * MIN/MAX over the key or slot column — each slot-range partition
+   * emits ONE row of partials (no key/payload rows materialize) and
+   * Spark's final aggregate merges the shard replies. PARTIAL
+   * pushdown by contract: empty shards reply null partials, the
+   * final merge ignores them.
    */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = limit < 0 && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (limit >= 0 || agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if Seq("key", "slot").contains(nr.toString) =>
+          Some(nr.toString)
+        case _ => None
+      }
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count(*)")
+      case m: Min => colOf(m.column).map(c => s"min($c)")
+      case m: Max => colOf(m.column).map(c => s"max($c)")
+      case _ => None
+    }
+    if (ops.exists(_.isEmpty)) return false
+    aggOps = ops.flatten
+    true
   }
 
   override def build(): Scan =
-    new KeysScan(numKeys, shards, prefix, required, limit, countStar)
+    new KeysScan(numKeys, shards, prefix, required, limit, aggOps)
 }
 
 class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
-    required: StructType, limit: Int, countStar: Boolean) extends Scan with Batch {
+    required: StructType, limit: Int, aggOps: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType =
-    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    if (aggOps.nonEmpty) StructType(aggOps.map {
+      case "count(*)" => StructField("count(*)", LongType, nullable = false)
+      case op @ ("min(key)" | "max(key)") => StructField(op, StringType, nullable = true)
+      case op => StructField(op, IntegerType, nullable = true)
+    })
     else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")} " +
       s"columns=${required.fieldNames.mkString(",")} limit=$limit" +
-      (if (countStar) " agg=count(*)" else "")
+      (if (aggOps.nonEmpty) s" agg=${aggOps.mkString(",")}" else "")
 
   /** One partition per shard = one contiguous slot range (Redis-cluster style). */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -141,7 +162,7 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
       val lo = s * per
       val hi = if (s == shards - 1) Slots.NumSlots - 1 else (s + 1) * per - 1
       SlotRangePartition(lo, hi, numKeys, prefix, required.fieldNames, limit,
-        countStar): InputPartition
+        aggOps): InputPartition
     }.toArray
   }
 
@@ -150,27 +171,42 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
 
 case class SlotRangePartition(slotLo: Int, slotHi: Int, numKeys: Int,
     prefix: Option[String], columns: Array[String], limit: Int,
-    countStar: Boolean) extends InputPartition
+    aggOps: Seq[String]) extends InputPartition
 
 class KeysReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotRangePartition]
-    if (p.countStar) return new PartitionReader[InternalRow] {
-      // dbsize path: one count row per shard, nothing materializes
+    if (p.aggOps.nonEmpty) return new PartitionReader[InternalRow] {
+      // shard-RPC path: one partial-aggregate row per shard, nothing
+      // materializes; all requested aggregates fold in a single pass
       private var done = false
       override def next(): Boolean = !done && { done = true; true }
       override def get(): InternalRow = {
         var n = 0L
+        var minKey: String = null; var maxKey: String = null
+        var minSlot = Int.MaxValue; var maxSlot = Int.MinValue
         var i = 0
         while (i < p.numKeys) {
           val key = KeysSource.keyAt(i)
           if (p.prefix.forall(key.startsWith)) {
             val slot = Slots.slot(key)
-            if (slot >= p.slotLo && slot <= p.slotHi) n += 1
+            if (slot >= p.slotLo && slot <= p.slotHi) {
+              n += 1
+              if (minKey == null || key < minKey) minKey = key
+              if (maxKey == null || key > maxKey) maxKey = key
+              if (slot < minSlot) minSlot = slot
+              if (slot > maxSlot) maxSlot = slot
+            }
           }
           i += 1
         }
-        InternalRow(n)
+        InternalRow(p.aggOps.map {
+          case "count(*)" => n
+          case "min(key)" => if (minKey == null) null else UTF8String.fromString(minKey)
+          case "max(key)" => if (maxKey == null) null else UTF8String.fromString(maxKey)
+          case "min(slot)" => if (n == 0) null else minSlot
+          case "max(slot)" => if (n == 0) null else maxSlot
+        }: _*)
       }
       override def close(): Unit = ()
     }

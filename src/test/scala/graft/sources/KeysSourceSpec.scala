@@ -76,6 +76,33 @@ class KeysSourceSpec extends AnyFunSuite {
     assert(filtered.collect().head.getLong(0) === 250L)
   }
 
+  test("MIN/MAX push into the source alongside COUNT: one partial row per shard") {
+    val df = read().groupBy()
+      .agg(min("key").as("mn"), max("key").as("mx"), count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=min(key),max(key),count(*)"),
+      s"aggregates not pushed in:\n$plan")
+    val got = df.collect().head
+    // ground truth from an unpushed materialized read
+    val keys = read().select("key").collect().map(_.getString(0))
+    assert(got.getString(0) === keys.min)
+    assert(got.getString(1) === keys.max)
+    assert(got.getLong(2) === 1000L)
+    // composes with the pushed prefix; slot column works too
+    val f = read().filter(col("key").startsWith("user:"))
+      .groupBy().agg(min("slot").as("mn"), max("slot").as("mx"))
+    val fplan = f.queryExecution.executedPlan.toString
+    assert(fplan.contains("agg=min(slot),max(slot)") && fplan.contains("prefix=user:"), fplan)
+    val slots = read().filter(col("key").startsWith("user:"))
+      .select("slot").collect().map(_.getInt(0))
+    val fr = f.collect().head
+    assert(fr.getInt(0) === slots.min && fr.getInt(1) === slots.max)
+    // an unsupported aggregate (avg) falls back to the row path, still correct
+    val avg0 = read().groupBy().agg(avg("slot")).collect().head.getDouble(0)
+    val expected = read().select("slot").collect().map(_.getInt(0).toDouble).sum / 1000.0
+    assert(math.abs(avg0 - expected) < 1e-9)
+  }
+
   test("limit pushes into the scan partially: each slot-range reader stops early") {
     val df = read(100000, 4).limit(7)
     val plan = df.queryExecution.executedPlan.toString
