@@ -2638,6 +2638,16 @@ object SparkEntry {
   }
 
   /**
+   * k-anonymity audit ([[graft.operators.Checks.kAnonymity]]): the
+   * under-k census over a quasi-identifier pair — every listed tuple
+   * is a re-identification exposure to suppress or generalize before
+   * the corpus ships.
+   */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Checks.kAnonymityGroups(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 8)
+
+  /**
    * Index DELETE maintenance: docs with doc_id % 7 == 5 are
    * tombstoned out of the built index (O(markers) append — no
    * rebuild, no corpus rescan) and must vanish from the next batch's
@@ -2898,6 +2908,7 @@ object SparkEntry {
     "dedup_index_delete" -> (dedupIndexDelete _),
     "ann_index_delete" -> (annIndexDelete _),
     "q_keys_minmax" -> (qKeysMinmax _),
+    "q_k_anonymity" -> (qKAnonymity _),
   )
 
   // ---------------------------------------------------------------------------
@@ -5078,5 +5089,8 @@ object SparkEntry {
         "ELSE 'session' END, ':', i) AS key " +
         "FROM (SELECT unnest(generate_series(0, 1999)) AS i)) " +
         "SELECT min(key) AS min_key, max(key) AS max_key, count(*) AS n FROM k"),
+    "q_k_anonymity" ->
+      ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer " +
+        "GROUP BY 1, 2 HAVING count(*) < 8"),
   )
 }

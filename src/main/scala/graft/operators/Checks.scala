@@ -74,4 +74,29 @@ object Checks {
   /** Union of verdict frames into one report, ordered by check name. */
   def report(parts: DataFrame*): DataFrame =
     parts.reduce(_.unionByName(_)).orderBy("check_name")
+
+  /**
+   * k-anonymity audit over a quasi-identifier combination — the
+   * privacy-side companion to [[graft.operators.Curation.redact]]:
+   * before a corpus ships, every row must hide in a crowd of ≥ k
+   * rows sharing its quasi-identifier tuple (Sweeney's k-anonymity).
+   * One keyed aggregate; output is the verdict row (rows in
+   * under-k groups = the re-identification exposure) plus the
+   * at-risk group census for remediation (suppress or generalize
+   * those tuples). Scale shape: a groupBy on the quasi-id tuple —
+   * map-side combining, uniform unless the data itself is one giant
+   * tuple, in which case it is anonymous anyway.
+   */
+  def kAnonymity(df: DataFrame, name: String, quasiIds: Seq[String],
+      k: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(when(col("_n") < k, col("_n")).otherwise(0L)), lit(0L))
+        .as("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+
+  /** The under-k groups themselves: (quasi-ids..., n_rows) needing suppression/generalization. */
+  def kAnonymityGroups(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
 }

@@ -137,6 +137,24 @@ class ChecksAndRewriteSpec extends AnyFunSuite {
     assert(!out.getBoolean(2))
   }
 
+  test("kAnonymity: violations = rows in under-k groups; census lists exactly those groups") {
+    val rows = Seq(
+      ("us", "A"), ("us", "A"), ("us", "A"),    // group of 3 — safe at k=3
+      ("fr", "B"), ("fr", "B"),                 // group of 2 — at risk
+      ("de", "C")                               // singleton — at risk
+    ).toDF("country", "segment")
+    val verdict = Checks.kAnonymity(rows, "qid_k3", Seq("country", "segment"), k = 3)
+      .collect().head
+    assert(verdict.getLong(1) === 3L) // 2 + 1 exposed rows
+    assert(!verdict.getBoolean(2))
+    val groups = Checks.kAnonymityGroups(rows, Seq("country", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(groups === Set(("fr", "B", 2L), ("de", "C", 1L)))
+    val clean = Checks.kAnonymity(rows, "qid_k1", Seq("country", "segment"), k = 1)
+      .collect().head
+    assert(clean.getBoolean(2)) // every group has >= 1 member by definition
+  }
+
   test("report unions verdicts ordered by check name") {
     val rep = Checks.report(
       Checks.rowChecks(people, Seq("score_nonneg" -> (col("score") >= 0))),
