@@ -2648,6 +2648,18 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment"), k = 8)
 
   /**
+   * l-diversity audit: quasi-id groups whose sensitive attribute
+   * (account-balance sign band) is homogeneous — a k-crowd that all
+   * shares one sensitive value still leaks it.
+   */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Checks.lDiversityGroups(
+      t(s, dir, "customer")
+        .withColumn("bal_band", when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low").otherwise("high")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+
+  /**
    * Index DELETE maintenance: docs with doc_id % 7 == 5 are
    * tombstoned out of the built index (O(markers) append — no
    * rebuild, no corpus rescan) and must vanish from the next batch's
@@ -2909,6 +2921,7 @@ object SparkEntry {
     "ann_index_delete" -> (annIndexDelete _),
     "q_keys_minmax" -> (qKeysMinmax _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
   )
 
   // ---------------------------------------------------------------------------
@@ -5092,5 +5105,12 @@ object SparkEntry {
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer " +
         "GROUP BY 1, 2 HAVING count(*) < 8"),
+    "q_l_diversity" ->
+      ("WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+        "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' " +
+        "ELSE 'high' END AS bal_band FROM customer) " +
+        "SELECT c_nationkey, c_mktsegment, " +
+        "count(DISTINCT bal_band) AS n_distinct_sensitive FROM b " +
+        "GROUP BY 1, 2 HAVING count(DISTINCT bal_band) < 3"),
   )
 }

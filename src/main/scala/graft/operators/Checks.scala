@@ -99,4 +99,21 @@ object Checks {
   def kAnonymityGroups(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame =
     df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
+
+  /**
+   * l-diversity audit — k-anonymity's necessary companion
+   * (Machanavajjhala et al.): a crowd of k is no cover if everyone
+   * in it shares the same SENSITIVE value (the homogeneity attack).
+   * Lists quasi-identifier groups whose sensitive attribute takes
+   * fewer than `l` distinct values. Exact distinct-per-group — the
+   * semantics require it — as one grouped aggregate over
+   * (quasi-ids, sensitive) then a count per quasi-id tuple: two
+   * map-side-combining shuffles, both keyed by the tuple.
+   */
+  def lDiversityGroups(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.select((quasiIds :+ sensitiveCol).map(col): _*).distinct()
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
 }
