@@ -2638,6 +2638,34 @@ object SparkEntry {
   }
 
   /**
+   * Split-leakage audit — the ML-hygiene check behind "dedup before
+   * you split": near-dup PAIRS that straddle a train/test boundary
+   * leak test content into training. Splitting by the document's own
+   * id leaks (counted); splitting every doc by its near-dup CLUSTER
+   * representative cannot (a pair's endpoints share a cluster by
+   * construction — its leak count is the mechanism's proof). One
+   * row: (n_pairs, leaked_doc_split, leaked_cluster_split).
+   */
+  private def corpusSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bucket = md5lo64(concat(lit("split:"), k.cast("string")))
+        .bitwiseAND(lit(16383L)) % 10
+      when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+    }
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.7)
+    val clusters = Dedup.dupClusters(pairs)
+    pairs
+      .join(clusters.select(col("doc_id").as("a_id"), col("cluster_id").as("c_a")), "a_id")
+      .join(clusters.select(col("doc_id").as("b_id"), col("cluster_id").as("c_b")), "b_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(splitOf(col("a_id")) =!= splitOf(col("b_id")), 1L).otherwise(0L))
+          .as("leaked_doc_split"),
+        sum(when(splitOf(col("c_a")) =!= splitOf(col("c_b")), 1L).otherwise(0L))
+          .as("leaked_cluster_split"))
+  }
+
+  /**
    * k-anonymity audit ([[graft.operators.Checks.kAnonymity]]): the
    * under-k census over a quasi-identifier pair — every listed tuple
    * is a re-identification exposure to suppress or generalize before
@@ -2922,6 +2950,7 @@ object SparkEntry {
     "q_keys_minmax" -> (qKeysMinmax _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "corpus_split_leakage" -> (corpusSplitLeakage _),
   )
 
   // ---------------------------------------------------------------------------
@@ -5105,6 +5134,31 @@ object SparkEntry {
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer " +
         "GROUP BY 1, 2 HAVING count(*) < 8"),
+    // near-dup pairs + recursive-CTE clusters + the md5 split replay:
+    // doc-id splits leak pairs across the boundary, cluster splits
+    // provably cannot
+    "corpus_split_leakage" -> {
+      def splitSql(e: String): String =
+        s"(CASE WHEN (('0x'||substr(md5('split:'||$e), 13, 4))::UINTEGER % 16384) % 10 <= 7 " +
+          s"THEN 'train' WHEN (('0x'||substr(md5('split:'||$e), 13, 4))::UINTEGER % 16384) % 10 = 8 " +
+          "THEN 'val' ELSE 'test' END)"
+      "WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id FROM pr JOIN sizes sa ON a_id = sa.doc_id " +
+        "JOIN sizes sb ON b_id = sb.doc_id WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+        "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u) " +
+        s"SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        s"CAST(sum(CASE WHEN ${splitSql("p.a_id")} <> ${splitSql("p.b_id")} THEN 1 ELSE 0 END) AS BIGINT) AS leaked_doc_split, " +
+        s"CAST(sum(CASE WHEN ${splitSql("ca.cluster_id")} <> ${splitSql("cb.cluster_id")} THEN 1 ELSE 0 END) AS BIGINT) AS leaked_cluster_split " +
+        "FROM pairs p JOIN cl ca ON p.a_id = ca.doc_id JOIN cl cb ON p.b_id = cb.doc_id"
+    },
     "q_l_diversity" ->
       ("WITH b AS (SELECT c_nationkey, c_mktsegment, " +
         "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' " +
