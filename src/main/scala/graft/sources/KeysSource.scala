@@ -131,7 +131,11 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
       case m: Max => colOf(m.column).map(c => s"max($c)")
       case _ => None
     }
-    if (ops.exists(_.isEmpty)) return false
+    // an EMPTY aggregation (an outer count() can dead-code the inner
+    // aggregate down to zero expressions) must fall back to the row
+    // path: accepting it would make readSchema disagree with the
+    // pushed-aggregate schema
+    if (ops.isEmpty || ops.exists(_.isEmpty)) return false
     aggOps = ops.flatten
     true
   }
