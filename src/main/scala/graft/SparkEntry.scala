@@ -2041,6 +2041,28 @@ object SparkEntry {
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
 
+  /**
+   * 2-D zone-map pruning over the z-order layout
+   * ([[graft.sources.ZoneMap.prunedReadBox]]): Morton clustering
+   * localizes BOTH columns per file, so the box query's candidate
+   * set is the intersection of two zone filters — file skipping
+   * multiplies across dimensions (asserted in PlanAuditSpec).
+   * Oracle: the plain 2-D box filter (the rewrite is
+   * content-preserving).
+   */
+  private def qZonemapZorder(s: SparkSession, dir: String): DataFrame = {
+    val data = t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    val path = rtPath(dir, "zonemap2d")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.sources.FileIO.zorderRoundTrip(data, path, "l_partkey", "l_suppkey",
+        partitions = 16)
+    val stats = graft.sources.ZoneMap.build(s, path, Seq("l_partkey", "l_suppkey"))
+    graft.sources.ZoneMap.prunedReadBox(s, stats, data.schema,
+        Seq(("l_partkey", lit(10L), lit(80L)), ("l_suppkey", lit(2L), lit(6L))))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -2984,6 +3006,7 @@ object SparkEntry {
     "q_l_diversity" -> (qLDiversity _),
     "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_datasheet" -> (corpusDatasheet _),
+    "q_zonemap_zorder" -> (qZonemapZorder _),
   )
 
   // ---------------------------------------------------------------------------
@@ -5167,6 +5190,10 @@ object SparkEntry {
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer " +
         "GROUP BY 1, 2 HAVING count(*) < 8"),
+    "q_zonemap_zorder" ->
+      ("SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem WHERE l_partkey BETWEEN 10 AND 80 " +
+        "AND l_suppkey BETWEEN 2 AND 6 GROUP BY l_suppkey"),
     // near-dup pairs + recursive-CTE clusters + the md5 split replay:
     // doc-id splits leak pairs across the boundary, cluster splits
     // provably cannot

@@ -79,10 +79,28 @@ object ZoneMap {
    * WITHIN surviving files too.
    */
   def prunedRead(spark: SparkSession, stats: DataFrame, schema: StructType,
-      c: String, lowerB: Column, upperB: Column): DataFrame = {
-    val files = candidateFiles(stats, c, lowerB, upperB)
-      .select("file").collect().map(_.getString(0))
-    val pred = col(c) >= lowerB && col(c) <= upperB
+      c: String, lowerB: Column, upperB: Column): DataFrame =
+    prunedReadBox(spark, stats, schema, Seq((c, lowerB, upperB)))
+
+  /**
+   * Multi-column box pruning: a file survives only if EVERY
+   * predicate's range intersects its zone — the conjunction
+   * intersects candidate sets, so pruning power multiplies when the
+   * layout localizes both columns at once. That is exactly what
+   * [[FileIO.zorderRoundTrip]]'s Morton clustering buys: each file
+   * covers a small (x, y) rectangle, and a 2-D box query keeps only
+   * the files whose rectangle it touches, where a single-column sort
+   * prunes on one dimension and scans the other.
+   */
+  def prunedReadBox(spark: SparkSession, stats: DataFrame, schema: StructType,
+      preds: Seq[(String, Column, Column)]): DataFrame = {
+    require(preds.nonEmpty, "at least one range predicate required")
+    val cand = preds.foldLeft(stats) { case (s, (c, lo0, hi0)) =>
+      candidateFiles(s, c, lo0, hi0)
+    }
+    val files = cand.select("file").collect().map(_.getString(0))
+    val pred = preds.map { case (c, lo0, hi0) => col(c) >= lo0 && col(c) <= hi0 }
+      .reduce(_ && _)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else

@@ -69,6 +69,26 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(cand.count() >= nullFiles)
   }
 
+  test("prunedReadBox: conjunction intersects candidates; z-order localizes both dims") {
+    val path = tmp("box")
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+      .toDF("x", "y", "v")
+    FileIO.zorderRoundTrip(grid, path, "x", "y", partitions = 16)
+    val stats = ZoneMap.build(spark, path, Seq("x", "y"))
+    val total = stats.count()
+    val candX = ZoneMap.candidateFiles(stats, "x", lit(8L), lit(15L)).count()
+    val candY = ZoneMap.candidateFiles(ZoneMap.candidateFiles(stats, "x", lit(8L), lit(15L)),
+      "y", lit(8L), lit(15L)).count()
+    // the second dimension must prune FURTHER on the Morton layout
+    assert(candY < candX && candX < total,
+      s"2-D pruning did not multiply: $total -> $candX -> $candY files")
+    val out = ZoneMap.prunedReadBox(spark, stats, grid.schema,
+        Seq(("x", lit(8L), lit(15L)), ("y", lit(8L), lit(15L))))
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (x <- 8L to 15L; y <- 8L to 15L) yield (x, y)).toSet
+    assert(out === want)
+  }
+
   test("append unions a new batch's zones without touching standing stats") {
     val path1 = tmp("a1"); val path2 = tmp("a2")
     FileIO.sortedRoundTrip(data.filter(col("k") < 500), path1, "k", partitions = 4)
