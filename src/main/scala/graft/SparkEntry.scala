@@ -2624,6 +2624,21 @@ object SparkEntry {
     Dedup.paragraphDedup(t(s, dir, "documents"), width = 15)
 
   /**
+   * Incremental paragraph rewrite against the persistent unit index
+   * ([[graft.operators.Dedup.writeUnitIndex]]): the first 90% of the
+   * corpus is indexed once; the arriving 10% is rewritten per-batch
+   * (bucket-pruned index probe, batch-sized cost). Oracle: the
+   * GLOBAL rewrite restricted to the batch — maintained ≡ rebuilt.
+   */
+  private def dedupParagraphsIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_unit_idx"))
+      Dedup.writeUnitIndex(docs.filter(col("doc_id") < cut), "graft_unit_idx")
+    Dedup.paragraphDedupIncremental(docs.filter(col("doc_id") >= cut), "graft_unit_idx")
+  }
+
+  /**
    * Sorted-neighborhood ER over the same corrupted-parts fixture as
    * `er_editdist` — equality blocking misses a typo that lands in a
    * different block; sort order keeps it adjacent.
@@ -3007,6 +3022,7 @@ object SparkEntry {
     "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_datasheet" -> (corpusDatasheet _),
     "q_zonemap_zorder" -> (qZonemapZorder _),
+    "dedup_paragraphs_incr" -> (dedupParagraphsIncr _),
   )
 
   // ---------------------------------------------------------------------------
@@ -3237,6 +3253,23 @@ object SparkEntry {
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
 
   private val incrementalDedupSql: String = incrementalDedupSqlWith("")
+
+  /** Paragraph-rewrite replay; `where` restricts the emitted docs (not the dedup scope). */
+  private def paragraphSql(where: String): String =
+    "WITH sp AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, " +
+      "string_split(text, ' ') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, ord, unnest(ws) AS word, " +
+      "generate_subscripts(ws, 1) AS i FROM sp), " +
+      "p AS (SELECT doc_id, ord, CAST(floor((i - 1) / 15) AS BIGINT) AS pidx, " +
+      "string_agg(word, ' ' ORDER BY i) AS ptext FROM w GROUP BY doc_id, ord, floor((i - 1) / 15)), " +
+      "k AS (SELECT doc_id, pidx, ptext, " +
+      "row_number() OVER (PARTITION BY ptext ORDER BY ord, pidx) AS rn FROM p), " +
+      "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "string_agg(ptext, ' ' ORDER BY pidx) AS text_kept FROM k WHERE rn = 1 GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id) " +
+      "SELECT t.doc_id, t.n_paras, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, " +
+      "coalesce(r.text_kept, '') AS text_kept FROM tot t LEFT JOIN r ON t.doc_id = r.doc_id" +
+      where
 
   /** Recursive-CTE closure over the near-dup pair graph — oracle for both the iterative CC operator and the SQL-surface recursion. */
   private lazy val clustersSql: String =
@@ -5132,20 +5165,11 @@ object SparkEntry {
         "GROUP BY l_returnflag"),
     // full replay of the paragraph rewrite: 15-token units, global
     // keep-first in (doc order, position), per-doc reassembly
-    "dedup_paragraphs" ->
-      ("WITH sp AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, " +
-        "string_split(text, ' ') AS ws FROM documents), " +
-        "w AS (SELECT doc_id, ord, unnest(ws) AS word, " +
-        "generate_subscripts(ws, 1) AS i FROM sp), " +
-        "p AS (SELECT doc_id, ord, CAST(floor((i - 1) / 15) AS BIGINT) AS pidx, " +
-        "string_agg(word, ' ' ORDER BY i) AS ptext FROM w GROUP BY doc_id, ord, floor((i - 1) / 15)), " +
-        "k AS (SELECT doc_id, pidx, ptext, " +
-        "row_number() OVER (PARTITION BY ptext ORDER BY ord, pidx) AS rn FROM p), " +
-        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
-        "string_agg(ptext, ' ' ORDER BY pidx) AS text_kept FROM k WHERE rn = 1 GROUP BY doc_id), " +
-        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id) " +
-        "SELECT t.doc_id, t.n_paras, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, " +
-        "coalesce(r.text_kept, '') AS text_kept FROM tot t LEFT JOIN r ON t.doc_id = r.doc_id"),
+    "dedup_paragraphs" -> paragraphSql(""),
+    // the incremental rewrite must equal the GLOBAL rewrite
+    // restricted to the batch (corpus order keys all precede it)
+    "dedup_paragraphs_incr" -> paragraphSql(
+      " WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)"),
     // SNM window w=10 over (s, id) order; same corrupted base as er_editdist
     "er_sorted_neighborhood" ->
       ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +

@@ -29,10 +29,15 @@ object Dedup {
    * (O(1) planning, hash-probe eval) and still qualifies for bucket
    * pruning and data-source filter pushdown.
    */
-  private[operators] def inSet(c: Column, values: Seq[Long]): Column = {
+  private[operators] def inSet(c: Column, values: Seq[Any]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // InSet compares INTERNAL values: strings must enter as UTF8String
+    val internal = values.map {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case v => v
+    }
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
-      ColumnBridge.eagerExpression(c), values.toSet[Any]))
+      ColumnBridge.eagerExpression(c), internal.toSet[Any]))
   }
 
   /**
@@ -450,24 +455,42 @@ object Dedup {
    * document survives as an empty string (count your losses before
    * deleting rows).
    */
-  def paragraphDedup(docs: DataFrame, width: Int = 15,
-      textCol: String = "text", idCol: String = "doc_id",
-      orderOf: Column => Column = _.cast("long")): DataFrame = {
-    val ord = orderOf(col(idCol))
-    val paras = docs
+  /** (idCol, _ord, _pidx, _ptext, _h) — one row per width-token unit instance. */
+  private def unitRows(docs: DataFrame, width: Int, textCol: String,
+      idCol: String, orderOf: Column => Column): DataFrame =
+    docs
       // NOT tokens(): a rewrite must emit the document's own bytes, so
       // no case folding — units match on exact content. The token
       // array is staged as a column BEFORE the lambda slices it
       // (interpreted lambdas re-evaluate non-attribute subexpressions
       // per element — an inlined split would re-tokenize per chunk)
-      .select(col(idCol), ord.as("_ord"), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), orderOf(col(idCol)).as("_ord"), split(col(textCol), " ").as("_w"))
       .select(col(idCol), col("_ord"),
         when(size(col("_w")) > 0,
           transform(sequence(lit(0), ceil(size(col("_w")) / lit(width.toDouble)).cast("int") - 1),
             i => concat_ws(" ", slice(col("_w"), i * width + 1, lit(width)))))
           .otherwise(array().cast("array<string>")).as("_paras"))
       .select(col(idCol), col("_ord"), posexplode(col("_paras")).as(Seq("_pidx", "_ptext")))
-    val units = paras.withColumn("_h", md5(col("_ptext")))
+      .withColumn("_h", md5(col("_ptext")))
+
+  /** Rebuild (idCol, n_paras, n_kept, text_kept) from all units + surviving units. */
+  private def reassemble(paras: DataFrame, kept: DataFrame, idCol: String): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("_pidx"), col("_ptext")))),
+          s => s("_ptext"))).as("text_kept"))
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  def paragraphDedup(docs: DataFrame, width: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): DataFrame = {
+    val paras = unitRows(docs, width, textCol, idCol, orderOf)
+    val units = paras
     // the winner's identity AND text ride inside the min struct —
     // (ord, pidx) leads the comparison, so the aggregate returns the
     // first occurrence's own row and no join back to the units is
@@ -478,15 +501,89 @@ object Dedup {
         col(idCol).as("_id"), col("_ptext"))).as("_first"))
       .select(col("_first._id").as(idCol),
         col("_first._pidx").as("_pidx"), col("_first._ptext").as("_ptext"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("_pidx"), col("_ptext")))),
-          s => s("_ptext"))).as("text_kept"))
-    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_kept"), lit("")).as("text_kept"))
+    reassemble(paras, kept, idCol)
+  }
+
+  /**
+   * Persist the paragraph-unit FIRST-OCCURRENCE index — the
+   * continuous-ingest form of [[paragraphDedup]] (CCNet's line-hash
+   * dedup as a maintained structure rather than a corpus-wide batch
+   * job): one row per distinct unit (h, ord, pidx = the owner's
+   * position), BUCKETED by the unit hash so a batch's probe reads
+   * only its hashes' buckets. Same width/orderOf contract at build,
+   * probe, and append time.
+   */
+  def writeUnitIndex(docs: DataFrame, table: String, width: Int = 15,
+      buckets: Int = 64, textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      unitRows(docs, width, textCol, idCol, orderOf)
+        .groupBy(col("_h").as("h"))
+        .agg(min(struct(col("_ord"), col("_pidx"))).as("_first"))
+        .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx")),
+      table, "h", buckets)
+
+  /**
+   * Rewrite an arriving batch against the persistent unit index —
+   * per-batch cost tracks the batch, never the standing corpus. Keep
+   * rule per unit instance:
+   *  - index hit owned by ANOTHER position → drop (someone earlier
+   *    has it);
+   *  - index hit owned by THIS position → keep (an at-least-once
+   *    replay of the same batch must reproduce itself, not erase
+   *    itself);
+   *  - no index hit → keep iff it is the batch's own first
+   *    occurrence ((ord, pidx) min within the batch).
+   * Equals [[paragraphDedup]] over (corpus ∪ batch) restricted to
+   * the batch when every corpus order key precedes the batch's
+   * (law-tested). The driver collect is the batch's distinct unit
+   * hashes (batch-bounded); large batches skip the point-lookup
+   * pruning and scan, as in [[indexedNearDupPairs]]. The index read
+   * re-aggregates min per hash, so duplicate marker rows from
+   * replayed appends never double-match.
+   */
+  def paragraphDedupIncremental(batch: DataFrame, table: String, width: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): DataFrame = {
+    val spark = batch.sparkSession
+    val paras = unitRows(batch, width, textCol, idCol, orderOf).localCheckpoint()
+    val hashes = paras.select("_h").distinct().collect().map(_.getString(0)).toSeq
+    val idx0 = spark.table(table)
+    val idxPruned =
+      if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes))
+      else idx0
+    val owners = idxPruned.groupBy("h")
+      .agg(min(struct(col("ord"), col("pidx"))).as("_owner"))
+    val batchFirst = paras.groupBy("_h")
+      .agg(min(struct(col("_ord"), col("_pidx"))).as("_bfirst"))
+    val self = struct(col("_ord"), col("_pidx"))
+    val kept = paras
+      .join(owners.withColumnRenamed("h", "_h"), Seq("_h"), "left")
+      .join(batchFirst, Seq("_h"))
+      .filter((col("_owner").isNull && self === col("_bfirst")) ||
+        (col("_owner").isNotNull && self === col("_owner")))
+      .select(col(idCol), col("_pidx"), col("_ptext"))
+    reassemble(paras, kept, idCol)
+  }
+
+  /**
+   * Append an ACCEPTED batch's novel first occurrences to the unit
+   * index (bucketed, batch-sized): exactly the units the batch KEPT
+   * that the index did not already own. Idempotent under replay —
+   * a replayed unit is owned by its own position, so it is kept but
+   * filtered here by the anti-join; and even a racing double-append
+   * is harmless because readers re-aggregate min per hash.
+   */
+  def appendToUnitIndex(batch: DataFrame, table: String, width: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): Unit = {
+    val spark = batch.sparkSession
+    val paras = unitRows(batch, width, textCol, idCol, orderOf)
+    val novelFirst = paras.groupBy(col("_h").as("h"))
+      .agg(min(struct(col("_ord"), col("_pidx"))).as("_first"))
+      .join(spark.table(table).select("h"), Seq("h"), "left_anti")
+      .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx"))
+    graft.sources.Bucketing.appendBucketed(novelFirst, table, "h")
   }
 
   /**

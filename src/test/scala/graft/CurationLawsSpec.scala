@@ -267,6 +267,46 @@ class CurationLawsSpec extends AnyFunSuite {
     assert(afterPurge === afterDelete)
   }
 
+  test("unit-index law: incremental paragraph rewrite ≡ global rewrite; replay + append hold") {
+    import graft.operators.Dedup
+    val mkDoc = (id: Long, s: Long) =>
+      (id, (0 until 9).map(j => s"u${(s * 9 + j) % 200}").mkString(" ")) // 3 units of 3
+    val corpus = (0L until 40L).map(i => mkDoc(i, i)).toDF("doc_id", "text")
+    // batch 1: one full copy of corpus doc 7, one fresh doc, one doc
+    // whose first unit duplicates the fresh doc's (intra-batch dup)
+    val b1 = Seq(mkDoc(100L, 7L), mkDoc(101L, 9000L),
+      (102L, mkDoc(101L, 9000L)._2.split(" ").take(3).mkString(" ") + " zz zz zz")
+    ).toDF("doc_id", "text")
+    Dedup.writeUnitIndex(corpus, "graft_law_unit", width = 3)
+    val incr = Dedup.paragraphDedupIncremental(b1, "graft_law_unit", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val global = Dedup.paragraphDedup(corpus.unionByName(b1), width = 3)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(incr === global)
+    assert(incr.exists(r => r._1 == 100L && r._3 == 0L)) // full copy emptied
+    // replay: same batch again, BEFORE any append — identical output
+    val replay = Dedup.paragraphDedupIncremental(b1, "graft_law_unit", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(replay === incr)
+    // append b1's kept units; replaying b1 AFTER the append still
+    // reproduces itself (self-owned index hits are kept), and a later
+    // batch duplicating b1's fresh doc comes back empty
+    Dedup.appendToUnitIndex(b1, "graft_law_unit", width = 3)
+    val replayAfter = Dedup.paragraphDedupIncremental(b1, "graft_law_unit", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(replayAfter === incr)
+    val b2 = Seq(mkDoc(200L, 9000L)).toDF("doc_id", "text")
+    val out2 = Dedup.paragraphDedupIncremental(b2, "graft_law_unit", width = 3)
+      .collect().head
+    assert(out2.getLong(2) === 0L && out2.getString(3) === "")
+    // and appending is idempotent: replaying the append changes nothing
+    Dedup.appendToUnitIndex(b1, "graft_law_unit", width = 3)
+    val out2b = Dedup.paragraphDedupIncremental(b2, "graft_law_unit", width = 3)
+      .collect().head
+    assert(out2b.getLong(2) === 0L)
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
