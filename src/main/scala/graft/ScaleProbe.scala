@@ -665,9 +665,30 @@ object ScaleProbe {
           concat(lit("shared boiler plate unit of fifteen tokens exactly here now one two three four five "),
             col("text")))
           .otherwise(col("text")))
+      // incremental probe: a FIXED 2000-doc batch against the unit
+      // index — per-batch cost must stay flat as the indexed corpus
+      // grows (compare runs at 200k vs 1M probe docs)
+      val unitWanted = only.forall(o => o.exists(_.startsWith("para_")) ||
+        o.exists(_.startsWith("unit_")))
+      val incrBatch = spark.range(9000000L, 9002000L).toDF("doc_id")
+        .withColumn("text",
+          concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
+            concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
       Seq(
         time("para_dedup")(Dedup.paragraphDedup(docs, width = 15).count()),
         time("para_dedup_viral")(Dedup.paragraphDedup(viral, width = 15).count()),
+        time("unit_index_build") {
+          if (unitWanted) {
+            Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
+            spark.table("graft_probe_unit_idx").count()
+          } else 0L
+        },
+        time("para_incr_batch") {
+          if (unitWanted)
+            Dedup.paragraphDedupIncremental(incrBatch, "graft_probe_unit_idx",
+              width = 15).count()
+          else 0L
+        },
         time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
           "s", "id", w = 10, maxDist = 2).count()))
