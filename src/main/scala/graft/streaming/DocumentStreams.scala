@@ -88,6 +88,32 @@ object DocumentStreams {
    * batch to its own `batch=<id>` directory with overwrite — so a
    * replay rewrites the same output instead of appending duplicates.
    */
+  /**
+   * Continuous paragraph-level rewrite (the CCNet line-dedup loop
+   * maintained under ingest): each micro-batch is rewritten against
+   * the persistent unit index ([[graft.operators.Dedup
+   * .paragraphDedupIncremental]] — bucket-pruned probe, batch-sized
+   * cost), the rewritten docs land in a replay-safe `batch=<id>`
+   * sink, and the batch's novel first-occurrence units append to the
+   * index ([[graft.operators.Dedup.appendToUnitIndex]], idempotent),
+   * so batch N+1's duplicate paragraphs of batch N are removed too.
+   * Replay safety is the operator's own keep rule: a redelivered
+   * batch finds its units self-owned in the index and reproduces its
+   * previous output bit-for-bit.
+   */
+  def streamingParagraphIngest(docStream: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      width: Int = 15): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint() // rewritten AND appended below
+        graft.operators.Dedup.paragraphDedupIncremental(b, indexTable, width = width)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.operators.Dedup.appendToUnitIndex(b, indexTable, width = width)
+      }
+      .start()
+
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
