@@ -674,21 +674,21 @@ object ScaleProbe {
         .withColumn("text",
           concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
             concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
+      // the index is para_incr_batch's INPUT: stage it outside the
+      // timings so a restricted run (only=para_incr_batch) still has
+      // it; the build timing below measures a rebuild
+      if (unitWanted && !spark.catalog.tableExists("graft_probe_unit_idx"))
+        Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
       Seq(
         time("para_dedup")(Dedup.paragraphDedup(docs, width = 15).count()),
         time("para_dedup_viral")(Dedup.paragraphDedup(viral, width = 15).count()),
         time("unit_index_build") {
-          if (unitWanted) {
-            Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
-            spark.table("graft_probe_unit_idx").count()
-          } else 0L
+          Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
+          spark.table("graft_probe_unit_idx").count()
         },
-        time("para_incr_batch") {
-          if (unitWanted)
-            Dedup.paragraphDedupIncremental(incrBatch, "graft_probe_unit_idx",
-              width = 15).count()
-          else 0L
-        },
+        time("para_incr_batch")(
+          Dedup.paragraphDedupIncremental(incrBatch, "graft_probe_unit_idx",
+            width = 15).count()),
         time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
           "s", "id", w = 10, maxDist = 2).count()))

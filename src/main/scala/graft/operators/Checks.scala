@@ -35,14 +35,20 @@ object Checks {
    * constraint.
    */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    val aggs = checks.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    // aggregates under positional synthetic aliases; display names
+    // enter only as struct LITERALS — arbitrary check names (quotes,
+    // backticks, duplicates) never touch a parsed identifier
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
-    one.selectExpr(s"stack(${checks.size}, $stacked) AS (check_name, violations)")
-      .select(col("check_name"), coalesce(col("violations"), lit(0L)).as("violations"),
-        (coalesce(col("violations"), lit(0L)) === 0L).as("passed"))
+    one.select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check_name"),
+          coalesce(col(s"_v$i"), lit(0L)).as("violations"))
+      }: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"),
+        col("kv.violations").as("violations"),
+        (col("kv.violations") === 0L).as("passed"))
   }
 
   /**
@@ -112,7 +118,11 @@ object Checks {
    */
   def lDiversityGroups(df: DataFrame, quasiIds: Seq[String],
       sensitiveCol: String, l: Int): DataFrame =
-    df.select((quasiIds :+ sensitiveCol).map(col): _*).distinct()
+    // NULL is a MISSING sensitive value, not a distinct one (SQL
+    // count(DISTINCT) semantics): a group of {NULL, 'x'} has ONE
+    // real value and must be flagged at l=2, not passed
+    df.filter(col(sensitiveCol).isNotNull)
+      .select((quasiIds :+ sensitiveCol).map(col): _*).distinct()
       .groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("n_distinct_sensitive"))
       .filter(col("n_distinct_sensitive") < l)

@@ -311,6 +311,10 @@ object Dedup {
   def appendToMinhashIndex(batch: DataFrame, table: String, k: Int = 128,
       bands: Int = 32, shingleN: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    // re-appending a tombstoned id revokes its delete (the takedown
+    // ended); content changes still require purge-before-append —
+    // see Bucketing.clearTombstones
+    graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
     graft.sources.Bucketing.appendBucketed(
       bandRows(batch, k, bands, shingleN, textCol, idCol),
       s"${table}_bands", "band_hash")
@@ -332,36 +336,16 @@ object Dedup {
    */
   def deleteFromMinhashIndex(ids: DataFrame, table: String,
       idCol: String = "doc_id"): Unit =
-    graft.sources.Bucketing.appendSmallTable(
-      ids.select(col(idCol).cast("long").as("id")).distinct(),
-      s"${table}_tombstones")
-
-  /** Tombstone-excluded view of an index table (no tombstones → as-is). */
-  private def minusTombstones(df: DataFrame, table: String): DataFrame = {
-    val spark = df.sparkSession
-    if (spark.catalog.tableExists(s"${table}_tombstones"))
-      // plain anti-join: AQE broadcasts a small tombstone set; a
-      // tombstone set big enough to shuffle is overdue for a purge
-      df.join(spark.table(s"${table}_tombstones"), Seq("id"), "left_anti")
-    else df
-  }
+    graft.sources.Bucketing.appendTombstones(ids.select(col(idCol)), table)
 
   /**
    * Physically remove tombstoned rows from both index tables and
-   * clear the markers — run out of band like [[graft.sources
-   * .Bucketing.compactBucketed]] (same crash-safe swap; a crash
-   * mid-purge leaves the tombstones in place, so queries stay
-   * correct and a re-run completes the job).
+   * clear the markers — out of band, crash-safe, idempotent
+   * ([[graft.sources.Bucketing.purgeTombstoned]]).
    */
-  def purgeMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    if (!spark.catalog.tableExists(s"${table}_tombstones")) return
-    val tomb = spark.table(s"${table}_tombstones").select("id").localCheckpoint()
-    graft.sources.Bucketing.rewriteBucketed(spark, s"${table}_bands",
-      _.join(tomb, Seq("id"), "left_anti"))
-    graft.sources.Bucketing.rewriteBucketed(spark, s"${table}_shingles",
-      _.join(tomb, Seq("id"), "left_anti"))
-    spark.sql(s"DROP TABLE ${table}_tombstones")
-  }
+  def purgeMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.Bucketing.purgeTombstoned(spark, table,
+      Seq(s"${table}_bands", s"${table}_shingles"))
 
   /**
    * Near-dup pairs between a (small) new batch and a corpus indexed
@@ -405,7 +389,8 @@ object Dedup {
     // broadcast band join below does the filtering
     // tombstoned docs disappear at the candidate stage — no later
     // join can resurrect an id that never proposes itself
-    val idx0 = minusTombstones(spark.table(s"${table}_bands"), table)
+    val idx0 = graft.sources.Bucketing.minusTombstones(
+      spark.table(s"${table}_bands"), table)
     val idx =
       if (batchHashes.size <= 1024) idx0.filter(inSet(col("band_hash"), batchHashes))
       else idx0
@@ -490,13 +475,12 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       orderOf: Column => Column = _.cast("long")): DataFrame = {
     val paras = unitRows(docs, width, textCol, idCol, orderOf)
-    val units = paras
     // the winner's identity AND text ride inside the min struct —
     // (ord, pidx) leads the comparison, so the aggregate returns the
     // first occurrence's own row and no join back to the units is
     // needed: one exchange keyed by _h (map-side partial min absorbs
     // every viral copy), instead of agg + corpus-sized join
-    val kept = units.groupBy("_h")
+    val kept = paras.groupBy("_h")
       .agg(min(struct(col("_ord"), col("_pidx"),
         col(idCol).as("_id"), col("_ptext"))).as("_first"))
       .select(col("_first._id").as(idCol),

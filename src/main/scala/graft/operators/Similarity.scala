@@ -658,6 +658,8 @@ object Similarity {
     val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
     val v = batch.select(Seq(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
+    // re-appending a tombstoned id revokes its delete (Bucketing.clearTombstones)
+    graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
     graft.sources.Bucketing.appendBucketed(
       encodeRows(v, cents, books, m, metaCols), s"${table}_codes", "list_id")
   }
@@ -683,6 +685,12 @@ object Similarity {
       .localCheckpoint() // batch-sized; consumed by the prune collect AND the append
     val routed = enc.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by min(nlist, batch)
+    // revoke deletes FIRST: a re-ingested id's standing code row
+    // becomes visible again and correctly fails the novelty test —
+    // clearing after the anti-join would re-append a duplicate row
+    // for the same id. Replays are unaffected: the marker is already
+    // gone, the row exists, the id stays non-novel.
+    graft.sources.Bucketing.clearTombstones(enc.select("id"), table)
     val existing = spark.table(s"${table}_codes")
       .filter(Dedup.inSet(col("list_id"), routed)).select("id")
     graft.sources.Bucketing.appendBucketed(
@@ -708,25 +716,11 @@ object Similarity {
    */
   def deleteFromAnnIndex(ids: DataFrame, table: String,
       idCol: String = "vec_id"): Unit =
-    graft.sources.Bucketing.appendSmallTable(
-      ids.select(col(idCol).cast("long").as("id")).distinct(),
-      s"${table}_tombstones")
-
-  private def minusTombstones(df: DataFrame, table: String): DataFrame = {
-    val spark = df.sparkSession
-    if (spark.catalog.tableExists(s"${table}_tombstones"))
-      df.join(spark.table(s"${table}_tombstones"), Seq("id"), "left_anti")
-    else df
-  }
+    graft.sources.Bucketing.appendTombstones(ids.select(col(idCol)), table)
 
   /** Physically drop tombstoned code rows and clear the markers (crash-safe, idempotent). */
-  def purgeAnnIndex(spark: SparkSession, table: String): Unit = {
-    if (!spark.catalog.tableExists(s"${table}_tombstones")) return
-    val tomb = spark.table(s"${table}_tombstones").select("id").localCheckpoint()
-    graft.sources.Bucketing.rewriteBucketed(spark, s"${table}_codes",
-      _.join(tomb, Seq("id"), "left_anti"))
-    spark.sql(s"DROP TABLE ${table}_tombstones")
-  }
+  def purgeAnnIndex(spark: SparkSession, table: String): Unit =
+    graft.sources.Bucketing.purgeTombstoned(spark, table, Seq(s"${table}_codes"))
 
   def annIndexTopK(queries: DataFrame, table: String, topk: Int = 5,
       nprobe: Int = 8, m: Int = 8,
@@ -743,7 +737,8 @@ object Similarity {
       .localCheckpoint() // query-sized; consumed by the prune collect AND the join
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
-    val pruned = minusTombstones(spark.table(s"${table}_codes"), table)
+    val pruned = graft.sources.Bucketing.minusTombstones(
+      spark.table(s"${table}_codes"), table)
       .filter(Dedup.inSet(col("list_id"), probedLists))
     // metadata predicate applies INSIDE the pruned index scan — the
     // vector-DB filtered-search pattern: no post-filtering of a top-k

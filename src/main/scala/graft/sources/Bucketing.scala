@@ -108,17 +108,24 @@ object Bucketing {
    * tombstones). Same crash-safe DROP→RENAME swap and recovery
    * contract as documented on [[compactBucketed]]; reads the files
    * as PLAIN parquet for the same one-file-per-bucket reason.
+   *
+   * `tag` names the OPERATION in the temp table (`{table}__rw_{tag}`)
+   * so crash recovery only ever completes its OWN swap: a purge must
+   * never adopt a half-finished compaction's tmp (whose rows still
+   * contain the tombstoned data) as if its anti-join had run.
    */
   def rewriteBucketed(spark: SparkSession, table: String,
-      f: DataFrame => DataFrame): Unit = {
-    val tmpName = s"${table}__compact"
+      f: DataFrame => DataFrame, tag: String = "compact"): Unit = {
+    val tmpName = s"${table}__rw_$tag"
     val cat = spark.sessionState.catalog
     if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table))) {
-      // crash recovery: a prior rewrite finished but died between
-      // DROP and RENAME — finish the swap (f is NOT re-applied; the
-      // tmp table already holds the rewritten rows)
+      // crash recovery: THIS operation's prior rewrite finished but
+      // died between DROP and RENAME — finish the swap (f is NOT
+      // re-applied; the tmp already holds this op's rewritten rows).
+      // A different operation's leftover tmp is NOT adopted.
       require(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)),
-        s"neither $table nor $tmpName exists")
+        s"neither $table nor $tmpName exists (a crashed rewrite of a DIFFERENT " +
+          "operation must be completed by re-running that operation)")
       spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
       return
     }
@@ -129,6 +136,62 @@ object Bucketing {
       spec.bucketColumnNames.head, spec.numBuckets)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+  }
+
+  // ------------------------------------------------------------------
+  // Tombstone discipline, shared by every persistent index
+  // (MinHash, IVF-PQ): O(markers) delete, immediate query-time
+  // exclusion, out-of-band physical purge. One implementation —
+  // semantics fixes land once, not per index.
+  // ------------------------------------------------------------------
+
+  /** Mark ids deleted: append to `{base}_tombstones` (creates on first use). */
+  def appendTombstones(ids: DataFrame, base: String): Unit =
+    appendSmallTable(ids.select(col(ids.columns.head).cast("long").as("id")).distinct(),
+      s"${base}_tombstones")
+
+  /**
+   * Revoke markers for re-ingested ids — called by every index
+   * APPEND path: a delete means "remove what was ingested before the
+   * marker", and re-appending an id re-legitimizes it (takedowns are
+   * not forever). Content CHANGES still require purge-before-append:
+   * clearing the marker un-hides the id's previous rows too, which
+   * is only correct when the re-ingest carries the same content.
+   */
+  def clearTombstones(ids: DataFrame, base: String): Unit = {
+    val spark = ids.sparkSession
+    val table = s"${base}_tombstones"
+    if (!spark.catalog.tableExists(table)) return
+    val keep = spark.table(table)
+      .join(ids.select(col(ids.columns.head).cast("long").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE overwriting the table read above
+    writeSmallTable(keep, table)
+  }
+
+  /** Tombstone-excluded view of an index table (join key: `id`). */
+  def minusTombstones(df: DataFrame, base: String): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(s"${base}_tombstones"))
+      // plain anti-join: AQE broadcasts a small tombstone set; a
+      // tombstone set big enough to shuffle is overdue for a purge
+      df.join(spark.table(s"${base}_tombstones"), Seq("id"), "left_anti")
+    else df
+  }
+
+  /**
+   * Physically drop tombstoned rows from the given bucketed tables
+   * and clear the markers. Crash-safe and idempotent: the rewrites
+   * use the purge-tagged swap; a crash mid-purge leaves the markers
+   * in place (queries stay correct) and a re-run completes the job.
+   */
+  def purgeTombstoned(spark: SparkSession, base: String, tables: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(s"${base}_tombstones")) return
+    val tomb = spark.table(s"${base}_tombstones").select("id").localCheckpoint()
+    tables.foreach { t =>
+      rewriteBucketed(spark, t, _.join(tomb, Seq("id"), "left_anti"), tag = "purge")
+    }
+    spark.sql(s"DROP TABLE ${base}_tombstones")
   }
 
   /**

@@ -239,6 +239,55 @@ class CurationLawsSpec extends AnyFunSuite {
     assert(revived.contains((300L, 400L)))
   }
 
+  test("tombstone revocation: re-appending a deleted id revives it BEFORE any purge") {
+    import graft.operators.Dedup
+    val mk = (id: Long, s: Long) =>
+      (id, (0 until 30).map(j => s"t${(s * 31 + j * 7) % 400}").mkString(" "))
+    val corpus = (0L until 60L).map(i => mk(i, i)).toDF("doc_id", "text")
+    val probe = Seq(mk(300L, 10L)).toDF("doc_id", "text") // dup of corpus doc 10
+    Dedup.writeMinhashIndex(corpus, "graft_law_rev", buckets = 8)
+    Dedup.deleteFromMinhashIndex(Seq(10L).toDF("doc_id"), "graft_law_rev")
+    assert(!Dedup.indexedNearDupPairs(probe, "graft_law_rev")
+      .collect().exists(_.getLong(1) == 10L), "tombstone not applied")
+    // the takedown ends: doc 10 is re-ingested with the SAME content
+    Dedup.appendToMinhashIndex(corpus.filter(col("doc_id") === 10L), "graft_law_rev")
+    val revived = Dedup.indexedNearDupPairs(probe, "graft_law_rev")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(revived.contains((300L, 10L)),
+      s"re-appended id still hidden by its stale tombstone: $revived")
+    // and the next purge must NOT destroy the re-ingested rows
+    Dedup.purgeMinhashIndex(spark, "graft_law_rev")
+    val afterPurge = Dedup.indexedNearDupPairs(probe, "graft_law_rev")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterPurge.contains((300L, 10L)))
+  }
+
+  test("ann revocation: re-ingest after delete revives without duplicating code rows") {
+    import graft.operators.Similarity
+    val vecs = (0L until 100L).map(i =>
+      (i, (0 until 64).map(j => ((i * 64 + j) % 2000) / 1000.0 - 1.0)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, "graft_law_annrev")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val before = Similarity.annIndexTopK(queries, "graft_law_annrev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val victim = before.find(t => t._1 == 0L && t._2 == 1L).get._3
+    Similarity.deleteFromAnnIndex(Seq(victim).toDF("vec_id"), "graft_law_annrev")
+    assert(!Similarity.annIndexTopK(queries, "graft_law_annrev")
+      .collect().exists(_.getLong(2) == victim))
+    // re-ingest the victim through the idempotent streaming append path
+    Similarity.appendNovelToAnnIndex(vecs.filter(col("vec_id") === victim),
+      "graft_law_annrev")
+    val after = Similarity.annIndexTopK(queries, "graft_law_annrev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === before, "revoked delete should restore the original answers")
+    // exactly one code row for the victim — no duplicate from the revival
+    assert(spark.table("graft_law_annrev_codes")
+      .filter(col("id") === victim).count() === 1L)
+    assert(!spark.catalog.tableExists("graft_law_annrev_tombstones") ||
+      spark.table("graft_law_annrev_tombstones").count() === 0L)
+  }
+
   test("ann-delete law: tombstones ≡ candidate filter; purge invisible; never resurrected") {
     import graft.operators.Similarity
     val vecs = (0L until 100L).map(i =>

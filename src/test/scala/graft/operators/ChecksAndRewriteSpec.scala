@@ -155,6 +155,27 @@ class ChecksAndRewriteSpec extends AnyFunSuite {
     assert(clean.getBoolean(2)) // every group has >= 1 member by definition
   }
 
+  test("lDiversityGroups: NULL sensitive values are missing, not distinct") {
+    val rows = Seq(
+      ("us", Some("cancer")), ("us", None),      // one REAL value + a null
+      ("fr", Some("flu")), ("fr", Some("cold"))  // genuinely diverse
+    ).toDF("country", "diag")
+    val flagged = Checks.lDiversityGroups(rows, Seq("country"), "diag", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(flagged === Set(("us", 1L)),
+      "a {NULL, x} group has ONE real sensitive value and must be flagged at l=2")
+  }
+
+  test("rowChecks: names with quotes/backticks/duplicates are data, not parsed SQL") {
+    val out = Checks.rowChecks(people, Seq(
+      "can't be `null`" -> col("dept").isNotNull,
+      "dup" -> (col("score") >= 0),
+      "dup" -> (col("score") <= 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.map(_._1).toSet === Set("can't be `null`", "dup"))
+    assert(out.length === 3)
+  }
+
   test("report unions verdicts ordered by check name") {
     val rep = Checks.report(
       Checks.rowChecks(people, Seq("score_nonneg" -> (col("score") >= 0))),

@@ -84,11 +84,17 @@ class SkewAndSinkSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t")).bucketSpec
     assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
     // crash recovery: simulate dying between DROP and RENAME — the
-    // rewrite exists under __compact, the original name is gone;
-    // re-running compactBucketed must complete the swap losslessly
+    // rewrite exists under the compact-tagged tmp, the original name
+    // is gone; re-running compactBucketed must complete the swap
     Bucketing.writeBucketed(spark.table("graft_compact_t"),
-      "graft_compact_t__compact", "k", 4)
+      "graft_compact_t__rw_compact", "k", 4)
     spark.sql("DROP TABLE graft_compact_t")
+    // a DIFFERENT operation must refuse to adopt the compact tmp: a
+    // purge completing a compaction's swap would skip its anti-join
+    // yet report success
+    intercept[IllegalArgumentException] {
+      Bucketing.rewriteBucketed(spark, "graft_compact_t", identity, tag = "purge")
+    }
     Bucketing.compactBucketed(spark, "graft_compact_t")
     val recovered = spark.table("graft_compact_t").collect().map(_.toString).sorted
     assert(recovered === after, "recovery swap must restore the full table")
