@@ -116,12 +116,24 @@ object ScaleProbe {
           bits = 16, tables = 8).count()
       },
       // distributed CC loop (driver union-find path disabled): 12.5k
-      // chains of 8 nodes → diameter-8 components, ~4 label rounds
+      // chains of 8 nodes → diameter-8 components
       time("cc_distributed") {
         val edges = spark.range(100000).toDF("u")
           .filter(col("u") % 8 =!= 7)
           .select(col("u").as("a_id"), (col("u") + 1).as("b_id"))
         Dedup.dupClusters(edges, smallGraphEdges = 0).count()
+      },
+      // the diameter killer: ONE 200k-node chain (diameter 200k).
+      // Min-label propagation needs 200k rounds here — a dead job.
+      // The alternating large-star/small-star loop must close it in
+      // O(log n) rounds; the probe asserts every node labels to 0.
+      time("cc_chain") {
+        val edges = spark.range(199999)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+        val labels = Dedup.dupClusters(edges, smallGraphEdges = 0)
+        require(labels.filter(col("cluster_id") =!= 0L).count() == 0L,
+          "chain did not collapse to root 0")
+        labels.count()
       },
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),

@@ -1426,6 +1426,19 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7))
 
+  /**
+   * Same cluster closure forced down the DISTRIBUTED path
+   * (smallGraphEdges = 0 disables the driver union-find fast lane):
+   * the alternating large-star/small-star loop that holds when the
+   * pair graph itself no longer fits one task. Oracled against the
+   * identical recursive-CTE transitive closure as `dedup_clusters`,
+   * so the two paths are pinned equal cross-engine, not just in the
+   * unit suite.
+   */
+  private def dedupClustersBig(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7),
+      smallGraphEdges = 0L)
+
   /** The dedup decision end-to-end: corpus minus non-representative near-dups. */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dropNearDups(t(s, dir, "documents"), n = 5, threshold = 0.7)
@@ -1611,6 +1624,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(lower(col("text")), " ")).cast("long")).as("n_tokens"))
   }
+
+  /**
+   * Exact stratified split (Curation.stratifiedSplit): every source's
+   * 80/10/10 allocation is within one row of exact (vs the
+   * hash-bucket split's binomial noise). The shuffle key is
+   * md5('ssplit:'||doc_id) — deterministic, unordered, identically
+   * computable by the oracle's row_number replay.
+   */
+  private def corpusSplitStratified(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSplit(t(s, dir, "documents"), col("source"),
+        md5(concat(lit("ssplit:"), col("doc_id").cast("string"))),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
 
   /**
    * Recrawl snapshot delta: two snapshots carved deterministically out
@@ -2111,6 +2138,20 @@ object SparkEntry {
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5, md5Compat = true)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /**
+   * Multi-probe LSH at HALF the tables of `ann_lsh` (2 vs 4): the
+   * Hamming-1 probe fan-out recovers the recall the missing tables
+   * would have bought, with the corpus-side index (the 100 TB side)
+   * half the size. Oracle replays the md5 hyperplanes, the bit flips,
+   * and the candidate union in SQL.
+   */
+  private def annMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Similarity.lshMultiProbeTopK(embs, embs.filter(col("vec_id") < 10), k = 5,
+        bits = 8, tables = 2, md5Compat = true)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -2914,6 +2955,7 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "dedup_bloom_gate" -> (dedupBloomGate _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_big" -> (dedupClustersBig _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "dedup_corpus" -> (dedupCorpus _),
     "pipeline_filter" -> (pipelineFilter _),
@@ -2960,6 +3002,7 @@ object SparkEntry {
     "ann_mmr" -> (annMmr _),
     "ann_centroid" -> (annCentroid _),
     "ann_lsh" -> (annLsh _),
+    "ann_multiprobe" -> (annMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -2989,6 +3032,7 @@ object SparkEntry {
     "q_kmv_ops" -> (qKmvOps _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_split_stratified" -> (corpusSplitStratified _),
     "corpus_shard_manifest" -> (corpusShardManifest _),
     "q_observe_metrics" -> (qObserveMetrics _),
     "corpus_diff" -> (corpusDiff _),
@@ -3834,6 +3878,7 @@ object SparkEntry {
         "list_cosine_similarity(a.v, b.v) AS raw " +
         "FROM c a JOIN c b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
     "dedup_clusters" -> clustersSql,
+    "dedup_clusters_big" -> clustersSql,
     "q_recursive_cte" ->
       ("WITH RECURSIVE anc(p, cur, depth) AS (" +
         "SELECT p_partkey, p_partkey, 0 FROM part UNION ALL " +
@@ -4008,6 +4053,32 @@ object SparkEntry {
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 4) AS cos " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"),
+    // ann_lsh's md5-hyperplane replay at 2 tables, with the query
+    // side expanded to its exact bucket ∪ all Hamming-1 flips
+    "ann_multiprobe" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "proj AS (SELECT t, b, list(CASE WHEN " +
+        "('0x'||substr(md5('lsh:'||t||':'||b||':'||(i-1)), 1, 16))::UBIGINT & 1 = 1 " +
+        "THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane " +
+        "FROM generate_series(0, 1) tt(t), generate_series(0, 7) bb(b), " +
+        "generate_series(1, 64) ii(i) GROUP BY t, b), " +
+        "sk AS (SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) " +
+        "ELSE 0 END) AS BIGINT) AS bucket FROM (" +
+        "SELECT x.vec_id, p.t, p.b, list_dot_product(x.v, p.plane) AS d " +
+        "FROM v x, proj p) GROUP BY vec_id, t), " +
+        "qprobe AS (SELECT vec_id, t, bucket FROM sk WHERE vec_id < 10 " +
+        "UNION SELECT vec_id, t, xor(bucket, (1::BIGINT << i)) AS bucket " +
+        "FROM sk, generate_series(0, 7) gi(i) WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        "FROM qprobe q JOIN sk c ON q.t = c.t AND q.bucket = c.bucket " +
+        "WHERE c.vec_id != q.vec_id), " +
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, " +
+        "list_cosine_similarity(qv.v, cv.v) AS cos FROM cand " +
+        "JOIN v qv ON qv.vec_id = cand.query_id " +
+        "JOIN v cv ON cv.vec_id = cand.neighbor_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 4) AS cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 5"),
     "ann_centroid" ->
       ("WITH d AS (SELECT label AS clabel, i, avg(embedding[i]) AS c FROM embeddings, " +
         "UNNEST(generate_series(1, 64)) t(i) GROUP BY 1, 2), " +
@@ -4068,6 +4139,13 @@ object SparkEntry {
         "ELSE 'test' END AS split, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1, 2"),
+    "corpus_split_stratified" ->
+      ("WITH r AS (SELECT source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5('ssplit:'||doc_id)) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+        "SELECT source, CASE WHEN rn <= floor(0.8 * n) THEN 'train' " +
+        "WHEN rn <= floor(0.9 * n) THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs FROM r GROUP BY 1, 2"),
     "q_observe_metrics" ->
       ("SELECT count(*) AS n_docs, " +
         "CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens " +

@@ -688,6 +688,47 @@ object Curation {
   }
 
   /**
+   * EXACT stratified train/val/test split. The md5-bucket split
+   * (`corpus_split`) hits its fractions only in expectation — at a
+   * small or skewed stratum the realized shares wander (binomial
+   * noise), which matters when the contract is "validation is
+   * exactly 10% of EVERY language". This variant allocates exactly:
+   * within each stratum, rows are ranked by a deterministic shuffle
+   * key (md5 of the id — unordered, reproducible), and split j takes
+   * ranks (⌊c_{j-1}·n⌋, ⌊c_j·n⌋] where c_j is the cumulative
+   * fraction — so every stratum's allocation is within 1 row of
+   * exact, and the assignment is a pure function of (id, stratum
+   * census), stable under re-runs.
+   *
+   * Scale: the per-stratum rank comes from
+   * [[graft.relational.Relational.groupedPrefixSums]] — range
+   * partition + per-partition window + broadcast offsets — so a
+   * billion-row stratum never serializes through one window task;
+   * stratum totals are one keyed aggregate broadcast back. The
+   * fractions' last entry absorbs the remainder.
+   */
+  def stratifiedSplit(df: DataFrame, stratum: Column, shuffleKey: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val ranked = graft.relational.Relational.groupedPrefixSums(
+      df.withColumn("_strat", stratum).withColumn("_key", shuffleKey),
+      col("_strat"), Seq(col("_key")), Seq((lit(1L), "_rn")))
+    val totals = ranked.groupBy(col("_strat").as("_strat2"))
+      .agg(count(lit(1)).as("_n"))
+    val cum = fractions.scanLeft(0.0) { case (a, (_, p)) => a + p }.tail
+    // first-match CASE over the cumulative boundaries; last split is ELSE
+    val assigned = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, c)) =>
+        coalesce(acc, when(col("_rn") <= floor(lit(c) * col("_n")), name))
+      }
+    ranked.join(broadcast(totals), col("_strat") === col("_strat2"))
+      .withColumn("split", coalesce(assigned, lit(fractions.last._1)))
+      .drop("_strat", "_strat2", "_key", "_rn", "_n")
+  }
+
+  /**
    * The composed per-doc INGEST DECISION against a standing corpus:
    * one verdict per batch doc with fixed priority — `dup_exact`
    * (text identical to a corpus doc) > `near_dup` (jaccard ≥

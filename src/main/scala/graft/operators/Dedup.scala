@@ -764,12 +764,16 @@ object Dedup {
    * magnitude smaller than the corpus (they only contain actual
    * near-dups), so when the materialized edge list is under
    * `smallGraphEdges` rows a single-pass driver union-find replaces
-   * the O(diameter)-round join loop — same result, one job instead of
-   * ~4×diameter. The distributed loop remains the path for graphs
-   * that don't fit (set `smallGraphEdges = 0` to force it; the spec
-   * asserts both paths agree).
+   * the round-based join loop — same result, one job instead of a
+   * handful. Graphs that don't fit go to the alternating
+   * large-star/small-star loop (`dupClustersBigGraph`), whose round
+   * count is O(log² n) in the WORST case — independent of component
+   * diameter, unlike min-label propagation — so a pathological
+   * chain-shaped component can never stall the job (set
+   * `smallGraphEdges = 0` to force it; the spec asserts all three
+   * paths agree).
    */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20,
+  def dupClusters(pairs: DataFrame, maxIters: Int = 30,
       smallGraphEdges: Long = 2000000L): DataFrame = {
     // materialize the (small) edge list once — every iteration joins
     // against it, and recomputing the upstream pair pipeline per
@@ -780,6 +784,18 @@ object Dedup {
       .localCheckpoint()
     if (smallGraphEdges > 0 && edges.count() <= smallGraphEdges)
       return driverUnionFind(edges)
+    dupClustersBigGraph(edges, maxIters)
+  }
+
+  /**
+   * Min-label propagation to fixpoint — each round is one
+   * self-join+aggregate, total cost O(component diameter) rounds.
+   * Fine for near-dup graphs (diameter ~2-3) but degenerate on
+   * chain-shaped components; kept as the law-test foil for the
+   * large-star/small-star path and for callers that KNOW their
+   * diameter is tiny. Input: symmetric (u, v) edge list.
+   */
+  private[operators] def minLabelClusters(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -802,6 +818,82 @@ object Dedup {
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * One large-star round: every node u connects its STRICTLY LARGER
+   * neighbors to m = min(N(u) ∪ {u}). Shrinks tall trees toward
+   * their minimum without ever pointing a smaller node at a larger
+   * one (monotone — labels only decrease).
+   */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /**
+   * One small-star round: orient each edge (hi → lo); every node u
+   * re-points its smaller neighbors — and itself — at
+   * m = min(N<(u) ∪ {u}), flattening two-level trees into stars.
+   */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val m = or.groupBy("u").agg(min("v").as("m"))
+    or.join(m, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /**
+   * Distributed connected components by alternating large-star /
+   * small-star rounds (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC'14 — public algorithm, also the
+   * engine inside GraphFrames' production CC). Converges to a forest
+   * of stars whose centers are each component's MINIMUM id in
+   * O(log² n) rounds regardless of component diameter — min-label
+   * propagation needs O(diameter) rounds, which on a chain-shaped
+   * component (pathological but real: chained boilerplate edits)
+   * means thousands of shuffles where this needs ~2·log₂(n).
+   * Each round is two keyed aggregates + joins over the CURRENT edge
+   * set, and large-star strictly shrinks high-degree tangles, so
+   * per-round data volume is non-increasing after the first round.
+   * Convergence is detected exactly (two-sided EXCEPT on the edge
+   * set — no checksum-collision risk); rounds are localCheckpointed
+   * so lineage stays flat.
+   *
+   * Input: symmetric (u, v) edge list. Output: (doc_id, cluster_id),
+   * cluster_id = min id reachable — identical contract to the
+   * union-find and min-label paths.
+   */
+  private[operators] def dupClustersBigGraph(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    var cur = edges.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged =
+        next.except(cur).limit(1).count() == 0 &&
+        cur.except(next).limit(1).count() == 0
+      cur = next
+      i += 1
+    }
+    // at fixpoint edges are (child → root) stars; roots appear only
+    // on the right side, so union them back in as their own label
+    cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
   }
 
   /**

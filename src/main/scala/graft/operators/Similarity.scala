@@ -780,4 +780,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /**
+   * Multi-probe LSH top-k (Lv et al., VLDB'07 — public algorithm):
+   * each query probes its exact bucket PLUS every Hamming-distance-1
+   * bucket (one sign-bit flip per hyperplane), per table. A near
+   * neighbor that lands one hyperplane away — the dominant miss mode
+   * of sign-random-projection LSH — is recovered without adding
+   * tables, so the CORPUS-side index stays `tables` rows per vector
+   * (the expensive, billion-vector side) while only the query side
+   * fans out ×(bits+1). At 100 TB that trade is the whole point:
+   * index size and build shuffle are corpus-bound, probe fan-out is
+   * query-bound. Candidates are a strict superset of
+   * [[lshTopK]] at the same (bits, tables) — pinned by law test —
+   * so recall can only improve; ranking/tie-break semantics are
+   * identical.
+   */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      bits: Int = 8, tables: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      md5Compat: Boolean = false): DataFrame = {
+    def sketch(t: Int) =
+      if (md5Compat) md5_proj_bits(col(vecCol), bits, table = t)
+      else rand_proj_bits(col(vecCol), bits, seed = 2000 + t)
+    def sketched(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(array((0 until tables).map(sketch): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val c = sketched(corpus, "neighbor_id", "cv")
+    val q = sketched(queries, "query_id", "qv")
+      .select(col("query_id"), col("qv"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
 }

@@ -477,6 +477,37 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("stratified-split law: per-stratum allocation exact to ±1, total, reproducible") {
+    check("stratifiedSplit", Prop.forAll(Gen.chooseNum(3, 60)) { n =>
+      val docs = (0 until n).map(i => (i.toLong, s"doc $i", s"s${i % 3}"))
+        .toDF("doc_id", "text", "source")
+      val split = Curation.stratifiedSplit(docs, col("source"),
+        md5(concat(lit("law:"), col("doc_id").cast("string"))),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val rows = split.select("doc_id", "source", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // total: every doc assigned exactly one split
+      val total = rows.length == n && rows.map(_._1).toSet.size == n
+      // exactness: each stratum's train share is ⌊0.8·n_g⌋ exactly,
+      // val is ⌊0.9·n_g⌋−⌊0.8·n_g⌋, test takes the remainder
+      val exact = rows.groupBy(_._2).forall { case (_, g) =>
+        val ng = g.length
+        val byS = g.groupBy(_._3).view.mapValues(_.length).toMap
+        byS.getOrElse("train", 0) == math.floor(0.8 * ng).toInt &&
+        byS.getOrElse("val", 0) ==
+          math.floor(0.9 * ng).toInt - math.floor(0.8 * ng).toInt &&
+        byS.getOrElse("test", 0) == ng - math.floor(0.9 * ng).toInt
+      }
+      // reproducible: a second run is identical per doc
+      val again = Curation.stratifiedSplit(docs, col("source"),
+        md5(concat(lit("law:"), col("doc_id").cast("string"))),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      total && exact && again.toSet == rows.toSet
+    })
+  }
+
   test("skew-safe law: grouped prefix sums equal the per-group window for pack and interleave") {
     check("skewSafe", Prop.forAll(corpusGen) { texts =>
       val docs = texts.zipWithIndex

@@ -95,6 +95,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("lshMultiProbeTopK: candidates are a superset of single-probe at equal (bits, tables)") {
+    val embs = (0L until 80L).map { i =>
+      (i, Array.tabulate(32)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") < 4)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    // compare CANDIDATE coverage at a large k so top-k truncation
+    // doesn't mask the superset property
+    val single = pairsOf(Similarity.lshTopK(embs, q, k = 100, bits = 6, tables = 2))
+    val multi = pairsOf(Similarity.lshMultiProbeTopK(embs, q, k = 100, bits = 6, tables = 2))
+    assert(single.subsetOf(multi),
+      s"missing from multiprobe: ${single.diff(multi)}")
+    assert(multi.size > single.size, "Hamming-1 probes recovered no extra candidates")
+    // ranking semantics identical: on candidates both saw, same rank order by cos
+    val mr = Similarity.lshMultiProbeTopK(embs, q, k = 3, bits = 6, tables = 2).collect()
+    mr.foreach(r => assert(r.getAs[Double]("cos") <= 1.0 + 1e-9))
+  }
+
   test("dupClusters: connected components with min-id labels") {
     // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
@@ -103,11 +122,33 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
-    // the distributed label-propagation path must agree with the
+    // the distributed large-star/small-star path must agree with the
     // small-graph driver union-find exactly
     val distributed = Dedup.dupClusters(pairs, smallGraphEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed === got)
+    // ...and so must the min-label foil (tiny diameters here)
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val minLabel = Dedup.minLabelClusters(edges, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minLabel === got)
+  }
+
+  test("dupClustersBigGraph: diameter-independent convergence on a long chain") {
+    // a 400-node chain has diameter 400: min-label propagation needs
+    // ~400 rounds; large-star/small-star must close it in ≤ 30
+    val chain = spark.range(399).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val got = Dedup.dupClusters(chain, smallGraphEdges = 0L)
+    assert(got.count() === 400L)
+    assert(got.filter(col("cluster_id") =!= 0L).count() === 0L)
+    // a cycle plus a pendant (non-tree shapes), and two components
+    val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L), (7L, 8L), (100L, 101L))
+      .toDF("a_id", "b_id")
+    val big = Dedup.dupClusters(pairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(big === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      100L -> 100L, 101L -> 100L))
   }
 
   test("decodeStub opens the decoder once per partition, not per record") {
