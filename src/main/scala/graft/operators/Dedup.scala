@@ -869,24 +869,38 @@ object Dedup {
    * Each round is two keyed aggregates + joins over the CURRENT edge
    * set, and large-star strictly shrinks high-degree tangles, so
    * per-round data volume is non-increasing after the first round.
-   * Convergence is detected exactly (two-sided EXCEPT on the edge
-   * set — no checksum-collision risk); rounds are localCheckpointed
-   * so lineage stays flat.
+   * Convergence is detected in two tiers: a one-aggregate checksum
+   * (count + bit_xor'd xxhash64 of the edge rows) gates each round for
+   * pennies, and only when the checksum matches does the exact
+   * two-sided EXCEPT run to confirm — so the loop pays one tiny
+   * aggregate per round instead of two set-difference shuffles, and
+   * a checksum collision can never cause a wrong early stop (it only
+   * triggers the exact check). Rounds are localCheckpointed so
+   * lineage stays flat.
    *
    * Input: symmetric (u, v) edge list. Output: (doc_id, cluster_id),
    * cluster_id = min id reachable — identical contract to the
    * union-find and min-label paths.
    */
   private[operators] def dupClustersBigGraph(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: xxhash64 values span the full 64-bit range
+      // and a summed checksum overflows under ANSI arithmetic
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var cur = edges.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var curSum = checksum(cur)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      converged =
+      val nextSum = checksum(next)
+      converged = nextSum == curSum &&
         next.except(cur).limit(1).count() == 0 &&
         cur.except(next).limit(1).count() == 0
       cur = next
+      curSum = nextSum
       i += 1
     }
     // at fixpoint edges are (child → root) stars; roots appear only
