@@ -2159,6 +2159,16 @@ object SparkEntry {
     TextAnalysis.qualityScore(t(s, dir, "documents"))
       .withColumn("n_tokens", col("n_tokens").cast("long"))
 
+  /**
+   * Median/MAD quality-drift census per source
+   * (TextAnalysis.qualityMadCensus): discrete lower-median order
+   * statistics on the bounded (source, quality) count table, so the
+   * oracle replays rank selection — not interpolated percentiles,
+   * whose last-ulp arithmetic differs across engines.
+   */
+  private def textQualityMad(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMadCensus(t(s, dir, "documents"))
+
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents"))
 
@@ -2603,6 +2613,21 @@ object SparkEntry {
     Curation.budgetMix(t(s, dir, "documents"), budgetTokens = 10000L,
       temperature = 0.3)
 
+  /**
+   * Fractional-repetition rebalance toward uniform per-source token
+   * budgets (Curation.upsampleMix): at 26k budget over 20 sources the
+   * fixture's small sources repeat (rate > 1) while the large ones
+   * thin (rate < 1), exercising both regimes of the md5 remainder
+   * gate. Aggregated over the EXPLODED copies, so the oracle replays
+   * the per-doc repeat count arithmetic exactly.
+   */
+  private def corpusUpsample(s: SparkSession, dir: String): DataFrame =
+    Curation.upsampleMix(t(s, dir, "documents"), budgetTokens = 26000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows_out"),
+        sum("ntok").as("tokens_out"),
+        countDistinct(col("id")).as("n_docs"))
+
   /** Symmetric int8 embedding quantization: norm/scale/checksums per vector. */
   private def embQuantize(s: SparkSession, dir: String): DataFrame =
     Curation.quantizeEmbeddings(t(s, dir, "embeddings"))
@@ -3005,6 +3030,7 @@ object SparkEntry {
     "ann_multiprobe" -> (annMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "text_quality" -> (textQuality _),
+    "text_quality_mad" -> (textQualityMad _),
     "text_langid" -> (textLangid _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "text_tokens" -> (textTokens _),
@@ -3055,6 +3081,7 @@ object SparkEntry {
     "corpus_pack" -> (corpusPack _),
     "corpus_mix" -> (corpusMix _),
     "corpus_mix_temp" -> (corpusMixTemp _),
+    "corpus_upsample" -> (corpusUpsample _),
     "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -4091,6 +4118,27 @@ object SparkEntry {
         "SELECT label AS label_true, clabel AS label_pred, count(*) AS n " +
         "FROM best WHERE rn = 1 GROUP BY 1, 2"),
     "text_quality" -> qualitySql,
+    // lower-median + MAD per source as explicit rank selection on the
+    // (source, quality) count table — bit-reproducible across engines
+    "text_quality_mad" ->
+      ("WITH ql AS (" + qualitySql + "), " +
+        "qq AS (SELECT d.source, ql.quality AS q FROM documents d " +
+        "JOIN ql ON d.doc_id = ql.doc_id), " +
+        "c AS (SELECT source, q, count(*) AS c FROM qq GROUP BY 1, 2), " +
+        "cc AS (SELECT source, q, c, sum(c) OVER (PARTITION BY source ORDER BY q " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, sum(c) OVER (PARTITION BY source) AS n FROM c), " +
+        "med AS (SELECT source, min(q) AS med FROM cc " +
+        "WHERE cum >= ceil(n / 2.0) GROUP BY source), " +
+        "d AS (SELECT c.source, med.med, abs(c.q - med.med) AS dev, sum(c.c) AS c " +
+        "FROM c JOIN med USING (source) GROUP BY 1, 2, 3), " +
+        "dc AS (SELECT source, med, dev, c, sum(c) OVER (PARTITION BY source ORDER BY dev " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, sum(c) OVER (PARTITION BY source) AS n FROM d), " +
+        "mad AS (SELECT source, min(dev) AS mad FROM dc " +
+        "WHERE cum >= ceil(n / 2.0) GROUP BY source) " +
+        "SELECT d.source, CAST(sum(d.c) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(sum(d.c) FILTER (d.dev > 3.0 * mad.mad), 0) AS BIGINT) AS n_outliers, " +
+        "round(min(d.med), 6) AS median_q, round(min(mad.mad), 6) AS mad_q " +
+        "FROM d JOIN mad USING (source) GROUP BY 1"),
     "text_gopher_census" -> gopherCensusSql,
     "text_langid" -> langidSql,
     // classifier QA: label×prediction cells off the shared langid CTE
@@ -5227,6 +5275,23 @@ object SparkEntry {
         "FROM tok t JOIN thr ON t.source = thr.source) " +
         "SELECT source, CAST(min(thr) AS BIGINT) AS thr, count(*) AS n_kept, " +
         "CAST(sum(ntok) AS BIGINT) AS tokens_kept FROM k WHERE h < thr GROUP BY source"),
+    // fractional-repetition rebalance: uniform 26000/20-token target
+    // per source; n = ⌊rate⌋ + md5-gate on the round6'd remainder
+    "corpus_upsample" ->
+      ("WITH tok AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, " +
+        "(('0x'||substr(md5('ups:'||doc_id), 1, 16))::UBIGINT & 16383) AS h FROM documents), " +
+        "tot AS (SELECT source, sum(ntok) AS toks FROM tok GROUP BY source), " +
+        "r AS (SELECT source, round((26000.0 / (SELECT count(*) FROM tot)) / toks, 6) " +
+        "AS rate FROM tot), " +
+        "c AS (SELECT tok.source, tok.doc_id, tok.ntok, " +
+        "CAST(floor(rate) AS BIGINT) + (CASE WHEN tok.h < " +
+        "floor(round(rate - floor(rate), 6) * 16384) THEN 1 ELSE 0 END) AS n " +
+        "FROM tok JOIN r ON tok.source = r.source) " +
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_rows_out, " +
+        "CAST(sum(n * ntok) AS BIGINT) AS tokens_out, " +
+        "CAST(count(*) FILTER (n > 0) AS BIGINT) AS n_docs " +
+        "FROM c GROUP BY source HAVING sum(n) > 0"),
     "corpus_pack" ->
       ("WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
         "c AS (SELECT source, doc_id, n, sum(n) OVER (PARTITION BY source ORDER BY doc_id " +

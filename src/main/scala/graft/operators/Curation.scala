@@ -314,6 +314,50 @@ object Curation {
         sum("ntok").as("tokens_kept"))
   }
 
+  /**
+   * Rebalance the corpus toward a UNIFORM per-source token budget
+   * with fractional repetition — the upsampling counterpart of
+   * [[budgetMix]] (which can only keep-or-drop). Each source gets
+   * budget/K target tokens; its rate r_s = target/t_s may exceed 1,
+   * in which case every doc repeats ⌊r_s⌋ times and one extra copy
+   * lands on the docs whose md5 gate falls under the fractional
+   * remainder — so realized tokens track the target within one doc's
+   * worth per source, deterministically (no RNG, stable under
+   * re-runs and partitioning). This is the standard "repeat the
+   * small/high-quality sources" mixing lever in LLM data recipes
+   * (epochs-per-source); output carries a `copy` index so downstream
+   * shuffling/packing can treat repeats as distinct rows.
+   *
+   * Scale: per-source totals are a keyed aggregate collected to the
+   * driver (sources are bounded — thousands, not billions); the
+   * repeat decision is a map-literal lookup + md5 gate in the scan
+   * stage, and the explode emits at most ⌈r_s⌉ slim rows per doc —
+   * text never shuffles.
+   */
+  def upsampleMix(docs: DataFrame, budgetTokens: Long,
+      textCol: String = "text", sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val withTok = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("ntok"))
+    val totals = withTok.groupBy("source").agg(sum("ntok").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val perSource = budgetTokens.toDouble / totals.length
+    // round6 before every floor, same discipline as budgetMix: both
+    // engines must land on the same side of each discretization edge
+    val rateMap = totals.map { case (s, t) => s -> round6(perSource / t) }.toMap
+    val baseMap = rateMap.map { case (s, r) => s -> math.floor(r).toLong }
+    val thrMap = rateMap.map { case (s, r) =>
+      s -> math.floor(round6(r - math.floor(r)) * 16384).toLong }
+    val h = md5lo64(concat(lit("ups:"), col("id").cast("string")))
+      .bitwiseAND(lit(16383L))
+    val n = element_at(typedLit(baseMap), col("source")) +
+      when(h < element_at(typedLit(thrMap), col("source")), 1L).otherwise(0L)
+    withTok.withColumn("n_copies", n)
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("id"), col("ntok"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
   // -------------------------------------------------------------------------
   // Sequence packing
   // -------------------------------------------------------------------------

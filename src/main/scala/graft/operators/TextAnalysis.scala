@@ -77,6 +77,53 @@ object TextAnalysis {
   }
 
   /**
+   * Robust per-source quality-outlier census: median + MAD (median
+   * absolute deviation) per source, flagging docs whose quality
+   * deviates more than `nSigmas`·MAD from their source's median —
+   * the robust alternative to mean/stddev gating (one spam flood
+   * shifts a mean; it barely moves a median). The "which sources are
+   * drifting" audit a curation pipeline runs before retuning fixed
+   * thresholds.
+   *
+   * Scale design: quality is round6-quantized, so the per-(source,
+   * quality) COUNT TABLE is bounded at |sources|·10⁶ rows regardless
+   * of corpus size — both medians are exact ORDER STATISTICS on that
+   * table (lower median: smallest value whose cumulative count
+   * reaches ⌈n/2⌉), computed with a window over the bounded table,
+   * never a sort of the corpus. Discrete order statistics, not
+   * interpolated percentiles, on purpose: interpolation arithmetic
+   * differs across engines in the last ulp; rank selection of an
+   * existing value is bit-reproducible everywhere.
+   */
+  def qualityMadCensus(docs: DataFrame, nSigmas: Double = 3.0,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(sourceCol).as("source"), qualityCol(col(textCol)).as("q"))
+      .groupBy("source", "q").agg(count(lit(1)).as("c"))
+    val wTot = Window.partitionBy("source")
+    def lowerMedian(t: DataFrame, valCol: String, outCol: String): DataFrame =
+      t.withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy(valCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(wTot))
+        .filter(col("cum") >= ceil(col("n") / lit(2.0)))
+        .groupBy(col("source").as("_src")).agg(min(valCol).as(outCol))
+    val med = lowerMedian(counts, "q", "med")
+    val dev = counts.join(med, col("source") === col("_src")).drop("_src")
+      .withColumn("dev", abs(col("q") - col("med")))
+      .groupBy("source", "med", "dev").agg(sum("c").as("c"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, col("source") === col("_src")).drop("_src")
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        sum(when(col("dev") > lit(nSigmas) * col("mad"), col("c"))
+          .otherwise(0L)).as("n_outliers"),
+        round(min(col("med")), 6).as("median_q"),
+        round(min(col("mad")), 6).as("mad_q"))
+  }
+
+  /**
    * Gopher-style quality-rule census (Rae et al. '21, table A1 — the
    * subset expressible on this corpus): every rule evaluates as a
    * scan-stage column off ONE pass (the [[qualityScore]] signal

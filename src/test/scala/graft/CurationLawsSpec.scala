@@ -477,6 +477,38 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("upsample law: per-doc copy counts match the reference formula; copies indexed 0..n-1") {
+    check("upsampleMix", Prop.forAll(Gen.chooseNum(4, 40), Gen.chooseNum(100L, 4000L)) { (n, budget) =>
+      val docs = (0 until n).map { i =>
+        (i.toLong, (0 to i % 7).map(j => s"w$j").mkString(" "), s"s${i % 3}")
+      }.toDF("doc_id", "text", "source")
+      val out = Curation.upsampleMix(docs, budgetTokens = budget)
+        .collect().map(r => (r.getLong(1), r.getLong(3))) // (id, copy)
+      // reference: per-source totals -> rate -> floor + md5-gate remainder
+      val ntok = (0 until n).map(i => i.toLong -> (i % 7 + 1).toLong).toMap
+      val srcOf = (0 until n).map(i => i.toLong -> s"s${i % 3}").toMap
+      val totals = ntok.groupBy { case (id, _) => srcOf(id) }
+        .view.mapValues(_.values.sum).toMap
+      def round6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val per = budget.toDouble / totals.size
+      def md5lo14(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        val hi = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+        hi & 16383L
+      }
+      val expected = (0 until n).flatMap { i =>
+        val r = round6(per / totals(s"s${i % 3}"))
+        val base = math.floor(r).toLong
+        val thr = math.floor(round6(r - math.floor(r)) * 16384).toLong
+        val nc = base + (if (md5lo14(s"ups:$i") < thr) 1L else 0L)
+        (0L until nc).map(c => (i.toLong, c))
+      }.toSet
+      out.toSet == expected
+    })
+  }
+
   test("stratified-split law: per-stratum allocation exact to ±1, total, reproducible") {
     check("stratifiedSplit", Prop.forAll(Gen.chooseNum(3, 60)) { n =>
       val docs = (0 until n).map(i => (i.toLong, s"doc $i", s"s${i % 3}"))

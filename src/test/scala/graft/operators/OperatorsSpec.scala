@@ -95,6 +95,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("qualityMadCensus flags a planted outlier; identical docs give MAD 0") {
+    import graft.operators.TextAnalysis
+    // 12 identical docs (same quality) + 1 wildly different one
+    val same = (0 until 12).map(i =>
+      (i.toLong, "the quick brown fox jumps over a lazy dog today", "s0"))
+    val outlier = Seq((99L, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa", "s0"))
+    val docs = (same ++ outlier).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.qualityMadCensus(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === 13L)
+    // 12 of 13 share the median quality -> MAD = 0, and the planted
+    // doc's nonzero deviation exceeds 3*0
+    assert(row.getAs[Double]("mad_q") === 0.0)
+    assert(row.getAs[Long]("n_outliers") === 1L)
+  }
+
   test("lshMultiProbeTopK: candidates are a superset of single-probe at equal (bits, tables)") {
     val embs = (0L until 80L).map { i =>
       (i, Array.tabulate(32)(d => math.sin(i * 0.7 + d).toFloat))
