@@ -1519,6 +1519,17 @@ object SparkEntry {
     Dedup.sharedSpanReport(t(s, dir, "documents"), span = 20)
 
   /**
+   * The span-level REWRITE (Dedup.spanRewrite): every token covered
+   * by a 20-token window whose content occurs earlier in (doc_id,
+   * position) order is removed and the doc reassembled. The oracle
+   * replays the full pipeline — positioned windows, keep-first by
+   * row_number, interval coverage, ordered reassembly — on shingle
+   * STRINGS (the engine hashes them; the fixture is collision-free).
+   */
+  private def dedupSpanRewrite(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanRewrite(t(s, dir, "documents"), span = 20)
+
+  /**
    * DSIR-style importance weights toward the doc_id%50 exemplar
    * "target domain". maxVocab=20 deliberately binds on the fixture's
    * 31-type vocabulary so the capped-LM OOV path is exercised
@@ -2993,6 +3004,7 @@ object SparkEntry {
     "dedup_bloom_persist" -> (dedupBloomPersist _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_span_rewrite" -> (dedupSpanRewrite _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "retrieval_rrf" -> (retrievalRrf _),
@@ -4772,6 +4784,29 @@ object SparkEntry {
         "hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2) " +
         "SELECT doc_id, count(*) AS n_shared_spans FROM sh JOIN hot USING (s) " +
         "GROUP BY doc_id"),
+    // full span-rewrite replay: positioned 20-token windows,
+    // keep-first by (doc_id, pos) row_number, interval coverage of
+    // duplicate starts, ordered reassembly of surviving tokens
+    "dedup_span_rewrite" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+19], ' ') AS sh " +
+        "FROM tok, UNNEST(generate_series(1, len(w) - 19)) t(i) WHERE len(w) >= 20), " +
+        "dup AS (SELECT doc_id, p FROM (SELECT doc_id, p, " +
+        "row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn FROM pos) " +
+        "WHERE rn > 1), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM dup, " +
+        "UNNEST(generate_series(p, p + 19)) c(tp)), " +
+        "tkn AS (SELECT doc_id, i - 1 AS tp, w[i] AS tokn FROM tok, " +
+        "UNNEST(generate_series(1, len(w))) t(i)), " +
+        "kept AS (SELECT tkn.doc_id, tkn.tp, tkn.tokn FROM tkn " +
+        "LEFT JOIN cov ON tkn.doc_id = cov.doc_id AND tkn.tp = cov.tp " +
+        "WHERE cov.tp IS NULL), " +
+        "agg AS (SELECT doc_id, count(*) AS n_after, " +
+        "string_agg(tokn, ' ' ORDER BY tp) AS txt FROM kept GROUP BY doc_id) " +
+        "SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_before, " +
+        "CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_after, " +
+        "md5(coalesce(agg.txt, '')) AS rewritten_md5 " +
+        "FROM tok LEFT JOIN agg USING (doc_id)"),
     // replays the two-pass BM25 arithmetic term-by-term in the same
     // order (idf and avgdl rounded to 6 decimals before scoring on
     // both sides, so the unrounded ranking doubles are bit-identical)

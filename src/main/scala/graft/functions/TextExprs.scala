@@ -192,6 +192,18 @@ object TextPass {
   }
 
   /**
+   * ALL hashed n-gram shingles in POSITION order (non-distinct):
+   * element i is the hash of the window starting at token i. The
+   * positional form the span-rewrite dedup needs — same one-pass
+   * O(bytes) traversal as [[shingleHashes]].
+   */
+  def shingleHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    eachShingle(text, n) { h => out += h }
+    new GenericArrayData(out.toArray)
+  }
+
+  /**
    * ALL n-gram shingle STRINGS (non-distinct, order preserved), one
    * pass over the bytes — ≡ sliding concat_ws(" ", slice(split(text,
    * " "), i, n)) but O(bytes), where the composed-builtin form is
@@ -589,6 +601,18 @@ case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): ShingleStringsExpr = copy(child = c)
 }
 
+/** `shingle_hash_seq(text, n)` — ALL hashed shingles in position order, one pass. */
+case class ShingleHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hash_seq"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.shingleHashSeq(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextPass.shingleHashSeq($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSeqExpr = copy(child = c)
+}
+
 /** `shingle_hashes(text, n)` — distinct hashed word-n-gram shingles, one pass. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -708,6 +732,10 @@ object TextFunctions {
   /** All n-gram shingle strings (non-distinct), one O(bytes) pass. */
   def shingle_strings(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleStringsExpr(ColumnBridge.expression(text), n))
+
+  /** All hashed shingles in position order (non-distinct), one O(bytes) pass. */
+  def shingle_hash_seq(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSeqExpr(ColumnBridge.expression(text), n))
 
   /** k-long MinHash signature straight from text (scan-stage, zero shuffle). */
   def minhash_doc(text: Column, n: Int = 5, k: Int = 64, seed: Long = 42L): Column =

@@ -617,6 +617,50 @@ object Dedup {
    * with ≥2 distinct docs mark their members. Output: (doc_id,
    * n_shared_spans) — drop or trim flagged docs downstream.
    */
+  /**
+   * Exact substring-span REWRITE (the Lee et al. '22 "Deduplicating
+   * Training Data" shape, approximated at span granularity):
+   * [[sharedSpanReport]] only counts shared spans; this removes them.
+   * Every token covered by a `span`-token window whose content
+   * appears EARLIER in the corpus (global (doc_id, position) order —
+   * including earlier in the same document, so self-repetition
+   * dedups too) is dropped, and the document reassembled from the
+   * survivors. Keep-first is a map-side-combining min(struct(id,
+   * pos)) per shingle hash — the same aggregate discipline as
+   * [[paragraphDedup]], never a per-hash window, so a corpus-viral
+   * boilerplate span is a big partial-agg count, not a single-task
+   * serialization.
+   *
+   * Scale: positioned hashes come from the one-pass
+   * `shingle_hash_seq` expression (element i = hash of the window at
+   * token i); the only corpus-sized shuffle carries (id, pos, hash)
+   * — 20 bytes/token, never text. Duplicate START positions are
+   * bounded by actual duplication; they come back to each doc as one
+   * sorted array, and the rewrite is a scan-stage filter over the
+   * token array. Output: (doc_id, n_before, n_after, rewritten_md5).
+   */
+  def spanRewrite(docs: DataFrame, span: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val positioned = docs.select(col(idCol).as("id"),
+      posexplode(shingle_hash_seq(col(textCol), span)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "sh")
+    val owner = positioned.groupBy("sh")
+      .agg(min(struct(col("id"), col("p"))).as("own"))
+    val dupStarts = positioned.join(owner, "sh")
+      .filter(!(col("id") === col("own.id") && col("p") === col("own.p")))
+      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("starts"))
+    val toks = split(col(textCol), " ")
+    docs.join(dupStarts, docs(idCol) === dupStarts("id"), "left_outer")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        s => sequence(s, s + lit(span - 1))))))
+      .withColumn("kept", filter(toks, (x, i) => !array_contains(col("covered"), i)))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(concat_ws(" ", col("kept"))).as("rewritten_md5"))
+  }
+
   def sharedSpanReport(docs: DataFrame, span: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shinglesHashed(docs, span, textCol, idCol)

@@ -95,6 +95,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("spanRewrite removes later occurrences of a shared span, keeps the first intact") {
+    // doc 0: tokens a0..a9 ; doc 1: unique prefix u0..u4 + a0..a9 + unique tail
+    val shared = (0 until 10).map(i => s"a$i").mkString(" ")
+    val d0 = shared
+    val d1 = (0 until 5).map(i => s"u$i").mkString(" ") + " " + shared + " z0 z1"
+    val docs = Seq((0L, d0), (1L, d1)).toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(docs, span = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 owns the span (earlier id) and keeps all 10 tokens
+    assert(out(0L) === ((10L, 10L)))
+    // doc 1 loses exactly the 10 shared tokens, keeps prefix + tail
+    assert(out(1L) === ((17L, 7L)))
+    // self-repetition: the same span twice in ONE doc dedups too
+    val rep = Seq((5L, shared + " mid " + shared)).toDF("doc_id", "text")
+    val r5 = Dedup.spanRewrite(rep, span = 10).collect().head
+    assert(r5.getLong(1) === 21L && r5.getLong(2) === 11L) // second copy dropped
+  }
+
   test("qualityMadCensus flags a planted outlier; identical docs give MAD 0") {
     import graft.operators.TextAnalysis
     // 12 identical docs (same quality) + 1 wildly different one
