@@ -135,6 +135,15 @@ object ScaleProbe {
           "chain did not collapse to root 0")
         labels.count()
       },
+      // span rewrite at probe scale: every 50th doc is a one-token
+      // edit of its neighbor, so its pre/post-edit runs of ≥20 tokens
+      // dedup away; cost must track the shingle explosion (linear)
+      // aggregate over BOTH counters and the md5 so column pruning
+      // can't skip the coverage join or the text reassembly
+      time("span_rewrite")(Dedup.spanRewrite(docs, span = 20)
+        .agg(sum(col("n_before") - col("n_after")).as("removed"),
+          sum(length(col("rewritten_md5"))).as("md5len"))
+        .head().getLong(0)),
       time("topk_per_key")(Relational.topKPerKey(
         docs.withColumn("g", pmod(col("doc_id"), lit(97))),
         Seq(col("g")), Seq(length(col("text")).desc, col("doc_id").asc), 5).count()),

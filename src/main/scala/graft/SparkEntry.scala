@@ -2306,6 +2306,27 @@ object SparkEntry {
    * planted recall the oracle checks. A production run on low-entropy
    * keys would raise τ or block harder; the operator is unchanged.
    */
+  /**
+   * Fellegi–Sunter linkage over customers blocked by
+   * (nation, segment): three comparison fields (acctbal thousand
+   * band, last name digit, tens-of-cents digit) score each in-block
+   * pair with the precomputed log-likelihood weights; output is the
+   * (score, verdict) census — deterministic counts, no float-sum
+   * ordering hazard.
+   */
+  private def erFellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(col("c_nationkey").cast("string"), lit("|"), col("c_mktsegment")).as("blk"),
+      floor(col("c_acctbal") / 1000).as("bal_band"),
+      expr("right(c_name, 1)").as("name_tail"),
+      (round(col("c_acctbal") * 100).cast("long") % 10).as("cent_band"))
+    Dedup.fellegiSunterScores(cust, "blk", "c_custkey", fsFields,
+        tLower = 0.0, tUpper = 3.0)
+      .groupBy("score", "verdict")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private def erCosine(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
     val typo = part.filter(col("p_partkey") % 100 === 0)
@@ -3063,6 +3084,7 @@ object SparkEntry {
     "corpus_source_kl" -> (corpusSourceKl _),
     "text_jaccard_knn" -> (textJaccardKnn _),
     "er_editdist" -> (erEditdist _),
+    "er_fellegi_sunter" -> (erFellegiSunter _),
     "er_cosine" -> (erCosine _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
@@ -3123,6 +3145,20 @@ object SparkEntry {
 
   /** DuckDB: unsigned 64-bit value of the first 16 hex chars of md5(e). */
   private def md5u(e: String): String = s"(('0x'||substr(md5($e),1,16))::UBIGINT)"
+
+  /**
+   * Fellegi–Sunter field weights, precomputed to round6'd literals so
+   * BOTH engines sum identical constants (ln() implementations may
+   * differ in the last ulp): (agreeWeight, disagreeWeight).
+   */
+  private def fsWeights(m: Double, u: Double): (Double, Double) = {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r6(math.log(m / u)), r6(math.log((1 - m) / (1 - u))))
+  }
+  private lazy val fsFields: Seq[(String, Double, Double)] = Seq(
+    ("bal_band", fsWeights(0.9, 0.05)),
+    ("name_tail", fsWeights(0.85, 0.2)),
+    ("cent_band", fsWeights(0.8, 0.1))).map { case (f, (wa, wd)) => (f, wa, wd) }
 
   /**
    * Winnowing fingerprint selection (k=4-gram, w=5 window) replayed
@@ -4276,6 +4312,25 @@ object SparkEntry {
         "FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id " +
         "AND abs(length(a.s) - length(bb.s)) <= 2 " +
         "WHERE levenshtein(a.s, bb.s) <= 2"),
+    // Fellegi–Sunter replay with the same precomputed round6'd weight
+    // literals the engine sums (ln() differs across engines in the
+    // last ulp; literal constants don't)
+    "er_fellegi_sunter" -> {
+      val (_, w1a, w1d) = fsFields(0)
+      val (_, w2a, w2d) = fsFields(1)
+      val (_, w3a, w3d) = fsFields(2)
+      "WITH c AS (SELECT c_custkey, c_nationkey || '|' || c_mktsegment AS blk, " +
+        "floor(c_acctbal / 1000) AS bal_band, right(c_name, 1) AS name_tail, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cent_band FROM customer), " +
+        "p AS (SELECT round(" +
+        s"(CASE WHEN a.bal_band = b.bal_band THEN $w1a ELSE $w1d END) + " +
+        s"(CASE WHEN a.name_tail = b.name_tail THEN $w2a ELSE $w2d END) + " +
+        s"(CASE WHEN a.cent_band = b.cent_band THEN $w3a ELSE $w3d END), 6) AS score " +
+        "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey) " +
+        "SELECT score, CASE WHEN score >= 3.0 THEN 'match' " +
+        "WHEN score > 0.0 THEN 'possible' ELSE 'non_match' END AS verdict, " +
+        "count(*) AS n_pairs FROM p GROUP BY 1, 2"
+    },
     // UNBLOCKED all-pairs set cosine: equality with the engine's
     // prefix-filtered run proves AllPairs blocking is lossless
     "er_cosine" ->

@@ -644,8 +644,15 @@ object Dedup {
     val positioned = docs.select(col(idCol).as("id"),
       posexplode(shingle_hash_seq(col(textCol), span)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "sh")
+    // keep only hashes that occur ≥2 times: the owner table shrinks
+    // from |windows| to |actually-shared windows|, so the join back
+    // against the positioned rows is a broadcast of the (small) hot
+    // set instead of a sort-merge of two corpus-sized sides — the
+    // corpus-sized shuffle happens ONCE, in this aggregate
     val owner = positioned.groupBy("sh")
-      .agg(min(struct(col("id"), col("p"))).as("own"))
+      .agg(min(struct(col("id"), col("p"))).as("own"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .drop("cnt")
     val dupStarts = positioned.join(owner, "sh")
       .filter(!(col("id") === col("own.id") && col("p") === col("own.p")))
       .groupBy("id").agg(sort_array(collect_list(col("p"))).as("starts"))
@@ -984,6 +991,46 @@ object Dedup {
    * `blockKey` — blocking recall is a declared tradeoff of ER, and
    * the oracle replays whatever key is chosen.
    */
+  /**
+   * Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
+   * canonical ER scoring model): candidate pairs from equality
+   * blocking, then each comparison field contributes log(m/u) on
+   * agreement and log((1-m)/(1-u)) on disagreement (m = P(agree |
+   * match), u = P(agree | non-match)); the summed log-likelihood
+   * ratio classifies pairs as match / possible / non_match against
+   * the two thresholds. Field weights arrive PRECOMPUTED (round6'd
+   * doubles) so an oracle replays the sum with literal constants —
+   * engines' ln() may differ in the last ulp.
+   *
+   * Scale: the standard ER shape — pair work is O(Σ|block|²) bounded
+   * by the blocking key's granularity, the probe side spreads
+   * round-robin so a skewed block parallelizes, and each pair carries
+   * only the compared fields, not whole records.
+   *
+   * `fields`: (name, agreeWeight, disagreeWeight) with the field's
+   * comparable value column resolvable as `a.<name>` / `b.<name>`
+   * from `records`.
+   */
+  def fellegiSunterScores(records: DataFrame, blockCol: String, idCol: String,
+      fields: Seq[(String, Double, Double)],
+      tLower: Double, tUpper: Double): DataFrame = {
+    val cols = Seq(col(idCol).as("id"), col(blockCol).as("blk")) ++
+      fields.map { case (f, _, _) => col(f) }
+    val base = records.select(cols: _*)
+    val probe = base.repartition(records.sparkSession.sparkContext.defaultParallelism)
+    val score = fields.map { case (f, wa, wd) =>
+      when(col(s"a.$f") === col(s"b.$f"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    probe.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(score, 6).as("score"))
+      .withColumn("verdict",
+        when(col("score") >= tUpper, "match")
+          .when(col("score") > tLower, "possible")
+          .otherwise("non_match"))
+  }
+
   def editDistancePairs(items: DataFrame, strCol: String, idCol: String,
       maxDist: Int = 2,
       blockKey: Column => Column = s => substring_index(s, " ", 1)): DataFrame = {

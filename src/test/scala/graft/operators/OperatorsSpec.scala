@@ -95,6 +95,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("fellegiSunterScores: agreement sums the right weights, thresholds classify") {
+    val recs = Seq(
+      (1L, "b1", "x", "p"),   // 1-2: agree on both fields
+      (2L, "b1", "x", "p"),
+      (3L, "b1", "y", "q"),   // disagrees with 1/2 on both
+      (4L, "b2", "x", "p")    // different block: never paired
+    ).toDF("id", "blk", "f1", "f2")
+    val out = Dedup.fellegiSunterScores(recs, "blk", "id",
+        Seq(("f1", 2.0, -1.0), ("f2", 1.5, -0.5)), tLower = 0.0, tUpper = 3.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getString(3)))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L)) === ((3.5, "match")))       // 2.0 + 1.5
+    assert(out((1L, 3L)) === ((-1.5, "non_match")))  // -1.0 + -0.5
+    assert(out((2L, 3L)) === ((-1.5, "non_match")))
+  }
+
   test("spanRewrite removes later occurrences of a shared span, keeps the first intact") {
     // doc 0: tokens a0..a9 ; doc 1: unique prefix u0..u4 + a0..a9 + unique tail
     val shared = (0 until 10).map(i => s"a$i").mkString(" ")
