@@ -460,4 +460,37 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans <= 8, s"constraint suite re-scans its inputs ($scans parquet scans):\n${p.take(1500)}")
   }
+
+  test("dedup_span_rewrite: keep-first is an aggregate; the hot-owner set broadcasts at runtime") {
+    val df = SparkEntry.queries("dedup_span_rewrite")(spark, SparkTestSession.sfDir)
+    df.collect() // let AQE finalize with the real hot-set size
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "first-occurrence must be min(struct) partial agg — a per-hash window serializes viral spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the ≥2-occurrence filter shrinks the owner table to the
+    // actually-shared set, which AQE then broadcasts — the positioned
+    // rows must never meet a corpus-sized side in a sort-merge join
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot owner set did not broadcast into the positioned join:\n${p.take(2000)}")
+  }
+
+  test("corpus_split_stratified: ranks are per-partition windows, never one global sort task") {
+    val p = plan("corpus_split_stratified")
+    // cumulativeSums' per-partition window (partitioned by _pid) must
+    // carry the ranking; the only global window allowed is the bounded
+    // one-row-per-stratum offset table
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"stratified rank must ride the _pid-partitioned window:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_clusters_big / ann_multiprobe: no product joins anywhere in the loop stages") {
+    val p1 = plan("ann_multiprobe")
+    assert(p1.contains("BroadcastHashJoin"), "multiprobe query fan-out should broadcast")
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
+    val p2 = plan("er_fellegi_sunter")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "blocked pair generation degenerated into a product join")
+  }
 }
