@@ -690,7 +690,7 @@ object ScaleProbe {
       // index — per-batch cost must stay flat as the indexed corpus
       // grows (compare runs at 200k vs 1M probe docs)
       val unitWanted = only.forall(o => o.exists(_.startsWith("para_")) ||
-        o.exists(_.startsWith("unit_")))
+        o.exists(_.startsWith("unit_")) || o.exists(_.startsWith("span_incr")))
       val incrBatch = spark.range(9000000L, 9002000L).toDF("doc_id")
         .withColumn("text",
           concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
@@ -700,6 +700,9 @@ object ScaleProbe {
       // it; the build timing below measures a rebuild
       if (unitWanted && !spark.catalog.tableExists("graft_probe_unit_idx"))
         Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
+      if (only.exists(_.contains("span_incr_batch")) &&
+          !spark.catalog.tableExists("graft_probe_span_idx"))
+        Dedup.writeSpanIndex(docs, "graft_probe_span_idx", span = 20)
       Seq(
         time("para_dedup")(Dedup.paragraphDedup(docs, width = 15).count()),
         time("para_dedup_viral")(Dedup.paragraphDedup(viral, width = 15).count()),
@@ -710,6 +713,16 @@ object ScaleProbe {
         time("para_incr_batch")(
           Dedup.paragraphDedupIncremental(incrBatch, "graft_probe_unit_idx",
             width = 15).count()),
+        // span-index maintenance at probe scale: build once, rewrite
+        // a FIXED 2k-doc batch — per-batch cost must track the batch
+        // and its probed buckets, not the standing corpus
+        time("span_incr_build") {
+          Dedup.writeSpanIndex(docs, "graft_probe_span_idx", span = 20)
+          spark.table("graft_probe_span_idx").count()
+        },
+        time("span_incr_batch")(
+          Dedup.spanRewriteIncremental(incrBatch, "graft_probe_span_idx", span = 20)
+            .agg(sum(col("n_before") - col("n_after"))).head().getLong(0)),
         time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
           "s", "id", w = 10, maxDist = 2).count()))

@@ -1530,6 +1530,20 @@ object SparkEntry {
     Dedup.spanRewrite(t(s, dir, "documents"), span = 20)
 
   /**
+   * The MAINTAINED span rewrite: standing 90% of the corpus persists
+   * as a bucketed span index; the arriving 10% batch rewrites against
+   * it at batch-sized cost (Dedup.spanRewriteIncremental). Oracle is
+   * the identical global replay restricted to the batch docs.
+   */
+  private def dedupSpanRewriteIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_span_idx"))
+      Dedup.writeSpanIndex(docs.filter(col("doc_id") < cut), "graft_span_idx")
+    Dedup.spanRewriteIncremental(docs.filter(col("doc_id") >= cut), "graft_span_idx")
+  }
+
+  /**
    * DSIR-style importance weights toward the doc_id%50 exemplar
    * "target domain". maxVocab=20 deliberately binds on the fixture's
    * 31-type vocabulary so the capped-LM OOV path is exercised
@@ -3026,6 +3040,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_rewrite" -> (dedupSpanRewrite _),
+    "dedup_span_rewrite_incr" -> (dedupSpanRewriteIncr _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "retrieval_rrf" -> (retrievalRrf _),
@@ -3400,6 +3415,28 @@ object SparkEntry {
       where
 
   /** Recursive-CTE closure over the near-dup pair graph — oracle for both the iterative CC operator and the SQL-surface recursion. */
+  /** Span-rewrite replay; `finalWhere` restricts the OUTPUT docs only. */
+  private def spanRewriteSql(finalWhere: String): String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "pos AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+19], ' ') AS sh " +
+      "FROM tok, UNNEST(generate_series(1, len(w) - 19)) t(i) WHERE len(w) >= 20), " +
+      "dup AS (SELECT doc_id, p FROM (SELECT doc_id, p, " +
+      "row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn FROM pos) " +
+      "WHERE rn > 1), " +
+      "cov AS (SELECT DISTINCT doc_id, tp FROM dup, " +
+      "UNNEST(generate_series(p, p + 19)) c(tp)), " +
+      "tkn AS (SELECT doc_id, i - 1 AS tp, w[i] AS tokn FROM tok, " +
+      "UNNEST(generate_series(1, len(w))) t(i)), " +
+      "kept AS (SELECT tkn.doc_id, tkn.tp, tkn.tokn FROM tkn " +
+      "LEFT JOIN cov ON tkn.doc_id = cov.doc_id AND tkn.tp = cov.tp " +
+      "WHERE cov.tp IS NULL), " +
+      "agg AS (SELECT doc_id, count(*) AS n_after, " +
+      "string_agg(tokn, ' ' ORDER BY tp) AS txt FROM kept GROUP BY doc_id) " +
+      "SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_before, " +
+      "CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_after, " +
+      "md5(coalesce(agg.txt, '')) AS rewritten_md5 " +
+      "FROM tok LEFT JOIN agg USING (doc_id)" + finalWhere
+
   private lazy val clustersSql: String =
     "WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
@@ -4842,26 +4879,11 @@ object SparkEntry {
     // full span-rewrite replay: positioned 20-token windows,
     // keep-first by (doc_id, pos) row_number, interval coverage of
     // duplicate starts, ordered reassembly of surviving tokens
-    "dedup_span_rewrite" ->
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "pos AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+19], ' ') AS sh " +
-        "FROM tok, UNNEST(generate_series(1, len(w) - 19)) t(i) WHERE len(w) >= 20), " +
-        "dup AS (SELECT doc_id, p FROM (SELECT doc_id, p, " +
-        "row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn FROM pos) " +
-        "WHERE rn > 1), " +
-        "cov AS (SELECT DISTINCT doc_id, tp FROM dup, " +
-        "UNNEST(generate_series(p, p + 19)) c(tp)), " +
-        "tkn AS (SELECT doc_id, i - 1 AS tp, w[i] AS tokn FROM tok, " +
-        "UNNEST(generate_series(1, len(w))) t(i)), " +
-        "kept AS (SELECT tkn.doc_id, tkn.tp, tkn.tokn FROM tkn " +
-        "LEFT JOIN cov ON tkn.doc_id = cov.doc_id AND tkn.tp = cov.tp " +
-        "WHERE cov.tp IS NULL), " +
-        "agg AS (SELECT doc_id, count(*) AS n_after, " +
-        "string_agg(tokn, ' ' ORDER BY tp) AS txt FROM kept GROUP BY doc_id) " +
-        "SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_before, " +
-        "CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_after, " +
-        "md5(coalesce(agg.txt, '')) AS rewritten_md5 " +
-        "FROM tok LEFT JOIN agg USING (doc_id)"),
+    "dedup_span_rewrite" -> spanRewriteSql(""),
+    // the maintained path: identical global replay (corpus ∪ batch),
+    // output restricted to the batch docs
+    "dedup_span_rewrite_incr" -> spanRewriteSql(
+      " WHERE tok.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)"),
     // replays the two-pass BM25 arithmetic term-by-term in the same
     // order (idf and avgdl rounded to 6 decimals before scoring on
     // both sides, so the unrounded ranking doubles are bit-identical)

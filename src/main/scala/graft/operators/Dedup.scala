@@ -668,6 +668,95 @@ object Dedup {
         md5(concat_ws(" ", col("kept"))).as("rewritten_md5"))
   }
 
+  /** Positioned window rows for the span index: (id, _ord, p, sh). */
+  private def spanRows(docs: DataFrame, span: Int, textCol: String,
+      idCol: String, orderOf: Column => Column): DataFrame =
+    docs.select(col(idCol).as("id"), orderOf(col(idCol)).as("_ord"),
+        posexplode(shingle_hash_seq(col(textCol), span)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "sh")
+
+  /**
+   * Persist the span index: one (h, ord, p) row per DISTINCT window
+   * hash with its first owner in (ord, p) order — the maintained
+   * form of [[spanRewrite]]'s keep-first aggregate, bucketed by hash
+   * for pruned point probes (the [[writeUnitIndex]] pattern at span
+   * granularity).
+   */
+  def writeSpanIndex(docs: DataFrame, table: String, span: Int = 20,
+      buckets: Int = 64, textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      spanRows(docs, span, textCol, idCol, orderOf)
+        .groupBy(col("sh").as("h"))
+        .agg(min(struct(col("_ord"), col("p"))).as("_first"))
+        .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p")),
+      table, "h", buckets)
+
+  /**
+   * Span rewrite of an arriving batch against the persistent span
+   * index — per-batch cost tracks the batch, never the standing
+   * corpus. Keep rule per window instance (the
+   * [[paragraphDedupIncremental]] discipline):
+   *  - index hit owned by ANOTHER (ord, p) → duplicate start;
+   *  - index hit owned by THIS position → not a dup (at-least-once
+   *    replay of an appended batch reproduces itself);
+   *  - no index hit → dup iff an earlier batch occurrence exists.
+   * Tokens covered by duplicate starts drop; docs reassemble.
+   * Equals [[spanRewrite]] over (corpus ∪ batch) restricted to the
+   * batch when every corpus order key precedes the batch's
+   * (law-tested). Index reads re-aggregate min per hash, so replayed
+   * append markers never double-match; small batches prune the index
+   * read to their own hash set.
+   */
+  def spanRewriteIncremental(batch: DataFrame, table: String, span: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): DataFrame = {
+    val spark = batch.sparkSession
+    val pos = spanRows(batch, span, textCol, idCol, orderOf).localCheckpoint()
+    val hashes = pos.select("sh").distinct().collect().map(_.getLong(0)).toSeq
+    val idx0 = spark.table(table)
+    val idx = if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes)) else idx0
+    val owners = idx.groupBy(col("h").as("sh"))
+      .agg(min(struct(col("ord"), col("p"))).as("_owner"))
+    val bfirst = pos.groupBy(col("sh"))
+      .agg(min(struct(col("_ord"), col("p"))).as("_bfirst"))
+    val self = struct(col("_ord"), col("p"))
+    val dupStarts = pos
+      .join(owners, Seq("sh"), "left")
+      .join(bfirst, Seq("sh"))
+      .filter((col("_owner").isNotNull && self =!= col("_owner")) ||
+        (col("_owner").isNull && self =!= col("_bfirst")))
+      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("starts"))
+    val toks = split(col(textCol), " ")
+    batch.join(dupStarts, batch(idCol) === dupStarts("id"), "left_outer")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        s => sequence(s, s + lit(span - 1))))))
+      .withColumn("kept", filter(toks, (x, i) => !array_contains(col("covered"), i)))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(concat_ws(" ", col("kept"))).as("rewritten_md5"))
+  }
+
+  /**
+   * Append an accepted batch's NOVEL first-occurrence windows to the
+   * span index — batch-sized insert, idempotent under redelivery
+   * (novelty is an anti-join against the standing hashes; readers
+   * re-aggregate min per hash).
+   */
+  def appendToSpanIndex(batch: DataFrame, table: String, span: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id",
+      orderOf: Column => Column = _.cast("long")): Unit = {
+    val spark = batch.sparkSession
+    val novel = spanRows(batch, span, textCol, idCol, orderOf)
+      .groupBy(col("sh").as("h"))
+      .agg(min(struct(col("_ord"), col("p"))).as("_first"))
+      .join(spark.table(table).select("h"), Seq("h"), "left_anti")
+      .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p"))
+    graft.sources.Bucketing.appendBucketed(novel, table, "h")
+  }
+
   def sharedSpanReport(docs: DataFrame, span: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shinglesHashed(docs, span, textCol, idCol)

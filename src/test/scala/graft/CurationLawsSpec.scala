@@ -356,6 +356,44 @@ class CurationLawsSpec extends AnyFunSuite {
     assert(out2b.getLong(2) === 0L)
   }
 
+  test("span-index law: incremental span rewrite ≡ global rewrite; replay + append hold") {
+    import graft.operators.Dedup
+    // 12-token docs; span=6 so any shared half-doc run dedups
+    val mkDoc = (id: Long, s: Long) =>
+      (id, (0 until 12).map(j => s"w${(s * 12 + j) % 300}").mkString(" "))
+    val corpus = (0L until 30L).map(i => mkDoc(i, i)).toDF("doc_id", "text")
+    // batch: a full copy of corpus doc 5, a fresh doc, and a doc whose
+    // first 6 tokens duplicate the fresh doc's (intra-batch dup)
+    val fresh = mkDoc(101L, 7000L)
+    val b1 = Seq(mkDoc(100L, 5L), fresh,
+      (102L, fresh._2.split(" ").take(6).mkString(" ") + " q1 q2 q3 q4 q5 q6")
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, "graft_law_span", span = 6)
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Dedup.spanRewriteIncremental(b, "graft_law_span", span = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val incr = run(b1)
+    val global = Dedup.spanRewrite(corpus.unionByName(b1), span = 6)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(incr === global)
+    assert(incr.exists(r => r._1 == 100L && r._3 == 0L)) // full copy emptied
+    assert(incr.exists(r => r._1 == 102L && r._3 == 6L)) // shared half dropped
+    // replay BEFORE append: identical
+    assert(run(b1) === incr)
+    // append, then replay AFTER append still reproduces itself
+    // (self-owned index hits are kept), and a later batch duplicating
+    // b1's fresh doc comes back empty
+    Dedup.appendToSpanIndex(b1, "graft_law_span", span = 6)
+    assert(run(b1) === incr)
+    val b2 = Seq((200L, fresh._2)).toDF("doc_id", "text")
+    val out2 = run(b2).head
+    assert(out2._3 === 0L)
+    // append idempotence
+    Dedup.appendToSpanIndex(b1, "graft_law_span", span = 6)
+    assert(run(b2).head._3 === 0L)
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
