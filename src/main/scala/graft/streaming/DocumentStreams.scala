@@ -114,6 +114,30 @@ object DocumentStreams {
       }
       .start()
 
+  /**
+   * The exact-substring loop maintained under ingest — the span-level
+   * sibling of [[streamingParagraphIngest]]: each micro-batch is
+   * span-rewritten against the persistent span index (its duplicated
+   * ≥span-token windows vs everything already ingested drop), lands
+   * in a replay-safe `batch=<id>` sink, and appends its novel
+   * first-occurrence windows — so batch N+1's copies of batch N's
+   * content dedup too. Replay safety is the operator's own keep rule
+   * (self-owned index hits are kept), so a restarted checkpoint
+   * reproduces every output bit-identically (spec-pinned).
+   */
+  def streamingSpanIngest(docStream: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      span: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint() // rewritten AND appended below
+        graft.operators.Dedup.spanRewriteIncremental(b, indexTable, span = span)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.operators.Dedup.appendToSpanIndex(b, indexTable, span = span)
+      }
+      .start()
+
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
