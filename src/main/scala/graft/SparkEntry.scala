@@ -2878,6 +2878,20 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
 
   /**
+   * t-closeness audit (Checks.tClosenessGroups): the skewness-attack
+   * rung of the privacy trio — quasi-id groups whose ordered
+   * account-balance-band distribution diverges from the global one
+   * by EMD > 0.2. Everything runs on bounded count tables; the
+   * cumulative window walks the (groups × bands) grid in band order
+   * on both engines, so the replay is bit-stable.
+   */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    Checks.tClosenessGroups(
+      t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 2000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", t = 0.2)
+
+  /**
    * Index DELETE maintenance: docs with doc_id % 7 == 5 are
    * tombstoned out of the built index (O(markers) append — no
    * rebuild, no corpus rescan) and must vanish from the next batch's
@@ -3148,6 +3162,7 @@ object SparkEntry {
     "q_keys_minmax" -> (qKeysMinmax _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
     "corpus_split_leakage" -> (corpusSplitLeakage _),
     "corpus_datasheet" -> (corpusDatasheet _),
     "q_zonemap_zorder" -> (qZonemapZorder _),
@@ -4880,7 +4895,7 @@ object SparkEntry {
     // keep-first by (doc_id, pos) row_number, interval coverage of
     // duplicate starts, ordered reassembly of surviving tokens
     "dedup_span_rewrite" -> spanRewriteSql(""),
-    // the maintained path: identical global replay (corpus ∪ batch),
+    // the maintained path: identical gqal replay (corpus ∪ batch),
     // output restricted to the batch docs
     "dedup_span_rewrite_incr" -> spanRewriteSql(
       " WHERE tok.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)"),
@@ -5427,7 +5442,7 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem " +
         "WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31' " +
         "GROUP BY l_returnflag"),
-    // full replay of the paragraph rewrite: 15-token units, global
+    // full replay of the paragraph rewrite: 15-token units, gqal
     // keep-first in (doc order, position), per-doc reassembly
     "dedup_paragraphs" -> paragraphSql(""),
     // the incremental rewrite must equal the GLOBAL rewrite
@@ -5530,5 +5545,30 @@ object SparkEntry {
         "SELECT c_nationkey, c_mktsegment, " +
         "count(DISTINCT bal_band) AS n_distinct_sensitive FROM b " +
         "GROUP BY 1, 2 HAVING count(DISTINCT bal_band) < 3"),
+    // ordered-EMD replay on the same bounded (groups × bands) grid,
+    // cumulated in band order so the doubles match bit-for-bit
+    "q_t_closeness" ->
+      ("WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv FROM customer), " +
+        "vals AS (SELECT DISTINCT sv FROM b), " +
+        "gq AS (SELECT sv, count(*) * 1.0 / (SELECT count(*) FROM b) AS q " +
+        "FROM b GROUP BY sv), " +
+        "grps AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "cell AS (SELECT c_nationkey, c_mktsegment, sv, count(*) AS c FROM b GROUP BY 1, 2, 3), " +
+        "grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n, v.sv, " +
+        "coalesce(cell.c, 0) * 1.0 / g.n AS p, gq.q " +
+        "FROM grps g CROSS JOIN vals v " +
+        "LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey " +
+        "AND cell.c_mktsegment = g.c_mktsegment AND cell.sv = v.sv " +
+        "JOIN gq ON gq.sv = v.sv), " +
+        "cum AS (SELECT c_nationkey, c_mktsegment, n, " +
+        "sum(p) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv " +
+        "ROWS UNBOUNDED PRECEDING) AS cp, " +
+        "sum(q) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv " +
+        "ROWS UNBOUNDED PRECEDING) AS cq FROM grid) " +
+        "SELECT c_nationkey, c_mktsegment, n AS n_rows, " +
+        "round(sum(abs(cp - cq)) / ((SELECT count(*) FROM vals) - 1.0), 6) AS emd " +
+        "FROM cum GROUP BY 1, 2, 3 " +
+        "HAVING round(sum(abs(cp - cq)) / ((SELECT count(*) FROM vals) - 1.0), 6) > 0.2"),
   )
 }

@@ -126,4 +126,51 @@ object Checks {
       .groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("n_distinct_sensitive"))
       .filter(col("n_distinct_sensitive") < l)
+
+  /**
+   * t-closeness audit (Li et al., ICDE'07 — the third rung after
+   * [[kAnonymityGroups]] and [[lDiversityGroups]]): an l-diverse
+   * group still leaks when its sensitive-value DISTRIBUTION skews
+   * far from the table's global one (skewness attack). For an
+   * ORDERED sensitive attribute the distance is the Earth Mover's
+   * Distance under the ordered ground metric:
+   * EMD = (1/(m−1)) · Σ_i |Σ_{j≤i}(p_j − q_j)| over the m ordered
+   * values. Flags groups with round6(EMD) > t.
+   *
+   * Scale: everything runs on BOUNDED count tables — the global
+   * value histogram, the per-group histogram, and the (groups ×
+   * values) grid the cumulative window walks; no corpus-sized sort
+   * or shuffle beyond the two keyed aggregates. The window
+   * accumulates p and q in the same sv order on every engine, so the
+   * replayed doubles are bit-identical.
+   */
+  def tClosenessGroups(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiIds.map(col) :+ col(sensitiveCol).as("_sv"): _*)
+    val nTotal = base.count()
+    val vals = base.select("_sv").distinct()
+    val m = vals.count()
+    require(m >= 2, "t-closeness needs at least two sensitive values")
+    val globalQ = base.groupBy("_sv")
+      .agg((count(lit(1)) / lit(nTotal.toDouble)).as("_q"))
+    val groups = base.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val cellCnt = base.groupBy(quasiIds.map(col) :+ col("_sv"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grid = groups.crossJoin(broadcast(vals))
+      .join(cellCnt, quasiIds :+ "_sv", "left_outer")
+      .join(broadcast(globalQ), "_sv")
+      .withColumn("_p", coalesce(col("_c"), lit(0L)) / col("_n"))
+    val w = Window.partitionBy(quasiIds.map(col): _*).orderBy("_sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("_cp", sum("_p").over(w))
+      .withColumn("_cq", sum("_q").over(w))
+      .groupBy(quasiIds.map(col) :+ col("_n").as("n_rows"): _*)
+      .agg(round(sum(abs(col("_cp") - col("_cq"))) / lit((m - 1).toDouble), 6)
+        .as("emd"))
+      .filter(col("emd") > t)
+  }
 }

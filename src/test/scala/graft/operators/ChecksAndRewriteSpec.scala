@@ -101,6 +101,25 @@ class ChecksAndRewriteSpec extends AnyFunSuite {
   ).toDF("id", "dept", "status", "score")
   private lazy val depts = Seq((10L, "eng"), (20L, "ops")).toDF("d_id", "d_name")
 
+  test("tClosenessGroups flags a distribution-skewed group, passes a representative one") {
+    // global: values 0 and 1 each ~half. Group "skew" holds ONLY 1s
+    // (EMD = |0.5 - 0| / 1 = 0.5); group "fair" mirrors the global
+    // mix (EMD = 0). Both groups are 2-diverse-or-better in spirit —
+    // the skew leaks anyway, which is exactly t-closeness's point.
+    val rows =
+      (1 to 10).map(i => ("skew", 1L, i.toLong)) ++
+      (1 to 5).map(i => ("fair", 0L, 100L + i)) ++
+      (1 to 5).map(i => ("fair", 1L, 200L + i)) ++
+      (1 to 10).map(i => ("bulk", 0L, 300L + i))
+    val df = rows.toDF("grp", "sv", "id")
+    val flagged = graft.operators.Checks
+      .tClosenessGroups(df, Seq("grp"), "sv", t = 0.3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("emd")).toMap
+    assert(flagged.contains("skew"), s"skewed group not flagged: $flagged")
+    assert(!flagged.contains("fair"), s"representative group wrongly flagged: $flagged")
+    assert(math.abs(flagged("skew") - 0.5) < 1e-9)
+  }
+
   test("rowChecks folds all row constraints into one pass with per-check verdicts") {
     val out = Checks.rowChecks(people, Seq(
       "dept_not_null" -> col("dept").isNotNull,
