@@ -99,6 +99,23 @@ object ScaleProbe {
         threshold = 0.7).count()),
       time("ann_lsh")(Similarity.lshTopK(embs, embs.filter(col("vec_id") < 100),
         k = 5, bits = 10, tables = 4).count()),
+      // the multi-probe trade, measured: at HALF the tables (2 vs 4),
+      // how many of brute force's true top-5 hits does each probe
+      // strategy recover for 100 queries? rows = Σ overlap (max 500).
+      // Multi-probe must beat single-probe at equal (bits, tables).
+      time("ann_mp_recall") {
+        val q = embs.filter(col("vec_id") < 100)
+        val truth = Similarity.bruteForceTopK(embs, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        def overlap(df: DataFrame): Long =
+          df.select(col("query_id"), col("neighbor_id"))
+            .intersect(truth).count()
+        val single = overlap(Similarity.lshTopK(embs, q, k = 5, bits = 10, tables = 2))
+        val multi = overlap(Similarity.lshMultiProbeTopK(embs, q, k = 5, bits = 10, tables = 2))
+        System.err.println(s"== ann_mp_recall detail: single=$single multi=$multi of 500")
+        require(multi >= single, s"multi-probe recall $multi below single-probe $single")
+        multi
+      },
       // bits scale with corpus size (16 bits ≈ 65k buckets at 100k
       // vecs keeps buckets near-singleton; 8 bits would go quadratic)
       time("ann_ivf")(Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 100),
