@@ -1866,6 +1866,18 @@ object SparkEntry {
   }
 
   /**
+   * Random walk with restart from the 5 smallest part ids in the
+   * co-purchase graph (Graph.personalizedPagerank): "parts related
+   * to these seeds" — restart mass pinned to the seed set, 3 rounds.
+   */
+  private def graphPPR(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val seeds = edges.select(col("src").as("node")).distinct().orderBy("node").limit(5)
+    Graph.personalizedPagerank(edges, seeds, iters = 3)
+  }
+
+  /**
    * Johnson-Lindenstrauss random projection 64→16 dims with
    * md5-derived ±1 planes; emits the first 4 components and the
    * projected norm (all 16 components feed the norm).
@@ -3066,6 +3078,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_cms_topk" -> (qCmsTopk _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_ppr" -> (graphPPR _),
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
@@ -3216,6 +3229,15 @@ object SparkEntry {
     s"$out AS (SELECT dst AS node, (1 - 0.85) / cnt + 0.85 * sum(rank / outdeg) AS rank " +
       s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src, n " +
       "GROUP BY dst, cnt), "
+
+  /** One personalized-pagerank round: damped contribs + restart mass on seeds only. */
+  private def pprIter(out: String, in: String): String =
+    s"$out AS (SELECT coalesce(c.node, sd.node) AS node, " +
+      "0.85 * coalesce(c.contrib, 0) + " +
+      "CASE WHEN sd.node IS NOT NULL THEN 0.15 / ns.n_seeds ELSE 0 END AS rank " +
+      s"FROM (SELECT e.dst AS node, sum(rank / outdeg) AS contrib " +
+      s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src " +
+      "GROUP BY e.dst) c FULL OUTER JOIN sd ON c.node = sd.node, ns), "
 
   /** One label-propagation round as a chained CTE: neighbor-label mode, min-label ties. */
   private def lpRound(out: String, in: String): String =
@@ -5066,6 +5088,16 @@ object SparkEntry {
         "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
         prIter("r1", "r0") + prIter("r2", "r1") + prIter("r3", "r2").stripSuffix(", ") +
         " SELECT node, round(rank, 8) AS rank FROM r3"),
+    // random walk with restart: teleport mass pinned to the 5
+    // smallest part ids; 3 damped rounds replayed as chained CTEs
+    "graph_ppr" ->
+      (graphEdgeCte +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "sd AS (SELECT DISTINCT src AS node FROM e ORDER BY src LIMIT 5), " +
+        "ns AS (SELECT count(*) AS n_seeds FROM sd), " +
+        "p0 AS (SELECT node, 1.0 / ns.n_seeds AS rank FROM sd, ns), " +
+        pprIter("p1", "p0") + pprIter("p2", "p1") + pprIter("p3", "p2").stripSuffix(", ") +
+        " SELECT node, round(rank, 8) AS rank FROM p3"),
     // replays the 3 label-propagation rounds (neighbor-label mode,
     // smallest label on ties) as chained CTEs
     "graph_communities" ->

@@ -172,4 +172,36 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
   }
+
+  /**
+   * Personalized PageRank (random walk with restart): the teleport
+   * mass lands on a SEED set instead of uniformly — the standard
+   * "related items from these examples" primitive behind
+   * recommendation and seed-expansion retrieval. Same one-edge-
+   * shuffle discipline as [[pagerank]] (outdeg pre-joined, N/|S| as
+   * broadcast one-row aggregates); the per-round full-outer join
+   * keeps contribution-less seeds alive (their restart mass never
+   * disappears) and the seed set is bounded, so its side broadcasts.
+   */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src"))
+    val seedSet = seeds.select(col("node").as("_seed")).distinct()
+    val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
+    var ranks = seedSet.crossJoin(ns)
+      .select(col("_seed").as("node"), (lit(1.0) / col("n_seeds")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = contrib.join(seedSet, col("node2") === col("_seed"), "full_outer")
+        .crossJoin(ns)
+        .select(coalesce(col("node2"), col("_seed")).as("node"),
+          (lit(damping) * coalesce(col("contrib"), lit(0.0)) +
+            when(col("_seed").isNotNull, lit(1.0 - damping) / col("n_seeds"))
+              .otherwise(lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+  }
 }

@@ -187,6 +187,31 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "ranks stay a distribution")
   }
 
+  test("personalizedPagerank matches a driver power iteration; restart mass stays on seeds") {
+    // path 0-1-2-3 (symmetric); seed = {0}
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val got = Graph.personalizedPagerank(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = 0.85
+    val deg = Map(0L -> 1.0, 1L -> 2.0, 2L -> 2.0, 3L -> 1.0)
+    val adj = Map(0L -> Seq(1L), 1L -> Seq(0L, 2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var r = Map(0L -> 1.0)
+    for (_ <- 1 to 3) {
+      r = (0L to 3L).map { v =>
+        val contrib = adj.filter(_._2.contains(v)).keys.toSeq
+          .map(u => r.getOrElse(u, 0.0) / deg(u)).sum
+        v -> (d * contrib + (if (v == 0L) (1 - d) else 0.0))
+      }.toMap.filter(_._2 > 0.0)
+    }
+    r.foreach { case (v, rv) =>
+      assert(math.abs(got.getOrElse(v, 0.0) - rv) < 1e-7, s"node $v: ${got.get(v)} vs $rv")
+    }
+    // total mass never exceeds 1 (walk mass + restart mass only)
+    assert(got.values.sum <= 1.0 + 1e-9)
+  }
+
   test("kmeansAssign recovers well-separated planted clusters") {
     // 3 orthogonal directions ± small deterministic noise, 30 vectors each
     val vecs = (0 until 90).map { i =>
