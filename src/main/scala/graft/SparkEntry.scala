@@ -1866,6 +1866,29 @@ object SparkEntry {
   }
 
   /**
+   * Weighted SSSP over the co-purchase graph: edge weight
+   * round6(1/shared-order-count) — frequently co-bought parts are
+   * "close" — relaxed 4 Bellman–Ford rounds from the smallest part
+   * id. Distances exact for ≤4-hop paths (the bounded-rounds
+   * contract the BFS query also uses).
+   */
+  private def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val g = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 1000)).select("l_orderkey")
+    val li2 = li.join(g, "l_orderkey")
+    val wEdges = li2.as("a").join(li2.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), round(lit(1.0) / col("cnt"), 6).as("w"))
+    val source = wEdges.agg(min("src").as("node"))
+    Graph.weightedShortestPaths(wEdges, source, rounds = 4)
+  }
+
+  /**
    * Random walk with restart from the 5 smallest part ids in the
    * co-purchase graph (Graph.personalizedPagerank): "parts related
    * to these seeds" — restart mass pinned to the seed set, 3 rounds.
@@ -3079,6 +3102,7 @@ object SparkEntry {
     "q_cms_topk" -> (qCmsTopk _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr" -> (graphPPR _),
+    "graph_sssp" -> (graphSssp _),
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
@@ -3238,6 +3262,13 @@ object SparkEntry {
       s"FROM (SELECT e.dst AS node, sum(rank / outdeg) AS contrib " +
       s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src " +
       "GROUP BY e.dst) c FULL OUTER JOIN sd ON c.node = sd.node, ns), "
+
+  /** One Bellman–Ford relaxation round as a chained CTE: keep ∪ relax, min per node. */
+  private def ssspIter(out: String, in: String): String =
+    s"$out AS (SELECT node, min(dist) AS dist FROM (" +
+      s"SELECT node, dist FROM $in UNION ALL " +
+      s"SELECT ew.dst AS node, $in.dist + ew.w AS dist " +
+      s"FROM ew JOIN $in ON ew.src = $in.node) GROUP BY node), "
 
   /** One label-propagation round as a chained CTE: neighbor-label mode, min-label ties. */
   private def lpRound(out: String, in: String): String =
@@ -5088,6 +5119,24 @@ object SparkEntry {
         "r0 AS (SELECT src AS node, 1.0 / cnt AS rank FROM deg, n), " +
         prIter("r1", "r0") + prIter("r2", "r1") + prIter("r3", "r2").stripSuffix(", ") +
         " SELECT node, round(rank, 8) AS rank FROM r3"),
+    // 4 Bellman–Ford rounds over round6(1/co-purchase-count) weights
+    // from the smallest part id, replayed as chained keep∪relax CTEs
+    "graph_sssp" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+        "WHERE l_orderkey % 10 = 0), " +
+        "g AS (SELECT l_orderkey FROM li GROUP BY l_orderkey " +
+        "HAVING count(*) BETWEEN 2 AND 1000), " +
+        "li2 AS (SELECT li.l_orderkey, li.l_partkey FROM li " +
+        "JOIN g ON li.l_orderkey = g.l_orderkey), " +
+        "ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, " +
+        "round(1.0::DOUBLE / count(*), 6) AS w " +
+        "FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey != b.l_partkey GROUP BY 1, 2), " +
+        "s AS (SELECT min(src) AS node FROM ew), " +
+        "d0 AS (SELECT node, 0.0::DOUBLE AS dist FROM s), " +
+        ssspIter("d1", "d0") + ssspIter("d2", "d1") +
+        ssspIter("d3", "d2") + ssspIter("d4", "d3").stripSuffix(", ") +
+        " SELECT node, round(dist, 6) AS dist FROM d4"),
     // random walk with restart: teleport mass pinned to the 5
     // smallest part ids; 3 damped rounds replayed as chained CTEs
     "graph_ppr" ->

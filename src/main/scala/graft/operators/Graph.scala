@@ -174,6 +174,30 @@ object Graph {
   }
 
   /**
+   * Weighted single-source shortest paths, Bellman–Ford shape: each
+   * round relaxes every edge once (one join + one min-aggregate over
+   * slim (node, dist) rows) and `rounds` bounds the hop count —
+   * distances are exact for paths of ≤ `rounds` edges, the right
+   * contract for the small diameters of co-occurrence graphs (same
+   * bounded-rounds discipline as [[bfsDistances]], generalized to
+   * weights). min() is order-independent, so the result is
+   * deterministic at any partitioning; weights should arrive
+   * pre-rounded so cross-engine replays sum identical doubles.
+   */
+  def weightedShortestPaths(wEdges: DataFrame, source: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    var dist = source.select(col("node"), lit(0.0).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = wEdges.join(dist, wEdges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), round(col("dist"), 6).as("dist"))
+  }
+
+  /**
    * Personalized PageRank (random walk with restart): the teleport
    * mass lands on a SEED set instead of uniformly — the standard
    * "related items from these examples" primitive behind

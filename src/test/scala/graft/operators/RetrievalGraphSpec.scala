@@ -212,6 +212,26 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got.values.sum <= 1.0 + 1e-9)
   }
 
+  test("weightedShortestPaths: cheap 2-hop beats expensive direct edge; rounds bound hops") {
+    // 0→1→2 costs 0.2+0.2 = 0.4 < direct 0→2 at 1.0 ;
+    // 0→3→4→5→6 is a 4-hop chain
+    val wEdges = Seq(
+      (0L, 1L, 0.2), (1L, 2L, 0.2), (0L, 2L, 1.0),
+      (0L, 3L, 0.1), (3L, 4L, 0.1), (4L, 5L, 0.1), (5L, 6L, 0.1)
+    ).toDF("src", "dst", "w")
+    val source = Seq(Tuple1(0L)).toDF("node")
+    val d4 = Graph.weightedShortestPaths(wEdges, source, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d4(0L) === 0.0)
+    assert(math.abs(d4(2L) - 0.4) < 1e-9, s"relaxation missed the cheaper 2-hop: ${d4(2L)}")
+    assert(math.abs(d4(6L) - 0.4) < 1e-9)
+    // 2 rounds cannot reach node 6 (4 hops away)
+    val d2 = Graph.weightedShortestPaths(wEdges, source, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!d2.contains(6L), "bounded rounds leaked past the hop limit")
+    assert(math.abs(d2(2L) - 0.4) < 1e-9)
+  }
+
   test("kmeansAssign recovers well-separated planted clusters") {
     // 3 orthogonal directions ± small deterministic noise, 30 vectors each
     val vecs = (0 until 90).map { i =>
