@@ -2010,6 +2010,21 @@ object SparkEntry {
   private def embKmeans(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansCensus(t(s, dir, "embeddings"), k = 8, iters = 3)
 
+  /**
+   * Cluster-balanced diversity sampling — the "cluster, then take a
+   * uniform quota per cluster" step of modern curation recipes
+   * (SemDeDup/DCLM shape): deterministic k-means assignment, then an
+   * EXACT 10-vector quota per cluster in md5 order via the heap
+   * top-k (no per-cluster window task). Oracle replays the k-means
+   * rounds and the row_number cut.
+   */
+  private def embClusterSample(s: SparkSession, dir: String): DataFrame =
+    graft.relational.Relational.topKPerKey(
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 3)
+        .withColumn("_key", md5(concat(lit("cbal:"), col("id").cast("string")))),
+      Seq(col("cl")), Seq(col("_key").asc, col("id").asc), 10)
+      .select(col("cl"), col("id").as("vec_id"))
+
   /** Per-cluster simplified silhouette over the deterministic k-means assignment. */
   private def embSilhouette(s: SparkSession, dir: String): DataFrame =
     Similarity.silhouette(t(s, dir, "embeddings"), k = 8, iters = 3)
@@ -3111,6 +3126,7 @@ object SparkEntry {
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
+    "emb_cluster_sample" -> (embClusterSample _),
     "emb_silhouette" -> (embSilhouette _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "emb_pq" -> (embPq _),
@@ -5215,6 +5231,16 @@ object SparkEntry {
         "SELECT a3.cl, count(*) AS n_members, " +
         "round(avg(list_cosine_similarity(a3.v, cf.centroid)), 4) AS mean_cos " +
         "FROM a3 JOIN cf ON a3.cl = cf.fcl GROUP BY a3.cl"),
+    // cluster-balanced quota: the replayed k-means assignment cut to
+    // 10 vectors per cluster in md5('cbal:'||id) order
+    "emb_cluster_sample" ->
+      ("WITH va AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cl FROM va), " +
+        kmRound("c1", "a1", "a0") + kmRound("c2", "a2", "a1") +
+        kmRound("c3", "a3", "a2").stripSuffix(", ") +
+        " SELECT cl, vec_id FROM (SELECT cl, vec_id, " +
+        "row_number() OVER (PARTITION BY cl " +
+        "ORDER BY md5('cbal:'||vec_id), vec_id) AS rn FROM a3) WHERE rn <= 10"),
     // simplified silhouette over the replayed 3-round k-means: per
     // vector a = dist to own centroid, b = min dist to another
     "emb_silhouette" ->
