@@ -365,6 +365,32 @@ object ScaleProbe {
         Graph.pagerank(half.union(half.select(col("dst").as("src"),
           col("src").as("dst"))).distinct(), iters = 3).count()
       },
+      // PPR and weighted SSSP on the same synthetic 1M-edge graph:
+      // both must hold pagerank_1m's per-round join+aggregate shape
+      time("ppr_1m") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val edges = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val seeds = spark.range(16).toDF("node")
+        Graph.personalizedPagerank(edges, seeds, iters = 3).count()
+      },
+      time("sssp_1m") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val w = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .withColumn("w", (pmod(xxhash64(col("src"), col("dst")), lit(100)) + 1) / 100.0)
+        Graph.weightedShortestPaths(w, spark.range(1).toDF("node"), rounds = 4).count()
+      },
       // JL projection 64->16 over the full embedding corpus: one
       // shuffle-free scan
       time("jl_project")(Similarity.randomProjection(embs, k = 16).count()),
