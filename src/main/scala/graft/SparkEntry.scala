@@ -2378,18 +2378,32 @@ object SparkEntry {
    * (score, verdict) census — deterministic counts, no float-sum
    * ordering hazard.
    */
-  private def erFellegiSunter(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer").select(
+  /** Shared comparison frame for the Fellegi–Sunter queries. */
+  private def fsCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
       col("c_custkey"),
       concat(col("c_nationkey").cast("string"), lit("|"), col("c_mktsegment")).as("blk"),
       floor(col("c_acctbal") / 1000).as("bal_band"),
       expr("right(c_name, 1)").as("name_tail"),
       (round(col("c_acctbal") * 100).cast("long") % 10).as("cent_band"))
-    Dedup.fellegiSunterScores(cust, "blk", "c_custkey", fsFields,
+
+  private def erFellegiSunter(s: SparkSession, dir: String): DataFrame =
+    Dedup.fellegiSunterScores(fsCustomer(s, dir), "blk", "c_custkey", fsFields,
         tLower = 0.0, tUpper = 3.0)
       .groupBy("score", "verdict")
       .agg(count(lit(1)).as("n_pairs"))
-  }
+
+  /**
+   * Unsupervised Fellegi–Sunter calibration
+   * (Dedup.fellegiSunterEM): λ and per-field (m, u) learned by EM
+   * over the 2^3-combo agreement count table — the Splink/fastLink
+   * step that turns raw pairs into principled weights without
+   * labels. Oracle replays all 5 EM rounds as chained CTEs with
+   * ordered list_sums and the identical round6 discipline.
+   */
+  private def erEmParams(s: SparkSession, dir: String): DataFrame =
+    Dedup.fellegiSunterEM(fsCustomer(s, dir), "blk", "c_custkey",
+      Seq("bal_band", "name_tail", "cent_band"), iters = 5)
 
   private def erCosine(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
@@ -3167,6 +3181,7 @@ object SparkEntry {
     "text_jaccard_knn" -> (textJaccardKnn _),
     "er_editdist" -> (erEditdist _),
     "er_fellegi_sunter" -> (erFellegiSunter _),
+    "er_em_params" -> (erEmParams _),
     "er_cosine" -> (erCosine _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
@@ -3278,6 +3293,31 @@ object SparkEntry {
       s"FROM (SELECT e.dst AS node, sum(rank / outdeg) AS contrib " +
       s"FROM e JOIN $in ON e.src = $in.node JOIN deg ON e.src = deg.src " +
       "GROUP BY e.dst) c FULL OUTER JOIN sd ON c.node = sd.node, ns), "
+
+  /** The Fellegi–Sunter posterior expression under the params row of CTE `in`. */
+  private def emPost(in: String): String = {
+    def num =
+      s"($in.lambda * (CASE WHEN a0 = 1 THEN $in.m0 ELSE 1 - $in.m0 END) " +
+        s"* (CASE WHEN a1 = 1 THEN $in.m1 ELSE 1 - $in.m1 END) " +
+        s"* (CASE WHEN a2 = 1 THEN $in.m2 ELSE 1 - $in.m2 END))"
+    def alt =
+      s"((1 - $in.lambda) * (CASE WHEN a0 = 1 THEN $in.u0 ELSE 1 - $in.u0 END) " +
+        s"* (CASE WHEN a1 = 1 THEN $in.u1 ELSE 1 - $in.u1 END) " +
+        s"* (CASE WHEN a2 = 1 THEN $in.u2 ELSE 1 - $in.u2 END))"
+    s"($num / ($num + $alt))"
+  }
+
+  /** One EM round as a chained CTE: E-step posterior, M-step ordered sums, round6. */
+  private def emIter(out: String, in: String): String = {
+    def ls(expr: String) = s"list_sum(list($expr ORDER BY a0, a1, a2))"
+    s"$out AS (SELECT " +
+      s"round(${ls("n * p")} / ${ls("n::DOUBLE")}, 6) AS lambda, " +
+      (0 to 2).map { i =>
+        s"round(${ls(s"n * p * a$i")} / ${ls("n * p")}, 6) AS m$i, " +
+          s"round(${ls(s"n * (1 - p) * a$i")} / ${ls("n * (1 - p)")}, 6) AS u$i"
+      }.mkString(", ") +
+      s" FROM (SELECT combos.*, ${emPost(in)} AS p FROM combos, $in)), "
+  }
 
   /** One Bellman–Ford relaxation round as a chained CTE: keep ∪ relax, min per node. */
   private def ssspIter(out: String, in: String): String =
@@ -4452,6 +4492,27 @@ object SparkEntry {
         "WHEN score > 0.0 THEN 'possible' ELSE 'non_match' END AS verdict, " +
         "count(*) AS n_pairs FROM p GROUP BY 1, 2"
     },
+    // full EM replay: agreement-combo counts, 5 chained E/M rounds
+    // with ordered list_sums and round6 per step, final posteriors
+    "er_em_params" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey || '|' || c_mktsegment AS blk, " +
+        "floor(c_acctbal / 1000) AS bal_band, right(c_name, 1) AS name_tail, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cent_band FROM customer), " +
+        "combos AS (SELECT " +
+        "CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS a0, " +
+        "CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END AS a1, " +
+        "CASE WHEN a.cent_band = b.cent_band THEN 1 ELSE 0 END AS a2, " +
+        "count(*) AS n FROM c a JOIN c b ON a.blk = b.blk " +
+        "AND a.c_custkey < b.c_custkey GROUP BY 1, 2, 3), " +
+        "e0 AS (SELECT 0.1::DOUBLE AS lambda, 0.8::DOUBLE AS m0, 0.2::DOUBLE AS u0, " +
+        "0.8::DOUBLE AS m1, 0.2::DOUBLE AS u1, 0.8::DOUBLE AS m2, 0.2::DOUBLE AS u2), " +
+        emIter("e1", "e0") + emIter("e2", "e1") + emIter("e3", "e2") +
+        emIter("e4", "e3") + emIter("e5", "e4").stripSuffix(", ") +
+        " SELECT CAST(a0 AS BIGINT) AS ag_0, CAST(a1 AS BIGINT) AS ag_1, " +
+        "CAST(a2 AS BIGINT) AS ag_2, CAST(n AS BIGINT) AS n_pairs, " +
+        "round(" + emPost("e5") + ", 6) AS p_match, e5.lambda, " +
+        "e5.m0 AS m_0, e5.u0 AS u_0, e5.m1 AS m_1, e5.u1 AS u_1, " +
+        "e5.m2 AS m_2, e5.u2 AS u_2 FROM combos, e5"),
     // UNBLOCKED all-pairs set cosine: equality with the engine's
     // prefix-filtered run proves AllPairs blocking is lossless
     "er_cosine" ->

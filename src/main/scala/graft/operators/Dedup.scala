@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -1118,6 +1118,95 @@ object Dedup {
         when(col("score") >= tUpper, "match")
           .when(col("score") > tLower, "possible")
           .otherwise("non_match"))
+  }
+
+  /**
+   * UNSUPERVISED Fellegi–Sunter parameter estimation by EM (the
+   * Splink/fastLink calibration step): learns the match prior λ and
+   * per-field (m, u) probabilities from the blocked pairs' agreement
+   * patterns alone — no labels. The scale insight that makes this
+   * exact AND distributed: with k binary comparison fields there are
+   * only 2^k agreement combos, so ONE corpus-sized aggregate reduces
+   * any number of pairs to a ≤2^k-row count table and EM runs on
+   * that — per-iteration cost is O(2^k), independent of data size.
+   * Every M-step rounds to 6 decimals and every sum walks combos in
+   * sorted order, so a SQL replay (ordered list_sum, same literal
+   * init) reproduces the trajectory bit-for-bit.
+   *
+   * Output: one row per combo — agreement bits, pair count, the
+   * posterior match probability under the FINAL parameters, and the
+   * learned (λ, m_i, u_i) as constant columns.
+   */
+  def fellegiSunterEM(records: DataFrame, blockCol: String, idCol: String,
+      fields: Seq[String], iters: Int = 5,
+      initLambda: Double = 0.1, initM: Double = 0.8, initU: Double = 0.2): DataFrame = {
+    val spark = records.sparkSession
+    val k = fields.size
+    val cols = Seq(col(idCol).as("id"), col(blockCol).as("blk")) ++ fields.map(col)
+    val base = records.select(cols: _*)
+    val agreeCols = fields.zipWithIndex.map { case (f, i) =>
+      (col(s"a.$f") === col(s"b.$f")).cast("long").as(s"ag_$i") }
+    val comboRows = base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(agreeCols: _*)
+      .groupBy(fields.indices.map(i => col(s"ag_$i")): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sorted combo order — the SQL replay's ORDER BY a_0, ..., a_{k-1}
+    val rows = comboRows.map { r =>
+      ((0 until k).map(r.getLong).toVector, r.getLong(k))
+    }.sortBy(_._1.mkString)
+    var lam = initLambda
+    var m = Vector.fill(k)(initM)
+    var u = Vector.fill(k)(initU)
+    def posterior(a: Vector[Long]): Double = {
+      var num = lam
+      var alt = 1.0 - lam
+      var i = 0
+      while (i < k) {
+        num *= (if (a(i) == 1L) m(i) else 1.0 - m(i))
+        alt *= (if (a(i) == 1L) u(i) else 1.0 - u(i))
+        i += 1
+      }
+      num / (num + alt)
+    }
+    for (_ <- 1 to iters) {
+      val withP = rows.map { case (a, n) => (a, n.toDouble, posterior(a)) }
+      val tot = withP.map(_._2).sum
+      val totP = withP.map(t => t._2 * t._3).sum
+      val totQ = withP.map(t => t._2 * (1.0 - t._3)).sum
+      val newM = (0 until k).map(i =>
+        r6(withP.map(t => t._2 * t._3 * t._1(i)).sum / totP)).toVector
+      val newU = (0 until k).map(i =>
+        r6(withP.map(t => t._2 * (1.0 - t._3) * t._1(i)).sum / totQ)).toVector
+      lam = r6(totP / tot)
+      m = newM
+      u = newU
+    }
+    val out = rows.map { case (a, n) =>
+      // Seq[Any], not Seq(...): Scala's weak conformance would widen
+      // the Long count to Double inside a mixed Long/Double Seq
+      Row.fromSeq(a ++ Seq[Any](n, r6(posterior(a)), lam) ++
+        (0 until k).flatMap(i => Seq(m(i), u(i))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      fields.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"ag_$i", org.apache.spark.sql.types.LongType)) ++
+      Seq(org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_match",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("lambda",
+          org.apache.spark.sql.types.DoubleType)) ++
+      fields.indices.flatMap(i => Seq(
+        org.apache.spark.sql.types.StructField(s"m_$i",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(s"u_$i",
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(out.toSeq).asJava), schema)
   }
 
   def editDistancePairs(items: DataFrame, strCol: String, idCol: String,

@@ -112,6 +112,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((2L, 3L)) === ((-1.5, "non_match")))
   }
 
+  test("fellegiSunterEM learns high match posterior for planted duplicate pairs") {
+    // 60 base records with near-independent fields + 12 planted dups
+    // that agree with their base on ALL three fields. Within-block
+    // random pairs rarely agree on everything, so EM must assign the
+    // all-agree combo a high posterior and the all-disagree combo a
+    // low one — without ever seeing a label.
+    val base = (0 until 60).map { i =>
+      (i.toLong, s"b${i % 4}", s"x${i % 5}", s"y${i % 7}", s"z${i % 11}")
+    }
+    val dups = (0 until 60 by 5).map { i =>
+      (1000L + i, s"b${i % 4}", s"x${i % 5}", s"y${i % 7}", s"z${i % 11}")
+    }
+    val df = (base ++ dups).toDF("id", "blk", "f1", "f2", "f3")
+    val out = Dedup.fellegiSunterEM(df, "blk", "id", Seq("f1", "f2", "f3"), iters = 8)
+      .collect()
+    val byCombo = out.map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+      r.getAs[Double]("p_match"))).toMap
+    assert(byCombo((1L, 1L, 1L)) > 0.9,
+      s"all-agree pairs should be confident matches: ${byCombo((1L, 1L, 1L))}")
+    assert(byCombo((0L, 0L, 0L)) < 0.1,
+      s"all-disagree pairs should be confident non-matches: ${byCombo((0L, 0L, 0L))}")
+    // learned m beats u on every field (agreement is match evidence)
+    val r0 = out.head
+    (0 to 2).foreach { i =>
+      assert(r0.getAs[Double](s"m_$i") > r0.getAs[Double](s"u_$i"), s"field $i")
+    }
+  }
+
   test("spanRewrite removes later occurrences of a shared span, keeps the first intact") {
     // doc 0: tokens a0..a9 ; doc 1: unique prefix u0..u4 + a0..a9 + unique tail
     val shared = (0 until 10).map(i => s"a$i").mkString(" ")
