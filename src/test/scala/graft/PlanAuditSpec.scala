@@ -485,6 +485,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("graph_ppr / graph_sssp: frontier-sized state, no product joins") {
+    val p1 = plan("graph_ppr")
+    assert(!p1.contains("CartesianProduct"), "PPR degenerated into a product join")
+    // the two one-row count frames (N, |S|) may ride BroadcastNestedLoopJoin
+    // (that IS the broadcast of a 1-row side); anything bigger may not
+    // graph_sssp's final plan is behind per-round localCheckpoints —
+    // audit ONE un-checkpointed relaxation round directly
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val wEdges = Seq((0L, 1L, 0.5), (1L, 2L, 0.5)).toDF("src", "dst", "w")
+    val dist = Seq((0L, 0.0)).toDF("node", "dist")
+    val round1 = dist.unionByName(
+        wEdges.join(dist, wEdges("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+      .groupBy("node").agg(min("dist").as("dist"))
+    val p2 = round1.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"),
+      "SSSP relaxation degenerated into a product join")
+    assert(p2.contains("partial_min"),
+      s"relaxation min must be a map-side-combining aggregate:\n${p2.take(1200)}")
+  }
+
+  test("er_em_params: the corpus-sized work is ONE combo-count aggregate") {
+    val df = SparkEntry.queries("er_em_params")(spark, SparkTestSession.sfDir)
+    // EM itself runs on the ≤2^k-row driver table; the PLAN the engine
+    // executes for the output is a LocalTableScan — all pair-scale work
+    // happened in the single combos aggregate collected beforehand
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"),
+      s"EM output should be the bounded parameter table:\n${p.take(800)}")
+  }
+
   test("dedup_clusters_big / ann_multiprobe: no product joins anywhere in the loop stages") {
     val p1 = plan("ann_multiprobe")
     assert(p1.contains("BroadcastHashJoin"), "multiprobe query fan-out should broadcast")

@@ -232,6 +232,36 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(d2(2L) - 0.4) < 1e-9)
   }
 
+  test("weightedShortestPaths equals driver Bellman-Ford on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (0 until n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          (rnd.nextInt(20) + 1) / 10.0)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val rounds = 4
+        val got = Graph.weightedShortestPaths(
+          edges.toDF("src", "dst", "w"), Seq(Tuple1(0L)).toDF("node"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // driver Bellman-Ford, identical bounded-rounds contract
+        var dist = Map(0L -> 0.0)
+        for (_ <- 1 to rounds) {
+          val relax = edges.flatMap { case (s, d, w) =>
+            dist.get(s).map(ds => d -> (ds + w))
+          }
+          dist = (dist.toSeq ++ relax).groupBy(_._1)
+            .view.mapValues(_.map(_._2).min).toMap
+        }
+        assert(got.keySet === dist.keySet)
+        dist.foreach { case (v, dv) =>
+          assert(math.abs(got(v) - dv) < 1e-6, s"node $v: ${got(v)} vs $dv")
+        }
+      }
+    }
+  }
+
   test("kmeansAssign recovers well-separated planted clusters") {
     // 3 orthogonal directions ± small deterministic noise, 30 vectors each
     val vecs = (0 until 90).map { i =>
