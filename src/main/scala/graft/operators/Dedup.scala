@@ -503,8 +503,10 @@ object Dedup {
     graft.sources.Bucketing.writeBucketed(
       unitRows(docs, width, textCol, idCol, orderOf)
         .groupBy(col("_h").as("h"))
-        .agg(min(struct(col("_ord"), col("_pidx"))).as("_first"))
-        .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx")),
+        // owner id rides the min-struct so takedowns can target rows
+        .agg(min(struct(col("_ord"), col("_pidx"), col(idCol))).as("_first"))
+        .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx"),
+          col(s"_first.$idCol").as("id")),
       table, "h", buckets)
 
   /**
@@ -532,7 +534,8 @@ object Dedup {
     val spark = batch.sparkSession
     val paras = unitRows(batch, width, textCol, idCol, orderOf).localCheckpoint()
     val hashes = paras.select("_h").distinct().collect().map(_.getString(0)).toSeq
-    val idx0 = spark.table(table)
+    // tombstoned owners vanish before ownership resolves (takedown)
+    val idx0 = graft.sources.Bucketing.minusTombstones(spark.table(table), table)
     val idxPruned =
       if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes))
       else idx0
@@ -562,13 +565,32 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       orderOf: Column => Column = _.cast("long")): Unit = {
     val spark = batch.sparkSession
+    // re-appending a tombstoned id revokes its takedown
+    graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
     val paras = unitRows(batch, width, textCol, idCol, orderOf)
     val novelFirst = paras.groupBy(col("_h").as("h"))
-      .agg(min(struct(col("_ord"), col("_pidx"))).as("_first"))
-      .join(spark.table(table).select("h"), Seq("h"), "left_anti")
-      .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx"))
+      .agg(min(struct(col("_ord"), col("_pidx"), col(idCol))).as("_first"))
+      .join(graft.sources.Bucketing.minusTombstones(spark.table(table), table)
+        .select("h"), Seq("h"), "left_anti")
+      .select(col("h"), col("_first._ord").as("ord"), col("_first._pidx").as("pidx"),
+        col(s"_first.$idCol").as("id"))
     graft.sources.Bucketing.appendBucketed(novelFirst, table, "h")
   }
+
+  /**
+   * Takedown for the unit (paragraph) index — tombstone markers,
+   * same contract as [[deleteFromSpanIndex]]: ownership resolves
+   * without the deleted docs immediately, their content revives on
+   * next occurrence, purge drops rows out of band, re-append
+   * revokes.
+   */
+  def deleteFromUnitIndex(ids: DataFrame, table: String,
+      idCol: String = "doc_id"): Unit =
+    graft.sources.Bucketing.appendTombstones(ids.select(col(idCol)), table)
+
+  /** Physically drop tombstoned unit-index rows and clear markers. */
+  def purgeUnitIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.Bucketing.purgeTombstoned(spark, table, Seq(table))
 
   /**
    * Sorted-neighborhood ER blocking (the classic SNM): order records
@@ -688,8 +710,10 @@ object Dedup {
     graft.sources.Bucketing.writeBucketed(
       spanRows(docs, span, textCol, idCol, orderOf)
         .groupBy(col("sh").as("h"))
-        .agg(min(struct(col("_ord"), col("p"))).as("_first"))
-        .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p")),
+        // owner id rides the min-struct so takedowns can target rows
+        .agg(min(struct(col("_ord"), col("p"), col("id"))).as("_first"))
+        .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p"),
+          col("_first.id").as("id")),
       table, "h", buckets)
 
   /**
@@ -714,7 +738,9 @@ object Dedup {
     val spark = batch.sparkSession
     val pos = spanRows(batch, span, textCol, idCol, orderOf).localCheckpoint()
     val hashes = pos.select("sh").distinct().collect().map(_.getLong(0)).toSeq
-    val idx0 = spark.table(table)
+    // tombstoned owners vanish before ownership resolves: their
+    // windows have no owner, so later content legitimately revives
+    val idx0 = graft.sources.Bucketing.minusTombstones(spark.table(table), table)
     val idx = if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes)) else idx0
     val owners = idx.groupBy(col("h").as("sh"))
       .agg(min(struct(col("ord"), col("p"))).as("_owner"))
@@ -749,13 +775,34 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       orderOf: Column => Column = _.cast("long")): Unit = {
     val spark = batch.sparkSession
+    // re-appending a tombstoned id revokes its takedown (same
+    // revocation contract as appendToMinhashIndex)
+    graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
     val novel = spanRows(batch, span, textCol, idCol, orderOf)
       .groupBy(col("sh").as("h"))
-      .agg(min(struct(col("_ord"), col("p"))).as("_first"))
-      .join(spark.table(table).select("h"), Seq("h"), "left_anti")
-      .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p"))
+      .agg(min(struct(col("_ord"), col("p"), col("id"))).as("_first"))
+      .join(graft.sources.Bucketing.minusTombstones(spark.table(table), table)
+        .select("h"), Seq("h"), "left_anti")
+      .select(col("h"), col("_first._ord").as("ord"), col("_first.p").as("p"),
+        col("_first.id").as("id"))
     graft.sources.Bucketing.appendBucketed(novel, table, "h")
   }
+
+  /**
+   * Takedown for the span index: tombstone the given doc ids —
+   * O(markers) append; [[spanRewriteIncremental]] resolves ownership
+   * without them immediately, so content previously owned by a
+   * deleted doc legitimately REVIVES (the next occurrence becomes
+   * the first). [[purgeSpanIndex]] drops the rows physically out of
+   * band; re-appending an id revokes its takedown.
+   */
+  def deleteFromSpanIndex(ids: DataFrame, table: String,
+      idCol: String = "doc_id"): Unit =
+    graft.sources.Bucketing.appendTombstones(ids.select(col(idCol)), table)
+
+  /** Physically drop tombstoned span-index rows and clear markers. */
+  def purgeSpanIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.Bucketing.purgeTombstoned(spark, table, Seq(table))
 
   def sharedSpanReport(docs: DataFrame, span: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -394,6 +394,43 @@ class CurationLawsSpec extends AnyFunSuite {
     assert(run(b2).head._3 === 0L)
   }
 
+  test("rewrite-index takedown law: deleted owners revive content; purge invisible; re-append revokes") {
+    import graft.operators.Dedup
+    val mkDoc = (id: Long, s: Long) =>
+      (id, (0 until 12).map(j => s"v${s * 12 + j} ".trim).mkString(" "))
+    val corpus = (0L until 20L).map(i => mkDoc(i, i)).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, "graft_law_span_del", span = 6)
+    def rw(b: org.apache.spark.sql.DataFrame) =
+      Dedup.spanRewriteIncremental(b, "graft_law_span_del", span = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val copyOf5 = Seq(mkDoc(100L, 5L)).toDF("doc_id", "text")
+    assert(rw(copyOf5)(100L) === 0L, "baseline: corpus copy should empty")
+    // takedown doc 5: its windows lose their owner, the copy revives
+    Dedup.deleteFromSpanIndex(Seq(Tuple1(5L)).toDF("doc_id"), "graft_law_span_del")
+    assert(rw(copyOf5)(100L) === 12L, "deleted owner must revive the content")
+    // the revived batch appends and becomes the NEW owner
+    Dedup.appendToSpanIndex(copyOf5, "graft_law_span_del", span = 6)
+    val copyOf5Again = Seq(mkDoc(200L, 5L)).toDF("doc_id", "text")
+    assert(rw(copyOf5Again)(200L) === 0L, "new owner must dedup later copies")
+    // purge is invisible to queries and idempotent
+    Dedup.purgeSpanIndex(spark, "graft_law_span_del")
+    assert(rw(copyOf5Again)(200L) === 0L)
+    Dedup.purgeSpanIndex(spark, "graft_law_span_del")
+    assert(rw(copyOf5Again)(200L) === 0L)
+    // re-append of a tombstoned id revokes the takedown (unit index
+    // shares the same contract via the same helpers)
+    Dedup.writeUnitIndex(corpus, "graft_law_unit_del", width = 3)
+    Dedup.deleteFromUnitIndex(Seq(Tuple1(7L)).toDF("doc_id"), "graft_law_unit_del")
+    val copyOf7 = Seq(mkDoc(300L, 7L)).toDF("doc_id", "text")
+    val revived = Dedup.paragraphDedupIncremental(copyOf7, "graft_law_unit_del", width = 3)
+      .collect().head
+    assert(revived.getLong(2) === 4L, s"unit takedown must revive: $revived")
+    Dedup.appendToUnitIndex(corpus.filter(col("doc_id") === 7L), "graft_law_unit_del", width = 3)
+    val deduped = Dedup.paragraphDedupIncremental(copyOf7, "graft_law_unit_del", width = 3)
+      .collect().head
+    assert(deduped.getLong(2) === 0L, s"re-append must revoke the takedown: $deduped")
+  }
+
   test("redact law: redacted text has no residual matches and is idempotent") {
     val pii = Gen.oneOf(
       "write to a.user@host.org now", "ping 192.168.0.7 twice", "dial 555-0199 today")
