@@ -1439,6 +1439,30 @@ object SparkEntry {
     Dedup.dupClusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 5, threshold = 0.7),
       smallGraphEdges = 0L)
 
+  /**
+   * The cluster closure as a MAINTAINED structure
+   * (Dedup.writeClusterIndex / clusterAssignIncremental): the
+   * standing 90% of the corpus persists its assignment; the arriving
+   * 10%'s pairs ingest incrementally — new docs adopt or found
+   * clusters, bridging docs MERGE standing clusters through the
+   * path-compressed relabel table. The oracle is the identical
+   * global recursive-CTE closure (`dedup_clusters`'s), so maintained
+   * ≡ global is pinned cross-engine over every doc.
+   */
+  private def dedupClustersIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_cluster_idx")) {
+      Dedup.writeClusterIndex(
+        Dedup.ngramJaccardPairs(docs.filter(col("doc_id") < cut), n = 5, threshold = 0.7),
+        "graft_cluster_idx")
+      val batchPairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.7)
+        .filter(col("a_id") >= cut || col("b_id") >= cut)
+      Dedup.clusterAssignIncremental(batchPairs, "graft_cluster_idx")
+    }
+    Dedup.clusterAssignments(s, "graft_cluster_idx")
+  }
+
   /** The dedup decision end-to-end: corpus minus non-representative near-dups. */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dropNearDups(t(s, dir, "documents"), n = 5, threshold = 0.7)
@@ -3105,6 +3129,7 @@ object SparkEntry {
     "dedup_bloom_gate" -> (dedupBloomGate _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_big" -> (dedupClustersBig _),
+    "dedup_clusters_incr" -> (dedupClustersIncr _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "dedup_corpus" -> (dedupCorpus _),
     "pipeline_filter" -> (pipelineFilter _),
@@ -4115,6 +4140,7 @@ object SparkEntry {
         "FROM c a JOIN c b ON a.vec_id < b.vec_id) WHERE raw >= 0.95"),
     "dedup_clusters" -> clustersSql,
     "dedup_clusters_big" -> clustersSql,
+    "dedup_clusters_incr" -> clustersSql,
     "q_recursive_cte" ->
       ("WITH RECURSIVE anc(p, cur, depth) AS (" +
         "SELECT p_partkey, p_partkey, 0 FROM part UNION ALL " +

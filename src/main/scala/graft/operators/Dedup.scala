@@ -1098,6 +1098,130 @@ object Dedup {
   }
 
   /**
+   * Persist the cluster assignment of a pair graph — the maintained
+   * form of [[dupClusters]]: (doc_id, cluster_id) bucketed by doc_id
+   * for pruned endpoint lookups, plus an empty relabel side table.
+   */
+  def writeClusterIndex(pairs: DataFrame, table: String, buckets: Int = 64): Unit =
+    graft.sources.Bucketing.writeBucketed(dupClusters(pairs), table, "doc_id", buckets)
+
+  private def readRelabel(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val t = s"${table}_relabel"
+    if (spark.catalog.tableExists(t)) spark.table(t)
+    else spark.createDataFrame(new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_rep",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("new_rep",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /**
+   * Ingest a batch's near-dup pairs into a [[writeClusterIndex]]
+   * table — the cluster closure as a MAINTAINED structure, the step
+   * the incremental pair generators ([[indexedNearDupPairs]],
+   * [[incrementalNearDupPairs]]) previously left to a global
+   * recompute. Per batch:
+   *  1. the pairs' known endpoints resolve to their CURRENT roots
+   *     (bucket-pruned cluster lookup + the small relabel table);
+   *  2. a driver union-find over the BATCH-SIZED root/new-id edge
+   *     set finds new assignments and cluster MERGES (a batch doc
+   *     bridging two standing clusters);
+   *  3. new docs append to the cluster table (O(batch)); merges land
+   *     in the relabel table, which is rewritten path-COMPRESSED
+   *     every batch (stale targets resolved before writing), so
+   *     reads always resolve in ≤1 hop.
+   * Readers get assignments via [[clusterAssignments]] (one
+   * broadcast-sized relabel join). Equals [[dupClusters]] over the
+   * union of all pairs ever seen — min-id roots are preserved under
+   * merge because an old root is the min of its members and the
+   * union-find keeps the min of the merged roots (law-tested,
+   * including the merge case). Idempotent under replay: known
+   * endpoints re-resolve to the same roots, producing no new rows
+   * and no new merges. Relabel growth is bounded by total merges;
+   * [[compactClusterIndex]] folds it back into the bucketed table
+   * out of band.
+   */
+  def clusterAssignIncremental(newPairs: DataFrame, table: String): Unit = {
+    val spark = newPairs.sparkSession
+    import spark.implicits._
+    val pairRows = newPairs.select(col("a_id"), col("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pairRows.isEmpty) return
+    val ids = pairRows.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    val clusters0 = spark.table(table)
+    val clusters =
+      if (ids.size <= 4096) clusters0.filter(inSet(col("doc_id"), ids))
+      else clusters0.join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val relabel = readRelabel(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val known = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rootOf(id: Long): Long = {
+      val c = known.getOrElse(id, id)
+      relabel.getOrElse(c, c)
+    }
+    // driver union-find with min-root union over batch-sized edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairRows.foreach { case (a, b) => union(rootOf(a), rootOf(b)) }
+    // new docs -> resolved roots; appended in one small write
+    val newRows = ids.filterNot(known.contains)
+      .map(id => (id, find(rootOf(id)))).sorted
+    if (newRows.nonEmpty)
+      graft.sources.Bucketing.appendBucketed(
+        newRows.toDF("doc_id", "cluster_id"), table, "doc_id")
+    // merged old roots -> their new root
+    val touchedRoots = (known.values.map(c => relabel.getOrElse(c, c)) ++
+      ids.map(rootOf)).toSeq.distinct
+    val merges = touchedRoots.map(r => r -> find(r)).filter { case (o, n) => o != n }.toMap
+    if (merges.nonEmpty) {
+      // rewrite the (small) relabel table path-compressed: old
+      // entries re-resolve through the new merges, new merges append
+      val updated = (relabel.view.mapValues(v => merges.getOrElse(v, v)).toMap ++ merges)
+        .toSeq.sorted
+      graft.sources.Bucketing.writeSmallTable(
+        updated.toDF("old_rep", "new_rep"), s"${table}_relabel")
+    }
+  }
+
+  /** Current assignments: the bucketed table resolved through the relabel map. */
+  def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val relabel = readRelabel(spark, table)
+    spark.table(table).as("c")
+      .join(broadcast(relabel).as("r"), col("c.cluster_id") === col("r.old_rep"),
+        "left_outer")
+      .select(col("c.doc_id"),
+        coalesce(col("r.new_rep"), col("c.cluster_id")).as("cluster_id"))
+  }
+
+  /**
+   * Fold the relabel map into the bucketed cluster table (out-of-band
+   * compaction, crash-safe via the tagged rewrite swap) and clear it.
+   */
+  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_relabel")) return
+    val relabel = spark.table(s"${table}_relabel").localCheckpoint()
+    graft.sources.Bucketing.rewriteBucketed(spark, table,
+      df => df.join(broadcast(relabel), df("cluster_id") === relabel("old_rep"),
+          "left_outer")
+        .select(df("doc_id"),
+          coalesce(relabel("new_rep"), df("cluster_id")).as("cluster_id")),
+      tag = "relabel")
+    spark.sql(s"DROP TABLE ${table}_relabel")
+  }
+
+  /**
    * End-to-end near-dup removal: pair graph → connected components →
    * keep the min-id representative per cluster, anti-join the rest
    * out. The full dedup decision as one operator — candidates via

@@ -112,6 +112,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((2L, 3L)) === ((-1.5, "non_match")))
   }
 
+  test("clusterAssignIncremental: adopt, found, and MERGE standing clusters; replay idempotent") {
+    import org.apache.spark.sql.DataFrame
+    val corpusPairs = Seq((1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    Dedup.writeClusterIndex(corpusPairs, "graft_test_clusters")
+    // batch: doc 100 bridges clusters {1,2} and {5,6} (MERGE into 1);
+    // doc 101 adopts; docs 200/201 found a fresh cluster
+    val batch = Seq((100L, 2L), (100L, 5L), (101L, 6L), (200L, 201L))
+      .toDF("a_id", "b_id")
+    Dedup.clusterAssignIncremental(batch, "graft_test_clusters")
+    def assignments(): Map[Long, Long] =
+      Dedup.clusterAssignments(spark, "graft_test_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = assignments()
+    val global = Dedup.dupClusters(corpusPairs.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === global, s"maintained $got != global $global")
+    assert(got(6L) === 1L, "merge did not relabel the absorbed cluster")
+    assert(got(200L) === 200L && got(201L) === 200L)
+    // replay: same batch again changes nothing
+    Dedup.clusterAssignIncremental(batch, "graft_test_clusters")
+    assert(assignments() === got)
+    // compaction folds relabels into the table and is invisible
+    Dedup.compactClusterIndex(spark, "graft_test_clusters")
+    assert(assignments() === got)
+    // a later batch chaining into the merged cluster resolves through
+    // compacted state too
+    Dedup.clusterAssignIncremental(
+      Seq((300L, 100L)).toDF("a_id", "b_id"), "graft_test_clusters")
+    assert(assignments()(300L) === 1L)
+  }
+
   test("fellegiSunterEM learns high match posterior for planted duplicate pairs") {
     // 60 base records with near-independent fields + 12 planted dups
     // that agree with their base on ALL three fields. Within-block
