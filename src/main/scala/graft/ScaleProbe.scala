@@ -766,6 +766,23 @@ object ScaleProbe {
         time("span_incr_batch")(
           Dedup.spanRewriteIncremental(incrBatch, "graft_probe_span_idx", span = 20)
             .agg(sum(col("n_before") - col("n_after"))).head().getLong(0)),
+        // maintained cluster closure: persist the corpus's near-dup
+        // assignment once, then ingest a FIXED 100-pair batch — the
+        // union-find is batch-sized, the lookup bucket-pruned
+        time("cluster_incr_build") {
+          Dedup.writeClusterIndex(
+            Dedup.minhashNearDupPairs(docs, k = 64, bands = 16, threshold = 0.7),
+            "graft_probe_cluster_idx")
+          spark.table("graft_probe_cluster_idx").count()
+        },
+        time("cluster_incr_batch") {
+          val batch = spark.range(100).toDF("i")
+            .select((col("i") * 50).as("a_id"), lit(9500000L).as("_b"))
+            .select(col("a_id"), (col("_b") + col("a_id")).as("b_id"))
+          Dedup.clusterAssignIncremental(batch, "graft_probe_cluster_idx")
+          Dedup.clusterAssignments(spark, "graft_probe_cluster_idx")
+            .filter(col("doc_id") >= 9500000L).count()
+        },
         time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
           "s", "id", w = 10, maxDist = 2).count()))
