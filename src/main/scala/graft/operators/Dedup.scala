@@ -1146,6 +1146,9 @@ object Dedup {
   def clusterAssignIncremental(newPairs: DataFrame, table: String): Unit = {
     val spark = newPairs.sparkSession
     import spark.implicits._
+    if (!spark.catalog.tableExists(table))
+      graft.sources.Bucketing.writeBucketed(
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"), table, "doc_id", 64)
     val pairRows = newPairs.select(col("a_id"), col("b_id")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (pairRows.isEmpty) return

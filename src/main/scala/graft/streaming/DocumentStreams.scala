@@ -138,6 +138,45 @@ object DocumentStreams {
       }
       .start()
 
+  /**
+   * [[streamingIndexIngest]] plus MAINTAINED cluster closure: each
+   * micro-batch's near-dup pairs (vs everything already ingested)
+   * feed [[graft.operators.Dedup.clusterAssignIncremental]] — batch
+   * docs adopt, found, or MERGE standing clusters through the
+   * relabel table — and the batch docs' resolved assignments land in
+   * a replay-safe `batch=<id>` sink. Novel docs append to the
+   * minhash index so batch N+1 pairs (and clusters) against batch N.
+   * Replay safety: self-matches never pair (so re-delivered docs
+   * don't re-append) and assignment ingestion is idempotent — a
+   * fresh-checkpoint replay leaves the cluster TABLE and the index
+   * bit-identical (spec-pinned, including a cross-batch cluster
+   * chain). Batch sinks are current-knowledge snapshots, same
+   * contract as [[streamingIndexIngest]]'s pair sink: a replayed
+   * early batch may legitimately know about later docs.
+   */
+  def streamingClusterIngest(docStream: DataFrame, indexTable: String,
+      clusterTable: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        val rawPairs = graft.operators.Dedup
+          .indexedNearDupPairs(b, indexTable, threshold = threshold)
+          .localCheckpoint()
+        val pairs = rawPairs.filter(col("new_id") =!= col("corpus_id"))
+          .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
+        graft.operators.Dedup.clusterAssignIncremental(pairs, clusterTable)
+        graft.operators.Dedup.clusterAssignments(spark, clusterTable)
+          .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val novel = b.join(rawPairs.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
+      }
+      .start()
+
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =

@@ -1070,6 +1070,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(results() === r1)
   }
 
+  test("streaming cluster ingest: adopt/found/chain across batches; replay leaves tables identical") {
+    import graft.operators.Dedup
+    val s = spark; import s.implicits._
+    val mkText = (ns: String, seed: Long) =>
+      (0 until 40).map(j => s"$ns${seed}t$j").mkString(" ")
+    val row = (id: Long, text: String) => (id, text, "en", "src0", 200L)
+    val corpus = (0L until 60L).map(i => row(i, mkText("k", i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Dedup.writeMinhashIndex(corpus, "graft_clstream_idx")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstream").toString
+    // batch 1: a dup of corpus doc 11 (ADOPTs its cluster) + novel 6000-6002
+    val b1 = (Seq(row(5999L, mkText("k", 11L))) ++
+      (6000L to 6002L).map(i => row(i, mkText("b", i))))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val out = s"$dir/assign"
+    def run(ckpt: String): Unit = {
+      val q = DocumentStreams.streamingClusterIngest(
+        DocumentStreams.readDocumentStream(spark, s"$dir/in"),
+        "graft_clstream_idx", "graft_clstream_clusters", out, s"$dir/$ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("ckpt")
+    // batch 2: near-dup of batch-1 NOVEL doc 6001 (cross-batch chain
+    // FOUNDs cluster 6001) + another dup of corpus doc 11
+    val edited = mkText("b", 6001L).split(" ").updated(5, "EDITED").mkString(" ")
+    Seq(row(7000L, edited), row(7001L, mkText("k", 11L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    run("ckpt")
+    def table(): Map[Long, Long] =
+      Dedup.clusterAssignments(spark, "graft_clstream_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = table()
+    assert(t1(5999L) === 11L, s"batch-1 dup did not adopt the corpus cluster: $t1")
+    assert(t1(7001L) === 11L, s"batch-2 dup did not adopt: $t1")
+    assert(t1(7000L) === 6001L && t1(6001L) === 6001L,
+      s"cross-batch chain did not found cluster 6001: $t1")
+    val idxSize = spark.table("graft_clstream_idx_bands").count()
+    // fresh-checkpoint replay: the cluster table and the index are
+    // bit-identical afterwards (ingestion is idempotent)
+    run("ckpt_replay")
+    assert(table() === t1)
+    assert(spark.table("graft_clstream_idx_bands").count() === idxSize,
+      "replayed docs re-entered the minhash index")
+  }
+
   test("streaming span ingest: batch N+1 dedups against batch N; fresh-checkpoint replay reproduces") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
