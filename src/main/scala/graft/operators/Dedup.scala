@@ -1331,6 +1331,8 @@ object Dedup {
     val rows = comboRows.map { r =>
       ((0 until k).map(r.getLong).toVector, r.getLong(k))
     }.sortBy(_._1.mkString)
+    require(rows.nonEmpty,
+      "fellegiSunterEM: blocking produced no pairs — nothing to calibrate on")
     var lam = initLambda
     var m = Vector.fill(k)(initM)
     var u = Vector.fill(k)(initU)
