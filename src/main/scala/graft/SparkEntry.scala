@@ -1550,6 +1550,25 @@ object SparkEntry {
    * row_number, interval coverage, ordered reassembly — on shingle
    * STRINGS (the engine hashes them; the fixture is collision-free).
    */
+  /**
+   * Tokenizer model-swap: the 8 iteratively-learned merges persist
+   * as a parquet table and segmentation applies FROM the table
+   * (TextAnalysis.bpeApplyFromTable) — retraining the tokenizer is a
+   * data overwrite, not a code change. Oracle replays train (the
+   * shared s0..s8 chain) AND apply (s8 IS the learned segmentation).
+   */
+  private def textBpeTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    if (!s.catalog.tableExists("graft_bpe_merges")) {
+      import s.implicits._
+      TextAnalysis.bpeTrainIterative(docs, nMerges = 8).zipWithIndex
+        .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+        .toDF("rank", "x", "y", "cnt")
+        .write.saveAsTable("graft_bpe_merges")
+    }
+    TextAnalysis.bpeApplyFromTable(docs, s.table("graft_bpe_merges"))
+  }
+
   private def dedupSpanRewrite(s: SparkSession, dir: String): DataFrame =
     Dedup.spanRewrite(t(s, dir, "documents"), span = 20)
 
@@ -3150,6 +3169,7 @@ object SparkEntry {
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_iterative" -> (textBpeIterative _),
+    "text_bpe_table" -> (textBpeTable _),
     "stream_enrich" -> (qStreamEnrich _),
     "stream_funnel" -> (qStreamFunnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -3505,7 +3525,8 @@ object SparkEntry {
    * per-round aggregate can't live inside one recursive CTE. Output:
    * the merge table with selection counts.
    */
-  private def bpeIterativeSql(n: Int): String = {
+  /** The s0..sN segment-and-count CTE chain shared by the BPE oracles. */
+  private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH s0 AS (SELECT doc_id, ' ' || array_to_string(" +
       "string_split(lower(text), ' '), '  ') || ' ' AS s FROM documents)"
@@ -3519,6 +3540,12 @@ object SparkEntry {
         "' ' || split_part(pair, ' ', 1) || chr(1) || split_part(pair, ' ', 2) || ' ') AS s " +
         s"FROM s${r - 1}, m$r)"
     }
+    sb.toString
+  }
+
+  private def bpeIterativeSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeChainSql(n)
     sb ++= " SELECT * FROM (" + (1 to n).map { r =>
       s"SELECT CAST($r AS BIGINT) AS rank, " +
         "replace(split_part(pair, ' ', 1), chr(1), ' ') AS x, " +
@@ -5135,6 +5162,13 @@ object SparkEntry {
         "replace(array_to_string(f.units, '|'), chr(1), ' ') AS seg " +
         "FROM fin f JOIN tok t ON f.doc_id = t.doc_id"),
     "text_bpe_iterative" -> bpeIterativeSql(8),
+    // learned-merge apply: s8 of the shared chain IS the segmentation
+    "text_bpe_table" ->
+      (bpeChainSql(8) +
+        " SELECT d.doc_id, CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(string_split(trim(s8.s), '  ')) AS BIGINT) AS n_units, " +
+        "replace(array_to_string(string_split(trim(s8.s), '  '), '|'), chr(1), ' ') AS seg " +
+        "FROM documents d JOIN s8 ON d.doc_id = s8.doc_id"),
     // the composed ingest decision: exact > near > quality > accepted,
     // each branch the same replay as its standalone oracle
     "pipeline_ingest" ->

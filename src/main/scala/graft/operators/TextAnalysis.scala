@@ -689,6 +689,21 @@ object TextAnalysis {
    * segmentation with units '|'-separated and merged units
    * space-joined.
    */
+  /**
+   * Apply a LEARNED merge table read from a DataFrame — the
+   * model-swap discipline (classifierScoreFromTable /
+   * langIdFromTable) applied to the tokenizer: the merge list is a
+   * data artifact, so retraining is a table overwrite, not a code
+   * change. The table is merge-count-bounded (collect is O(vocab
+   * additions), not corpus); rows apply in `rank` order.
+   */
+  def bpeApplyFromTable(docs: DataFrame, merges: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val learned = merges.orderBy("rank").select("x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeApply(docs, learned, textCol, idCol)
+  }
+
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val units = bpe_segment(lower(col(textCol)), merges)
