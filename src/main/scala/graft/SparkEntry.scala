@@ -1561,10 +1561,13 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     if (!s.catalog.tableExists("graft_bpe_merges")) {
       import s.implicits._
-      TextAnalysis.bpeTrainIterative(docs, nMerges = 8).zipWithIndex
-        .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
-        .toDF("rank", "x", "y", "cnt")
-        .write.saveAsTable("graft_bpe_merges")
+      // writeSmallTable, not a bare saveAsTable: it clears an
+      // orphaned warehouse dir a previous JVM left behind
+      graft.sources.Bucketing.writeSmallTable(
+        TextAnalysis.bpeTrainIterative(docs, nMerges = 8).zipWithIndex
+          .map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+          .toDF("rank", "x", "y", "cnt"),
+        "graft_bpe_merges")
     }
     TextAnalysis.bpeApplyFromTable(docs, s.table("graft_bpe_merges"))
   }
