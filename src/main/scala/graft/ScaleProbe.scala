@@ -775,6 +775,17 @@ object ScaleProbe {
             "graft_probe_cluster_idx")
           spark.table("graft_probe_cluster_idx").count()
         },
+        // EM calibration at ~9.5M blocked pairs: the corpus-sized work
+        // is ONE combo-count aggregate; the 5 EM rounds run on ≤8 rows
+        time("em_calibrate") {
+          val recs = spark.range(300000).toDF("id")
+            .withColumn("blk", (col("id") / 64).cast("long"))
+            .withColumn("f1", pmod(xxhash64(col("id") * 3 + 1), lit(4)))
+            .withColumn("f2", pmod(xxhash64(col("id") * 5 + 2), lit(6)))
+            .withColumn("f3", pmod(xxhash64(col("id") * 7 + 3), lit(9)))
+          Dedup.fellegiSunterEM(recs, "blk", "id", Seq("f1", "f2", "f3"),
+            iters = 5).count()
+        },
         time("cluster_incr_batch") {
           val batch = spark.range(100).toDF("i")
             .select((col("i") * 50).as("a_id"), lit(9500000L).as("_b"))
