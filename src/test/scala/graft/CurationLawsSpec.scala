@@ -615,6 +615,26 @@ class CurationLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("partition-invariance law: stratified split and upsample ignore physical layout") {
+    check("layoutInvariance", Prop.forAll(Gen.chooseNum(5, 50)) { n =>
+      val docs = (0 until n).map { i =>
+        (i.toLong, (0 to i % 5).map(j => s"w$j").mkString(" "), s"s${i % 3}")
+      }.toDF("doc_id", "text", "source")
+      def splitOf(df: org.apache.spark.sql.DataFrame) =
+        Curation.stratifiedSplit(df, col("source"),
+          md5(concat(lit("pi:"), col("doc_id").cast("string"))),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def upsOf(df: org.apache.spark.sql.DataFrame) =
+        Curation.upsampleMix(df, budgetTokens = 200L)
+          .select("id", "copy").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      splitOf(docs) == splitOf(docs.repartition(7)) &&
+        upsOf(docs) == upsOf(docs.repartition(5))
+    })
+  }
+
   test("skew-safe law: grouped prefix sums equal the per-group window for pack and interleave") {
     check("skewSafe", Prop.forAll(corpusGen) { texts =>
       val docs = texts.zipWithIndex
