@@ -1576,6 +1576,28 @@ object SparkEntry {
     Dedup.spanRewrite(t(s, dir, "documents"), span = 20)
 
   /**
+   * Span-index DELETE, oracled: corpus docs with doc_id%7==1 are
+   * tombstoned out of the built index, and the arriving batch
+   * rewrites against the masked index — windows whose FIRST corpus
+   * occurrence belonged to a deleted doc legitimately REVIVE (the
+   * index stores one owner per hash; masking the owner masks the
+   * hash — deliberately NOT rebuild-without, which would re-own).
+   * The oracle replays exactly that: corpus-first ownership,
+   * deletion mask, batch-first fallback, coverage, reassembly.
+   */
+  private def dedupSpanRewriteDel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_span_idxd")) {
+      Dedup.writeSpanIndex(docs.filter(col("doc_id") < cut), "graft_span_idxd")
+      Dedup.deleteFromSpanIndex(
+        docs.filter(col("doc_id") < cut && col("doc_id") % 7 === 1).select("doc_id"),
+        "graft_span_idxd")
+    }
+    Dedup.spanRewriteIncremental(docs.filter(col("doc_id") >= cut), "graft_span_idxd")
+  }
+
+  /**
    * The MAINTAINED span rewrite: standing 90% of the corpus persists
    * as a bucketed span index; the arriving 10% batch rewrites against
    * it at batch-sized cost (Dedup.spanRewriteIncremental). Oracle is
@@ -3166,6 +3188,7 @@ object SparkEntry {
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_rewrite" -> (dedupSpanRewrite _),
     "dedup_span_rewrite_incr" -> (dedupSpanRewriteIncr _),
+    "dedup_span_rewrite_del" -> (dedupSpanRewriteDel _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "retrieval_rrf" -> (retrievalRrf _),
@@ -5081,10 +5104,44 @@ object SparkEntry {
     // keep-first by (doc_id, pos) row_number, interval coverage of
     // duplicate starts, ordered reassembly of surviving tokens
     "dedup_span_rewrite" -> spanRewriteSql(""),
-    // the maintained path: identical gqal replay (corpus ∪ batch),
+    // the maintained path: identical global replay (corpus ∪ batch),
     // output restricted to the batch docs
     "dedup_span_rewrite_incr" -> spanRewriteSql(
       " WHERE tok.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)"),
+    // DELETE-mask replay: batch window dup iff its hash's corpus-first
+    // owner survives the takedown, else iff an earlier batch
+    // occurrence exists (the one-owner-per-hash revive semantic)
+    "dedup_span_rewrite_del" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+19], ' ') AS sh " +
+        "FROM tok, UNNEST(generate_series(1, len(w) - 19)) t(i) WHERE len(w) >= 20), " +
+        "fc AS (SELECT sh, odoc FROM (SELECT pos.sh, pos.doc_id AS odoc, " +
+        "row_number() OVER (PARTITION BY pos.sh ORDER BY pos.doc_id, pos.p) AS rn " +
+        "FROM pos, cut WHERE pos.doc_id < cut.c) WHERE rn = 1), " +
+        "vo AS (SELECT sh FROM fc WHERE odoc % 7 != 1), " +
+        "bpos AS (SELECT pos.doc_id, pos.p, pos.sh FROM pos, cut " +
+        "WHERE pos.doc_id >= cut.c), " +
+        "bf AS (SELECT sh, bdoc, bp FROM (SELECT sh, doc_id AS bdoc, p AS bp, " +
+        "row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn FROM bpos) " +
+        "WHERE rn = 1), " +
+        "dup AS (SELECT b.doc_id, b.p FROM bpos b " +
+        "LEFT JOIN vo ON b.sh = vo.sh JOIN bf ON b.sh = bf.sh " +
+        "WHERE vo.sh IS NOT NULL OR NOT (b.doc_id = bf.bdoc AND b.p = bf.bp)), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM dup, " +
+        "UNNEST(generate_series(p, p + 19)) c(tp)), " +
+        "tkn AS (SELECT tok.doc_id, i - 1 AS tp, w[i] AS tokn FROM tok, cut, " +
+        "UNNEST(generate_series(1, len(w))) t(i) WHERE tok.doc_id >= cut.c), " +
+        "kept AS (SELECT tkn.doc_id, tkn.tp, tkn.tokn FROM tkn " +
+        "LEFT JOIN cov ON tkn.doc_id = cov.doc_id AND tkn.tp = cov.tp " +
+        "WHERE cov.tp IS NULL), " +
+        "agg AS (SELECT doc_id, count(*) AS n_after, " +
+        "string_agg(tokn, ' ' ORDER BY tp) AS txt FROM kept GROUP BY doc_id) " +
+        "SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_before, " +
+        "CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_after, " +
+        "md5(coalesce(agg.txt, '')) AS rewritten_md5 " +
+        "FROM tok CROSS JOIN cut LEFT JOIN agg ON tok.doc_id = agg.doc_id " +
+        "WHERE tok.doc_id >= cut.c"),
     // replays the two-pass BM25 arithmetic term-by-term in the same
     // order (idf and avgdl rounded to 6 decimals before scoring on
     // both sides, so the unrounded ranking doubles are bit-identical)
@@ -5673,7 +5730,7 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem " +
         "WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31' " +
         "GROUP BY l_returnflag"),
-    // full replay of the paragraph rewrite: 15-token units, gqal
+    // full replay of the paragraph rewrite: 15-token units, global
     // keep-first in (doc order, position), per-doc reassembly
     "dedup_paragraphs" -> paragraphSql(""),
     // the incremental rewrite must equal the GLOBAL rewrite
