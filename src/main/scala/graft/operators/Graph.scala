@@ -198,6 +198,45 @@ object Graph {
   }
 
   /**
+   * [[weightedShortestPaths]] run to FIXPOINT instead of a fixed hop
+   * budget — for graphs whose shortest paths are longer than any
+   * round count you'd want to hardcode. Convergence is gated by the
+   * same two-tier check as the CC loop: a one-aggregate checksum
+   * (count + bit_xor of the hashed rows) per round, with the exact
+   * two-sided EXCEPT only on checksum match — one tiny job per round,
+   * no wrong early stop possible. `maxRounds` bounds runaway graphs
+   * with negative-cost cycles (true Bellman–Ford termination);
+   * distances are exact at fixpoint for non-negative weights.
+   */
+  def weightedShortestPathsConverged(wEdges: DataFrame, source: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("node"), col("dist"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var dist = source.select(col("node"), lit(0.0).as("dist")).localCheckpoint()
+    var cur = checksum(dist)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val relax = wEdges.join(dist, wEdges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      val nextSum = checksum(next)
+      converged = nextSum == cur &&
+        next.except(dist).limit(1).count() == 0 &&
+        dist.except(next).limit(1).count() == 0
+      dist = next
+      cur = nextSum
+      i += 1
+    }
+    dist.select(col("node"), round(col("dist"), 6).as("dist"))
+  }
+
+  /**
    * Personalized PageRank (random walk with restart): the teleport
    * mass lands on a SEED set instead of uniformly — the standard
    * "related items from these examples" primitive behind

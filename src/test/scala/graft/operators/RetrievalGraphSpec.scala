@@ -262,6 +262,17 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedShortestPathsConverged reaches fixpoint past any fixed round budget") {
+    // a 30-node chain needs 29 relaxations — far past the default 4
+    val chain = (0L until 29L).map(i => (i, i + 1, 0.1)).toDF("src", "dst", "w")
+    val got = Graph.weightedShortestPathsConverged(chain, Seq(Tuple1(0L)).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 30)
+    (0 to 29).foreach { i =>
+      assert(math.abs(got(i.toLong) - 0.1 * i) < 1e-6, s"node $i: ${got(i.toLong)}")
+    }
+  }
+
   test("kmeansAssign recovers well-separated planted clusters") {
     // 3 orthogonal directions ± small deterministic noise, 30 vectors each
     val vecs = (0 until 90).map { i =>
