@@ -1320,11 +1320,28 @@ object Dedup {
     val base = records.select(cols: _*)
     val agreeCols = fields.zipWithIndex.map { case (f, i) =>
       (col(s"a.$f") === col(s"b.$f")).cast("long").as(s"ag_$i") }
-    val comboRows = base.as("a").join(base.as("b"),
+    emFromCombos(base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(agreeCols: _*)
       .groupBy(fields.indices.map(i => col(s"ag_$i")): _*)
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(count(lit(1)).as("n_pairs")),
+      k, iters, initLambda, initM, initU)
+  }
+
+  /**
+   * The EM core over an agreement-combo COUNT TABLE (ag_0..ag_{k-1},
+   * n_pairs) — the mergeable-summary form: combo counts are plain
+   * sums, so any number of batches/partitions/streams merge by
+   * addition and calibration replays from the merged table
+   * ([[fellegiSunterEM]] is this over one blocking join; the
+   * streaming calibration accumulates a replay-safe ledger and calls
+   * this per batch).
+   */
+  def emFromCombos(combos: DataFrame, k: Int, iters: Int = 5,
+      initLambda: Double = 0.1, initM: Double = 0.8, initU: Double = 0.2): DataFrame = {
+    val spark = combos.sparkSession
+    val comboRows = combos
+      .select(((0 until k).map(i => col(s"ag_$i")) :+ col("n_pairs").cast("long")): _*)
       .collect()
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // sorted combo order — the SQL replay's ORDER BY a_0, ..., a_{k-1}
@@ -1332,7 +1349,7 @@ object Dedup {
       ((0 until k).map(r.getLong).toVector, r.getLong(k))
     }.sortBy(_._1.mkString)
     require(rows.nonEmpty,
-      "fellegiSunterEM: blocking produced no pairs — nothing to calibrate on")
+      "emFromCombos: empty combo table — nothing to calibrate on")
     var lam = initLambda
     var m = Vector.fill(k)(initM)
     var u = Vector.fill(k)(initU)
@@ -1367,7 +1384,7 @@ object Dedup {
         (0 until k).flatMap(i => Seq(m(i), u(i))))
     }
     val schema = org.apache.spark.sql.types.StructType(
-      fields.indices.map(i => org.apache.spark.sql.types.StructField(
+      (0 until k).map(i => org.apache.spark.sql.types.StructField(
         s"ag_$i", org.apache.spark.sql.types.LongType)) ++
       Seq(org.apache.spark.sql.types.StructField("n_pairs",
           org.apache.spark.sql.types.LongType),
@@ -1375,7 +1392,7 @@ object Dedup {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("lambda",
           org.apache.spark.sql.types.DoubleType)) ++
-      fields.indices.flatMap(i => Seq(
+      (0 until k).flatMap(i => Seq(
         org.apache.spark.sql.types.StructField(s"m_$i",
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField(s"u_$i",

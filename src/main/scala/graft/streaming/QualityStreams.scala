@@ -85,4 +85,35 @@ object QualityStreams {
   /** The accepted sink's composed zone map (files-sized stats table). */
   def zoneStats(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(s"$outPath/zones")
+
+  /**
+   * Fellegi–Sunter calibration maintained under a COMPARISON STREAM:
+   * each micro-batch of agreement vectors (ag_0..ag_{k-1} columns)
+   * lands as a combo-count ledger partition (`batch=<id>` overwrite —
+   * replay-safe), and the EM re-runs on the MERGED ledger (combo
+   * counts are sums, the mergeable-summary contract) into a
+   * per-batch parameter snapshot. Result: linkage weights that track
+   * the pair population as it arrives, with calibration cost O(2^k)
+   * past one aggregate per batch — and a fresh-checkpoint replay
+   * reproduces ledger and parameters bit-for-bit (spec-pinned
+   * against the direct batch EM on the union).
+   */
+  def streamingLinkageCalibration(pairStream: DataFrame, k: Int,
+      outPath: String, checkpoint: String,
+      iters: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+    pairStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val agCols = (0 until k).map(i => col(s"ag_$i"))
+        batch.toDF().groupBy(agCols: _*)
+          .agg(count(lit(1)).as("n_pairs"))
+          .write.mode("overwrite").parquet(s"$outPath/ledger/batch=$batchId")
+        val merged = spark.read.parquet(s"$outPath/ledger")
+          .groupBy(agCols: _*)
+          .agg(sum("n_pairs").as("n_pairs"))
+        graft.operators.Dedup.emFromCombos(merged, k, iters)
+          .write.mode("overwrite").parquet(s"$outPath/params/batch=$batchId")
+      }
+      .start()
 }

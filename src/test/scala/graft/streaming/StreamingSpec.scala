@@ -1070,6 +1070,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(results() === r1)
   }
 
+  test("streaming linkage calibration: merged-ledger EM equals the direct batch EM; replay reproduces") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val s = spark; import s.implicits._
+    // two batches of agreement vectors with different mixes
+    val b1 = (Seq.fill(40)((0L, 0L, 0L)) ++ Seq.fill(6)((1L, 1L, 1L)) ++
+      Seq.fill(10)((1L, 0L, 0L))).toDF("ag_0", "ag_1", "ag_2")
+    val b2 = (Seq.fill(25)((0L, 0L, 0L)) ++ Seq.fill(4)((1L, 1L, 1L)) ++
+      Seq.fill(8)((0L, 1L, 0L))).toDF("ag_0", "ag_1", "ag_2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-emstream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/stage_$name")
+      val part = new java.io.File(s"$dir/stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(b1, "a"); Thread.sleep(1200); stage(b2, "b")
+    val out = s"$dir/out"
+    val schema = b1.schema
+    def run(ckpt: String): Unit = {
+      val q = QualityStreams.streamingLinkageCalibration(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/in"), k = 3, out, s"$dir/$ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("ckpt")
+    def lastParams(): Set[Seq[Any]] = {
+      val batches = new java.io.File(s"$out/params").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      spark.read.parquet(s"$out/params/${batches.last}").collect()
+        .map(_.toSeq).toSet
+    }
+    val streamed = lastParams()
+    // direct EM over the unioned combo counts
+    val direct = Dedup.emFromCombos(
+      b1.unionByName(b2).groupBy("ag_0", "ag_1", "ag_2")
+        .agg(count(lit(1)).as("n_pairs")), k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === direct,
+      s"streamed params diverge from the direct union EM:\n$streamed\nvs\n$direct")
+    // fresh-checkpoint replay reproduces the final parameters
+    run("ckpt_replay")
+    assert(lastParams() === streamed)
+  }
+
   test("streaming cluster ingest: adopt/found/chain across batches; replay leaves tables identical") {
     import graft.operators.Dedup
     val s = spark; import s.implicits._
