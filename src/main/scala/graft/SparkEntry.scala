@@ -1585,6 +1585,26 @@ object SparkEntry {
    * The oracle replays exactly that: corpus-first ownership,
    * deletion mask, batch-first fallback, coverage, reassembly.
    */
+  /**
+   * Unit-index DELETE, oracled — the paragraph twin of
+   * `dedup_span_rewrite_del`: owners with doc_id%7==1 tombstone out
+   * and the batch rewrite revives their units (one owner per unit
+   * hash; masked owner ⇒ unowned unit). Residue 1 hits two of the
+   * five corpus owners the batch actually duplicates, so both the
+   * revive and still-masked paths execute.
+   */
+  private def dedupParagraphsDel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_unit_idxd")) {
+      Dedup.writeUnitIndex(docs.filter(col("doc_id") < cut), "graft_unit_idxd")
+      Dedup.deleteFromUnitIndex(
+        docs.filter(col("doc_id") < cut && col("doc_id") % 7 === 1).select("doc_id"),
+        "graft_unit_idxd")
+    }
+    Dedup.paragraphDedupIncremental(docs.filter(col("doc_id") >= cut), "graft_unit_idxd")
+  }
+
   private def dedupSpanRewriteDel(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cut = (docs.agg(max("doc_id")).head.getLong(0) + 1L) * 9L / 10L
@@ -3213,6 +3233,7 @@ object SparkEntry {
     "dedup_span_rewrite" -> (dedupSpanRewrite _),
     "dedup_span_rewrite_incr" -> (dedupSpanRewriteIncr _),
     "dedup_span_rewrite_del" -> (dedupSpanRewriteDel _),
+    "dedup_paragraphs_del" -> (dedupParagraphsDel _),
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "retrieval_rrf" -> (retrievalRrf _),
@@ -5781,6 +5802,33 @@ object SparkEntry {
     // restricted to the batch (corpus order keys all precede it)
     "dedup_paragraphs_incr" -> paragraphSql(
       " WHERE t.doc_id >= (SELECT (max(doc_id) + 1) * 9 // 10 FROM documents)"),
+    // unit DELETE-mask replay: a batch unit is kept iff its hash has
+    // no SURVIVING corpus-first owner and it is the batch's own first
+    "dedup_paragraphs_del" ->
+      ("WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents), " +
+        "sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, unnest(ws) AS word, " +
+        "generate_subscripts(ws, 1) AS i FROM sp), " +
+        "p AS (SELECT doc_id, CAST(floor((i - 1) / 15) AS BIGINT) AS pidx, " +
+        "string_agg(word, ' ' ORDER BY i) AS ptext " +
+        "FROM w GROUP BY doc_id, floor((i - 1) / 15)), " +
+        "fc AS (SELECT ptext, odoc FROM (SELECT p.ptext, p.doc_id AS odoc, " +
+        "row_number() OVER (PARTITION BY p.ptext ORDER BY p.doc_id, p.pidx) AS rn " +
+        "FROM p, cut WHERE p.doc_id < cut.c) WHERE rn = 1), " +
+        "vo AS (SELECT ptext FROM fc WHERE odoc % 7 != 1), " +
+        "bp AS (SELECT p.doc_id, p.pidx, p.ptext FROM p, cut WHERE p.doc_id >= cut.c), " +
+        "bf AS (SELECT ptext, bdoc, bpidx FROM (SELECT ptext, doc_id AS bdoc, " +
+        "pidx AS bpidx, row_number() OVER (PARTITION BY ptext " +
+        "ORDER BY doc_id, pidx) AS rn FROM bp) WHERE rn = 1), " +
+        "kept AS (SELECT bp.doc_id, bp.pidx, bp.ptext FROM bp " +
+        "LEFT JOIN vo ON bp.ptext = vo.ptext JOIN bf ON bp.ptext = bf.ptext " +
+        "WHERE vo.ptext IS NULL AND bp.doc_id = bf.bdoc AND bp.pidx = bf.bpidx), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(ptext, ' ' ORDER BY pidx) AS text_kept FROM kept GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM bp GROUP BY doc_id) " +
+        "SELECT tot.doc_id, tot.n_paras, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(r.text_kept, '') AS text_kept FROM tot LEFT JOIN r " +
+        "ON tot.doc_id = r.doc_id"),
     // SNM window w=10 over (s, id) order; same corrupted base as er_editdist
     "er_sorted_neighborhood" ->
       ("WITH base AS (SELECT p_partkey AS id, p_name AS s FROM part " +
