@@ -2517,6 +2517,32 @@ object SparkEntry {
     Dedup.fellegiSunterEM(fsCustomer(s, dir), "blk", "c_custkey",
       Seq("bal_band", "name_tail", "cent_band"), iters = 5)
 
+  /**
+   * The composed ER pipeline in one query: blocked pairs → EM
+   * calibration (er_em_params' exact trajectory) → classification by
+   * LEARNED posterior (> 0.4 — no hand weights anywhere) → connected
+   * components over the matched pairs → cluster census. Every stage
+   * is the oracled operator used elsewhere, chained; the oracle
+   * replays EM, the per-pair posterior, and the recursive closure.
+   */
+  private def pipelineLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cust = fsCustomer(s, dir)
+    val fields = Seq("bal_band", "name_tail", "cent_band")
+    val em = Dedup.fellegiSunterEM(cust, "blk", "c_custkey", fields, iters = 5)
+      .select(col("ag_0"), col("ag_1"), col("ag_2"), col("p_match"))
+    val agreeCols = fields.zipWithIndex.map { case (f, i) =>
+      (col(s"a.$f") === col(s"b.$f")).cast("long").as(s"ag_$i") }
+    val pairs = cust.as("a").join(cust.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(Seq(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id")) ++
+        agreeCols: _*)
+    val matched = pairs.join(broadcast(em), Seq("ag_0", "ag_1", "ag_2"))
+      .filter(col("p_match") > 0.4)
+      .select(col("a_id"), col("b_id"))
+    Dedup.dupClusters(matched)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+  }
+
   private def erCosine(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
     val typo = part.filter(col("p_partkey") % 100 === 0)
@@ -3299,6 +3325,7 @@ object SparkEntry {
     "er_editdist" -> (erEditdist _),
     "er_fellegi_sunter" -> (erFellegiSunter _),
     "er_em_params" -> (erEmParams _),
+    "pipeline_linkage" -> (pipelineLinkage _),
     "er_cosine" -> (erCosine _),
     "corpus_resample" -> (corpusResample _),
     "q_hll_union" -> (qHllUnion _),
@@ -4638,6 +4665,35 @@ object SparkEntry {
         "round(" + emPost("e5") + ", 6) AS p_match, e5.lambda, " +
         "e5.m0 AS m_0, e5.u0 AS u_0, e5.m1 AS m_1, e5.u1 AS u_1, " +
         "e5.m2 AS m_2, e5.u2 AS u_2 FROM combos, e5"),
+    // full ER-pipeline replay: EM trajectory → per-pair learned
+    // posterior → matched edges → recursive closure → cluster census
+    "pipeline_linkage" ->
+      ("WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey || '|' || c_mktsegment AS blk, " +
+        "floor(c_acctbal / 1000) AS bal_band, right(c_name, 1) AS name_tail, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cent_band FROM customer), " +
+        "combos AS (SELECT " +
+        "CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS a0, " +
+        "CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END AS a1, " +
+        "CASE WHEN a.cent_band = b.cent_band THEN 1 ELSE 0 END AS a2, " +
+        "count(*) AS n FROM c a JOIN c b ON a.blk = b.blk " +
+        "AND a.c_custkey < b.c_custkey GROUP BY 1, 2, 3), " +
+        "e0 AS (SELECT 0.1::DOUBLE AS lambda, 0.8::DOUBLE AS m0, 0.2::DOUBLE AS u0, " +
+        "0.8::DOUBLE AS m1, 0.2::DOUBLE AS u1, 0.8::DOUBLE AS m2, 0.2::DOUBLE AS u2), " +
+        emIter("e1", "e0") + emIter("e2", "e1") + emIter("e3", "e2") +
+        emIter("e4", "e3") + emIter("e5", "e4") +
+        "pr AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id, " +
+        "CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS a0, " +
+        "CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END AS a1, " +
+        "CASE WHEN a.cent_band = b.cent_band THEN 1 ELSE 0 END AS a2 " +
+        "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey), " +
+        "matched AS (SELECT a_id, b_id FROM pr, e5 WHERE " + emPost("e5") + " > 0.4), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM matched " +
+        "UNION SELECT b_id, a_id FROM matched), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+        "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "asg AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id " +
+        "FROM reach GROUP BY u) " +
+        "SELECT cluster_id, count(*) AS n_members FROM asg GROUP BY cluster_id"),
     // UNBLOCKED all-pairs set cosine: equality with the engine's
     // prefix-filtered run proves AllPairs blocking is lossless
     "er_cosine" ->
