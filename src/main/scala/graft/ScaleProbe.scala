@@ -95,6 +95,26 @@ object ScaleProbe {
       time("dedup_minhash")(Dedup.minhashNearDupPairs(docs, k = 64, bands = 16,
         threshold = 0.7).count()),
       time("dedup_simhash")(Dedup.simhashNearDupPairs(docs, maxHamming = 3).count()),
+      // refine-not-drop at scale: a 20k-doc viral boilerplate class
+      // (50 variants × 400 identical copies, cross-variant jaccard
+      // ≈ 0.67) drives every band bucket past maxBucket — the old
+      // generator dropped ALL its pairs with zero signal; the refined
+      // one must close the whole class into ONE cluster, with
+      // candidate volume O(class) (stars + rep pairs), never class².
+      time("dedup_viral") {
+        val base = "the quarterly compliance disclosure statement required " +
+          "by section twelve applies to all registered entities and must " +
+          "be filed before the end of the reporting period without exception"
+        val viral = spark.range(20000).select(
+          (col("id") + 50000000L).as("doc_id"),
+          concat(lit(base + " variant "), (col("id") % 50).cast("string")).as("text"))
+        val pairs = Dedup.minhashNearDupPairs(viral, k = 64, bands = 16,
+          threshold = 0.6, maxBucket = 300)
+        val n = Dedup.dupClusters(pairs)
+          .filter(col("cluster_id") === 50000000L).count()
+        require(n == 20000L, s"viral class recall: $n of 20000 docs clustered")
+        n
+      },
       time("dedup_ngram_jaccard")(Dedup.ngramJaccardPairs(docs, n = 5,
         threshold = 0.7).count()),
       time("ann_lsh")(Similarity.lshTopK(embs, embs.filter(col("vec_id") < 100),

@@ -4686,7 +4686,10 @@ object SparkEntry {
         "CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END AS a1, " +
         "CASE WHEN a.cent_band = b.cent_band THEN 1 ELSE 0 END AS a2 " +
         "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey), " +
-        "matched AS (SELECT a_id, b_id FROM pr, e5 WHERE " + emPost("e5") + " > 0.4), " +
+        // round6 the posterior BEFORE the threshold, matching the Spark
+        // side's round6'd p_match — both engines compare the same
+        // discretized value even for posteriors within an ulp of 0.4
+        "matched AS (SELECT a_id, b_id FROM pr, e5 WHERE round(" + emPost("e5") + ", 6) > 0.4), " +
         "edges AS (SELECT a_id AS u, b_id AS v FROM matched " +
         "UNION SELECT b_id, a_id FROM matched), " +
         "reach(u, v) AS (SELECT u, v FROM edges UNION " +

@@ -321,9 +321,11 @@ object Curation {
    * budget/K target tokens; its rate r_s = target/t_s may exceed 1,
    * in which case every doc repeats ⌊r_s⌋ times and one extra copy
    * lands on the docs whose md5 gate falls under the fractional
-   * remainder — so realized tokens track the target within one doc's
-   * worth per source, deterministically (no RNG, stable under
-   * re-runs and partitioning). This is the standard "repeat the
+   * remainder — the remainder is applied IN EXPECTATION via the
+   * deterministic hash gate (≈ remainder·n_s docs get the extra copy,
+   * with binomial-like deviation, so realized tokens can miss the
+   * per-source target by a few docs' worth; stable under re-runs and
+   * partitioning — no RNG). This is the standard "repeat the
    * small/high-quality sources" mixing lever in LLM data recipes
    * (epochs-per-source); output carries a `copy` index so downstream
    * shuffling/packing can treat repeats as distinct rows.

@@ -176,6 +176,81 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
 
   /**
+   * Census of the buckets [[pairsFromBuckets]]' cap would truncate —
+   * the "no silent caps" observability hook: one row per bucket over
+   * `maxBucket` with its member count, so a pipeline can report (or
+   * alert on) exactly how much candidate mass the cap touches.
+   */
+  def oversizedBucketCensus(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String = "id", maxBucket: Int = 10000): DataFrame =
+    buckets.groupBy(bucketCols.map(col): _*)
+      .agg(count(col(idCol)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /**
+   * [[pairsFromBuckets]] with REFINE-NOT-DROP oversized buckets — the
+   * viral-boilerplate fix: a bucket over `maxBucket` (20k
+   * near-identical docs sharing a band hash) is never discarded.
+   * Instead its members re-group on `refineCol` — a FINER content key
+   * (full-signature hash for MinHash bands, exact-vector hash for
+   * embedding LSH) — and emit a connectivity-complete candidate set:
+   *
+   *  1. members sharing the refine key (byte-identical content under
+   *     the sketch) link by a STAR to the group's min id — O(m) pairs
+   *     for the duplicated mass instead of O(m²);
+   *  2. one representative per refine-key group cross-links the
+   *     groups: all-pairs when the rep set fits `maxBucket`, else a
+   *     star over the reps (center = min rep).
+   *
+   * Every member is thus linked into its bucket's candidate graph —
+   * nothing is dropped. For oversized buckets the emitted pair set is
+   * the closure-sufficient SUBSET, not the literal quadratic set:
+   * downstream verification + connected components recover the same
+   * clusters whenever the bucket is a true near-dup class (star edges
+   * verify — the members are near-identical), while an adversarial
+   * bucket of unrelated colliders emits O(m) candidates whose false
+   * edges verification kills anyway. Small buckets are bit-identical
+   * to [[pairsFromBuckets]]. Reference analog: the shuffle batching
+   * cap is a wake-up threshold, never a data drop (src/mr.c:671).
+   */
+  def pairsFromBucketsRefined(buckets: DataFrame, bucketCols: Seq[String],
+      refineCol: String, idCol: String = "id",
+      maxBucket: Int = 10000): DataFrame = {
+    val bcols = bucketCols.map(col)
+    val lists = buckets.groupBy(bcols: _*)
+      .agg(collect_list(struct(col(idCol).as("id"), col(refineCol).as("rk"))).as("xs"))
+    val small = lists.filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a.id").as("a_id"), explode(col("xs")).as("b"))
+      .select(col("a_id"), col("b.id").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    val bigMembers = lists.filter(size(col("xs")) > maxBucket)
+      .select(bcols :+ explode(col("xs")).as("x"): _*)
+      .select(bcols ++ Seq(col("x.id").as("id"), col("x.rk").as("rk")): _*)
+    val groups = bigMembers.groupBy(bcols :+ col("rk"): _*)
+      .agg(collect_list(col("id")).as("ids"), min(col("id")).as("rep"))
+    // star within each equal-refine-key group (rep = min id, so
+    // a_id < b_id holds by construction)
+    val stars = groups.filter(size(col("ids")) >= 2)
+      .select(col("rep").as("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // cross-group links: all-pairs over the reps when they fit the
+    // cap, else a star over the reps
+    val repLists = groups.groupBy(bcols: _*)
+      .agg(collect_list(col("rep")).as("reps"))
+      .filter(size(col("reps")) >= 2)
+    val repPairs = repLists.filter(size(col("reps")) <= maxBucket)
+      .select(explode(col("reps")).as("a_id"), col("reps"))
+      .select(col("a_id"), explode(col("reps")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    val repStars = repLists.filter(size(col("reps")) > maxBucket)
+      .select(array_min(col("reps")).as("a_id"), explode(col("reps")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    small.unionByName(stars).unionByName(repPairs).unionByName(repStars)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /**
    * MinHash + LSH banding near-dup pairs (the scalable path at
    * 100 TB): k-long signature per doc (one pass), split into `bands`
    * bands; docs sharing any band hash are candidates; candidates are
@@ -184,7 +259,8 @@ object Dedup {
    */
   def minhashNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, shingleN: Int = 5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     // signatures AND shingle sets are scan-stage expressions — no
@@ -193,13 +269,17 @@ object Dedup {
       shingle_hashes(col(textCol), shingleN).as("sh_set"))
     val sigs = docs.select(col(idCol).as("id"),
       minhash_doc(col(textCol), shingleN, k).as("sig"))
-    // slim band table (id, band_idx, band_hash) — the self-join never
-    // carries shingle arrays, so the band shuffle is 24 bytes/row
-    val bandz = sigs.select(col("id"),
+    // slim band table (id, band_idx, band_hash, rk) — the self-join
+    // never carries shingle arrays, so the band shuffle is 32
+    // bytes/row; rk (full-signature hash) is the refine key that lets
+    // an oversized band bucket collapse its identical-signature mass
+    // into stars instead of dropping it (pairsFromBucketsRefined)
+    val bandz = sigs.select(col("id"), xxhash64(col("sig")).as("rk"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val cand = pairsFromBuckets(bandz, Seq("band_idx", "band_hash"))
+    val cand = pairsFromBucketsRefined(bandz, Seq("band_idx", "band_hash"), "rk",
+      maxBucket = maxBucket)
     // verify only the (few) candidates: join the shingle sets back
     cand
       .join(shingleSets.select(col("id").as("a_id"), col("sh_set").as("a_sh")), "a_id")
@@ -1090,6 +1170,13 @@ object Dedup {
       curSum = nextSum
       i += 1
     }
+    // exiting on the iteration cap (not the fixpoint check) would emit
+    // labels from a non-converged forest — wrong cluster ids with no
+    // signal. O(log² n) rounds suffice for any graph, so a trip here
+    // means maxIters was set far too low for the input; fail loudly.
+    require(converged,
+      s"dupClustersBigGraph: star-forest fixpoint not reached in $maxIters rounds " +
+        "(large-star/small-star needs ~2*log2(n)^2 worst case); raise maxIters")
     // at fixpoint edges are (child → root) stars; roots appear only
     // on the right side, so union them back in as their own label
     cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
@@ -1340,8 +1427,12 @@ object Dedup {
   def emFromCombos(combos: DataFrame, k: Int, iters: Int = 5,
       initLambda: Double = 0.1, initM: Double = 0.8, initU: Double = 0.2): DataFrame = {
     val spark = combos.sparkSession
+    // ag_i cast like n_pairs: the contract only promises "agreement
+    // columns", so an IntegerType ag_i (e.g. from a streaming caller's
+    // own cast) must not ClassCastException the getLong below
     val comboRows = combos
-      .select(((0 until k).map(i => col(s"ag_$i")) :+ col("n_pairs").cast("long")): _*)
+      .select(((0 until k).map(i => col(s"ag_$i").cast("long")) :+
+        col("n_pairs").cast("long")): _*)
       .collect()
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // sorted combo order — the SQL replay's ORDER BY a_0, ..., a_{k-1}
@@ -1539,16 +1630,22 @@ object Dedup {
    */
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double = 0.95,
       bits: Int = 12, tables: Int = 4,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Int = 10000): DataFrame = {
     // slim posting lists (ids only — never shuffle vectors through the
     // bucket stage), then two keyed joins reattach vectors to the
     // (few) candidate pairs for exact-cosine verification
+    // rk (exact-vector hash) refines oversized buckets: duplicated
+    // embeddings (re-crawled docs → identical vectors) collapse into
+    // stars instead of dropping (pairsFromBucketsRefined)
     val buckets = embs.select(col(idCol).as("id"),
+      xxhash64(col(vecCol)).as("rk"),
       posexplode(array((0 until tables).map(t =>
         rand_proj_bits(col(vecCol), bits, seed = 1000 + t)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    pairsFromBuckets(buckets, Seq("tbl", "bucket"))
+    pairsFromBucketsRefined(buckets, Seq("tbl", "bucket"), "rk",
+      maxBucket = maxBucket)
       .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       .withColumn("cos", cosine_sim(col("va"), col("vb")))

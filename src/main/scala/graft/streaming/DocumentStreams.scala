@@ -144,7 +144,10 @@ object DocumentStreams {
    * feed [[graft.operators.Dedup.clusterAssignIncremental]] — batch
    * docs adopt, found, or MERGE standing clusters through the
    * relabel table — and the batch docs' resolved assignments land in
-   * a replay-safe `batch=<id>` sink. Novel docs append to the
+   * a replay-safe `batch=<id>` sink. Pairs come from BOTH directions:
+   * batch-vs-index (everything already ingested) AND batch-internal
+   * (two near-dups arriving in the same micro-batch link immediately,
+   * not only if a later doc bridges them). Novel docs append to the
    * minhash index so batch N+1 pairs (and clusters) against batch N.
    * Replay safety: self-matches never pair (so re-delivered docs
    * don't re-append) and assignment ingestion is idempotent — a
@@ -165,8 +168,20 @@ object DocumentStreams {
         val rawPairs = graft.operators.Dedup
           .indexedNearDupPairs(b, indexTable, threshold = threshold)
           .localCheckpoint()
+        // batch-INTERNAL pairs too: two near-dup docs arriving in the
+        // same micro-batch never meet through the index (both are
+        // probes, neither is indexed yet) — without this they'd both
+        // append as novel and stay unlinked unless a later doc bridged
+        // them. Deterministic, so replay regenerates the same pairs
+        // (and on replay the same links also arrive via the index —
+        // clusterAssignIncremental is idempotent either way).
+        val intraPairs = graft.operators.Dedup
+          .minhashNearDupPairs(b, k = 128, bands = 32, threshold = threshold)
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"))
         val pairs = rawPairs.filter(col("new_id") =!= col("corpus_id"))
           .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
+          .unionByName(intraPairs)
         graft.operators.Dedup.clusterAssignIncremental(pairs, clusterTable)
         graft.operators.Dedup.clusterAssignments(spark, clusterTable)
           .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")

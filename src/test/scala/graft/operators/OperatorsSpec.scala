@@ -51,6 +51,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
   }
 
+  test("pairsFromBucketsRefined equals pairsFromBuckets when every bucket fits the cap") {
+    val buckets = (0L until 120L).map(i => (i % 7, i, i % 5)).toDF("bucket", "id", "rk")
+    val plain = Dedup.pairsFromBuckets(buckets, Seq("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Dedup.pairsFromBucketsRefined(buckets, Seq("bucket"), "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain === refined)
+    assert(plain.nonEmpty)
+  }
+
+  test("pairsFromBucketsRefined: oversized viral bucket keeps every member connected") {
+    // one bucket of 50 members, far over the cap of 5: the old
+    // generator dropped ALL its pairs; the refined one must link every
+    // member into one component (equal-rk stars + rep cross-links)
+    val viral = (0L until 50L).map(i => (1L, i, i % 3)).toDF("bucket", "id", "rk")
+    val pairs = Dedup.pairsFromBucketsRefined(viral, Seq("bucket"), "rk", maxBucket = 5)
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.length === 50)               // nobody dropped
+    assert(clusters.map(_._2).toSet === Set(0L)) // one component, min-id root
+    // pair volume stays near-linear, never bucket-quadratic
+    assert(pairs.count() < 200)
+
+    // reps themselves oversized (every rk distinct): star over reps
+    val distinctRk = (0L until 40L).map(i => (1L, i, i)).toDF("bucket", "id", "rk")
+    val p2 = Dedup.pairsFromBucketsRefined(distinctRk, Seq("bucket"), "rk", maxBucket = 5)
+    val c2 = Dedup.dupClusters(p2).collect().map(r => r.getLong(1)).toSet
+    assert(c2 === Set(0L))
+    assert(p2.count() === 39)                    // exactly the rep star
+  }
+
+  test("oversizedBucketCensus reports capped buckets, refined path recalls a planted viral class end-to-end") {
+    // 30 near-identical docs (one band bucket at these params) + 2 unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val viralDocs = (0L until 30L).map(i => (i, s"$base tail$i")) ++
+      Seq((100L, "completely different content about catalyst internals"),
+        (101L, "another unrelated doc on lsh banding"))
+    val vdf = viralDocs.toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(vdf, k = 64, bands = 16, threshold = 0.5,
+      shingleN = 3, maxBucket = 8)
+    val clusters = Dedup.dupClusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every viral doc is clustered (old behavior: bucket dropped, zero pairs)
+    assert(clusters.count(_._2 == 0L) === 30)
+    assert(!clusters.exists(c => c._1 == 100L || c._1 == 101L))
+    // the census makes the cap observable on the same bucket table
+    val bandz = (0L until 30L).map(i => (1L, 7L, i)).toDF("band_idx", "band_hash", "id")
+    val census = Dedup.oversizedBucketCensus(bandz, Seq("band_idx", "band_hash"),
+      maxBucket = 8).collect()
+    assert(census.length === 1 && census.head.getAs[Long]("n_members") === 30L)
+  }
+
   test("simhashNearDupPairs links exact dups at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
