@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MaterializeOps
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 
@@ -1048,7 +1049,7 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct()
-      .localCheckpoint()
+      .materializeRound
     if (smallGraphEdges > 0 && edges.count() <= smallGraphEdges)
       return driverUnionFind(edges)
     dupClustersBigGraph(edges, maxIters)
@@ -1065,7 +1066,7 @@ object Dedup {
   private[operators] def minLabelClusters(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .materializeRound
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -1077,7 +1078,7 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("id2"), "left")
         .select(col("id"), least(col("label"),
           coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .materializeRound
       val changed = updated.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
       labels = updated
@@ -1142,27 +1143,36 @@ object Dedup {
    * two-sided EXCEPT run to confirm — so the loop pays one tiny
    * aggregate per round instead of two set-difference shuffles, and
    * a checksum collision can never cause a wrong early stop (it only
-   * triggers the exact check). Rounds are localCheckpointed so
-   * lineage stays flat.
+   * triggers the exact check). Rounds are materialized through
+   * [[graft.core.Materialize.iter]] so lineage stays flat — set
+   * `spark.graft.reliableCheckpoints=true` (+ a durable checkpoint
+   * dir) for executor-loss-tolerant rounds at cluster scale.
    *
    * Input: symmetric (u, v) edge list. Output: (doc_id, cluster_id),
    * cluster_id = min id reachable — identical contract to the
    * union-find and min-label paths.
    */
   private[operators] def dupClustersBigGraph(edges: DataFrame, maxIters: Int = 30): DataFrame = {
-    def checksum(e: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: xxhash64 values span the full 64-bit range
-      // and a summed checksum overflows under ANSI arithmetic
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // the checksum RIDES the round's materialization job
+    // (Dataset.observe): one job per round, not materialize + a
+    // separate checksum aggregate — at hundreds of rounds the driver
+    // round-trip cadence, not the data, is the loop's bottleneck.
+    // bit_xor, not sum: xxhash64 values span the full 64-bit range
+    // and a summed checksum overflows under ANSI arithmetic.
+    def materializeWithChecksum(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val mat = e.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .materializeRound
+      val m = obs.get // ready: the eager materialization was the action
+      (mat, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
-    var cur = edges.filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var curSum = checksum(cur)
+    var (cur, curSum) = materializeWithChecksum(
+      edges.filter(col("u") =!= col("v")).distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextSum = checksum(next)
+      val (next, nextSum) = materializeWithChecksum(smallStar(largeStar(cur)))
       converged = nextSum == curSum &&
         next.except(cur).limit(1).count() == 0 &&
         cur.except(next).limit(1).count() == 0

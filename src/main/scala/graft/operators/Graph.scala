@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MaterializeOps
+
 /**
  * Graph operators over edge-list DataFrames. The reference engine has
  * no graph surface at all (SURVEY §2.4); its nearest relative is the
@@ -55,7 +57,7 @@ object Graph {
     // one edge exchange total: pre-partition on src, then checkpoint —
     // every round's join reads the co-located edges (same reasoning as
     // pagerank's edgesDeg repartition, pinned in PlanAuditSpec)
-    val edges = edges0.repartition(col("src")).localCheckpoint()
+    val edges = edges0.repartition(col("src")).materializeRound
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iters) {
@@ -68,7 +70,7 @@ object Graph {
         .groupBy(col("dst").as("node2"))
         .agg(mode(col("label"), deterministic = true).as("label"))
         .select(col("node2").as("node"), col("label"))
-      if (i % materializeEvery == 0 && i < iters) labels = labels.localCheckpoint()
+      if (i % materializeEvery == 0 && i < iters) labels = labels.materializeRound
     }
     labels
   }
@@ -85,14 +87,14 @@ object Graph {
    */
   def bfsDistances(edges0: DataFrame, source: DataFrame,
       maxDepth: Int = 3): DataFrame = {
-    val edges = edges0.repartition(col("src")).localCheckpoint()
-    var dist = source.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    val edges = edges0.repartition(col("src")).materializeRound
+    var dist = source.select(col("node"), lit(0L).as("dist")).materializeRound
     for (_ <- 1 to maxDepth) {
       val next = edges.join(dist, edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionAll(next)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .materializeRound
     }
     dist
   }
@@ -124,7 +126,7 @@ object Graph {
       // materialized once: three consumers (both wedge sides + the
       // closing-edge probe) would otherwise each recompute the edge
       // build + degree joins through the lineage
-      .localCheckpoint()
+      .materializeRound
     val wedges = oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
       .join(oriented.select(col("u"), col("v").as("w2"), col("vdeg").as("d2")), "u")
       .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
@@ -186,13 +188,17 @@ object Graph {
    */
   def weightedShortestPaths(wEdges: DataFrame, source: DataFrame,
       rounds: Int = 4): DataFrame = {
+    // one edge exchange TOTAL (same discipline as bfsDistances): the
+    // edge side is pre-partitioned on the join key and materialized,
+    // so no round re-shuffles it — only dist-sized rows move per round
+    val edges = wEdges.repartition(col("src")).materializeRound
     var dist = source.select(col("node"), lit(0.0).as("dist"))
     for (_ <- 1 to rounds) {
-      val relax = wEdges.join(dist, wEdges("src") === dist("node"))
+      val relax = edges.join(dist, edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .materializeRound
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }
@@ -210,22 +216,30 @@ object Graph {
    */
   def weightedShortestPathsConverged(wEdges: DataFrame, source: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    def checksum(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("node"), col("dist"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // checksum rides the relax job itself (Dataset.observe) — ONE job
+    // per round instead of materialize + checksum aggregate; at
+    // hundreds of rounds the driver cadence is the bottleneck, not
+    // the data (same discipline as Dedup.dupClustersBigGraph)
+    def materializeWithChecksum(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val mat = d.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("node"), col("dist"))), lit(0L)).as("x"))
+        .materializeRound
+      val m = obs.get // ready: the eager materialization was the action
+      (mat, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
-    var dist = source.select(col("node"), lit(0.0).as("dist")).localCheckpoint()
-    var cur = checksum(dist)
+    // one edge exchange TOTAL: pre-partition the edge side on the join
+    // key and materialize — rounds re-shuffle only dist-sized rows
+    val edges = wEdges.repartition(col("src")).materializeRound
+    var (dist, cur) = materializeWithChecksum(
+      source.select(col("node"), lit(0.0).as("dist")))
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val relax = wEdges.join(dist, wEdges("src") === dist("node"))
+      val relax = edges.join(dist, edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relax)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
-      val nextSum = checksum(next)
+      val (next, nextSum) = materializeWithChecksum(
+        dist.unionByName(relax).groupBy("node").agg(min("dist").as("dist")))
       converged = nextSum == cur &&
         next.except(dist).limit(1).count() == 0 &&
         dist.except(next).limit(1).count() == 0

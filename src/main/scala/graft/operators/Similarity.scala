@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MaterializeOps
+
 import graft.functions.VectorFunctions._
 
 /**
@@ -267,7 +269,7 @@ object Similarity {
       // materialize each round: the centroid aggregate of round t
       // otherwise re-runs rounds 1..t-1's assignment UDFs through the
       // lineage (O(iters²) scans; same reasoning as Dedup.dupClusters)
-      assigned = assigned.withColumn("cl", assign(col("v"))).localCheckpoint()
+      assigned = assigned.withColumn("cl", assign(col("v"))).materializeRound
     }
     assigned
   }

@@ -82,6 +82,36 @@ class RetrievalGraphSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("weightedShortestPathsConverged: checksum rides the relax job (no per-round checksum aggregate)") {
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val wEdges = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val source = Seq(0L).toDF("node")
+    wEdges.count() // materialize lazy setup outside the window
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Graph.weightedShortestPathsConverged(wEdges, source)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(out === Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      Thread.sleep(1000) // listener bus is async; let events drain
+      // budget: 1 initial materialize + 4 rounds × (1 relax job +
+      // ≤1 broadcast-exchange job) + 2 exact EXCEPT probes on the
+      // final checksum match + 1 result collect = 12. The old shape
+      // (separate checksum aggregate per round) adds ≥4 more jobs
+      // and must fail this bound.
+      assert(jobs.get() <= 12, s"SSSP loop ran ${jobs.get()} jobs, budget 12")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("heavyHitters with adversarial partitioning still recalls every hitter") {
     // the hitter is diluted evenly so no partition sees it dominant
     val items = (1 to 400).map(i => if (i % 4 == 0) "hot" else s"cold$i")
