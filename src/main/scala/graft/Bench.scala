@@ -69,13 +69,37 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
+    // BASELINE GATE (soft-fail): compare per-query against the
+    // previous committed record (BENCH_full.json from the prior run)
+    // BEFORE overwriting it — a >2x regression is reported in-round
+    // instead of being discovered by the next judge pass. Queries
+    // under the noise floor are skipped (sub-0.2s timings on this
+    // virtualized host swing multi-x run to run).
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
+      val qsBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
+      "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qsBlock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+    val gate = results.collect {
+      case (name, sec) if prior.get(name).exists(p => p >= 0.2 && sec > 2.0 * p) =>
+        name -> (sec, prior(name))
+    }
+    gate.foreach { case (n, (cur, old)) =>
+      System.err.println(f"[bench] GATE: $n regressed ${cur / old}%.2fx ($old%.3f -> $cur%.3f s)")
+    }
+    val gateJson = gate.map { case (n, (cur, old)) =>
+      "\"" + n + "\":{\"sec\":" + (math.rint(cur * 1000) / 1000) +
+        ",\"baseline\":" + (math.rint(old * 1000) / 1000) + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a failed query's timing would otherwise read as a (fast) success
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // the full per-query record (≈5 KB at 120 queries) exceeds the
     // driver's 2000-char stdout tail, so its json-parse of the last
     // line always failed. Persist the full record to a file (committed
@@ -89,7 +113,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

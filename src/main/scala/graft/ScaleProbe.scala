@@ -814,6 +814,23 @@ object ScaleProbe {
           Dedup.clusterAssignments(spark, "graft_probe_cluster_idx")
             .filter(col("doc_id") >= 9500000L).count()
         },
+        // a 4.5M-pair backfill batch (500k 10-node chains) crosses the
+        // driver threshold and must route through the distributed
+        // root-graph path — no driver union-find, no driver OOM; the
+        // assignment count and a spot-checked chain root prove the
+        // closure landed
+        time("cluster_incr_bigbatch") {
+          spark.sql("DROP TABLE IF EXISTS graft_probe_bigbatch")
+          spark.sql("DROP TABLE IF EXISTS graft_probe_bigbatch_relabel")
+          val pairs = spark.range(5000000).filter(col("id") % 10 =!= 9)
+            .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+          Dedup.clusterAssignIncremental(pairs, "graft_probe_bigbatch")
+          val asg = spark.table("graft_probe_bigbatch")
+          require(asg.filter(col("doc_id").between(20L, 29L))
+            .filter(col("cluster_id") =!= 20L).count() == 0L,
+            "chain 20..29 did not close to its min root")
+          asg.count()
+        },
         time("snm_pairs")(Dedup.sortedNeighborhoodPairs(
           docs.select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s")),
           "s", "id", w = 10, maxDist = 2).count()))

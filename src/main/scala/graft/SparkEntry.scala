@@ -885,6 +885,22 @@ object SparkEntry {
       .agg(min("key").as("min_key"), max("key").as("max_key"),
         count(lit(1)).as("n"))
 
+  /**
+   * GROUPED shard-RPC fold through the DSv2 source: per-slot
+   * COUNT/MIN push into the scan itself (the reference's per-shard
+   * KEYED fold, src/mr.c:2263-2311, generalized past the ungrouped
+   * dbsize) — each slot-range partition replies one partial row per
+   * slot it owns, no key rows materialize, and Spark's final
+   * aggregate merges the shard replies. The slot cast happens ABOVE
+   * the aggregate so the pushed group key stays the raw column.
+   */
+  private def qKeysGroupcount(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-keys")
+      .option("numKeys", 2000).option("shards", 8).load()
+      .groupBy("slot")
+      .agg(count(lit(1)).as("n"), min("key").as("min_key"))
+      .select(col("slot").cast("long").as("slot"), col("n"), col("min_key"))
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -2888,6 +2904,24 @@ object SparkEntry {
     Multimodal.decodeStub(Multimodal.attachBinary(t(s, dir, "documents")))
 
   /**
+   * REAL codec round trip (no stub): deterministic grayscale PNGs are
+   * encoded with javax.imageio (actual compressed PNG bytes), then
+   * decoded by the shipped [[Multimodal.ImageIoDecoder]] — decoded
+   * geometry and pixel sum must equal the closed-form truth the
+   * oracle computes from (doc_id, w, h) alone, so the oracle needs no
+   * codec while the engine exercises a true compress→decompress pass.
+   */
+  private def multimodalImageio(s: SparkSession, dir: String): DataFrame = {
+    val withBin = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        Multimodal.encodePng(col("doc_id"),
+          (col("doc_id") % 8 + 1).cast("int"),
+          (col("doc_id") % 5 + 1).cast("int")).as("payload"))
+    Multimodal.decodeImages(withBin)
+  }
+
+  /**
    * Per-payload 64-bit perceptual hash (block-mean phash, every bit
    * oracle-replayed) — the fixture has no byte-level near-dups
    * (min pairwise hamming 9), so the census is the oracled surface;
@@ -3360,6 +3394,7 @@ object SparkEntry {
     "emb_quantize" -> (embQuantize _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_imageio" -> (multimodalImageio _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
@@ -3372,6 +3407,7 @@ object SparkEntry {
     "dedup_index_delete" -> (dedupIndexDelete _),
     "ann_index_delete" -> (annIndexDelete _),
     "q_keys_minmax" -> (qKeysMinmax _),
+    "q_keys_groupcount" -> (qKeysGroupcount _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_t_closeness" -> (qTCloseness _),
@@ -4921,6 +4957,17 @@ object SparkEntry {
         "AS BIGINT) AS max_byte, " +
         "CAST(" + crcSql("substr(text, 1, 16)") + " & 16383 AS BIGINT) AS head_crc_slot " +
         "FROM documents"),
+    // truth columns are closed-form over (doc_id, w, h): the engine
+    // decodes real PNG bytes, the oracle never needs a codec
+    "multimodal_imageio" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 5 + 1 AS h " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "px AS (SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y * 13) % 256 AS v " +
+        "FROM d, UNNEST(generate_series(0, w - 1)) AS gx(x), " +
+        "UNNEST(generate_series(0, h - 1)) AS gy(y)) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(v) AS BIGINT) AS px_sum " +
+        "FROM px GROUP BY 1, 2, 3, 4"),
     "multimodal_embed" ->
       ("WITH e AS (SELECT doc_id, [(coalesce(list_sum(" +
         "[ord(substr(text, p, 1)) for p in generate_series(1, length(text)) " +
@@ -5929,6 +5976,15 @@ object SparkEntry {
         "ELSE 'session' END, ':', i) AS key " +
         "FROM (SELECT unnest(generate_series(0, 1999)) AS i)) " +
         "SELECT min(key) AS min_key, max(key) AS max_key, count(*) AS n FROM k"),
+    // the keyspace generator + CRC16 slot replay, grouped per slot
+    "q_keys_groupcount" ->
+      ("WITH k AS (SELECT concat(CASE WHEN i % 4 = 0 THEN 'user' " +
+        "WHEN i % 4 = 1 THEN 'order' WHEN i % 4 = 2 THEN 'item' " +
+        "ELSE 'session' END, ':', i) AS key " +
+        "FROM (SELECT unnest(generate_series(0, 1999)) AS i)), " +
+        "sl AS (SELECT key, " + crcSql("key") + " & 16383 AS slot FROM k) " +
+        "SELECT CAST(slot AS BIGINT) AS slot, count(*) AS n, " +
+        "min(key) AS min_key FROM sl GROUP BY 1"),
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer " +
         "GROUP BY 1, 2 HAVING count(*) < 8"),

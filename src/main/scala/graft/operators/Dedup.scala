@@ -1240,15 +1240,24 @@ object Dedup {
    * [[compactClusterIndex]] folds it back into the bucketed table
    * out of band.
    */
-  def clusterAssignIncremental(newPairs: DataFrame, table: String): Unit = {
+  def clusterAssignIncremental(newPairs: DataFrame, table: String,
+      maxDriverPairs: Long = 2000000L): Unit = {
     val spark = newPairs.sparkSession
     import spark.implicits._
     if (!spark.catalog.tableExists(table))
       graft.sources.Bucketing.writeBucketed(
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"), table, "doc_id", 64)
-    val pairRows = newPairs.select(col("a_id"), col("b_id")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (pairRows.isEmpty) return
+    // batch-size gate (same threshold discipline as dupClusters'
+    // smallGraphEdges): a normal micro-batch collects to the driver
+    // union-find below, but a giant batch — a backfill replay — must
+    // NOT silently land driver-side; it routes through the fully
+    // distributed root-graph path (law-tested equal, incl. merges)
+    val pairsD = newPairs.select(col("a_id"), col("b_id")).distinct()
+      .materializeRound
+    val nPairs = pairsD.count()
+    if (nPairs == 0) return
+    if (nPairs > maxDriverPairs) return clusterAssignIncrementalBig(pairsD, table)
+    val pairRows = pairsD.collect().map(r => (r.getLong(0), r.getLong(1)))
     val ids = pairRows.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
     val clusters0 = spark.table(table)
     val clusters =
@@ -1290,6 +1299,65 @@ object Dedup {
         .toSeq.sorted
       graft.sources.Bucketing.writeSmallTable(
         updated.toDF("old_rep", "new_rep"), s"${table}_relabel")
+    }
+  }
+
+  /**
+   * The DISTRIBUTED ingest path for batches whose pair count exceeds
+   * the driver threshold (a backfill replay): identical contract to
+   * the union-find path, with every batch-sized driver structure
+   * replaced by a join —
+   *  1. endpoints resolve to current roots via the bucketed cluster
+   *     table + broadcast relabel (the driver path's `rootOf`);
+   *  2. the ROOT-level edge set goes through [[dupClustersBigGraph]]
+   *     (O(log² n) rounds, no driver state) — labels are min ids over
+   *     {old roots ∪ new doc ids}, exactly the min-root union;
+   *  3. new docs append with their component label; old roots whose
+   *     label moved become relabel entries, path-compressed against
+   *     the existing relabel rows (current roots are never relabel
+   *     KEYS, so the new merges can't collide with old entries).
+   * Law-tested equal to the driver path, including the merge case.
+   */
+  private def clusterAssignIncrementalBig(pairsD: DataFrame, table: String): Unit = {
+    val spark = pairsD.sparkSession
+    val relabel0 = readRelabel(spark, table)
+    val ids = pairsD.select(col("a_id").as("doc_id"))
+      .union(pairsD.select(col("b_id").as("doc_id")))
+      .distinct()
+    val resolved = ids
+      .join(spark.table(table), Seq("doc_id"), "left_outer")
+      .join(broadcast(relabel0), col("cluster_id") === col("old_rep"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("new_rep"), col("cluster_id"), col("doc_id")).as("root"),
+        col("cluster_id").isNotNull.as("known"))
+      .materializeRound
+    val rr = pairsD
+      .join(resolved.select(col("doc_id").as("a_id"), col("root").as("ra")), "a_id")
+      .join(resolved.select(col("doc_id").as("b_id"), col("root").as("rb")), "b_id")
+      .select(col("ra").as("u"), col("rb").as("v"))
+      .filter(col("u") =!= col("v"))
+    val labels = dupClustersBigGraph(
+        rr.union(rr.select(col("v").as("u"), col("u").as("v"))).distinct())
+      .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
+      .materializeRound
+    val newRows = resolved.filter(!col("known"))
+      .join(labels, col("root") === col("node"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("root")).as("cluster_id"))
+    graft.sources.Bucketing.appendBucketed(newRows, table, "doc_id")
+    val merges = resolved.filter(col("known")).select(col("root")).distinct()
+      .join(labels, col("root") === col("node"))
+      .filter(col("lbl") =!= col("root"))
+      .select(col("root").as("m_old"), col("lbl").as("m_new"))
+      .materializeRound
+    if (merges.limit(1).count() > 0) {
+      val updated = relabel0
+        .join(broadcast(merges), relabel0("new_rep") === merges("m_old"), "left_outer")
+        .select(relabel0("old_rep"),
+          coalesce(col("m_new"), relabel0("new_rep")).as("new_rep"))
+        .unionByName(merges.select(col("m_old").as("old_rep"), col("m_new").as("new_rep")))
+        .orderBy("old_rep")
+        .materializeRound // writeSmallTable DROPs the relabel table read above
+      graft.sources.Bucketing.writeSmallTable(updated, s"${table}_relabel")
     }
   }
 

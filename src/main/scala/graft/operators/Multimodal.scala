@@ -120,6 +120,102 @@ object Multimodal {
     (id, bytes.length.toLong, sum, mx, graft.core.Slots.slot(head).toLong)
   }
 
+  // -------------------------------------------------------------------
+  // REAL codec path: javax.imageio (java.desktop ships PNG/BMP/GIF
+  // codecs with every JDK — no new dependency). The stub above stays
+  // for synthetic probes; this is the default factory a production
+  // image pipeline starts from.
+  // -------------------------------------------------------------------
+
+  /** Output schema of the real image decode: exact decoded geometry + pixel sum. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  /** Decoder contract for real image payloads (same plug-point shape as [[PayloadDecoder]]). */
+  trait ImageDecoder extends Serializable {
+    def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long)
+  }
+
+  /**
+   * The shipped default: decode with `javax.imageio.ImageIO` — a REAL
+   * codec running on real compressed bytes, not a byte-statistics
+   * stub. Emits exact decoded width/height and the sum of the
+   * blue-channel values (= gray level for grayscale payloads), all
+   * integers so a truth-column oracle replays them exactly.
+   */
+  object ImageIoDecoder {
+    val opens = new java.util.concurrent.atomic.AtomicLong(0L)
+    def open(): ImageIoDecoder = { opens.incrementAndGet(); new ImageIoDecoder }
+  }
+  final class ImageIoDecoder extends ImageDecoder {
+    def features(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $id")
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      (id, w.toLong, h.toLong, w.toLong * h, s)
+    }
+  }
+
+  /**
+   * Batched REAL image decode over the binary payload — identical
+   * plumbing to [[decodeWith]] (factory once per partition, handle
+   * reused per record; schema/batching/partitioning unchanged), but
+   * the default factory is the [[ImageIoDecoder]]: this is the
+   * non-stub media→features stage.
+   */
+  def decodeImages(withBinary: DataFrame,
+      openDecoder: () => ImageDecoder = () => ImageIoDecoder.open()): DataFrame = {
+    val spark = withBinary.sparkSession
+    val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      val decoder = openDecoder()
+      it.map { r =>
+        Row.fromTuple(decoder.features(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+    }
+    spark.createDataFrame(rows, imageFeatureSchema)
+  }
+
+  /**
+   * Deterministic grayscale PNG encoder (UDF): pixel (x, y) of doc
+   * `id` carries gray level (id·31 + x·7 + y·13) mod 256. Real
+   * `ImageIO.write` PNG bytes — so [[decodeImages]] exercises a true
+   * compress→decompress round trip — while the TRUTH (dimensions,
+   * pixel sum) stays closed-form over (id, w, h), replayable by any
+   * engine without a codec. The encode is per-row imperative work by
+   * nature; a UDF is the honest shape (it IS the workload, not a
+   * scalar wrapper Catalyst could have codegen'd).
+   */
+  def encodePng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, w: Int, h: Int) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
   /**
    * Media → embedding stage: deterministic pseudo-embedding per
    * payload via [[graft.functions.ByteEmbedExpr]] (scan-stage; a real

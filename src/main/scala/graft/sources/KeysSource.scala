@@ -77,6 +77,7 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
   private var required: StructType = KeysSource.schema
   private var limit: Int = -1
   private var aggOps: Seq[String] = Nil
+  private var groupCols: Seq[String] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -108,16 +109,18 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
    * initiator sends the aggregate to every shard and merges one
    * partial reply per shard (src/mr.h:94-113 — `dbsize` is the
    * count instance, tests/mr_test_module/src/lib.rs `LMRTEST
-   * .DBSIZE`). Accepted: any ungrouped combination of COUNT(*) and
-   * MIN/MAX over the key or slot column — each slot-range partition
-   * emits ONE row of partials (no key/payload rows materialize) and
-   * Spark's final aggregate merges the shard replies. PARTIAL
-   * pushdown by contract: empty shards reply null partials, the
-   * final merge ignores them.
+   * .DBSIZE`). Accepted: any combination of COUNT(*) and MIN/MAX
+   * over the key or slot column, UNGROUPED or GROUPED BY key/slot
+   * columns — the grouped form is the reference's per-shard keyed
+   * fold generalized (src/mr.c:2263-2311): each slot-range partition
+   * emits ONE partial row per group it owns (no key/payload rows
+   * materialize) and Spark's final aggregate merges the shard
+   * replies. PARTIAL pushdown by contract: empty shards/groups reply
+   * no rows, the final merge ignores them.
    */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (limit >= 0 || agg.groupByExpressions.nonEmpty) return false
+    if (limit >= 0) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -125,6 +128,8 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
           Some(nr.toString)
         case _ => None
       }
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return false
     val ops = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count(*)")
       case m: Min => colOf(m.column).map(c => s"min($c)")
@@ -137,27 +142,34 @@ class KeysScanBuilder(numKeys: Int, shards: Int)
     // pushed-aggregate schema
     if (ops.isEmpty || ops.exists(_.isEmpty)) return false
     aggOps = ops.flatten
+    groupCols = groups.flatten
     true
   }
 
   override def build(): Scan =
-    new KeysScan(numKeys, shards, prefix, required, limit, aggOps)
+    new KeysScan(numKeys, shards, prefix, required, limit, aggOps, groupCols)
 }
 
 class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
-    required: StructType, limit: Int, aggOps: Seq[String]) extends Scan with Batch {
+    required: StructType, limit: Int, aggOps: Seq[String],
+    groupCols: Seq[String] = Nil) extends Scan with Batch {
   override def readSchema(): StructType =
-    if (aggOps.nonEmpty) StructType(aggOps.map {
-      case "count(*)" => StructField("count(*)", LongType, nullable = false)
-      case op @ ("min(key)" | "max(key)") => StructField(op, StringType, nullable = true)
-      case op => StructField(op, IntegerType, nullable = true)
-    })
+    if (aggOps.nonEmpty) StructType(
+      groupCols.map {
+        case "key" => StructField("key", StringType, nullable = false)
+        case _ => StructField("slot", IntegerType, nullable = false)
+      } ++ aggOps.map {
+        case "count(*)" => StructField("count(*)", LongType, nullable = false)
+        case op @ ("min(key)" | "max(key)") => StructField(op, StringType, nullable = true)
+        case op => StructField(op, IntegerType, nullable = true)
+      })
     else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-keys numKeys=$numKeys shards=$shards prefix=${prefix.getOrElse("")} " +
       s"columns=${required.fieldNames.mkString(",")} limit=$limit" +
-      (if (aggOps.nonEmpty) s" agg=${aggOps.mkString(",")}" else "")
+      (if (aggOps.nonEmpty) s" agg=${aggOps.mkString(",")}" else "") +
+      (if (groupCols.nonEmpty) s" groupBy=${groupCols.mkString(",")}" else "")
 
   /** One partition per shard = one contiguous slot range (Redis-cluster style). */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -166,7 +178,7 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
       val lo = s * per
       val hi = if (s == shards - 1) Slots.NumSlots - 1 else (s + 1) * per - 1
       SlotRangePartition(lo, hi, numKeys, prefix, required.fieldNames, limit,
-        aggOps): InputPartition
+        aggOps, groupCols): InputPartition
     }.toArray
   }
 
@@ -175,11 +187,67 @@ class KeysScan(numKeys: Int, shards: Int, prefix: Option[String],
 
 case class SlotRangePartition(slotLo: Int, slotHi: Int, numKeys: Int,
     prefix: Option[String], columns: Array[String], limit: Int,
-    aggOps: Seq[String]) extends InputPartition
+    aggOps: Seq[String], groupCols: Seq[String] = Nil) extends InputPartition
 
 class KeysReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotRangePartition]
+    if (p.aggOps.nonEmpty && p.groupCols.nonEmpty) return new PartitionReader[InternalRow] {
+      // grouped shard-RPC fold (the reference's per-shard keyed fold,
+      // src/mr.c:2263-2311): one partial row per group THIS shard
+      // owns; groups the shard never saw emit nothing and Spark's
+      // final merge aggregates the per-shard partials
+      private var rows: java.util.Iterator[InternalRow] = _
+      private var row: InternalRow = _
+      private def fold(): java.util.Iterator[InternalRow] = {
+        // group key -> (n, minKey, maxKey, minSlot, maxSlot)
+        val acc = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+        var i = 0
+        while (i < p.numKeys) {
+          val key = KeysSource.keyAt(i)
+          if (p.prefix.forall(key.startsWith)) {
+            val slot = Slots.slot(key)
+            if (slot >= p.slotLo && slot <= p.slotHi) {
+              val g: Seq[Any] = p.groupCols.map {
+                case "key" => key
+                case _ => slot
+              }
+              val a = acc.computeIfAbsent(g, _ => Array[Any](0L, null, null, null, null))
+              a(0) = a(0).asInstanceOf[Long] + 1L
+              if (a(1) == null || key < a(1).asInstanceOf[String]) a(1) = key
+              if (a(2) == null || key > a(2).asInstanceOf[String]) a(2) = key
+              if (a(3) == null || slot < a(3).asInstanceOf[Int]) a(3) = slot
+              if (a(4) == null || slot > a(4).asInstanceOf[Int]) a(4) = slot
+            }
+          }
+          i += 1
+        }
+        val out = new java.util.ArrayList[InternalRow](acc.size())
+        acc.forEach { (g, a) =>
+          val groupVals = g.map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+          val aggVals = p.aggOps.map {
+            case "count(*)" => a(0)
+            case "min(key)" => UTF8String.fromString(a(1).asInstanceOf[String])
+            case "max(key)" => UTF8String.fromString(a(2).asInstanceOf[String])
+            case "min(slot)" => a(3)
+            case "max(slot)" => a(4)
+          }
+          out.add(InternalRow((groupVals ++ aggVals): _*))
+        }
+        out.iterator()
+      }
+      override def next(): Boolean = {
+        if (rows == null) rows = fold()
+        if (!rows.hasNext) return false
+        row = rows.next()
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
     if (p.aggOps.nonEmpty) return new PartitionReader[InternalRow] {
       // shard-RPC path: one partial-aggregate row per shard, nothing
       // materializes; all requested aggregates fold in a single pass

@@ -194,6 +194,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(assignments()(300L) === 1L)
   }
 
+  test("clusterAssignIncremental: giant batch routes distributed and equals the driver path") {
+    // same scenario as the driver-path test (adopt + merge + found),
+    // but the batch is FORCED down the distributed root-graph path
+    // (maxDriverPairs = 0); the maintained state must equal the global
+    // closure — and a separate index ingesting the identical batch
+    // through the driver path must agree row-for-row
+    val corpusPairs = Seq((1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val batch = Seq((100L, 2L), (100L, 5L), (101L, 6L), (200L, 201L))
+      .toDF("a_id", "b_id")
+    Dedup.writeClusterIndex(corpusPairs, "graft_test_big_clusters")
+    Dedup.clusterAssignIncremental(batch, "graft_test_big_clusters",
+      maxDriverPairs = 0L)
+    def asg(tbl: String): Map[Long, Long] =
+      Dedup.clusterAssignments(spark, tbl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val big = asg("graft_test_big_clusters")
+    val global = Dedup.dupClusters(corpusPairs.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(big === global, s"distributed $big != global $global")
+    Dedup.writeClusterIndex(corpusPairs, "graft_test_drv_clusters")
+    Dedup.clusterAssignIncremental(batch, "graft_test_drv_clusters")
+    assert(big === asg("graft_test_drv_clusters"))
+    // replay through the big path is idempotent too
+    Dedup.clusterAssignIncremental(batch, "graft_test_big_clusters",
+      maxDriverPairs = 0L)
+    assert(asg("graft_test_big_clusters") === big)
+  }
+
   test("fellegiSunterEM learns high match posterior for planted duplicate pairs") {
     // 60 base records with near-independent fields + 12 planted dups
     // that agree with their base on ALL three fields. Within-block
@@ -331,6 +359,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(custom.length === 100)
     assert(custom.forall(r => r.getLong(2) == -1L && r.getLong(3) == -2L &&
       r.getLong(4) == -3L), "custom decoder's features must surface unchanged")
+  }
+
+  test("ImageIoDecoder round-trips real PNG bytes: exact geometry + pixel sum, once-per-partition opens") {
+    val ids = (0L until 40L).toDF("doc_id").repartition(4)
+    val withBin = ids.select(col("doc_id"),
+      Multimodal.encodePng(col("doc_id"),
+        (col("doc_id") % 8 + 1).cast("int"),
+        (col("doc_id") % 5 + 1).cast("int")).as("payload"))
+    val before = Multimodal.ImageIoDecoder.opens.get()
+    val out = Multimodal.decodeImages(withBin).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(Multimodal.ImageIoDecoder.opens.get() - before === 4L)
+    assert(out.size === 40)
+    (0L until 40L).foreach { id =>
+      val (w, h) = (id % 8 + 1, id % 5 + 1)
+      val truth = (for { y <- 0L until h; x <- 0L until w }
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(out(id) === ((w, h, w * h, truth)), s"doc $id decoded wrong")
+    }
+  }
+
+  test("real PNG payloads feed the phash/byte-embed chain: identical images collide at hamming 0") {
+    // docs 0 and 1 encode the SAME image (same gray formula seed),
+    // doc 2 a different one — the media near-dup chain must pair 0-1
+    val ids = Seq((0L, 7L), (1L, 7L), (2L, 900L)).toDF("doc_id", "seed")
+    val withBin = ids.select(col("doc_id"),
+      Multimodal.encodePng(col("seed"), lit(6), lit(4)).as("payload"))
+    val pairs = Multimodal.phashNearDupPairs(withBin, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+    // byte-embed over the same real payloads flows into ANN unchanged
+    val emb = Multimodal.embedStub(withBin, dim = 8).collect()
+    assert(emb.length === 3)
+    assert(emb.forall(_.getSeq[Double](1).length === 8))
   }
 
   test("sharedSpanReport flags exactly the docs sharing a verbatim window") {

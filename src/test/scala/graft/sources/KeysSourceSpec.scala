@@ -103,6 +103,31 @@ class KeysSourceSpec extends AnyFunSuite {
     assert(math.abs(avg0 - expected) < 1e-9)
   }
 
+  test("GROUP BY slot pushes into the source: per-shard keyed fold, merged by Spark") {
+    val df = read().groupBy("slot")
+      .agg(count(lit(1)).as("n"), min("key").as("mn"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("groupBy=slot") && plan.contains("agg=count(*),min(key)"),
+      s"grouped aggregate not pushed in:\n$plan")
+    val got = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    // ground truth from the unpushed row path
+    val rows = read().select("key", "slot").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val truth = rows.groupBy(_._2).map { case (s, ks) =>
+      s -> (ks.length.toLong, ks.map(_._1).min) }
+    assert(got === truth)
+    // composes with the pushed prefix
+    val f = read().filter(col("key").startsWith("user:")).groupBy("slot").count()
+    val fplan = f.queryExecution.executedPlan.toString
+    assert(fplan.contains("groupBy=slot") && fplan.contains("prefix=user:"), fplan)
+    assert(f.agg(sum("count")).collect().head.getLong(0) === 250L)
+    // a non-column group expression falls back to the row path, still correct
+    val expr = read().groupBy((col("slot") % 2).as("par")).count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(expr.values.sum === 1000L)
+  }
+
   test("limit pushes into the scan partially: each slot-range reader stops early") {
     val df = read(100000, 4).limit(7)
     val plan = df.queryExecution.executedPlan.toString
