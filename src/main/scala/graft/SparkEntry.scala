@@ -901,6 +901,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min("key").as("min_key"))
       .select(col("slot").cast("long").as("slot"), col("n"), col("min_key"))
 
+  /**
+   * REAL image pipeline, two codec stages chained: encode
+   * deterministic PNGs → decode→nearest-neighbor-resample→re-encode
+   * ([[Multimodal.resizeImages]], factor 2) → decode back. The
+   * oracle replays the RESIZED truth without any codec: output dims
+   * are ⌈w/2⌉×⌈h/2⌉ and output pixel (x, y) is the closed-form source
+   * pixel (2x, 2y).
+   */
+  private def multimodalResizeReal(s: SparkSession, dir: String): DataFrame = {
+    val withBin = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        Multimodal.encodePng(col("doc_id"),
+          (col("doc_id") % 8 + 1).cast("int"),
+          (col("doc_id") % 5 + 1).cast("int")).as("payload"))
+    Multimodal.decodeImages(Multimodal.resizeImages(withBin, factor = 2))
+  }
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -3395,6 +3413,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_imageio" -> (multimodalImageio _),
+    "multimodal_resize_real" -> (multimodalResizeReal _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
@@ -4967,6 +4986,18 @@ object SparkEntry {
         "UNNEST(generate_series(0, h - 1)) AS gy(y)) " +
         "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
         "CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(v) AS BIGINT) AS px_sum " +
+        "FROM px GROUP BY 1, 2, 3, 4"),
+    // resized truth: dims halve (ceil), pixel (x, y) = source (2x, 2y)
+    "multimodal_resize_real" ->
+      ("WITH d AS (SELECT doc_id, (doc_id % 8 + 1 + 1) // 2 AS w2, " +
+        "(doc_id % 5 + 1 + 1) // 2 AS h2 " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "px AS (SELECT doc_id, w2, h2, " +
+        "(doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256 AS v " +
+        "FROM d, UNNEST(generate_series(0, w2 - 1)) AS gx(x), " +
+        "UNNEST(generate_series(0, h2 - 1)) AS gy(y)) " +
+        "SELECT doc_id, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height, " +
+        "CAST(w2 * h2 AS BIGINT) AS n_pixels, CAST(sum(v) AS BIGINT) AS px_sum " +
         "FROM px GROUP BY 1, 2, 3, 4"),
     "multimodal_embed" ->
       ("WITH e AS (SELECT doc_id, [(coalesce(list_sum(" +

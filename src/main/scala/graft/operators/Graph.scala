@@ -24,7 +24,10 @@ object Graph {
    * self-join: groups are small (order line counts), so the pair
    * explosion is bounded at |group|² with one shuffle instead of two
    * sorted ones. `maxGroup` caps an adversarial group's quadratic
-   * contribution, like [[Dedup.pairsFromBuckets]].
+   * contribution, like [[Dedup.pairsFromBuckets]] — and like there
+   * the cap is a declared tradeoff, not silent: audit dropped groups
+   * with [[Dedup.oversizedBucketCensus]] over the same
+   * (group, item) table.
    */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroup: Int = 1000): DataFrame =

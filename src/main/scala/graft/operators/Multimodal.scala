@@ -217,6 +217,50 @@ object Multimodal {
     }
 
   /**
+   * REAL image resize through the in-JDK codec: decode (ImageIO) →
+   * nearest-neighbor resample of the PIXEL grid — output (x, y) takes
+   * source pixel (x·factor, y·factor), output dims ⌈w/f⌉×⌈h/f⌉ —
+   * → re-encode PNG. Unlike [[resizeStub]]'s byte-stride this
+   * transforms decoded pixels, yet the result stays closed-form for
+   * deterministic fixtures, so a codec-less oracle replays the
+   * decoded truth of the RESIZED image exactly. Same mapPartitions
+   * batch shape as [[decodeImages]] (plan: scan → narrow map, no
+   * shuffle, no driver materialization).
+   */
+  def resizeImages(withBinary: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = withBinary.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc $id")
+        val w2 = (img.getWidth + factor - 1) / factor
+        val h2 = (img.getHeight + factor - 1) / factor
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /**
    * Media → embedding stage: deterministic pseudo-embedding per
    * payload via [[graft.functions.ByteEmbedExpr]] (scan-stage; a real
    * deployment swaps in a model encoder, same schema). Output feeds

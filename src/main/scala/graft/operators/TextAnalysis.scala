@@ -815,6 +815,14 @@ object TextAnalysis {
    * the pair shuffle carries the ~2/(w+1) sample, not the shingle
    * set, so the candidate stage is w+1 times lighter than
    * [[Dedup.ngramJaccardPairs]] on the same corpus.
+   *
+   * CAP SEMANTICS (explicit, not silent): a fingerprint selected by
+   * more than `maxBucket` docs is a corpus-wide boilerplate window —
+   * standard winnowing practice drops it as a stop-fingerprint, which
+   * UNDERCOUNTS `shared` for pairs relying on it (pairs sharing ≥
+   * `minShared` rarer fingerprints still surface). Make the drop
+   * observable with [[Dedup.oversizedBucketCensus]] over the same
+   * (fp, doc_id) table when auditing a corpus.
    */
   def winnowSharedPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
       minShared: Long = 3, maxBucket: Int = 10000,

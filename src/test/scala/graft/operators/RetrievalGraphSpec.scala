@@ -100,12 +100,12 @@ class RetrievalGraphSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
       assert(out === Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
       Thread.sleep(1000) // listener bus is async; let events drain
-      // budget: 1 initial materialize + 4 rounds × (1 relax job +
-      // ≤1 broadcast-exchange job) + 2 exact EXCEPT probes on the
-      // final checksum match + 1 result collect = 12. The old shape
-      // (separate checksum aggregate per round) adds ≥4 more jobs
-      // and must fail this bound.
-      assert(jobs.get() <= 12, s"SSSP loop ran ${jobs.get()} jobs, budget 12")
+      // budget: 1 edge pre-partition + 1 initial materialize +
+      // 4 rounds × (1 relax job + ≤1 broadcast-exchange job) + 2 exact
+      // EXCEPT probes on the final checksum match + 1 result collect
+      // = 13. The old shape (separate checksum aggregate per round)
+      // adds ≥4 more jobs and must fail this bound.
+      assert(jobs.get() <= 13, s"SSSP loop ran ${jobs.get()} jobs, budget 13")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
