@@ -919,6 +919,21 @@ object SparkEntry {
     Multimodal.decodeImages(Multimodal.resizeImages(withBin, factor = 2))
   }
 
+  /**
+   * Pixel-level perceptual hash on REAL decoded images: encode
+   * deterministic 24×16 PNGs, decode, block-mean hash the pixel grid
+   * ([[Multimodal.imagePhash]]) — the oracle rebuilds all 64 bits
+   * from the closed-form pixels with the identical integer compare
+   * (s_b·N > total·n_b), no codec needed.
+   */
+  private def multimodalImagePhash(s: SparkSession, dir: String): DataFrame = {
+    val withBin = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        Multimodal.encodePng(col("doc_id"), lit(24), lit(16)).as("payload"))
+    Multimodal.imagePhash(withBin)
+  }
+
   /** GROUPING SETS via the SQL surface (Spark parser + Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer")
@@ -3414,6 +3429,7 @@ object SparkEntry {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_imageio" -> (multimodalImageio _),
     "multimodal_resize_real" -> (multimodalResizeReal _),
+    "multimodal_image_phash" -> (multimodalImagePhash _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_embed" -> (multimodalEmbed _),
@@ -4987,6 +5003,20 @@ object SparkEntry {
         "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
         "CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(v) AS BIGINT) AS px_sum " +
         "FROM px GROUP BY 1, 2, 3, 4"),
+    // all 64 block-mean bits rebuilt from closed-form pixels; integer
+    // compare s_b*N > total*n_b, disjoint bits summed = OR'd
+    "multimodal_image_phash" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0), " +
+        "px AS (SELECT doc_id, x, y, (doc_id * 31 + x * 7 + y * 13) % 256 AS v " +
+        "FROM d, UNNEST(generate_series(0, 23)) AS gx(x), " +
+        "UNNEST(generate_series(0, 15)) AS gy(y)), " +
+        "b AS (SELECT doc_id, ((y * 8) // 16) * 8 + ((x * 8) // 24) AS blk, " +
+        "sum(v) AS s, count(*) AS n FROM px GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, sum(s) AS total, sum(n) AS np FROM b GROUP BY 1) " +
+        "SELECT b.doc_id, " + wrapSigned(
+          "sum(CASE WHEN s * np > total * n THEN ((1::UBIGINT << blk)::HUGEINT) " +
+          "ELSE 0::HUGEINT END)") + " AS ph " +
+        "FROM b JOIN t ON b.doc_id = t.doc_id GROUP BY 1"),
     // resized truth: dims halve (ceil), pixel (x, y) = source (2x, 2y)
     "multimodal_resize_real" ->
       ("WITH d AS (SELECT doc_id, (doc_id % 8 + 1 + 1) // 2 AS w2, " +

@@ -217,6 +217,60 @@ object Multimodal {
     }
 
   /**
+   * Pixel-level perceptual hash over the DECODED image — block-mean
+   * pHash on real pixels, the image-domain counterpart of the
+   * byte-level [[graft.functions.PHash64Expr]]: the image divides
+   * into an 8×8 grid (block of pixel (x, y) is
+   * (y·8/h)·8 + (x·8/w), floor division), and bit b is set iff block
+   * b's mean gray level exceeds the global mean — compared in EXACT
+   * integer arithmetic (s_b·N > total·n_b), so any engine replays the
+   * 64 bits bit-for-bit from closed-form pixels. Output (doc_id, ph)
+   * feeds [[Dedup.simhashPairsFromSketches]] unchanged for near-dup
+   * pair generation.
+   */
+  def imagePhash(withBinary: DataFrame): DataFrame = {
+    val spark = withBinary.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ph", LongType, nullable = false)))
+    val rows = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc $id")
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            val b = (y * 8 / h) * 8 + (x * 8 / w)
+            sums(b) += v
+            counts(b) += 1
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var ph = 0L
+        var b = 0
+        while (b < 64) {
+          if (counts(b) > 0 && sums(b) * n > total * counts(b)) ph |= (1L << b)
+          b += 1
+        }
+        Row(id, ph)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /**
    * REAL image resize through the in-JDK codec: decode (ImageIO) →
    * nearest-neighbor resample of the PIXEL grid — output (x, y) takes
    * source pixel (x·factor, y·factor), output dims ⌈w/f⌉×⌈h/f⌉ —

@@ -31,6 +31,35 @@ object DocumentStreams {
   def readDocumentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  val binSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** File-source stream over a directory of (doc_id, payload) media parquet. */
+  def readBinaryStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(binSchema).parquet(dir)
+
+  /**
+   * Media decode maintained under ingest — the multimodal twin of the
+   * text ingest loops: each micro-batch of binary payloads decodes
+   * through the REAL codec factory
+   * ([[graft.operators.Multimodal.decodeImages]], javax.imageio; one
+   * handle per partition per batch) and its features land in a
+   * replay-safe `batch=<id>` sink. Per-batch cost is batch-sized —
+   * decode never touches prior batches — and decode is deterministic,
+   * so an at-least-once redelivery overwrites its own directory
+   * bit-identically (spec-pinned, incl. fresh-checkpoint replay).
+   */
+  def streamingMediaDecode(binStream: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    binStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Multimodal.decodeImages(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /**
    * Curation gate + per-source census: keep docs passing the quality
    * and language filters, count docs and tokens per source. Batch and

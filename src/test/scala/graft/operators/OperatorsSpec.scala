@@ -395,6 +395,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(emb.forall(_.getSeq[Double](1).length === 8))
   }
 
+  test("imagePhash on decoded pixels: identical images collide at hamming 0 through the sketch machinery") {
+    val ids = Seq((0L, 5L), (1L, 5L), (2L, 777L)).toDF("doc_id", "seed")
+    val withBin = ids.select(col("doc_id"),
+      Multimodal.encodePng(col("seed"), lit(24), lit(16)).as("payload"))
+    val ph = Multimodal.imagePhash(withBin)
+    val m = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === m(1L), "same image must hash identically")
+    assert(m(0L) !== m(2L), "different image content must hash differently")
+    val pairs = Dedup.simhashPairsFromSketches(
+        ph.select(col("doc_id").as("id"), col("ph").as("sk")), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("sharedSpanReport flags exactly the docs sharing a verbatim window") {
     val spanText = (1 to 25).map(i => s"w$i").mkString(" ")
     val d = Seq(
