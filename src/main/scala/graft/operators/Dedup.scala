@@ -218,6 +218,27 @@ object Dedup {
       refineCol: String, idCol: String = "id",
       maxBucket: Int = 10000): DataFrame = {
     val bcols = bucketCols.map(col)
+    // ONE aggregate + ONE streaming Generate
+    // ([[graft.functions.BucketPairsExpr]]): the 4-branch union form
+    // (kept below as the law-test foil) re-runs the bucket aggregation
+    // once per branch — Spark reuses the exchange but not the final
+    // collect_list above it (measured ~30% of dedup_minhash at sf0.1)
+    buckets.groupBy(bcols: _*)
+      .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+        col(refineCol).cast("long").as("rk"))).as("xs"))
+      .select(graft.functions.BucketPairsExpr.bucket_pairs(col("xs"), maxBucket))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /**
+   * The join/union formulation of [[pairsFromBucketsRefined]] — the
+   * law-test foil pinning the Generator's pair-set semantics (specs
+   * assert set equality on small, oversized, and mixed-rk buckets).
+   */
+  private[operators] def pairsFromBucketsRefinedJoins(buckets: DataFrame,
+      bucketCols: Seq[String], refineCol: String, idCol: String = "id",
+      maxBucket: Int = 10000): DataFrame = {
+    val bcols = bucketCols.map(col)
     val lists = buckets.groupBy(bcols: _*)
       .agg(collect_list(struct(col(idCol).as("id"), col(refineCol).as("rk"))).as("xs"))
     val small = lists.filter(size(col("xs")).between(2, maxBucket))

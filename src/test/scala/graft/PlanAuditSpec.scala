@@ -57,18 +57,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dedup_minhash: band join is the only wide stage family (bounded exchanges)") {
     val p = plan("dedup_minhash")
-    // 5 textual hash exchanges since the refine-not-drop generator:
-    // the band-list aggregate appears once per union branch (small /
-    // stars / repPairs / repStars) — but all four are the SAME
-    // canonical exchange, executed once and reused (asserted below);
-    // the only other wide stage is the pair dropDuplicates
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
-    val df = SparkEntry.queries("dedup_minhash")(spark, SparkTestSession.sfDir)
-    df.collect() // executes df's OWN QueryExecution (count() would plan a new one)
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange") ||
-      "Exchange hashpartitioning".r.findAllIn(executed).size <= 2,
-      s"band exchange not reused at runtime:\n$executed")
+    // exactly two wide stages: the band posting-list aggregate and the
+    // pair dropDuplicates — the refine-not-drop semantics ride a
+    // single streaming Generate (BucketPairsExpr), not a union of
+    // re-aggregating branches
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("bucketpairsexpr") || p.contains("BucketPairs") ||
+      p.contains("Generate"), s"pair generator missing from plan:\n$p")
   }
 
   test("q_partitioned_sink: re-read filter is satisfied by partition-directory pruning") {

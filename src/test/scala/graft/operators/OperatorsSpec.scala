@@ -61,6 +61,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("BucketPairsExpr generator equals the join/union formulation on small, oversized, and mixed buckets") {
+    // buckets of sizes spanning the cap: 3 (small), 12 (oversized,
+    // 3 rk groups), 20 (oversized, all-distinct rks -> rep star)
+    val rows = (0L until 3L).map(i => (0L, i, 0L)) ++
+      (10L until 22L).map(i => (1L, i, i % 3)) ++
+      (50L until 70L).map(i => (2L, i, i))
+    val buckets = rows.toDF("bucket", "id", "rk")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gen = collectPairs(
+      Dedup.pairsFromBucketsRefined(buckets, Seq("bucket"), "rk", maxBucket = 8))
+    val joins = collectPairs(
+      Dedup.pairsFromBucketsRefinedJoins(buckets, Seq("bucket"), "rk", maxBucket = 8))
+    assert(gen === joins)
+    assert(gen.nonEmpty)
+  }
+
   test("pairsFromBucketsRefined: oversized viral bucket keeps every member connected") {
     // one bucket of 50 members, far over the cap of 5: the old
     // generator dropped ALL its pairs; the refined one must link every
