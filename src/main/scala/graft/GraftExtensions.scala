@@ -169,6 +169,44 @@ object GraftExtensions {
         case Seq(p, k) => ByteStrideExpr(p, intArg(k, "k", "byte_stride"))
         case _ => throw new IllegalArgumentException("byte_stride(payload, k)")
       }),
+    "phash64" -> (info("phash64",
+      "phash64(payload) - 64-bit block-mean perceptual hash of a binary payload"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) => PHash64Expr(p)
+        case _ => throw new IllegalArgumentException("phash64(payload)")
+      }),
+    "winnow_md5_doc" -> (info("winnow_md5_doc",
+      "winnow_md5_doc(text[, k[, w]]) - MOSS winnowing fingerprints (md5 k-grams, window w)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => WinnowMd5DocExpr(t, 4, 5)
+        case Seq(t, k) => WinnowMd5DocExpr(t, intArg(k, "k", "winnow_md5_doc"), 5)
+        case Seq(t, k, w) => WinnowMd5DocExpr(t, intArg(k, "k", "winnow_md5_doc"),
+          intArg(w, "w", "winnow_md5_doc"))
+        case _ => throw new IllegalArgumentException("winnow_md5_doc(text[, k[, w]])")
+      }),
+    "shingle_hash_seq" -> (info("shingle_hash_seq",
+      "shingle_hash_seq(text, n) - positional (non-distinct) hashed word n-gram sequence"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n) => ShingleHashSeqExpr(t, intArg(n, "n", "shingle_hash_seq"))
+        case _ => throw new IllegalArgumentException("shingle_hash_seq(text, n)")
+      }),
+    "minhash_sig_long" -> (info("minhash_sig_long",
+      "minhash_sig_long(hashes[, k[, seed]]) - k-long MinHash signature over a long-hash array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => MinHashSigLongExpr(h, 64, 42L)
+        case Seq(h, k) => MinHashSigLongExpr(h, intArg(k, "k", "minhash_sig_long"), 42L)
+        case Seq(h, k, s) => MinHashSigLongExpr(h, intArg(k, "k", "minhash_sig_long"),
+          longArg(s, "seed", "minhash_sig_long"))
+        case _ => throw new IllegalArgumentException("minhash_sig_long(hashes[, k[, seed]])")
+      }),
+    "bucket_pairs" -> (info("bucket_pairs",
+      "bucket_pairs(xs[, maxBucket]) - stream refine-not-drop candidate pairs from a " +
+        "collected array<struct<id: long, rk: long>> bucket (generator)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x) => BucketPairsExpr(x, 10000)
+        case Seq(x, m) => BucketPairsExpr(x, intArg(m, "maxBucket", "bucket_pairs"))
+        case _ => throw new IllegalArgumentException("bucket_pairs(xs[, maxBucket])")
+      }),
     // composed from built-ins (pure bit arithmetic), exposed by name so
     // SQL users can z-order a layout without the Scala API; built as a
     // catalyst tree directly — Column composition can't cross the

@@ -57,6 +57,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 0x55555555L)
   }
 
+  test("round-6 registrations from SQL: phash64, winnow_md5_doc, shingle_hash_seq, minhash_sig_long, bucket_pairs") {
+    val r = spark.sql(
+      "SELECT phash64(encode('abcdefghij', 'UTF-8')) AS ph, " +
+        "size(winnow_md5_doc('a b c d e f g h', 3, 2)) AS nw, " +
+        "size(shingle_hash_seq('a b a b', 2)) AS ns, " +
+        "size(minhash_sig_long(array(1L, 2L, 3L), 8)) AS nm").head()
+    assert(r.getLong(0) !== 0L)
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(2) === 3)   // positional: repeats kept
+    assert(r.getInt(3) === 8)
+    // the streaming pair generator from pure SQL: one oversized
+    // bucket (cap 2), rk groups {1:(10,11)},{2:(12)} -> star 10-11 +
+    // rep pair 10-12
+    val pairs = spark.sql(
+      "SELECT p.* FROM (SELECT array(struct(10L AS id, 1L AS rk), " +
+        "struct(11L AS id, 1L AS rk), struct(12L AS id, 2L AS rk)) AS xs) " +
+        "LATERAL VIEW bucket_pairs(xs, 2) p AS a_id, b_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (10L, 12L)))
+  }
+
   test("sketch parameters must be literals") {
     val docsView = spark.range(3).selectExpr("CAST(id AS INT) AS n", "'a b c' AS t")
     docsView.createOrReplaceTempView("ext_docs")

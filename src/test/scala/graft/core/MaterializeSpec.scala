@@ -53,6 +53,10 @@ class MaterializeSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq,
       Similarity.kmeansAssign(embs, k = 4, iters = 3)
         .select(col("id"), col("cl")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      Graph.bfsDistances(sym, source, maxDepth = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      Graph.labelPropagation(sym, iters = 6, materializeEvery = 2).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
 
     val local = run()
@@ -60,6 +64,9 @@ class MaterializeSpec extends AnyFunSuite {
     assert(local._1 === reliable._1)
     assert(local._2 === reliable._2)
     assert(local._3 === reliable._3)
-    assert(local._1.nonEmpty && local._2.nonEmpty && local._3.nonEmpty)
+    assert(local._4 === reliable._4)
+    assert(local._5 === reliable._5)
+    assert(local._1.nonEmpty && local._2.nonEmpty && local._3.nonEmpty &&
+      local._4.nonEmpty && local._5.nonEmpty)
   }
 }
