@@ -172,6 +172,23 @@ object ScaleProbe {
           "chain did not collapse to root 0")
         labels.count()
       },
+      // fault tolerance, priced: cc_distributed again but with
+      // spark.graft.reliableCheckpoints=true — every round writes
+      // durable checkpoint files instead of executor-local blocks
+      // (core.Materialize). The delta vs cc_distributed is the
+      // per-round serialize+write+read cost a cluster pays so an
+      // hours-long iterative job survives executor loss.
+      time("cc_reliable_ckpt") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+        spark.sparkContext.setCheckpointDir(dir)
+        spark.conf.set(graft.core.Materialize.Flag, "true")
+        try {
+          val edges = spark.range(100000).toDF("u")
+            .filter(col("u") % 8 =!= 7)
+            .select(col("u").as("a_id"), (col("u") + 1).as("b_id"))
+          Dedup.dupClusters(edges, smallGraphEdges = 0).count()
+        } finally spark.conf.set(graft.core.Materialize.Flag, "false")
+      },
       // span rewrite at probe scale: every 50th doc is a one-token
       // edit of its neighbor, so its pre/post-edit runs of ≥20 tokens
       // dedup away; cost must track the shingle explosion (linear)

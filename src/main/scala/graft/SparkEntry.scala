@@ -1544,6 +1544,40 @@ object SparkEntry {
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(t(s, dir, "documents"), k = 128, bands = 32, threshold = 0.7)
 
+  /**
+   * [[dedupMinhash]] expressed ENTIRELY in SQL through the registered
+   * function surface (minhash_doc / shingle_hashes / bucket_pairs —
+   * [[GraftExtensions]]): the SQL-only user's path to the flagship
+   * dedup, refine-not-drop generator included, with no Scala API in
+   * the loop. Same k=128/b=32 parameters ⇒ same exhaustive-jaccard
+   * oracle as dedup_minhash.
+   */
+  private def dedupMinhashSql(s: SparkSession, dir: String): DataFrame = {
+    Graft.attach(s)
+    t(s, dir, "documents").createOrReplaceTempView("documents_mhsql")
+    s.sql(
+      "WITH sigs AS (SELECT doc_id AS id, minhash_doc(text, 5, 128) AS sig " +
+        "FROM documents_mhsql), " +
+        "bands AS (SELECT id, xxhash64(sig) AS rk, band_idx, " +
+        "xxhash64(slice(sig, band_idx * 4 + 1, 4)) AS band_hash " +
+        "FROM sigs LATERAL VIEW explode(sequence(0, 31)) t AS band_idx), " +
+        "buckets AS (SELECT band_idx, band_hash, " +
+        "collect_list(named_struct('id', id, 'rk', rk)) AS xs " +
+        "FROM bands GROUP BY band_idx, band_hash), " +
+        "cand AS (SELECT DISTINCT a_id, b_id FROM buckets " +
+        "LATERAL VIEW bucket_pairs(xs, 10000) p AS a_id, b_id), " +
+        "sets AS (SELECT doc_id AS id, shingle_hashes(text, 5) AS sh_set " +
+        "FROM documents_mhsql) " +
+        "SELECT c.a_id, c.b_id, " +
+        "round(size(array_intersect(a.sh_set, b.sh_set)) / " +
+        "(size(a.sh_set) + size(b.sh_set) " +
+        "- size(array_intersect(a.sh_set, b.sh_set))), 4) AS jaccard " +
+        "FROM cand c JOIN sets a ON a.id = c.a_id JOIN sets b ON b.id = c.b_id " +
+        "WHERE size(array_intersect(a.sh_set, b.sh_set)) / " +
+        "(size(a.sh_set) + size(b.sh_set) " +
+        "- size(array_intersect(a.sh_set, b.sh_set))) >= 0.7")
+  }
+
   /** md5-compatible sketch (verification-grade) — DuckDB recomputes identical simhashes. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 3, md5Compat = true)
@@ -2066,6 +2100,15 @@ object SparkEntry {
    * md5-derived ±1 planes; emits the first 4 components and the
    * projected norm (all 16 components feed the norm).
    */
+  /**
+   * Distributed PCA ([[Similarity.pcaProject]]): one-pass covariance
+   * aggregate, driver-side d×d power-iteration eigensolve (20 fixed
+   * steps, Hotelling deflation), scan-stage projection. The oracle
+   * unrolls the same 20 steps per component in SQL.
+   */
+  private def embPca(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 20)
+
   private def embProject(s: SparkSession, dir: String): DataFrame = {
     val k = 16
     val proj = Similarity.randomProjection(t(s, dir, "embeddings"), k = k, dims = 64)
@@ -3315,6 +3358,7 @@ object SparkEntry {
     "dedup_corpus" -> (dedupCorpus _),
     "pipeline_filter" -> (pipelineFilter _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_sql" -> (dedupMinhashSql _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -3347,6 +3391,7 @@ object SparkEntry {
     "graph_degrees" -> (graphDegrees _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
+    "emb_pca" -> (embPca _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
@@ -3641,6 +3686,63 @@ object SparkEntry {
       "SELECT a_id, b_id, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
       "FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id " +
       "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7"
+
+  /**
+   * [[Similarity.pcaProject]] oracle: covariance from the parquet,
+   * then the SAME 20 power-iteration steps per component, fully
+   * unrolled (20 × 64-row matvecs are trivial; recursive CTEs can't
+   * aggregate their own reference), Hotelling deflation between
+   * components, projection minus the mean offset.
+   */
+  private val pcaSql: String = {
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and the
+    // 20-deep v→m→cov→…→v chain would duplicate the upstream parquet
+    // scan exponentially (observed as an fd-exhaustion error)
+    def steps(pre: String, covName: String, start: Int): String = {
+      val v0 = s"${pre}v0 AS MATERIALIZED (SELECT i, " +
+        s"CASE WHEN i = $start THEN 1.0 ELSE 0.0 END " +
+        "AS x FROM generate_series(1, 64) t(i))"
+      val its = (1 to 20).map { st =>
+        s"${pre}m$st AS MATERIALIZED (SELECT c.i, sum(c.cij * v.x) AS x " +
+          s"FROM $covName c " +
+          s"JOIN ${pre}v${st - 1} v ON c.j = v.i GROUP BY c.i), " +
+          s"${pre}v$st AS MATERIALIZED (SELECT i, " +
+          s"x / sqrt((SELECT sum(x * x) FROM ${pre}m$st)) " +
+          s"AS x FROM ${pre}m$st)"
+      }.mkString(", ")
+      s"$v0, $its"
+    }
+    "WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings), " +
+      "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v), " +
+      "mean AS MATERIALIZED (SELECT i, sum(v[i]) / (SELECT n FROM nn) AS m " +
+      "FROM v, generate_series(1, 64) t(i) GROUP BY i), " +
+      "sxx AS MATERIALIZED (SELECT a.i AS i, b.j AS j, " +
+      "sum(x.v[a.i] * x.v[b.j]) AS s " +
+      "FROM v x, generate_series(1, 64) a(i), generate_series(1, 64) b(j) " +
+      "GROUP BY 1, 2), " +
+      "cov AS MATERIALIZED (SELECT s.i, s.j, " +
+      "s.s / (SELECT n FROM nn) - ma.m * mb.m AS cij " +
+      "FROM sxx s JOIN mean ma ON ma.i = s.i JOIN mean mb ON mb.i = s.j), " +
+      steps("a", "cov", 1) + ", " +
+      "lam1 AS MATERIALIZED (SELECT sum(v.x * m.x) AS l FROM av20 v JOIN " +
+      "(SELECT c.i, sum(c.cij * w.x) AS x FROM cov c JOIN av20 w ON c.j = w.i " +
+      "GROUP BY c.i) m ON v.i = m.i), " +
+      "cov2 AS MATERIALIZED (SELECT c.i, c.j, " +
+      "c.cij - (SELECT l FROM lam1) * a.x * b.x AS cij " +
+      "FROM cov c JOIN av20 a ON a.i = c.i JOIN av20 b ON b.i = c.j), " +
+      steps("b", "cov2", 2) + ", " +
+      "w1 AS MATERIALIZED (SELECT list(x ORDER BY i) AS w FROM av20), " +
+      "w2 AS MATERIALIZED (SELECT list(x ORDER BY i) AS w FROM bv20), " +
+      "o1 AS MATERIALIZED (SELECT sum(m.m * v.x) AS o " +
+      "FROM mean m JOIN av20 v ON m.i = v.i), " +
+      "o2 AS MATERIALIZED (SELECT sum(m.m * v.x) AS o " +
+      "FROM mean m JOIN bv20 v ON m.i = v.i) " +
+      "SELECT vec_id, " +
+      "round(list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1), 4) AS p0, " +
+      "round(list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2), 4) AS p1 " +
+      "FROM v x"
+  }
 
   /**
    * IVF-PQ oracle, parameterized by the quantizer's TRAINING SET
@@ -4312,6 +4414,7 @@ object SparkEntry {
         "WHERE greatest(inter * 1.0 / sa.n, inter * 1.0 / sb.n) >= 0.8"),
     // MinHash LSH + exact-jaccard verification ≡ the exhaustive pairs (see dedupMinhash note)
     "dedup_minhash" -> ngramJaccardSql,
+    "dedup_minhash_sql" -> ngramJaccardSql,
     "dedup_simhash" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
         "sh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s " +
@@ -5615,6 +5718,7 @@ object SparkEntry {
     // md5 ±1 planes ("proj:j:i") replayed per output dim; the norm is
     // list_dot_product(pj, pj) so the accumulation order matches the
     // engine's left-fold exactly
+    "emb_pca" -> pcaSql,
     "emb_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "pl AS (SELECT j, list(CASE WHEN " +

@@ -556,6 +556,71 @@ object Similarity {
    * downstream ANN / clustering / dedup O(k) per vector instead of
    * O(dims).
    */
+  /**
+   * PCA projection onto the top `k` principal components — the
+   * LEARNED counterpart of [[randomProjection]], the dimensionality
+   * reduction a production ANN pipeline fits before IVF/PQ
+   * (OPQ-style preprocessing) or before embedding-space clustering.
+   *
+   * Scale shape: ONE corpus pass computes Σx (d doubles) and the
+   * flattened scatter Σxxᵀ (d² doubles) as partial-aggregated VecSum
+   * rows — the shuffle carries partitions × d² doubles, never rows;
+   * the eigensolve runs on the DRIVER over the d×d covariance
+   * (dims-bounded — corpus size never enters); the projection is a
+   * shuffle-free scan over component literals folded into the plan.
+   *
+   * Components are the deterministic `iters`-step power iterates
+   * from e_{c+1}, with Hotelling deflation (C ← C − λ vvᵀ) between
+   * components — NOT an "until converged" solve, so a SQL replay
+   * running the same unrolled steps computes identical numbers
+   * whatever the eigengap. Population covariance (1/n).
+   */
+  def pcaProject(embs: DataFrame, k: Int = 2, iters: Int = 20,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    val v = col(vecCol).cast("array<double>")
+    val agg = embs.select(v.as("v"))
+      .agg(vsum(col("v")).as("sx"),
+        vsum(flatten(transform(col("v"),
+          x => transform(col("v"), y => x * y)))).as("sxx"),
+        count("*").as("cnt"))
+      .head()
+    val sx = agg.getSeq[Double](0).toArray
+    val sxx = agg.getSeq[Double](1).toArray
+    val n = agg.getLong(2).toDouble
+    val d = sx.length
+    val mean = sx.map(_ / n)
+    var c = Array.tabulate(d, d)((i, j) => sxx(i * d + j) / n - mean(i) * mean(j))
+    def matvec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      m.map { row =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += row(j) * x(j); j += 1 }
+        s
+      }
+    def normalize(x: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(x.map(e => e * e).sum)
+      x.map(_ / nn)
+    }
+    val comps = (0 until k).map { ci =>
+      var x = Array.tabulate(d)(i => if (i == ci % d) 1.0 else 0.0)
+      for (_ <- 1 to iters) x = normalize(matvec(c, x))
+      val cx = matvec(c, x)
+      var lam = 0.0
+      var i = 0
+      while (i < d) { lam += x(i) * cx(i); i += 1 }
+      val deflated = Array.tabulate(d, d)((a, b) => c(a)(b) - lam * x(a) * x(b))
+      c = deflated
+      x
+    }
+    val proj = comps.zipWithIndex.map { case (w, ci) =>
+      val offset = w.zip(mean).map { case (a, b) => a * b }.sum
+      round(aggregate(zip_with(v, typedLit(w.toSeq), (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x) - offset, 4).as(s"p$ci")
+    }
+    embs.select(col(idCol) +: proj: _*)
+  }
+
   def randomProjection(embs: DataFrame, k: Int = 16, dims: Int = 64,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -22,6 +22,30 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("pcaProject: dominant component captures the planted direction") {
+    val d = 8
+    // variance lives on axis 2; everything else is small deterministic jitter
+    val rows = (0 until 40).map { t =>
+      val v = Array.tabulate(d)(i =>
+        (if (i == 2) t.toDouble else 0.0) + math.sin(t * 7 + i) * 0.01)
+      (t.toLong, v.toSeq)
+    }
+    val out = Similarity.pcaProject(rows.toDF("vec_id", "embedding"),
+      k = 2, iters = 30).collect()
+    assert(out.length === 40)
+    val p0 = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p1 = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def variance(xs: Iterable[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(variance(p0.values) > 10 * variance(p1.values))
+    // p0 is monotone in the planted coordinate (up to global sign)
+    val seq = (0 until 40).map(t => p0(t.toLong))
+    assert(seq.sliding(2).forall(s => s(1) >= s(0)) ||
+      seq.sliding(2).forall(s => s(1) <= s(0)))
+  }
+
   test("exactDupGroups finds the planted exact duplicate") {
     val groups = Dedup.exactDupGroups(docs).collect()
     assert(groups.length === 1)
