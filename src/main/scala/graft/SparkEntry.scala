@@ -2109,6 +2109,23 @@ object SparkEntry {
   private def embPca(s: SparkSession, dir: String): DataFrame =
     Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 20)
 
+  /**
+   * PCA model MAINTENANCE: the corpus arrives as two ingest batches;
+   * each contributes one O(d²) [[Similarity.momentState]] row, the
+   * model re-fits from the MERGED states (the already-ingested batch
+   * is never rescanned), and the projection of the full corpus equals
+   * the full-corpus fit — same oracle as emb_pca. The mergeable-
+   * summary law, applied to covariance.
+   */
+  private def embPcaIncr(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val cut = embs.agg(max("vec_id")).head.getLong(0) / 2
+    val states = Similarity.momentState(embs.filter(col("vec_id") <= cut))
+      .unionByName(Similarity.momentState(embs.filter(col("vec_id") > cut)))
+    Similarity.pcaProjectFromState(embs,
+      Similarity.mergeMomentStates(states), k = 2, iters = 20)
+  }
+
   private def embProject(s: SparkSession, dir: String): DataFrame = {
     val k = 16
     val proj = Similarity.randomProjection(t(s, dir, "embeddings"), k = k, dims = 64)
@@ -3392,6 +3409,7 @@ object SparkEntry {
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
+    "emb_pca_incr" -> (embPcaIncr _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
@@ -5719,6 +5737,7 @@ object SparkEntry {
     // list_dot_product(pj, pj) so the accumulation order matches the
     // engine's left-fold exactly
     "emb_pca" -> pcaSql,
+    "emb_pca_incr" -> pcaSql,
     "emb_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "pl AS (SELECT j, list(CASE WHEN " +

@@ -576,16 +576,48 @@ object Similarity {
    * whatever the eigengap. Population covariance (1/n).
    */
   def pcaProject(embs: DataFrame, k: Int = 2, iters: Int = 20,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1, "k >= 1")
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pcaProjectFromState(embs, momentState(embs, vecCol), k, iters, vecCol, idCol)
+
+  /**
+   * The MERGEABLE sufficient statistics behind [[pcaProject]]: one
+   * row (n, Σx, flattened Σxxᵀ). States from disjoint corpus slices
+   * ADD component-wise ([[mergeMomentStates]]) — the mergeable-summary
+   * law every sketch in [[Sketches]] obeys — so a continuously
+   * ingested corpus maintains its PCA model by keeping this O(d²) row
+   * per batch and re-solving the d×d eigenproblem from the merged
+   * state: the already-ingested corpus is NEVER rescanned, and the
+   * model table is bytes regardless of corpus size.
+   */
+  def momentState(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val vsum = udaf(graft.functions.Aggregators.VecSum)
     val v = col(vecCol).cast("array<double>")
-    val agg = embs.select(v.as("v"))
-      .agg(vsum(col("v")).as("sx"),
+    embs.select(v.as("v"))
+      .agg(count("*").as("n"),
+        vsum(col("v")).as("sx"),
         vsum(flatten(transform(col("v"),
-          x => transform(col("v"), y => x * y)))).as("sxx"),
-        count("*").as("cnt"))
-      .head()
+          x => transform(col("v"), y => x * y)))).as("sxx"))
+  }
+
+  /** Component-wise sum of [[momentState]] rows → one merged state row. */
+  def mergeMomentStates(states: DataFrame): DataFrame = {
+    val vsum = udaf(graft.functions.Aggregators.VecSum)
+    states.agg(sum(col("n")).as("n"),
+      vsum(col("sx")).as("sx"), vsum(col("sxx")).as("sxx"))
+  }
+
+  /**
+   * [[pcaProject]] with the model FITTED FROM a [[momentState]] row
+   * (possibly merged from many ingest batches) instead of from the
+   * projected frame itself — the incremental-maintenance entry point:
+   * fit on the state, project whatever frame you like.
+   */
+  def pcaProjectFromState(embs: DataFrame, state: DataFrame, k: Int = 2,
+      iters: Int = 20, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val v = col(vecCol).cast("array<double>")
+    val agg = state.select(col("sx"), col("sxx"), col("n").cast("long")).head()
     val sx = agg.getSeq[Double](0).toArray
     val sxx = agg.getSeq[Double](1).toArray
     val n = agg.getLong(2).toDouble

@@ -44,6 +44,17 @@ class OperatorsSpec extends AnyFunSuite {
     val seq = (0 until 40).map(t => p0(t.toLong))
     assert(seq.sliding(2).forall(s => s(1) >= s(0)) ||
       seq.sliding(2).forall(s => s(1) <= s(0)))
+    // mergeable-summary law: fitting from two merged half-corpus
+    // moment states projects identically (at the operator's rounding)
+    // to the single-pass fit — the PCA-maintenance contract
+    val embs = rows.toDF("vec_id", "embedding")
+    val merged = Similarity.mergeMomentStates(
+      Similarity.momentState(embs.filter(col("vec_id") < 20))
+        .unionByName(Similarity.momentState(embs.filter(col("vec_id") >= 20))))
+    val incr = Similarity.pcaProjectFromState(embs, merged, k = 2, iters = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    val full = out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    assert(incr === full)
   }
 
   test("exactDupGroups finds the planted exact duplicate") {
