@@ -431,6 +431,43 @@ object ScaleProbe {
       // JL projection 64->16 over the full embedding corpus: one
       // shuffle-free scan
       time("jl_project")(Similarity.randomProjection(embs, k = 16).count()),
+      // one-pass covariance fit + projection at corpus scale: the
+      // shuffle carries partitions × d² doubles (the moment state),
+      // never rows; the eigensolve is driver-side d×d
+      time("pca_fit_project")(Similarity.pcaProject(embs, k = 16,
+        iters = 10).count()),
+      // the LEARNED projection's ANN value, measured: vectors with an
+      // 8-dim latent signal spread across 64 dims + per-dim noise.
+      // Recall of the true cosine top-5 (100 queries) searched in
+      // PCA-16 space must beat the data-oblivious JL-16 at the same
+      // width — PCA concentrates the signal subspace, JL dilutes it
+      // with noise dims. rows = PCA-space overlap (max 500).
+      time("pca_vs_jl_recall") {
+        val bB = Array.tabulate(8, 64)((r, i) =>
+          if ((((r * 64 + i) * 2654435761L) >>> 16 & 1L) == 1L) 1.0 else -1.0)
+        val latent = spark.range(nVecs.toLong).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (0 until 8).map(r => sin(col("id") * 31 + lit(r)) *
+              element_at(typedLit(bB(r).toSeq), (i + 1).cast("int")))
+              .reduce(_ + _) + sin(col("id") * 64 + i) * 0.05).as("embedding"))
+          .repartition(cpus.toInt)
+        val truth = Similarity.bruteForceTopK(latent,
+          latent.filter(col("vec_id") < 100), k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        def asVec(df: DataFrame, k: Int, prefix: String) =
+          df.select(col("vec_id"),
+            array((0 until k).map(j => col(s"$prefix$j")): _*).as("embedding"))
+        def recall(space: DataFrame): Long =
+          Similarity.bruteForceTopK(space, space.filter(col("vec_id") < 100), k = 5)
+            .select(col("query_id"), col("neighbor_id")).intersect(truth).count()
+        val pcaR = recall(asVec(Similarity.pcaProject(latent, k = 16, iters = 10),
+          16, "p"))
+        val jlR = recall(asVec(Similarity.randomProjection(latent, k = 16),
+          16, "p_"))
+        System.err.println(s"==   pca-16 recall $pcaR vs jl-16 $jlR (max 500)")
+        require(pcaR > jlR, s"PCA-16 recall $pcaR did not beat JL-16 $jlR")
+        pcaR
+      },
       // PQ: 256-codeword books over 100k vecs — encode is one bounded
       // aggregate + a shuffle-free scan; ADC search reads codes only
       time("pq_encode")(Similarity.productQuantize(

@@ -56,4 +56,35 @@ object VectorStreams {
         Similarity.appendNovelToAnnIndex(b, table, m = m)
       }
       .start()
+
+  /**
+   * Continuous PCA model maintenance: each arriving micro-batch
+   * reduces to ONE O(d²) [[Similarity.momentState]] row in a moment
+   * ledger partitioned by batch id; the fitted model is always
+   * [[pcaFromMoments]] over the merged ledger. Already-ingested
+   * vectors are never rescanned, and the ledger stays bytes-per-batch
+   * at any corpus size — the covariance twin of the ANN/minhash index
+   * maintenance discipline.
+   *
+   * Replay safety: the state row writes to its own `batch=<id>`
+   * partition with overwrite, so an at-least-once replay rewrites the
+   * same row instead of double-counting the batch; empty micro-batches
+   * contribute nothing.
+   */
+  def streamingPcaMaintenance(vecStream: DataFrame, momentsPath: String,
+      checkpoint: String): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.momentState(batch.toDF())
+            .write.mode("overwrite").parquet(s"$momentsPath/batch=$batchId")
+      }
+      .start()
+
+  /** Fit from the maintained moment ledger; project any frame. */
+  def pcaFromMoments(spark: SparkSession, momentsPath: String,
+      embs: DataFrame, k: Int = 2, iters: Int = 20): DataFrame =
+    Similarity.pcaProjectFromState(embs,
+      Similarity.mergeMomentStates(spark.read.parquet(momentsPath)), k, iters)
 }

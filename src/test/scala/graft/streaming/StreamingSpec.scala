@@ -1048,6 +1048,39 @@ class StreamingSpec extends AnyFunSuite {
       s"self-pairs leaked into the neighbor log: ${replayed.filter(p => p._1 == p._2).toSeq}")
   }
 
+  test("streaming PCA maintenance: merged moment ledger fits the batch model; batch replay is idempotent") {
+    import graft.operators.Similarity
+    val s = spark; import s.implicits._
+    // variance planted on axis 2 so the fitted component is non-trivial
+    val mkVec = (i: Long) => (0 until 16).map(d =>
+      ((if (d == 2) i.toDouble else 0.0) + math.sin(i * 16 + d) * 0.01).toFloat)
+    val row = (id: Long) => (id, mkVec(id), 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcastream").toString
+    val w1 = (0L until 30L).map(row).toDF("vec_id", "embedding", "label")
+    w1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q1 = VectorStreams.streamingPcaMaintenance(
+      VectorStreams.readVectorStream(spark, s"$dir/in"), s"$dir/moments", s"$dir/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    val w2 = (30L until 50L).map(row).toDF("vec_id", "embedding", "label")
+    w2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = VectorStreams.streamingPcaMaintenance(
+      VectorStreams.readVectorStream(spark, s"$dir/in"), s"$dir/moments", s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val all = w1.unionByName(w2)
+    def proj(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val streamed = proj(VectorStreams.pcaFromMoments(spark, s"$dir/moments", all))
+    assert(streamed === proj(Similarity.pcaProject(all)),
+      "moment-ledger fit diverged from the single-pass fit")
+    // at-least-once replay: a checkpoint-recovery replay re-runs a
+    // batch under ITS OWN batch id — the overwrite of batch=<id>
+    // rewrites the same row instead of double-counting the batch
+    Similarity.momentState(w2)
+      .write.mode("overwrite").parquet(s"$dir/moments/batch=1")
+    assert(proj(VectorStreams.pcaFromMoments(spark, s"$dir/moments", all)) === streamed,
+      "replayed batch changed the fitted model")
+  }
+
   test("streaming paragraph ingest: batch N+1 dedups against batch N; fresh-checkpoint replay reproduces") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
