@@ -2194,6 +2194,18 @@ object SparkEntry {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /**
+   * 8-core of the co-purchase graph ([[Graph.kCore]]) — genuinely
+   * iterative peeling (11 rounds to the fixpoint at sf0.01). The
+   * oracle unrolls 18 peel rounds: once the fixpoint is reached the
+   * spare rounds are no-ops, so any convergence depth ≤ 18 replays
+   * exactly.
+   */
+  private def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.kCore(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), k = 8)
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -3406,6 +3418,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
+    "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
@@ -5643,6 +5656,18 @@ object SparkEntry {
       (graphEdgeCte.stripSuffix(", ") +
         " SELECT degree, count(*) AS n_nodes FROM (" +
         "SELECT src, count(*) AS degree FROM e GROUP BY src) GROUP BY degree"),
+    // 18 unrolled peel rounds; MATERIALIZED is load-bearing — each
+    // round references the previous edge set twice, so inlining the
+    // 18-deep chain would duplicate the base scan 2^18 times
+    "graph_kcore" ->
+      (graphEdgeCte + "p0 AS MATERIALIZED (SELECT src, dst FROM e), " +
+        (1 to 18).map { r =>
+          s"k$r AS MATERIALIZED (SELECT src FROM p${r - 1} " +
+            "GROUP BY src HAVING count(*) >= 8), " +
+            s"p$r AS MATERIALIZED (SELECT c.src, c.dst FROM p${r - 1} c " +
+            s"JOIN k$r a ON c.src = a.src JOIN k$r b ON c.dst = b.src)"
+        }.mkString(", ") +
+        " SELECT src AS node, count(*) AS deg FROM p18 GROUP BY src"),
     "graph_pagerank" ->
       (graphEdgeCte +
         "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +

@@ -140,6 +140,45 @@ object Graph {
   }
 
   /**
+   * k-core membership (Matula–Beck peeling): the maximal subgraph in
+   * which every node keeps degree ≥ k, found by repeatedly dropping
+   * under-degree nodes and re-inducing the edge set until no node
+   * falls. Output: (node, deg) — surviving nodes with their IN-CORE
+   * degree. The community/spam-cluster coreness signal on the
+   * co-occurrence graphs the dedup family builds.
+   *
+   * Scale: each round is one degree aggregate + two semi-joins over
+   * an edge set that only SHRINKS; the surviving-node counts are
+   * nested (keepₜ ⊆ keepₜ₋₁), so an unchanged count IS the fixpoint
+   * proof — one driver action per round, no checksum needed.
+   * Fails loudly if `maxIters` is exhausted before the fixpoint
+   * (the [[Dedup.dupClustersBigGraph]] discipline): silent partial
+   * peels would report a too-large core.
+   */
+  def kCore(edges0: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
+    var edges = edges0.select(col("src"), col("dst")).materializeRound
+    var prevKeep = -1L
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val nKeep = keep.count()
+      if (nKeep == prevKeep) converged = true
+      else {
+        prevKeep = nKeep
+        edges = edges
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .materializeRound
+      }
+      i += 1
+    }
+    require(converged, s"kCore: no fixpoint after $maxIters peel rounds")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /**
    * PageRank with a fixed iteration count over a symmetric edge list
    * (columns src, dst): rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v}
    * rank_t(u)/outdeg(u). Symmetric edges mean no dangling nodes, so

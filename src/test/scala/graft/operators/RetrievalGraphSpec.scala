@@ -156,6 +156,23 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(edges === expect) // singleton group 2 contributes nothing
   }
 
+  test("kCore peels hairs off a clique; a clique is its own core; under-k graphs empty") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // K4 (nodes 0-3) with a pendant chain 3-4-5: the 3-core is K4
+    // alone — peeling must cascade (5 falls, then 4 becomes degree-1)
+    val k4chain = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    val core3 = Graph.kCore(k4chain, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core3 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // the clique is already its own 3-core: first round is the fixpoint
+    val k4 = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(Graph.kCore(k4, k = 3).count() === 4L)
+    // demanding more than the graph has empties the core, converged
+    assert(Graph.kCore(k4, k = 4).count() === 0L)
+  }
+
   test("triangleCount: cliques, cycles, stars, and skewed hubs") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
