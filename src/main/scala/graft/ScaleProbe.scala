@@ -402,6 +402,27 @@ object ScaleProbe {
         Graph.pagerank(half.union(half.select(col("dst").as("src"),
           col("src").as("dst"))).distinct(), iters = 3).count()
       },
+      // k-core peeling on the same synthetic graph: 999992 of 1M
+      // nodes have degree 4, eight have degree 3. k=3 is a one-round
+      // fixpoint (the graph is its own 3-core); k=4 is the WORST-CASE
+      // cascade — the eight under-degree seeds avalanche the whole
+      // near-regular graph to an empty core over 16 count-gated peel
+      // rounds of a shrinking 2M-edge set. rows = 3-core size.
+      time("kcore_1m") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val sym = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val full = Graph.kCore(sym, k = 3).count()
+        require(full == n, s"3-core kept $full of $n nodes")
+        val avalanche = Graph.kCore(sym, k = 4).count()
+        require(avalanche == 0L, s"4-core avalanche left $avalanche nodes")
+        full
+      },
       // PPR and weighted SSSP on the same synthetic 1M-edge graph:
       // both must hold pagerank_1m's per-round join+aggregate shape
       time("ppr_1m") {

@@ -523,6 +523,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"EM output should be the bounded parameter table:\n${p.take(800)}")
   }
 
+  test("emb_pca: projection is one shuffle-free scan; the fit is one aggregate, not a join") {
+    // the RETURNED frame (fit already folded into component literals):
+    // scan + project only — no exchange, no join, no aggregate
+    val p = plan("emb_pca")
+    assert(!p.contains("Exchange"), "PCA projection must not shuffle")
+    assert(!p.contains("Join"), "PCA projection must not join")
+    assert(!p.contains("HashAggregate"), "fit must not leak into the projection plan")
+  }
+
   test("dedup_clusters_big / ann_multiprobe: no product joins anywhere in the loop stages") {
     val p1 = plan("ann_multiprobe")
     assert(p1.contains("BroadcastHashJoin"), "multiprobe query fan-out should broadcast")
