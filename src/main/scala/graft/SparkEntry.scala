@@ -2117,6 +2117,16 @@ object SparkEntry {
    * the full-corpus fit — same oracle as emb_pca. The mergeable-
    * summary law, applied to covariance.
    */
+  /**
+   * Whitened PCA: each component scaled to unit variance by its
+   * Rayleigh-quotient λ — the OPQ-style preprocessing that stops the
+   * dominant direction from hogging every PQ codebook bit. Oracle
+   * replays the λs off the unrolled power iterates.
+   */
+  private def embPcaWhiten(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 20,
+      whiten = true)
+
   private def embPcaIncr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     val cut = embs.agg(max("vec_id")).head.getLong(0) / 2
@@ -3423,6 +3433,7 @@ object SparkEntry {
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
     "emb_pca_incr" -> (embPcaIncr _),
+    "emb_pca_whiten" -> (embPcaWhiten _),
     "emb_project" -> (embProject _),
     "emb_recall" -> (embRecall _),
     "emb_kmeans" -> (embKmeans _),
@@ -3725,7 +3736,10 @@ object SparkEntry {
    * aggregate their own reference), Hotelling deflation between
    * components, projection minus the mean offset.
    */
-  private val pcaSql: String = {
+  private val pcaSql: String = pcaSqlBody(whiten = false)
+  private val pcaWhitenSql: String = pcaSqlBody(whiten = true)
+
+  private def pcaSqlBody(whiten: Boolean): String = {
     // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and the
     // 20-deep v→m→cov→…→v chain would duplicate the upstream parquet
     // scan exponentially (observed as an fd-exhaustion error)
@@ -3763,6 +3777,9 @@ object SparkEntry {
       "c.cij - (SELECT l FROM lam1) * a.x * b.x AS cij " +
       "FROM cov c JOIN av20 a ON a.i = c.i JOIN av20 b ON b.i = c.j), " +
       steps("b", "cov2", 2) + ", " +
+      "lam2 AS MATERIALIZED (SELECT sum(v.x * m.x) AS l FROM bv20 v JOIN " +
+      "(SELECT c.i, sum(c.cij * w.x) AS x FROM cov2 c JOIN bv20 w ON c.j = w.i " +
+      "GROUP BY c.i) m ON v.i = m.i), " +
       "w1 AS MATERIALIZED (SELECT list(x ORDER BY i) AS w FROM av20), " +
       "w2 AS MATERIALIZED (SELECT list(x ORDER BY i) AS w FROM bv20), " +
       "o1 AS MATERIALIZED (SELECT sum(m.m * v.x) AS o " +
@@ -3770,8 +3787,14 @@ object SparkEntry {
       "o2 AS MATERIALIZED (SELECT sum(m.m * v.x) AS o " +
       "FROM mean m JOIN bv20 v ON m.i = v.i) " +
       "SELECT vec_id, " +
-      "round(list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1), 4) AS p0, " +
-      "round(list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2), 4) AS p1 " +
+      (if (whiten)
+        "round((list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1)) " +
+          "/ sqrt((SELECT l FROM lam1)), 4) AS p0, " +
+          "round((list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2)) " +
+          "/ sqrt((SELECT l FROM lam2)), 4) AS p1 "
+      else
+        "round(list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1), 4) AS p0, " +
+          "round(list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2), 4) AS p1 ") +
       "FROM v x"
   }
 
@@ -5763,6 +5786,7 @@ object SparkEntry {
     // engine's left-fold exactly
     "emb_pca" -> pcaSql,
     "emb_pca_incr" -> pcaSql,
+    "emb_pca_whiten" -> pcaWhitenSql,
     "emb_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "pl AS (SELECT j, list(CASE WHEN " +

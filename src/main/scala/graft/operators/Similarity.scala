@@ -576,8 +576,10 @@ object Similarity {
    * whatever the eigengap. Population covariance (1/n).
    */
   def pcaProject(embs: DataFrame, k: Int = 2, iters: Int = 20,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
-    pcaProjectFromState(embs, momentState(embs, vecCol), k, iters, vecCol, idCol)
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      whiten: Boolean = false): DataFrame =
+    pcaProjectFromState(embs, momentState(embs, vecCol), k, iters, vecCol,
+      idCol, whiten)
 
   /**
    * The MERGEABLE sufficient statistics behind [[pcaProject]]: one
@@ -615,7 +617,7 @@ object Similarity {
    */
   def pcaProjectFromState(embs: DataFrame, state: DataFrame, k: Int = 2,
       iters: Int = 20, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", whiten: Boolean = false): DataFrame = {
     require(k >= 1, "k >= 1")
     val v = col(vecCol).cast("array<double>")
     val agg = state.select(col("sx"), col("sxx"), col("n").cast("long")).head()
@@ -644,12 +646,21 @@ object Similarity {
       while (i < d) { lam += x(i) * cx(i); i += 1 }
       val deflated = Array.tabulate(d, d)((a, b) => c(a)(b) - lam * x(a) * x(b))
       c = deflated
-      x
+      (x, lam)
     }
-    val proj = comps.zipWithIndex.map { case (w, ci) =>
+    val proj = comps.zipWithIndex.map { case ((w, lam), ci) =>
       val offset = w.zip(mean).map { case (a, b) => a * b }.sum
-      round(aggregate(zip_with(v, typedLit(w.toSeq), (x, ww) => x * ww),
-        lit(0.0), (acc, x) => acc + x) - offset, 4).as(s"p$ci")
+      val raw = aggregate(zip_with(v, typedLit(w.toSeq), (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x) - offset
+      // whitening: unit variance per component — the OPQ-style
+      // preprocessing that stops the dominant direction from hogging
+      // every PQ codebook bit. Variance along component ci IS its
+      // Rayleigh quotient λ, already computed by the deflation step.
+      val scaled = if (whiten) {
+        require(lam > 0, s"whiten: component $ci has non-positive variance $lam")
+        raw / math.sqrt(lam)
+      } else raw
+      round(scaled, 4).as(s"p$ci")
     }
     embs.select(col(idCol) +: proj: _*)
   }

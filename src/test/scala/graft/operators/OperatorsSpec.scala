@@ -55,6 +55,11 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
     val full = out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
     assert(incr === full)
+    // whitening scales every component to unit (population) variance
+    val wp0 = Similarity.pcaProject(embs, k = 2, iters = 30, whiten = true)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(variance(wp0) - 1.0) < 0.05,
+      s"whitened p0 variance ${variance(wp0)}")
   }
 
   test("exactDupGroups finds the planted exact duplicate") {
