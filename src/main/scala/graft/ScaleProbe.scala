@@ -44,6 +44,23 @@ object ScaleProbe {
       .select("vec_id", "embedding")
 
   /** Synthetic orders-like table: hash-derived columns, fully distributed generation. */
+  /** Vectors with an 8-dim latent signal spread across 64 dims + noise. */
+  private def latentEmbs(spark: SparkSession, n: Long, cpus: Int): DataFrame = {
+    val bB = Array.tabulate(8, 64)((r, i) =>
+      if ((((r * 64 + i) * 2654435761L) >>> 16 & 1L) == 1L) 1.0 else -1.0)
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (0 until 8).map(r => sin(col("id") * 31 + lit(r)) *
+          element_at(typedLit(bB(r).toSeq), (i + 1).cast("int")))
+          .reduce(_ + _) + sin(col("id") * 64 + i) * 0.05).as("embedding"))
+      .repartition(cpus)
+  }
+
+  /** Reassemble pN-style projection columns into one embedding array. */
+  private def asVec(df: DataFrame, k: Int, prefix: String): DataFrame =
+    df.select(col("vec_id"),
+      array((0 until k).map(j => col(s"$prefix$j")): _*).as("embedding"))
+
   private def synthOrders(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).toDF("o_orderkey")
       .withColumn("o_custkey", pmod(xxhash64(col("o_orderkey")), lit(1000000L)))
@@ -464,20 +481,10 @@ object ScaleProbe {
       // width — PCA concentrates the signal subspace, JL dilutes it
       // with noise dims. rows = PCA-space overlap (max 500).
       time("pca_vs_jl_recall") {
-        val bB = Array.tabulate(8, 64)((r, i) =>
-          if ((((r * 64 + i) * 2654435761L) >>> 16 & 1L) == 1L) 1.0 else -1.0)
-        val latent = spark.range(nVecs.toLong).select(col("id").as("vec_id"),
-          transform(sequence(lit(0), lit(63)), i =>
-            (0 until 8).map(r => sin(col("id") * 31 + lit(r)) *
-              element_at(typedLit(bB(r).toSeq), (i + 1).cast("int")))
-              .reduce(_ + _) + sin(col("id") * 64 + i) * 0.05).as("embedding"))
-          .repartition(cpus.toInt)
+        val latent = latentEmbs(spark, nVecs.toLong, cpus.toInt)
         val truth = Similarity.bruteForceTopK(latent,
           latent.filter(col("vec_id") < 100), k = 5)
           .select(col("query_id"), col("neighbor_id"))
-        def asVec(df: DataFrame, k: Int, prefix: String) =
-          df.select(col("vec_id"),
-            array((0 until k).map(j => col(s"$prefix$j")): _*).as("embedding"))
         def recall(space: DataFrame): Long =
           Similarity.bruteForceTopK(space, space.filter(col("vec_id") < 100), k = 5)
             .select(col("query_id"), col("neighbor_id")).intersect(truth).count()

@@ -648,6 +648,7 @@ object Similarity {
       c = deflated
       (x, lam)
     }
+    val lam0 = comps.head._2
     val proj = comps.zipWithIndex.map { case ((w, lam), ci) =>
       val offset = w.zip(mean).map { case (a, b) => a * b }.sum
       val raw = aggregate(zip_with(v, typedLit(w.toSeq), (x, ww) => x * ww),
@@ -656,8 +657,13 @@ object Similarity {
       // preprocessing that stops the dominant direction from hogging
       // every PQ codebook bit. Variance along component ci IS its
       // Rayleigh quotient λ, already computed by the deflation step.
+      // RELATIVE degeneracy guard: on rank-deficient data the deflated
+      // residual's λ is fp noise of either sign — whitening by it
+      // would amplify garbage, so fail loudly on any component whose
+      // variance is < 1e-9 of the dominant one.
       val scaled = if (whiten) {
-        require(lam > 0, s"whiten: component $ci has non-positive variance $lam")
+        require(lam > 1e-9 * math.max(lam0, Double.MinPositiveValue),
+          s"whiten: component $ci variance $lam is degenerate vs leading $lam0")
         raw / math.sqrt(lam)
       } else raw
       round(scaled, 4).as(s"p$ci")

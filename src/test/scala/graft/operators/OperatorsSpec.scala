@@ -60,6 +60,16 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(math.abs(variance(wp0) - 1.0) < 0.05,
       s"whitened p0 variance ${variance(wp0)}")
+    // whitening a degenerate component fails loudly: rank-1 data has
+    // nothing to whiten past the first component (its deflated λ is
+    // fp noise — dividing by √λ would amplify garbage)
+    val rank1 = (0 until 10).map(t =>
+      (t.toLong, (0 until 4).map(i => if (i == 2) t.toDouble else 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaProject(rank1, k = 2, iters = 10, whiten = true).collect()
+    }
+    assert(e.getMessage.contains("degenerate"))
   }
 
   test("exactDupGroups finds the planted exact duplicate") {
