@@ -474,6 +474,16 @@ object ScaleProbe {
       // never rows; the eigensolve is driver-side d×d
       time("pca_fit_project")(Similarity.pcaProject(embs, k = 16,
         iters = 10).count()),
+      // the d-axis of the moment state's d² cost, at 4× the width:
+      // buffers grow 16× (256² doubles) but stay per-partition — the
+      // shuffle is still partitions × d², never rows × d²
+      time("pca_fit_d256") {
+        val wide = spark.range(nVecs.toLong).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(255)),
+            i => sin(col("id") * 256 + i)).as("embedding"))
+          .repartition(cpus.toInt)
+        Similarity.pcaProject(wide, k = 8, iters = 10).count()
+      },
       // the LEARNED projection's ANN value, measured: vectors with an
       // 8-dim latent signal spread across 64 dims + per-dim noise.
       // Recall of the true cosine top-5 (100 queries) searched in

@@ -2216,6 +2216,18 @@ object SparkEntry {
     Graph.kCore(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), k = 8)
   }
 
+  /**
+   * Full coreness decomposition of the co-purchase graph
+   * ([[Graph.coreness]], h-index fixpoint — 46 rounds at sf0.01).
+   * Oracle unrolls 56 h-index rounds; once the fixpoint is reached
+   * the spare rounds are no-ops. Cross-checks [[graphKcore]]: nodes
+   * with coreness ≥ 8 are exactly the 8-core.
+   */
+  private def graphCoreness(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.coreness(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -3428,6 +3440,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
+    "graph_coreness" -> (graphCoreness _),
     "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
@@ -5691,6 +5704,19 @@ object SparkEntry {
             s"JOIN k$r a ON c.src = a.src JOIN k$r b ON c.dst = b.src)"
         }.mkString(", ") +
         " SELECT src AS node, count(*) AS deg FROM p18 GROUP BY src"),
+    // 56 unrolled h-index rounds (fixpoint at 46 at sf0.01; spares
+    // are no-ops); MATERIALIZED for the same anti-inlining reason
+    "graph_coreness" ->
+      (graphEdgeCte + "e2 AS MATERIALIZED (SELECT src, dst FROM e), " +
+        "cv0 AS MATERIALIZED (SELECT src AS node, count(*) AS c " +
+        "FROM e2 GROUP BY src), " +
+        (1 to 56).map { r =>
+          s"cv$r AS MATERIALIZED (SELECT src AS node, max(least(rn, cd)) AS c " +
+            "FROM (SELECT e2.src, v.c AS cd, row_number() OVER " +
+            "(PARTITION BY e2.src ORDER BY v.c DESC) AS rn " +
+            s"FROM e2 JOIN cv${r - 1} v ON e2.dst = v.node) GROUP BY src)"
+        }.mkString(", ") +
+        " SELECT node, c AS coreness FROM cv56"),
     "graph_pagerank" ->
       (graphEdgeCte +
         "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +

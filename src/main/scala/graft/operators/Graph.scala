@@ -179,6 +179,58 @@ object Graph {
   }
 
   /**
+   * Per-node CORENESS (the k of the deepest k-core containing each
+   * node) by distributed h-index iteration (Montresor, De Pellegrini,
+   * Miorandi, "Distributed k-core decomposition", 2011): start every
+   * node at its degree; each round a node's value becomes the H-INDEX
+   * of its neighbors' values (the largest h with ≥ h neighbors valued
+   * ≥ h); the fixpoint is exactly the coreness. Generalizes
+   * [[kCore]] from one membership question to the whole decomposition.
+   *
+   * Convergence: values are integers, per-node monotone
+   * NON-INCREASING (the paper's invariant), so an unchanged SUM
+   * proves the fixpoint — and the sum rides each round's own
+   * materialization job via `Dataset.observe` (ONE job per round,
+   * the [[weightedShortestPathsConverged]] discipline). Per round:
+   * the statically-partitioned edge side joins node-sized values,
+   * then one per-node sort window computes the h-index — edge-sized
+   * rows move once per round, like label propagation's mode rounds.
+   * Fails loudly on iteration-cap exit.
+   */
+  def coreness(edges0: DataFrame, maxIters: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("dst")).materializeRound
+    def materializeWithSum(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val mat = d.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s")).materializeRound
+      val m = obs.get
+      (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
+    }
+    var (vals, cur) = materializeWithSum(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("c")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nb = edges
+        .join(vals.select(col("node").as("dst"), col("c").as("cd")), "dst")
+        .select(col("src"), col("cd"))
+      val w = Window.partitionBy("src").orderBy(col("cd").desc)
+      val (next, nextSum) = materializeWithSum(
+        nb.withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy(col("src").as("node"))
+          .agg(max(least(col("rn"), col("cd"))).as("c")))
+      converged = nextSum == cur
+      vals = next
+      cur = nextSum
+      i += 1
+    }
+    require(converged, s"coreness: no fixpoint after $maxIters h-index rounds")
+    vals.select(col("node"), col("c").as("coreness"))
+  }
+
+  /**
    * PageRank with a fixed iteration count over a symmetric edge list
    * (columns src, dst): rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v}
    * rank_t(u)/outdeg(u). Symmetric edges mean no dangling nodes, so

@@ -171,6 +171,13 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(Graph.kCore(k4, k = 3).count() === 4L)
     // demanding more than the graph has empties the core, converged
     assert(Graph.kCore(k4, k = 4).count() === 0L)
+    // the h-index fixpoint agrees with the peel: clique nodes have
+    // coreness 3; the pendant chain degrades to 1 (node 4 touches the
+    // clique but its other neighbor peels away first)
+    val cn = Graph.coreness(k4chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cn === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 1L, 5L -> 1L))
   }
 
   test("triangleCount: cliques, cycles, stars, and skewed hubs") {
