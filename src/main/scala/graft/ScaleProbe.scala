@@ -440,6 +440,25 @@ object ScaleProbe {
         require(avalanche == 0L, s"4-core avalanche left $avalanche nodes")
         full
       },
+      // full decomposition on the same graph: every node's known
+      // coreness is 3 (3-core = whole graph, 4-core empty), and the
+      // 3-wavefront from the eight degree-3 seeds crosses the
+      // expander in O(diameter) h-index rounds — sum-gated, one
+      // observe-carried job per round
+      time("coreness_1m") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val sym = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val c = Graph.coreness(sym)
+        val bad = c.filter(col("coreness") =!= 3L).count()
+        require(bad == 0L, s"$bad nodes off the known coreness 3")
+        c.count()
+      },
       // PPR and weighted SSSP on the same synthetic 1M-edge graph:
       // both must hold pagerank_1m's per-round join+aggregate shape
       time("ppr_1m") {
