@@ -2228,6 +2228,19 @@ object SparkEntry {
     Graph.coreness(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
   }
 
+  /**
+   * Harmonic centrality from the 16 smallest part ids, depth 3
+   * ([[Graph.harmonicCentrality]] — one multi-source BFS). Oracle
+   * replays the three relax+min rounds per source key.
+   */
+  private def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val sources = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(16)
+    Graph.harmonicCentrality(edges, sources, maxDepth = 3)
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -3441,6 +3454,7 @@ object SparkEntry {
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
     "graph_coreness" -> (graphCoreness _),
+    "graph_harmonic" -> (graphHarmonic _),
     "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
@@ -5717,6 +5731,18 @@ object SparkEntry {
             s"FROM e2 JOIN cv${r - 1} v ON e2.dst = v.node) GROUP BY src)"
         }.mkString(", ") +
         " SELECT node, c AS coreness FROM cv56"),
+    "graph_harmonic" ->
+      (graphEdgeCte +
+        "s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 16), " +
+        "h0 AS MATERIALIZED (SELECT node AS s, node, 0 AS dist FROM s), " +
+        (1 to 3).map { r =>
+          s"h$r AS MATERIALIZED (SELECT s, node, min(dist) AS dist FROM (" +
+            s"SELECT s, node, dist FROM h${r - 1} UNION ALL " +
+            s"SELECT h.s, e.dst, h.dist + 1 FROM e JOIN h${r - 1} h " +
+            "ON e.src = h.node) GROUP BY s, node)"
+        }.mkString(", ") +
+        " SELECT node, round(sum(1.0::DOUBLE / dist), 6) AS harmonic " +
+        "FROM h3 WHERE dist > 0 GROUP BY node"),
     "graph_pagerank" ->
       (graphEdgeCte +
         "n AS (SELECT count(DISTINCT src) AS cnt FROM e), " +

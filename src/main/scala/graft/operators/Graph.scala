@@ -103,6 +103,35 @@ object Graph {
   }
 
   /**
+   * Harmonic centrality from a SAMPLED source set, bounded depth:
+   * H(v) = Σ_{s : 0 < d(s,v) ≤ maxDepth} 1/d(s,v). The standard
+   * centrality estimator when exact all-pairs BFS is unpayable —
+   * sources are a deterministic sample, depth bounds the frontier,
+   * and the estimate sharpens as either grows. All sources run in ONE
+   * multi-source BFS: state is (source, node, dist) (≤ |sources| ×
+   * reach rows), the edge side exchanges once, and each round is one
+   * join + min-aggregate over state-sized rows — |sources|× cheaper
+   * than looping [[bfsDistances]] per source.
+   */
+  def harmonicCentrality(edges0: DataFrame, sources: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    val edges = edges0.repartition(col("src")).materializeRound
+    var dist = sources
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
+      .materializeRound
+    for (_ <- 1 to maxDepth) {
+      val next = edges.join(dist, edges("src") === dist("node"))
+        .select(col("s"), col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("s", "node").agg(min("dist").as("dist"))
+        .materializeRound
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
+  }
+
+  /**
    * Triangle count over a symmetric edge list (columns src, dst).
    * The scalable formulation: orient every undirected edge from its
    * lower-(degree, id) endpoint to the higher one — each triangle

@@ -180,6 +180,23 @@ class RetrievalGraphSpec extends AnyFunSuite {
       4L -> 1L, 5L -> 1L))
   }
 
+  test("harmonicCentrality: hand-computed on a path; multi-source sums per-source inverses") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val path = sym((0L, 1L), (1L, 2L), (2L, 3L))
+    val h1 = Graph.harmonicCentrality(path, Seq(0L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h1 === Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.333333))
+    val h2 = Graph.harmonicCentrality(path, Seq(0L, 3L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 1 sees source 0 at d=1 and source 3 at d=2 → 1.5; the
+    // sources themselves score each other (self at d=0 excluded)
+    assert(h2(1L) === 1.5)
+    assert(h2(2L) === 1.5)
+    assert(h2(0L) === 0.333333)
+    assert(h2(3L) === 0.333333)
+  }
+
   test("triangleCount: cliques, cycles, stars, and skewed hubs") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
