@@ -513,6 +513,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"relaxation min must be a map-side-combining aggregate:\n${p2.take(1200)}")
   }
 
+  test("graph_kcore / graph_coreness / graph_harmonic: no product joins in any round") {
+    for (q <- Seq("graph_kcore", "graph_coreness", "graph_harmonic")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated into a product join")
+    }
+    // loop rounds hide behind per-round checkpoints — audit one
+    // un-checkpointed h-index round directly: the per-node sort must
+    // be a bounded window partition, never a global Sort, and the
+    // h-aggregate must combine map-side
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val vals = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("node", "c")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cd").desc)
+    val round1 = edges
+      .join(vals.select(col("node").as("dst"), col("c").as("cd")), "dst")
+      .select(col("src"), col("cd"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("src").as("node"))
+      .agg(max(least(col("rn"), col("cd"))).as("c"))
+    val p2 = round1.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("partial_max"),
+      s"h-index max must be a map-side-combining aggregate:\n${p2.take(1200)}")
+  }
+
   test("er_em_params: the corpus-sized work is ONE combo-count aggregate") {
     val df = SparkEntry.queries("er_em_params")(spark, SparkTestSession.sfDir)
     // EM itself runs on the ≤2^k-row driver table; the PLAN the engine
