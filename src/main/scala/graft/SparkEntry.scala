@@ -2127,6 +2127,23 @@ object SparkEntry {
     Similarity.pcaProject(t(s, dir, "embeddings"), k = 2, iters = 20,
       whiten = true)
 
+  /**
+   * PCA model DELETE (downdate): the upper half of the corpus is
+   * retracted; the model re-fits from (full − removed) moment
+   * subtraction ([[Similarity.subtractMomentState]]) — survivors are
+   * never rescanned for the fit — and projects the survivors. Oracle
+   * runs the full pipeline over the surviving rows only.
+   */
+  private def embPcaDelete(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val cut = embs.agg(max("vec_id")).head.getLong(0) / 2
+    val state = Similarity.subtractMomentState(
+      Similarity.momentState(embs),
+      Similarity.momentState(embs.filter(col("vec_id") > cut)))
+    Similarity.pcaProjectFromState(embs.filter(col("vec_id") <= cut), state,
+      k = 2, iters = 20)
+  }
+
   private def embPcaIncr(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     val cut = embs.agg(max("vec_id")).head.getLong(0) / 2
@@ -3459,6 +3476,7 @@ object SparkEntry {
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
+    "emb_pca_delete" -> (embPcaDelete _),
     "emb_pca_incr" -> (embPcaIncr _),
     "emb_pca_whiten" -> (embPcaWhiten _),
     "emb_project" -> (embProject _),
@@ -3765,8 +3783,10 @@ object SparkEntry {
    */
   private val pcaSql: String = pcaSqlBody(whiten = false)
   private val pcaWhitenSql: String = pcaSqlBody(whiten = true)
+  private val pcaDeleteSql: String = pcaSqlBody(whiten = false,
+    where = " WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")
 
-  private def pcaSqlBody(whiten: Boolean): String = {
+  private def pcaSqlBody(whiten: Boolean, where: String = ""): String = {
     // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and the
     // 20-deep v→m→cov→…→v chain would duplicate the upstream parquet
     // scan exponentially (observed as an fd-exhaustion error)
@@ -3785,7 +3805,7 @@ object SparkEntry {
       s"$v0, $its"
     }
     "WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v " +
-      "FROM embeddings), " +
+      s"FROM embeddings$where), " +
       "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v), " +
       "mean AS MATERIALIZED (SELECT i, sum(v[i]) / (SELECT n FROM nn) AS m " +
       "FROM v, generate_series(1, 64) t(i) GROUP BY i), " +
@@ -5837,6 +5857,7 @@ object SparkEntry {
     // list_dot_product(pj, pj) so the accumulation order matches the
     // engine's left-fold exactly
     "emb_pca" -> pcaSql,
+    "emb_pca_delete" -> pcaDeleteSql,
     "emb_pca_incr" -> pcaSql,
     "emb_pca_whiten" -> pcaWhitenSql,
     "emb_project" ->

@@ -610,6 +610,22 @@ object Similarity {
   }
 
   /**
+   * DOWNDATE: subtract a retracted slice's [[momentState]] from a
+   * (merged) state — moment sums are linear, so forgetting a batch is
+   * component-wise subtraction, O(d²), no corpus rescan. Completes
+   * the PCA model's maintenance matrix (build / append / delete) the
+   * way the minhash/ANN/paragraph indexes complete theirs with
+   * tombstone+purge.
+   */
+  def subtractMomentState(total: DataFrame, removed: DataFrame): DataFrame =
+    total.select(col("n").as("n_t"), col("sx").as("sx_t"), col("sxx").as("sxx_t"))
+      .crossJoin(removed.select(col("n").as("n_r"),
+        col("sx").as("sx_r"), col("sxx").as("sxx_r")))
+      .select((col("n_t") - col("n_r")).as("n"),
+        zip_with(col("sx_t"), col("sx_r"), (a, b) => a - b).as("sx"),
+        zip_with(col("sxx_t"), col("sxx_r"), (a, b) => a - b).as("sxx"))
+
+  /**
    * [[pcaProject]] with the model FITTED FROM a [[momentState]] row
    * (possibly merged from many ingest batches) instead of from the
    * projected frame itself — the incremental-maintenance entry point:

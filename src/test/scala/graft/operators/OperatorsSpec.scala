@@ -55,6 +55,16 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
     val full = out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
     assert(incr === full)
+    // downdate law: (full − upper half) moment subtraction fits and
+    // projects the lower half like a direct lower-half fit
+    val lower = embs.filter(col("vec_id") < 20)
+    val down = Similarity.subtractMomentState(Similarity.momentState(embs),
+      Similarity.momentState(embs.filter(col("vec_id") >= 20)))
+    val dproj = Similarity.pcaProjectFromState(lower, down, k = 2, iters = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    val direct = Similarity.pcaProject(lower, k = 2, iters = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+    assert(dproj === direct)
     // whitening scales every component to unit (population) variance
     val wp0 = Similarity.pcaProject(embs, k = 2, iters = 30, whiten = true)
       .collect().map(_.getDouble(1))
