@@ -2963,6 +2963,23 @@ object SparkEntry {
    * any 5-gram with it. At 100 TB the eval n-gram set broadcasts and
    * the corpus never shuffles (Curation.contaminationReport).
    */
+  /**
+   * FUZZY decontamination: eval documents (every 50th id) flagged
+   * against the training corpus by NEAR-duplicate jaccard (τ=0.5),
+   * not exact n-gram hits — the paraphrase-contamination catch that
+   * the exact-overlap report misses. Reuses the broadcast-batch
+   * incremental-pairs machinery ([[Dedup.incrementalNearDupPairs]]):
+   * the eval set broadcasts, the corpus never self-joins.
+   */
+  private def textDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 50 === 0),
+      docs.filter(col("doc_id") % 50 =!= 0), n = 5, threshold = 0.5)
+      .select(col("new_id").as("eval_id"), col("corpus_id").as("doc_id"),
+        col("jaccard"))
+  }
+
   private def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Curation.contaminationReport(
@@ -3541,6 +3558,7 @@ object SparkEntry {
     "corpus_apply_delta" -> (corpusApplyDelta _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
+    "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "text_lm_score" -> (textLmScore _),
     "text_ppl_buckets" -> (textPplBuckets _),
     "pipeline_ccnet" -> (pipelineCcnet _),
@@ -6080,6 +6098,19 @@ object SparkEntry {
         "round(avg(nll) FILTER (bucket IN ('head', 'middle')), 4) AS kept_avg_nll " +
         "FROM b GROUP BY 1"),
     // --- corpus curation (round 3) ---
+    "text_decontaminate_fuzzy" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS did, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle " +
+        "AND a.doc_id % 50 = 0 AND b.doc_id % 50 != 0 GROUP BY 1, 2) " +
+        "SELECT eval_id, did AS doc_id, " +
+        "round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON eval_id = sa.doc_id " +
+        "JOIN sizes sb ON did = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5"),
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
