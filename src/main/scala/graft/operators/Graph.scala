@@ -226,33 +226,88 @@ object Graph {
    * rows move once per round, like label propagation's mode rounds.
    * Fails loudly on iteration-cap exit.
    */
-  def coreness(edges0: DataFrame, maxIters: Int = 100): DataFrame = {
+  def coreness(edges0: DataFrame, maxIters: Int = 100,
+      frontier: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = edges0.select(col("src"), col("dst"))
       .repartition(col("dst")).materializeRound
-    def materializeWithSum(d: DataFrame): (DataFrame, (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val mat = d.observe(obs, count(lit(1)).as("n"),
-        coalesce(sum(col("c")), lit(0L)).as("s")).materializeRound
-      val m = obs.get
-      (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
-    }
-    var (vals, cur) = materializeWithSum(
-      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("c")))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nb = edges
+    def hIndexRound(vals: DataFrame, edgeSide: DataFrame): DataFrame = {
+      val nb = edgeSide
         .join(vals.select(col("node").as("dst"), col("c").as("cd")), "dst")
         .select(col("src"), col("cd"))
       val w = Window.partitionBy("src").orderBy(col("cd").desc)
-      val (next, nextSum) = materializeWithSum(
-        nb.withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy(col("src").as("node"))
-          .agg(max(least(col("rn"), col("cd"))).as("c")))
-      converged = nextSum == cur
-      vals = next
-      cur = nextSum
+      nb.withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("rn"), col("cd"))).as("c"))
+    }
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+
+    if (!frontier) {
+      // DEFAULT: full recompute, TWO h-index applications composed
+      // lazily per materialization — values are per-node monotone
+      // non-increasing, so the composed step's observe-carried sum
+      // matches the previous one iff NO sub-round changed anything;
+      // fixpoint detection stays sound at half the driver cadence.
+      // Fastest when per-round stage overhead dominates (this
+      // fixture's 242k edges at local[32]) — see the frontier mode
+      // below for the billion-edge regime.
+      def materializeWithSum(d: DataFrame): (DataFrame, (Long, Long)) = {
+        val obs = org.apache.spark.sql.Observation()
+        val mat = d.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s")).materializeRound
+        val m = obs.get
+        (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
+      }
+      var (vals, cur) = materializeWithSum(deg)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val (next, nextSum) = materializeWithSum(
+          hIndexRound(hIndexRound(vals, edges), edges))
+        converged = nextSum == cur
+        vals = next
+        cur = nextSum
+        i += 2
+      }
+      require(converged, s"coreness: no fixpoint after $maxIters h-index rounds")
+      return vals.select(col("node"), col("c").as("coreness"))
+    }
+
+    // FRONTIER mode (Montresor's optimization): a node's h-index
+    // reads only its neighbors' values, so after the first round only
+    // nodes with a CHANGED neighbor can move — per-round data volume
+    // scales with the frontier's edge neighborhood, not the graph.
+    // Costs ~5 stages/round vs the default's 3, so it LOSES where
+    // stage overhead dominates (measured 14.5 s vs 9.0 s on the 242k-
+    // edge fixture whose frontier halves each round) and wins where
+    // per-row volume dominates — the billion-edge regime this mode
+    // exists for. Both edge partitionings materialize once; the
+    // moved-count rides each round's job via observe. Law-tested
+    // equal to the default mode.
+    val edgesBySrc = edges.repartition(col("src")).materializeRound
+    var vals = deg.materializeRound
+    var changed = vals.select("node")
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // no distinct on dirty: it is only ever a semi-join right side
+      val dirty = edges
+        .join(changed.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"))
+      val recomputed = hIndexRound(
+        vals, edgesBySrc.join(dirty, Seq("src"), "left_semi"))
+        .withColumnRenamed("c", "c_new")
+      val obs = org.apache.spark.sql.Observation()
+      val mat = vals.withColumnRenamed("c", "c_old")
+        .join(recomputed, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("c_new"), col("c_old")).as("c"),
+          (col("c_new").isNotNull && col("c_new") =!= col("c_old"))
+            .cast("long").as("moved"))
+        .observe(obs, coalesce(sum(col("moved")), lit(0L)).as("m"))
+        .materializeRound
+      converged = obs.get("m").asInstanceOf[Long] == 0L
+      vals = mat.select("node", "c")
+      changed = mat.filter(col("moved") === 1L).select("node")
       i += 1
     }
     require(converged, s"coreness: no fixpoint after $maxIters h-index rounds")

@@ -178,6 +178,10 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cn === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
       4L -> 1L, 5L -> 1L))
+    // frontier mode (the billion-edge regime's loop) is law-equal
+    val cnf = Graph.coreness(k4chain, frontier = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cnf === cn)
   }
 
   test("harmonicCentrality: hand-computed on a path; multi-source sums per-source inverses") {
