@@ -3067,6 +3067,36 @@ object SparkEntry {
         countDistinct(col("id")).as("n_docs"))
 
   /** Symmetric int8 embedding quantization: norm/scale/checksums per vector. */
+  /**
+   * Vector-ingest quality gate: the embedding-table counterpart of
+   * [[Checks]]' row constraints — dimensionality consistency, norm
+   * bounds, non-finite detection, and DEAD-DIMENSION census (per-dim
+   * variance < 1e-9, from the same O(d²) [[Similarity.momentState]]
+   * the PCA family maintains — no extra corpus pass shape). One row
+   * out; every stat oracled.
+   */
+  private def embQuality(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val v = col("embedding").cast("array<double>")
+    val perVec = embs.select(size(v).as("dims"),
+      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)).as("norm"),
+      exists(v, x => isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity).as("bad"))
+    val base = perVec.agg(count(lit(1)).as("n_vecs"),
+      countDistinct(col("dims")).as("n_dim_variants"),
+      round(min(col("norm")), 4).as("min_norm"),
+      round(max(col("norm")), 4).as("max_norm"),
+      sum(col("bad").cast("long")).as("n_nonfinite"))
+    val st = Similarity.momentState(embs).head()
+    val sx = st.getSeq[Double](1).toArray
+    val sxx = st.getSeq[Double](2).toArray
+    val n = st.getLong(0).toDouble
+    val d = sx.length
+    val dead = (0 until d).count(i =>
+      sxx(i * d + i) / n - (sx(i) / n) * (sx(i) / n) < 1e-9).toLong
+    base.withColumn("n_dead_dims", lit(dead))
+  }
+
   private def embQuantize(s: SparkSession, dir: String): DataFrame =
     Curation.quantizeEmbeddings(t(s, dir, "embeddings"))
 
@@ -3493,6 +3523,7 @@ object SparkEntry {
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
+    "emb_quality" -> (embQuality _),
     "emb_pca_delete" -> (embPcaDelete _),
     "emb_pca_incr" -> (embPcaIncr _),
     "emb_pca_whiten" -> (embPcaWhiten _),
@@ -5874,6 +5905,21 @@ object SparkEntry {
     // md5 ±1 planes ("proj:j:i") replayed per output dim; the norm is
     // list_dot_product(pj, pj) so the accumulation order matches the
     // engine's left-fold exactly
+    "emb_quality" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pv AS (SELECT len(v) AS dims, sqrt(list_dot_product(v, v)) AS nrm, " +
+        "(SELECT bool_or(isnan(x) OR NOT isfinite(x)) FROM UNNEST(v) t(x)) AS bad " +
+        "FROM v), " +
+        "base AS (SELECT count(*) AS n_vecs, " +
+        "count(DISTINCT dims) AS n_dim_variants, " +
+        "round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm, " +
+        "sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite FROM pv), " +
+        "dv AS (SELECT i, sum(v[i] * v[i]) / count(*) " +
+        "- (sum(v[i]) / count(*)) * (sum(v[i]) / count(*)) AS var " +
+        "FROM v, generate_series(1, 64) t(i) GROUP BY i), " +
+        "dead AS (SELECT count(*) AS n_dead_dims FROM dv WHERE var < 1e-9) " +
+        "SELECT b.n_vecs, b.n_dim_variants, b.min_norm, b.max_norm, " +
+        "b.n_nonfinite, d.n_dead_dims FROM base b, dead d"),
     "emb_pca" -> pcaSql,
     "emb_pca_delete" -> pcaDeleteSql,
     "emb_pca_incr" -> pcaSql,
