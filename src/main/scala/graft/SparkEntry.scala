@@ -2980,6 +2980,29 @@ object SparkEntry {
         col("jaccard"))
   }
 
+  /**
+   * The decontamination DECISION end-to-end: drop training docs hit
+   * by EITHER the exact n-gram overlap report (n_shared ≥ 3) or the
+   * fuzzy near-dup screen (jaccard ≥ 0.5 to any eval doc), then roll
+   * up retention per source — the gate a training pipeline runs
+   * before packing, composed from the two oracled detectors.
+   */
+  private def pipelineDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val exactHits = Curation.contaminationReport(train, evalDocs)
+      .filter(col("n_shared") >= 3).select("doc_id")
+    val fuzzyHits = Dedup.incrementalNearDupPairs(evalDocs, train,
+      n = 5, threshold = 0.5).select(col("corpus_id").as("doc_id"))
+    val dropped = exactHits.unionByName(fuzzyHits).distinct()
+    train.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .join(train.groupBy("source").agg(count(lit(1)).as("n_total")), "source")
+      .select(col("source"), col("n_kept"), col("n_total"),
+        round(col("n_kept") * lit(1.0) / col("n_total"), 4).as("retention"))
+  }
+
   private def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Curation.contaminationReport(
@@ -3589,6 +3612,7 @@ object SparkEntry {
     "corpus_apply_delta" -> (corpusApplyDelta _),
     // corpus curation (round 3)
     "text_decontaminate" -> (textDecontaminate _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "text_lm_score" -> (textLmScore _),
     "text_ppl_buckets" -> (textPplBuckets _),
@@ -6157,6 +6181,31 @@ object SparkEntry {
         "FROM pairs JOIN sizes sa ON eval_id = sa.doc_id " +
         "JOIN sizes sb ON did = sb.doc_id " +
         "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5"),
+    "pipeline_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
+        "FROM tok, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)), " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id % 50 != 0), " +
+        "exact_hits AS (SELECT tr.doc_id FROM tr JOIN ev USING (shingle) " +
+        "GROUP BY tr.doc_id HAVING count(*) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS did, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle " +
+        "AND a.doc_id % 50 = 0 AND b.doc_id % 50 != 0 GROUP BY 1, 2), " +
+        "fuzzy_hits AS (SELECT did AS doc_id FROM pairs " +
+        "JOIN sizes sa ON eval_id = sa.doc_id JOIN sizes sb ON did = sb.doc_id " +
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5), " +
+        "dropped AS (SELECT doc_id FROM exact_hits " +
+        "UNION SELECT doc_id FROM fuzzy_hits), " +
+        "base AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 != 0), " +
+        "kept AS (SELECT b.source FROM base b LEFT JOIN dropped d " +
+        "ON b.doc_id = d.doc_id WHERE d.doc_id IS NULL), " +
+        "tot AS (SELECT source, count(*) AS n_total FROM base GROUP BY source), " +
+        "k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) " +
+        "SELECT t.source, k.n_kept, t.n_total, " +
+        "round(k.n_kept * 1.0 / t.n_total, 4) AS retention " +
+        "FROM tot t JOIN k ON t.source = k.source"),
     "text_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle " +
