@@ -133,6 +133,35 @@ object Retrieval {
    * the rank cut runs on the two-phase heap, k rows per doc out).
    * Corpus size rides one 1-row stats aggregate.
    */
+  /**
+   * nDCG@k — the ranking-quality metric a retrieval pipeline runs
+   * over large eval sets: DCG@k of the system ranking over graded
+   * relevance, normalized by the ideal ordering's DCG@k.
+   * `results`: (query, rank, doc_id); `rels`: (query, doc_id, rel).
+   *
+   * Scale: the ideal ordering cuts each query's relevance list with
+   * the per-key HEAP operator ([[graft.relational.Relational
+   * .topKPerKey]] — never a corpus-wide sort), and rank assignment
+   * windows only the ≤ k surviving rows per query (the bounded-frame
+   * idiom the RRF fusion uses). Judged rows join by (query, doc_id);
+   * unjudged results gain 0.
+   */
+  def ndcgAtK(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dcg = results.filter(col("rank") <= k)
+      .join(rels, Seq("query", "doc_id"), "left_outer")
+      .groupBy("query")
+      .agg(sum(coalesce(col("rel"), lit(0.0)) / log2(col("rank") + 1)).as("dcg"))
+    val cut = graft.relational.Relational.topKPerKey(rels,
+      Seq(col("query")), Seq(col("rel").desc, col("doc_id").asc), k)
+    val w = Window.partitionBy("query").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = cut.withColumn("irank", row_number().over(w))
+      .groupBy("query")
+      .agg(sum(col("rel") / log2(col("irank") + 1)).as("idcg"))
+    dcg.join(idcg, "query")
+      .select(col("query"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   def keywordsTopK(docs: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nDocs = docs.count() // 1 driver value, any corpus size

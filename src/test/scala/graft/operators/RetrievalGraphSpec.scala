@@ -184,6 +184,21 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(cnf === cn)
   }
 
+  test("ndcgAtK: perfect ranking scores 1; a top-2 swap scores the hand value; unjudged gains 0") {
+    val rels = Seq(("q", 1L, 3.0), ("q", 2L, 2.0), ("q", 3L, 1.0))
+      .toDF("query", "doc_id", "rel")
+    val perfect = Seq(("q", 1, 1L), ("q", 2, 2L), ("q", 3, 3L))
+      .toDF("query", "rank", "doc_id")
+    assert(Retrieval.ndcgAtK(perfect, rels, 3).head().getDouble(1) === 1.0)
+    val swapped = Seq(("q", 1, 2L), ("q", 2, 1L), ("q", 3, 99L))
+      .toDF("query", "rank", "doc_id") // doc 99 unjudged → gain 0
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val expect = BigDecimal((2.0 / l2(2) + 3.0 / l2(3)) /
+        (3.0 / l2(2) + 2.0 / l2(3) + 1.0 / l2(4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Retrieval.ndcgAtK(swapped, rels, 3).head().getDouble(1) === expect)
+  }
+
   test("harmonicCentrality: hand-computed on a path; multi-source sums per-source inverses") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
