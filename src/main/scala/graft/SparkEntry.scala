@@ -1946,6 +1946,29 @@ object SparkEntry {
     Retrieval.ndcgAtK(results, scored.select("query", "doc_id", "rel"), k = 10)
   }
 
+  /**
+   * MRR + recall@10 for the same tf/length retriever and term queries
+   * as [[retrievalNdcg]] ([[Retrieval.rankingMetrics]]).
+   */
+  private def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val scored = Seq("hash", "merge", "join").map { term =>
+      toks.select(lit(term).as("query"), col("doc_id"),
+        size(filter(col("w"), x => x === term)).cast("double").as("rel"),
+        (size(filter(col("w"), x => x === term)).cast("double")
+          / size(col("w"))).as("score"))
+    }.reduce(_ unionByName _).filter(col("rel") > 0)
+    val cut = graft.relational.Relational.topKPerKey(scored,
+      Seq(col("query")), Seq(col("score").desc, col("doc_id").asc), 10)
+    val w = Window.partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+    val results = cut.withColumn("rank", row_number().over(w))
+      .select("query", "rank", "doc_id")
+    Retrieval.rankingMetrics(results, scored.select("query", "doc_id", "rel"),
+      k = 10)
+  }
+
   private def textBm25(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(t(s, dir, "documents"), Seq("hash", "merge", "join"), k = 50)
 
@@ -3550,6 +3573,7 @@ object SparkEntry {
     "text_importance" -> (textImportance _),
     "text_bm25" -> (textBm25 _),
     "retrieval_ndcg" -> (retrievalNdcg _),
+    "retrieval_metrics" -> (retrievalMetrics _),
     "retrieval_rrf" -> (retrievalRrf _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_apply" -> (textBpeApply _),
@@ -5661,6 +5685,8 @@ object SparkEntry {
     // replays the two-pass BM25 arithmetic term-by-term in the same
     // order (idf and avgdl rounded to 6 decimals before scoring on
     // both sides, so the unrounded ranking doubles are bit-identical)
+    "retrieval_metrics" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), q AS (SELECT 'hash' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'merge' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'join' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) / len(w) AS score FROM tok), pos AS (SELECT * FROM q WHERE rel > 0), rk AS (SELECT query, doc_id, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank FROM pos), hits AS (SELECT rk.query, rk.rank FROM rk JOIN pos p ON rk.query = p.query AND rk.doc_id = p.doc_id WHERE rk.rank <= 10), pq AS (SELECT query, round(1.0 / min(rank), 6) AS rr, count(*) AS n_hit FROM hits GROUP BY query), tot AS (SELECT query, count(*) AS n_rel FROM pos GROUP BY query) SELECT t.query, coalesce(pq.rr, 0.0) AS rr, round(coalesce(pq.n_hit, 0) * 1.0 / t.n_rel, 6) AS recall FROM tot t LEFT JOIN pq ON t.query = pq.query"),
     "retrieval_ndcg" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), q AS (SELECT 'hash' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'merge' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'join' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) / len(w) AS score FROM tok), pos AS (SELECT * FROM q WHERE rel > 0), rk AS (SELECT query, doc_id, rel, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank FROM pos), dcg AS (SELECT query, sum(rel / log2(rank + 1)) AS dcg FROM rk WHERE rank <= 10 GROUP BY query), irk AS (SELECT query, rel, row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank FROM pos), idcg AS (SELECT query, sum(rel / log2(irank + 1)) AS idcg FROM irk WHERE irank <= 10 GROUP BY query) SELECT d.query, round(d.dcg / i.idcg, 6) AS ndcg FROM dcg d JOIN idcg i ON d.query = i.query"),
     "text_bm25" ->

@@ -162,6 +162,30 @@ object Retrieval {
       .select(col("query"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /**
+   * Reciprocal rank + recall@k per query — [[ndcgAtK]]'s companions
+   * for binary judgments: rr = 1/rank of the first relevant result
+   * (0 when none lands in the top k), recall = judged results
+   * retrieved / judged total. Same join shape as ndcg: results cut at
+   * k, relevance joined by (query, doc_id), one aggregate per side.
+   */
+  def rankingMetrics(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    val hits = results.filter(col("rank") <= k)
+      .join(rels.filter(col("rel") > 0).select("query", "doc_id"),
+        Seq("query", "doc_id"), "left_semi")
+    val perQuery = hits.groupBy("query")
+      .agg(round(lit(1.0) / min(col("rank")), 6).as("rr"),
+        count(lit(1)).as("n_hit"))
+    val totals = rels.filter(col("rel") > 0)
+      .groupBy("query").agg(count(lit(1)).as("n_rel"))
+    // left join from totals: a query with zero retrieved judged docs
+    // still reports (rr = 0, recall = 0) instead of vanishing
+    totals.join(perQuery, Seq("query"), "left_outer")
+      .select(col("query"), coalesce(col("rr"), lit(0.0)).as("rr"),
+        round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_rel"), 6)
+          .as("recall"))
+  }
+
   def keywordsTopK(docs: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nDocs = docs.count() // 1 driver value, any corpus size
