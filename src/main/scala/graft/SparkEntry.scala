@@ -1929,6 +1929,18 @@ object SparkEntry {
    * rounding guard; the ideal cut uses the per-key heap.
    */
   private def retrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val (results, rels) = tfLenRetrieval(s, dir)
+    Retrieval.ndcgAtK(results, rels, k = 10)
+  }
+
+  /**
+   * Shared eval fixture for the ranking metrics: a deterministic
+   * tf/length retriever over three term queries — graded tf
+   * relevance, exact-rational scores (no rounding-boundary hazard),
+   * heap-cut top-10 with ranks windowed over the ≤10 survivors.
+   * Returns (results(query, rank, doc_id), rels(query, doc_id, rel)).
+   */
+  private def tfLenRetrieval(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
@@ -1943,7 +1955,7 @@ object SparkEntry {
     val w = Window.partitionBy("query").orderBy(col("score").desc, col("doc_id"))
     val results = cut.withColumn("rank", row_number().over(w))
       .select("query", "rank", "doc_id")
-    Retrieval.ndcgAtK(results, scored.select("query", "doc_id", "rel"), k = 10)
+    (results, scored.select("query", "doc_id", "rel"))
   }
 
   /**
@@ -1951,22 +1963,8 @@ object SparkEntry {
    * as [[retrievalNdcg]] ([[Retrieval.rankingMetrics]]).
    */
   private def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-    val scored = Seq("hash", "merge", "join").map { term =>
-      toks.select(lit(term).as("query"), col("doc_id"),
-        size(filter(col("w"), x => x === term)).cast("double").as("rel"),
-        (size(filter(col("w"), x => x === term)).cast("double")
-          / size(col("w"))).as("score"))
-    }.reduce(_ unionByName _).filter(col("rel") > 0)
-    val cut = graft.relational.Relational.topKPerKey(scored,
-      Seq(col("query")), Seq(col("score").desc, col("doc_id").asc), 10)
-    val w = Window.partitionBy("query").orderBy(col("score").desc, col("doc_id"))
-    val results = cut.withColumn("rank", row_number().over(w))
-      .select("query", "rank", "doc_id")
-    Retrieval.rankingMetrics(results, scored.select("query", "doc_id", "rel"),
-      k = 10)
+    val (results, rels) = tfLenRetrieval(s, dir)
+    Retrieval.rankingMetrics(results, rels, k = 10)
   }
 
   private def textBm25(s: SparkSession, dir: String): DataFrame =
