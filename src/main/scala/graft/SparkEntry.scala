@@ -2625,6 +2625,20 @@ object SparkEntry {
     TextAnalysis.bigramLmScore(t(s, dir, "documents"))
 
   /** Hashed linear classifier scoring (hashing trick over md5 buckets, deterministic stub weights). */
+  /**
+   * Reliability diagram of the hashed classifier against the quality
+   * gate ([[TextAnalysis.calibrationCensus]]): clf_score deciles vs
+   * the empirical rate of quality ≥ 0.5 — both sides deterministic,
+   * so every bucket stat is value-oracled.
+   */
+  private def textCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierScore(docs)
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.qualityCol(col("text")) >= 0.5).as("target")), "doc_id")
+    TextAnalysis.calibrationCensus(scored, "clf_score", "target")
+  }
+
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
@@ -3630,6 +3644,7 @@ object SparkEntry {
     "dedup_winnow" -> (dedupWinnow _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_classify" -> (textClassify _),
+    "text_calibration" -> (textCalibration _),
     "text_classify_table" -> (textClassifyTable _),
     "text_langid_table" -> (textLangidTable _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -4921,6 +4936,31 @@ object SparkEntry {
     // hashed linear classifier: bucket = low 10 bits of md5lo64
     // (= last 4 hex chars of the first 8 md5 bytes mod 1024); the
     // label compares the exact ordered fold, not the rounded sigmoid
+    "text_calibration" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, len(w) AS n, list_reduce(list_prepend(0.0, " +
+        "list_transform(w, x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)" +
+        "::BIGINT * 2654435761 + 7) % 2000001) / 1000000.0 - 1.0))), " +
+        "(a, b) -> a + b) AS wsum FROM tok), " +
+        "clf AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(wsum / n))), 4) " +
+        "AS clf_score FROM sc), " +
+        "m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " +
+        stopwordsSql + ")) * 1.0 / len(string_split(lower(text), ' ')), 4) " +
+        "AS stopword_ratio, " +
+        "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) AS distinct_ratio " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.4 " +
+        "+ least(stopword_ratio * 5.0, 1.0) * 0.2 + distinct_ratio * 0.4, 6) " +
+        "AS quality FROM m), " +
+        "j AS (SELECT clf.clf_score, (q.quality >= 0.5) AS target " +
+        "FROM clf JOIN q USING (doc_id)) " +
+        "SELECT CAST(least(floor(clf_score * 10), 9) AS BIGINT) AS decile, " +
+        "count(*) AS n, round(avg(clf_score), 6) AS mean_score, " +
+        "round(avg(CASE WHEN target THEN 1.0 ELSE 0.0 END), 6) AS pos_rate " +
+        "FROM j GROUP BY 1"),
     "text_classify" -> classifySql,
     // same oracle: the table-driven path must score identically to
     // the inline-stub path (the model-swap contract, proven in code)

@@ -532,6 +532,23 @@ object TextAnalysis {
   }
 
   /**
+   * Calibration census (reliability diagram) for a [0,1] score
+   * against a binary target: decile buckets of the score, per-bucket
+   * count / mean score / empirical positive rate — the check a
+   * pipeline runs before trusting a filter threshold, since a
+   * calibrated score's pos_rate tracks its mean_score bucket by
+   * bucket. ONE map-side-combining aggregate over the scored scan.
+   */
+  def calibrationCensus(scored: DataFrame, scoreCol: String,
+      targetCol: String): DataFrame =
+    scored
+      .groupBy(least(floor(col(scoreCol) * 10), lit(9.0)).cast("long")
+        .as("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(scoreCol)), 6).as("mean_score"),
+        round(avg(col(targetCol).cast("double")), 6).as("pos_rate"))
+
+  /**
    * The stub classifier weights materialized as a (bucket, weight)
    * MODEL TABLE — the artifact a real training run would produce.
    * [[classifierScoreFromTable]] scores from such a table, so
