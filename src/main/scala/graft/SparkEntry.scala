@@ -2639,6 +2639,19 @@ object SparkEntry {
     TextAnalysis.calibrationCensus(scored, "clf_score", "target")
   }
 
+  /**
+   * ROC-AUC of the hashed classifier against the quality target
+   * ([[TextAnalysis.aucRoc]] — tie-aware midranks over distinct
+   * scores). Same scored join as [[textCalibration]].
+   */
+  private def textAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierScore(docs)
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.qualityCol(col("text")) >= 0.5).as("target")), "doc_id")
+    TextAnalysis.aucRoc(scored, "clf_score", "target")
+  }
+
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
@@ -3645,6 +3658,7 @@ object SparkEntry {
     "text_bigram_lm" -> (textBigramLm _),
     "text_classify" -> (textClassify _),
     "text_calibration" -> (textCalibration _),
+    "text_auc" -> (textAuc _),
     "text_classify_table" -> (textClassifyTable _),
     "text_langid_table" -> (textLangidTable _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -4961,6 +4975,35 @@ object SparkEntry {
         "count(*) AS n, round(avg(clf_score), 6) AS mean_score, " +
         "round(avg(CASE WHEN target THEN 1.0 ELSE 0.0 END), 6) AS pos_rate " +
         "FROM j GROUP BY 1"),
+    "text_auc" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, len(w) AS n, list_reduce(list_prepend(0.0, " +
+        "list_transform(w, x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)" +
+        "::BIGINT * 2654435761 + 7) % 2000001) / 1000000.0 - 1.0))), " +
+        "(a, b) -> a + b) AS wsum FROM tok), " +
+        "clf AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(wsum / n))), 4) " +
+        "AS clf_score FROM sc), " +
+        "m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " +
+        stopwordsSql + ")) * 1.0 / len(string_split(lower(text), ' ')), 4) " +
+        "AS stopword_ratio, " +
+        "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) AS distinct_ratio " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.4 " +
+        "+ least(stopword_ratio * 5.0, 1.0) * 0.2 + distinct_ratio * 0.4, 6) " +
+        "AS quality FROM m), " +
+        "j AS (SELECT clf.clf_score AS s, " +
+        "CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS t " +
+        "FROM clf JOIN q USING (doc_id)), " +
+        "g AS (SELECT s, count(*) AS n, sum(t) AS np FROM j GROUP BY s), " +
+        "r AS (SELECT np, n, (2 * coalesce(sum(n) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1) / 2.0 " +
+        "AS midrank FROM g) " +
+        "SELECT round((sum(np * midrank) - sum(np) * (sum(np) + 1) / 2.0) " +
+        "/ (sum(np) * sum(n - np)), 6) AS auc, " +
+        "sum(np) AS n_pos, sum(n - np) AS n_neg FROM r"),
     "text_classify" -> classifySql,
     // same oracle: the table-driven path must score identically to
     // the inline-stub path (the model-swap contract, proven in code)

@@ -549,6 +549,32 @@ object TextAnalysis {
         round(avg(col(targetCol).cast("double")), 6).as("pos_rate"))
 
   /**
+   * Tie-aware ROC-AUC (Mann–Whitney with midranks) for a score
+   * against a binary target: AUC = (Σ_pos midrank − P(P+1)/2) / (P·N).
+   * The aggregation collapses the corpus to one row per DISTINCT
+   * score (bounded by the score's rounding — a 4-decimal score has
+   * ≤ 10⁴ distinct values), the midrank window ranks only those
+   * rows, and the midrank arithmetic is exact halves, so the value
+   * oracles without float hazard. Output: one row (auc, n_pos, n_neg).
+   */
+  def aucRoc(scored: DataFrame, scoreCol: String,
+      targetCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("long")).as("np"))
+    // cumulative count of strictly-smaller scores; the window frame
+    // holds distinct-score rows only (bounded, see above)
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("midrank", (col("cum") * 2 + col("n") + 1) / lit(2.0))
+      .agg(sum(col("np")).as("p"), sum(col("n") - col("np")).as("nn"),
+        sum(col("np") * col("midrank")).as("rsum"))
+      .select(round((col("rsum") - col("p") * (col("p") + 1) / lit(2.0))
+          / (col("p") * col("nn")), 6).as("auc"),
+        col("p").as("n_pos"), col("nn").as("n_neg"))
+  }
+
+  /**
    * The stub classifier weights materialized as a (bucket, weight)
    * MODEL TABLE — the artifact a real training run would produce.
    * [[classifierScoreFromTable]] scores from such a table, so

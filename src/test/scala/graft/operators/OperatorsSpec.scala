@@ -926,6 +926,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L).getAs[Long]("n_bigrams") === 11L)
   }
 
+  test("aucRoc: perfect separation 1.0, anti-separation 0.0, all-tied 0.5") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      TextAnalysis.aucRoc(rows.toDF("s", "t"), "s", "t").head().getDouble(0)
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) === 1.0)
+    assert(auc(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true))) === 0.0)
+    // every score tied: midranks make AUC exactly 1/2 (chance)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))) === 0.5)
+    // hand value: pos at ranks {4, 2} of 4 → (6 − 3) / (2·2) = 0.75
+    assert(auc(Seq((0.9, true), (0.8, false), (0.4, true), (0.1, false))) === 0.75)
+  }
+
   test("classifierScore: deterministic, bounded, and label-consistent") {
     val scored = TextAnalysis.classifierScore(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("clf_score"), r.getAs[Boolean]("clf_label")))
