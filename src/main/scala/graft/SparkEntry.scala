@@ -2652,6 +2652,20 @@ object SparkEntry {
     TextAnalysis.aucRoc(scored, "clf_score", "target")
   }
 
+  /**
+   * Confusion matrix + precision/recall/F1/accuracy/Cohen's κ of the
+   * hashed classifier's label against the quality target
+   * ([[TextAnalysis.classifierEval]]) — completes the eval trio with
+   * [[textCalibration]] and [[textAuc]].
+   */
+  private def textClassifyEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierScore(docs)
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.qualityCol(col("text")) >= 0.5).as("target")), "doc_id")
+    TextAnalysis.classifierEval(scored, "clf_label", "target")
+  }
+
   private def textClassify(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
@@ -3659,6 +3673,7 @@ object SparkEntry {
     "text_classify" -> (textClassify _),
     "text_calibration" -> (textCalibration _),
     "text_auc" -> (textAuc _),
+    "text_classify_eval" -> (textClassifyEval _),
     "text_classify_table" -> (textClassifyTable _),
     "text_langid_table" -> (textLangidTable _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -5004,6 +5019,39 @@ object SparkEntry {
         "SELECT round((sum(np * midrank) - sum(np) * (sum(np) + 1) / 2.0) " +
         "/ (sum(np) * sum(n - np)), 6) AS auc, " +
         "sum(np) AS n_pos, sum(n - np) AS n_neg FROM r"),
+    "text_classify_eval" ->
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, list_reduce(list_prepend(0.0, " +
+        "list_transform(w, x -> ((((('0x'||substr(md5(x),13,4))::UBIGINT % 1024)" +
+        "::BIGINT * 2654435761 + 7) % 2000001) / 1000000.0 - 1.0))), " +
+        "(a, b) -> a + b) AS wsum FROM tok), " +
+        "clf AS (SELECT doc_id, wsum >= 0 AS pred FROM sc), " +
+        "m AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(lower(text), ' '), x -> x IN " +
+        stopwordsSql + ")) * 1.0 / len(string_split(lower(text), ' ')), 4) " +
+        "AS stopword_ratio, " +
+        "round(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / " +
+        "len(string_split(lower(text), ' ')), 4) AS distinct_ratio " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.4 " +
+        "+ least(stopword_ratio * 5.0, 1.0) * 0.2 + distinct_ratio * 0.4, 6) " +
+        ">= 0.5 AS target FROM m), " +
+        "c AS (SELECT sum(CASE WHEN pred AND target THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN pred AND NOT target THEN 1 ELSE 0 END) AS fp, " +
+        "sum(CASE WHEN NOT pred AND target THEN 1 ELSE 0 END) AS fn, " +
+        "sum(CASE WHEN NOT pred AND NOT target THEN 1 ELSE 0 END) AS tn " +
+        "FROM clf JOIN q USING (doc_id)) " +
+        "SELECT tp, fp, fn, tn, " +
+        "round(tp * 1.0 / (tp + fp), 6) AS precision, " +
+        "round(tp * 1.0 / (tp + fn), 6) AS recall, " +
+        "round(tp * 2.0 / (tp * 2 + fp + fn), 6) AS f1, " +
+        "round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy, " +
+        "round(((tp + tn) * 1.0 / (tp + fp + fn + tn) " +
+        "- ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) * 1.0 " +
+        "/ ((tp + fp + fn + tn) * (tp + fp + fn + tn))) " +
+        "/ (1.0 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) * 1.0 " +
+        "/ ((tp + fp + fn + tn) * (tp + fp + fn + tn))), 6) AS kappa FROM c"),
     "text_classify" -> classifySql,
     // same oracle: the table-driven path must score identically to
     // the inline-stub path (the model-swap contract, proven in code)

@@ -575,6 +575,39 @@ object TextAnalysis {
   }
 
   /**
+   * Binary-classifier evaluation against a boolean target: confusion
+   * counts, precision/recall/F1 (of the positive class), accuracy,
+   * and Cohen's κ (chance-corrected agreement). ONE map-side-
+   * combining aggregate over the scan; every stat is a closed form of
+   * the four confusion cells, so the whole row value-oracles. Output:
+   * one row (tp, fp, fn, tn, precision, recall, f1, accuracy, kappa).
+   */
+  def classifierEval(scored: DataFrame, predCol: String,
+      targetCol: String): DataFrame = {
+    val p = col(predCol)
+    val t = col(targetCol)
+    def cell(c: Column) = sum(c.cast("long"))
+    scored.agg(
+      cell(p && t).as("tp"), cell(p && !t).as("fp"),
+      cell(!p && t).as("fn"), cell(!p && !t).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")), 6).as("recall"),
+        round(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")), 6)
+          .as("f1"),
+        round((col("tp") + col("tn"))
+          / (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+        // κ = (po − pe) / (1 − pe) with pe from the marginals
+        round({
+          val n = col("tp") + col("fp") + col("fn") + col("tn")
+          val po = (col("tp") + col("tn")) / n
+          val pe = ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+            + (col("fn") + col("tn")) * (col("fp") + col("tn"))) / (n * n)
+          (po - pe) / (lit(1.0) - pe)
+        }, 6).as("kappa"))
+  }
+
+  /**
    * The stub classifier weights materialized as a (bucket, weight)
    * MODEL TABLE — the artifact a real training run would produce.
    * [[classifierScoreFromTable]] scores from such a table, so
