@@ -2304,6 +2304,16 @@ object SparkEntry {
     Graph.harmonicCentrality(edges, sources, maxDepth = 3)
   }
 
+  /**
+   * Degree assortativity of the co-purchase graph
+   * ([[Graph.assortativity]]): one corr aggregate over degree-joined
+   * edges.
+   */
+  private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.assortativity(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -3629,6 +3639,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles _),
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_coreness" -> (graphCoreness _),
     "graph_harmonic" -> (graphHarmonic _),
     "graph_kcore" -> (graphKcore _),
@@ -6007,6 +6018,12 @@ object SparkEntry {
             s"FROM e2 JOIN cv${r - 1} v ON e2.dst = v.node) GROUP BY src)"
         }.mkString(", ") +
         " SELECT node, c AS coreness FROM cv56"),
+    "graph_assortativity" ->
+      (graphEdgeCte +
+        "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src) " +
+        "SELECT round(corr(a.deg, b.deg), 6) AS assortativity, " +
+        "count(*) AS n_edges FROM e " +
+        "JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node"),
     "graph_harmonic" ->
       (graphEdgeCte +
         "s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 16), " +

@@ -132,6 +132,22 @@ object Graph {
   }
 
   /**
+   * Degree assortativity: the Pearson correlation of (deg(u), deg(v))
+   * over the edges of a symmetric edge list — positive when hubs link
+   * hubs (social graphs), negative when hubs link leaves (web/dedup
+   * co-occurrence). Two broadcast-sized degree joins + ONE streaming
+   * corr aggregate; nothing corpus-sized materializes.
+   */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      .agg(round(corr(col("ds"), col("dd")), 6).as("assortativity"),
+        count(lit(1)).as("n_edges"))
+  }
+
+  /**
    * Triangle count over a symmetric edge list (columns src, dst).
    * The scalable formulation: orient every undirected edge from its
    * lower-(degree, id) endpoint to the higher one — each triangle
