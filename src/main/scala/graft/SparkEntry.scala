@@ -2314,6 +2314,16 @@ object SparkEntry {
     Graph.assortativity(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
   }
 
+  /**
+   * Transitivity of the co-purchase graph
+   * ([[Graph.clusteringCoefficient]]): 3·triangles / wedges.
+   */
+  private def graphClustering(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.clusteringCoefficient(
+      Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+  }
+
   private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
     Graph.labelPropagation(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), iters = 3)
@@ -3640,6 +3650,7 @@ object SparkEntry {
     "graph_communities" -> (graphCommunities _),
     "graph_degrees" -> (graphDegrees _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_clustering" -> (graphClustering _),
     "graph_coreness" -> (graphCoreness _),
     "graph_harmonic" -> (graphHarmonic _),
     "graph_kcore" -> (graphKcore _),
@@ -6018,6 +6029,17 @@ object SparkEntry {
             s"FROM e2 JOIN cv${r - 1} v ON e2.dst = v.node) GROUP BY src)"
         }.mkString(", ") +
         " SELECT node, c AS coreness FROM cv56"),
+    "graph_clustering" ->
+      (graphEdgeCte +
+        "tri AS (SELECT count(*) AS n_triangles FROM e ab " +
+        "JOIN e bc ON ab.dst = bc.src " +
+        "JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst " +
+        "WHERE ab.src < ab.dst AND bc.src < bc.dst), " +
+        "wg AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges " +
+        "FROM (SELECT count(*) AS deg FROM e GROUP BY src)) " +
+        "SELECT tri.n_triangles, wg.n_wedges, " +
+        "round(tri.n_triangles * 3.0 / wg.n_wedges, 6) AS global_cc " +
+        "FROM tri, wg"),
     "graph_assortativity" ->
       (graphEdgeCte +
         "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src) " +

@@ -132,6 +132,22 @@ object Graph {
   }
 
   /**
+   * Global clustering coefficient: 3·triangles / wedges, where a
+   * wedge is an ordered open pair at a center (Σ deg·(deg−1)/2) —
+   * the transitivity of the graph. Reuses [[triangleCount]]'s
+   * degree-oriented join; the wedge count is one aggregate over the
+   * degree table. Output: (n_triangles, n_wedges, global_cc).
+   */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val wedges = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1) / lit(2)).cast("long")
+        .as("n_wedges"))
+    triangleCount(edges).crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(col("n_triangles") * lit(3) / col("n_wedges"), 6).as("global_cc"))
+  }
+
+  /**
    * Degree assortativity: the Pearson correlation of (deg(u), deg(v))
    * over the edges of a symmetric edge list — positive when hubs link
    * hubs (social graphs), negative when hubs link leaves (web/dedup
