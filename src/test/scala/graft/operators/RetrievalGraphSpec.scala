@@ -199,6 +199,21 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(Retrieval.ndcgAtK(swapped, rels, 3).head().getDouble(1) === expect)
   }
 
+  test("clusteringCoefficient: clique transitivity 1, star 0, paw hand value") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      Graph.clusteringCoefficient(df).head().getDouble(2)
+    val k4 = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(cc(k4) === 1.0)
+    val star = sym((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(cc(star) === 0.0)
+    // paw: triangle 0-1-2 + pendant 2-3 → 1 triangle; wedges:
+    // deg(0)=2, deg(1)=2, deg(2)=3, deg(3)=1 → 1+1+3+0 = 5 → 3/5
+    val paw = sym((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    assert(cc(paw) === 0.6)
+  }
+
   test("harmonicCentrality: hand-computed on a path; multi-source sums per-source inverses") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
