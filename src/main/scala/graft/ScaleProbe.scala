@@ -459,6 +459,26 @@ object ScaleProbe {
         require(bad == 0L, s"$bad nodes off the known coreness 3")
         c.count()
       },
+      // the frontier mode on the same fixture: each node moves ONCE
+      // (degree → 3), so total frontier volume is n against the
+      // default's rounds × n — yet at 2M edges the measured result
+      // still favors the default (stage overhead > data saved; see
+      // BASELINE.md). The honest crossover sits beyond local-mode
+      // scales; the probe keeps both sides measured.
+      time("coreness_1m_frontier") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_NODES", "1000000").toLong
+        val half = spark.range(n).toDF("src")
+          .select(col("src"), explode(array(
+            pmod(col("src") * 31 + 7, lit(n)),
+            pmod(col("src") * 17 + 3, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val sym = half.union(half.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val c = Graph.coreness(sym, frontier = true)
+        val bad = c.filter(col("coreness") =!= 3L).count()
+        require(bad == 0L, s"$bad nodes off the known coreness 3")
+        c.count()
+      },
       // PPR and weighted SSSP on the same synthetic 1M-edge graph:
       // both must hold pagerank_1m's per-round join+aggregate shape
       time("ppr_1m") {
