@@ -32,6 +32,10 @@ object Bench {
       // shuffle/spill on shm: benchmark numbers should measure the
       // engine, not the virtualized disk's I/O variance (±10x)
       .config("spark.local.dir", Bench.shmLocalDir)
+      // per-process warehouse (the Verify.scala discipline): a bench
+      // run must not race a concurrent suite/verify JVM's catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -69,21 +73,34 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
-    // BASELINE GATE (soft-fail): compare per-query against the
-    // previous committed record (BENCH_full.json from the prior run)
-    // BEFORE overwriting it — a >2x regression is reported in-round
-    // instead of being discovered by the next judge pass. Queries
-    // under the noise floor are skipped (sub-0.2s timings on this
-    // virtualized host swing multi-x run to run).
-    val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
-      val qsBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
-      "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qsBlock)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+    // BASELINE GATE (soft-fail): compare per-query against the last
+    // COMMITTED record (`git show HEAD:BENCH_full.json` — the working
+    // file is overwritten by every local iteration run, so gating on
+    // it compared against uncommitted intermediates; falls back to
+    // the file when git is unavailable). A regression only lands in
+    // the gate block when (a) the baseline clears a 0.5 s noise floor
+    // — sub-second timings on this virtualized host swing multi-x run
+    // to run — and (b) EVERY pass reproduces the >2x, not just the
+    // min: a one-pass spike is host noise, not a regression.
+    val prior: Map[String, Double] = {
+      def parse(txt: String): Map[String, Double] = {
+        val qsBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val committed = try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(parse(out)) else None
+      } catch { case _: Exception => None }
+      committed.getOrElse(try parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full.json")), "UTF-8"))
+      catch { case _: Exception => Map.empty })
+    }
     val gate = results.collect {
-      case (name, sec) if prior.get(name).exists(p => p >= 0.2 && sec > 2.0 * p) =>
+      case (name, sec) if prior.get(name).exists(p => p >= 0.5 && sec > 2.0 * p) &&
+          passes.forall(_.getOrElse(name, Double.MaxValue) > 2.0 * prior(name)) =>
         name -> (sec, prior(name))
     }
     gate.foreach { case (n, (cur, old)) =>

@@ -80,6 +80,10 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Bench.shmLocalDir)
+      // per-process warehouse: probe index tables (graft_probe_*)
+      // must not race a concurrent suite/verify JVM's catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-probe-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -884,7 +888,8 @@ object ScaleProbe {
       // index — per-batch cost must stay flat as the indexed corpus
       // grows (compare runs at 200k vs 1M probe docs)
       val unitWanted = only.forall(o => o.exists(_.startsWith("para_")) ||
-        o.exists(_.startsWith("unit_")) || o.exists(_.startsWith("span_incr")))
+        o.exists(_.startsWith("unit_")) || o.exists(_.startsWith("span_incr")) ||
+        o.contains("incr_backfill_gate"))
       val incrBatch = spark.range(9000000L, 9002000L).toDF("doc_id")
         .withColumn("text",
           concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
@@ -894,7 +899,8 @@ object ScaleProbe {
       // it; the build timing below measures a rebuild
       if (unitWanted && !spark.catalog.tableExists("graft_probe_unit_idx"))
         Dedup.writeUnitIndex(docs, "graft_probe_unit_idx", width = 15)
-      if (only.exists(_.contains("span_incr_batch")) &&
+      if (only.exists(o => o.contains("span_incr_batch") ||
+            o.contains("incr_backfill_gate")) &&
           !spark.catalog.tableExists("graft_probe_span_idx"))
         Dedup.writeSpanIndex(docs, "graft_probe_span_idx", span = 20)
       Seq(
@@ -917,6 +923,70 @@ object ScaleProbe {
         time("span_incr_batch")(
           Dedup.spanRewriteIncremental(incrBatch, "graft_probe_span_idx", span = 20)
             .agg(sum(col("n_before") - col("n_after"))).head().getLong(0)),
+        // BACKFILL gate pin (VERDICT r6 #4): a 100k-doc batch through
+        // all three incremental probe paths crosses every collect
+        // threshold (~600k unit hashes, ~8.1M span hashes, ~1.6M band
+        // hashes — ungated these ship >100 MB of task results to the
+        // driver). The listener pins TOTAL driver result bytes far
+        // below any full hash collect: the gated run must stay
+        // distributed (limit-probe + plain scan / left-semi join).
+        time("incr_backfill_gate") {
+          if (!only.forall(_.contains("incr_backfill_gate"))) 0L else {
+            val backfill = spark.range(9100000L, 9200000L).toDF("doc_id")
+              .withColumn("text",
+                concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
+                  concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
+              .repartition(cpus.toInt).localCheckpoint()
+            if (!spark.catalog.tableExists("graft_probe_idx_bf"))
+              Dedup.writeMinhashIndex(docs, "graft_probe_idx_bf")
+            val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
+            val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+            val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onStageSubmitted(
+                  ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+                stageSite.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
+              override def onTaskEnd(
+                  te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (te.taskMetrics != null) {
+                  resultBytes.addAndGet(te.taskMetrics.resultSize)
+                  val site = stageSite.getOrDefault(te.stageId, "?")
+                  siteBytes.computeIfAbsent(site,
+                    _ => new java.util.concurrent.atomic.AtomicLong(0))
+                    .addAndGet(te.taskMetrics.resultSize)
+                }
+            }
+            spark.sparkContext.addSparkListener(listener)
+            def mark(tag: String): Unit = {
+              Thread.sleep(1500)
+              System.err.println(f"== incr_backfill_gate after $tag: " +
+                f"${resultBytes.get() / 1024.0 / 1024.0}%.1f MB")
+            }
+            try {
+              val n1 = Dedup.paragraphDedupIncremental(
+                backfill, "graft_probe_unit_idx", width = 15).count()
+              mark("para")
+              val n2 = Dedup.spanRewriteIncremental(
+                backfill, "graft_probe_span_idx", span = 20).count()
+              mark("span")
+              val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
+              val n3 = res3.collect().length.toLong
+              if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+                System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
+              Thread.sleep(2000) // listener bus is async; drain
+              val mb = resultBytes.get() / 1024.0 / 1024.0
+              System.err.println(f"== incr_backfill_gate driver result bytes: $mb%.1f MB")
+              import scala.jdk.CollectionConverters._
+              siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
+                System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
+              }
+              require(resultBytes.get() < 32L * 1024 * 1024,
+                f"backfill shipped $mb%.1f MB of task results to the driver " +
+                  "— a hash collect leaked past its gate")
+              n1 + n2 + n3
+            } finally spark.sparkContext.removeSparkListener(listener)
+          }
+        },
         // maintained cluster closure: persist the corpus's near-dup
         // assignment once, then ingest a FIXED 100-pair batch — the
         // union-find is batch-sized, the lookup bucket-pruned

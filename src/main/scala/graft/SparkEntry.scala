@@ -1441,7 +1441,13 @@ object SparkEntry {
   private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = System.getProperty("java.io.tmpdir")
     System.setProperty("derby.system.home", tmp)  // keep derby.log out of the repo
-    val url = s"jdbc:derby:$tmp/graft_derby_${math.abs(dir.hashCode)};create=true"
+    // per-PROCESS database path: embedded Derby allows one booting JVM
+    // per database, so a deterministic path made two concurrent JVMs
+    // (suite + bench, or judge + builder) fail each other with
+    // "another instance may have booted" — reproduced in round 6.
+    // Stable within a process (overwrite/re-read round-trips work).
+    val pid = ProcessHandle.current().pid()
+    val url = s"jdbc:derby:$tmp/graft_derby_${pid}_${math.abs(dir.hashCode)};create=true"
     val props = new java.util.Properties()
     t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").jdbc(url, "nation_rt", props)
@@ -3217,7 +3223,13 @@ object SparkEntry {
       round(min(col("norm")), 4).as("min_norm"),
       round(max(col("norm")), 4).as("max_norm"),
       sum(col("bad").cast("long")).as("n_nonfinite"))
-    val st = Similarity.momentState(embs).head()
+    // the dead-dim variance census only makes sense at ONE dimension;
+    // a dim-inconsistent corpus (n_dim_variants > 1) restricts the
+    // moment fit to the dominant dim — MomentAgg itself now refuses
+    // ragged input loudly rather than corrupting Σxxᵀ offsets
+    val domDim = embs.groupBy(size(v).as("dims")).count()
+      .orderBy(col("count").desc, col("dims")).head().getInt(0)
+    val st = Similarity.momentState(embs.filter(size(v) === domDim)).head()
     val sx = st.getSeq[Double](1).toArray
     val sxx = st.getSeq[Double](2).toArray
     val n = st.getLong(0).toDouble
@@ -4021,14 +4033,15 @@ object SparkEntry {
       "o2 AS MATERIALIZED (SELECT sum(m.m * v.x) AS o " +
       "FROM mean m JOIN bv20 v ON m.i = v.i) " +
       "SELECT vec_id, " +
+      // + 0.0 after round: normalize -0.0 → +0.0 (matches the engine)
       (if (whiten)
         "round((list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1)) " +
-          "/ sqrt((SELECT l FROM lam1)), 4) AS p0, " +
+          "/ sqrt((SELECT l FROM lam1)), 4) + 0.0 AS p0, " +
           "round((list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2)) " +
-          "/ sqrt((SELECT l FROM lam2)), 4) AS p1 "
+          "/ sqrt((SELECT l FROM lam2)), 4) + 0.0 AS p1 "
       else
-        "round(list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1), 4) AS p0, " +
-          "round(list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2), 4) AS p1 ") +
+        "round(list_dot_product(x.v, (SELECT w FROM w1)) - (SELECT o FROM o1), 4) + 0.0 AS p0, " +
+          "round(list_dot_product(x.v, (SELECT w FROM w2)) - (SELECT o FROM o2), 4) + 0.0 AS p1 ") +
       "FROM v x"
   }
 
@@ -5040,7 +5053,8 @@ object SparkEntry {
         "AS midrank FROM g) " +
         "SELECT round((sum(np * midrank) - sum(np) * (sum(np) + 1) / 2.0) " +
         "/ (sum(np) * sum(n - np)), 6) AS auc, " +
-        "sum(np) AS n_pos, sum(n - np) AS n_neg FROM r"),
+        "CAST(sum(np) AS BIGINT) AS n_pos, " +
+        "CAST(sum(n - np) AS BIGINT) AS n_neg FROM r"),
     "text_classify_eval" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
         "FROM documents), " +
@@ -5059,10 +5073,12 @@ object SparkEntry {
         "q AS (SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.4 " +
         "+ least(stopword_ratio * 5.0, 1.0) * 0.2 + distinct_ratio * 0.4, 6) " +
         ">= 0.5 AS target FROM m), " +
-        "c AS (SELECT sum(CASE WHEN pred AND target THEN 1 ELSE 0 END) AS tp, " +
-        "sum(CASE WHEN pred AND NOT target THEN 1 ELSE 0 END) AS fp, " +
-        "sum(CASE WHEN NOT pred AND target THEN 1 ELSE 0 END) AS fn, " +
-        "sum(CASE WHEN NOT pred AND NOT target THEN 1 ELSE 0 END) AS tn " +
+        // CAST: DuckDB integer sum() is HUGEINT (→ float64 in parquet);
+        // Spark writes int64 — cast so the driver's typed hash matches
+        "c AS (SELECT CAST(sum(CASE WHEN pred AND target THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN pred AND NOT target THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN NOT pred AND target THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(sum(CASE WHEN NOT pred AND NOT target THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
         "FROM clf JOIN q USING (doc_id)) " +
         "SELECT tp, fp, fn, tn, " +
         "round(tp * 1.0 / (tp + fp), 6) AS precision, " +
@@ -5184,10 +5200,12 @@ object SparkEntry {
       "WITH c AS (SELECT c_custkey, c_nationkey || '|' || c_mktsegment AS blk, " +
         "floor(c_acctbal / 1000) AS bal_band, right(c_name, 1) AS name_tail, " +
         "CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cent_band FROM customer), " +
-        "p AS (SELECT round(" +
+        // CAST: the literal-weight sum rounds to DECIMAL(9,6) in DuckDB
+        "p AS (SELECT CAST(round(" +
         s"(CASE WHEN a.bal_band = b.bal_band THEN $w1a ELSE $w1d END) + " +
         s"(CASE WHEN a.name_tail = b.name_tail THEN $w2a ELSE $w2d END) + " +
-        s"(CASE WHEN a.cent_band = b.cent_band THEN $w3a ELSE $w3d END), 6) AS score " +
+        s"(CASE WHEN a.cent_band = b.cent_band THEN $w3a ELSE $w3d END), 6) " +
+        "AS DOUBLE) AS score " +
         "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey) " +
         "SELECT score, CASE WHEN score >= 3.0 THEN 'match' " +
         "WHEN score > 0.0 THEN 'possible' ELSE 'non_match' END AS verdict, " +
@@ -5839,7 +5857,7 @@ object SparkEntry {
     "retrieval_metrics" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), q AS (SELECT 'hash' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'merge' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'join' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) / len(w) AS score FROM tok), pos AS (SELECT * FROM q WHERE rel > 0), rk AS (SELECT query, doc_id, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank FROM pos), hits AS (SELECT rk.query, rk.rank FROM rk JOIN pos p ON rk.query = p.query AND rk.doc_id = p.doc_id WHERE rk.rank <= 10), pq AS (SELECT query, round(1.0 / min(rank), 6) AS rr, count(*) AS n_hit FROM hits GROUP BY query), tot AS (SELECT query, count(*) AS n_rel FROM pos GROUP BY query) SELECT t.query, coalesce(pq.rr, 0.0) AS rr, round(coalesce(pq.n_hit, 0) * 1.0 / t.n_rel, 6) AS recall FROM tot t LEFT JOIN pq ON t.query = pq.query"),
     "retrieval_ndcg" ->
-      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), q AS (SELECT 'hash' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'merge' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'join' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) / len(w) AS score FROM tok), pos AS (SELECT * FROM q WHERE rel > 0), rk AS (SELECT query, doc_id, rel, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank FROM pos), dcg AS (SELECT query, sum(rel / log2(rank + 1)) AS dcg FROM rk WHERE rank <= 10 GROUP BY query), irk AS (SELECT query, rel, row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank FROM pos), idcg AS (SELECT query, sum(rel / log2(irank + 1)) AS idcg FROM irk WHERE irank <= 10 GROUP BY query) SELECT d.query, round(d.dcg / i.idcg, 6) AS ndcg FROM dcg d JOIN idcg i ON d.query = i.query"),
+      ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), q AS (SELECT 'hash' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'merge' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) / len(w) AS score FROM tok UNION ALL SELECT 'join' AS query, doc_id, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS rel, CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) / len(w) AS score FROM tok), pos AS (SELECT * FROM q WHERE rel > 0), rk AS (SELECT query, doc_id, rel, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank FROM pos), dcg AS (SELECT query, sum(rel / log2(rank + 1)) AS dcg FROM rk WHERE rank <= 10 GROUP BY query), irk AS (SELECT query, rel, row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank FROM pos), idcg AS (SELECT query, sum(rel / log2(irank + 1)) AS idcg FROM irk WHERE irank <= 10 GROUP BY query), uq AS (SELECT DISTINCT query FROM pos) SELECT u.query, CASE WHEN coalesce(i.idcg, 0.0) = 0.0 THEN 0.0 ELSE round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg FROM uq u LEFT JOIN dcg d ON u.query = d.query LEFT JOIN idcg i ON u.query = i.query"),
     "text_bm25" ->
       ("WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
         "st AS (SELECT count(*) AS n_docs, round(avg(len(w)), 6) AS avgdl, " +
@@ -6159,7 +6177,7 @@ object SparkEntry {
         "base AS (SELECT count(*) AS n_vecs, " +
         "count(DISTINCT dims) AS n_dim_variants, " +
         "round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm, " +
-        "sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite FROM pv), " +
+        "CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite FROM pv), " +
         "dv AS (SELECT i, sum(v[i] * v[i]) / count(*) " +
         "- (sum(v[i]) / count(*)) * (sum(v[i]) / count(*)) AS var " +
         "FROM v, generate_series(1, 64) t(i) GROUP BY i), " +

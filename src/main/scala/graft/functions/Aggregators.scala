@@ -75,6 +75,15 @@ object Aggregators {
       val x = in.toArray
       val d = x.length
       val b = if (b0.isEmpty) new Array[Double](1 + d + d * d) else b0
+      // ragged dimensions must fail LOUDLY: folding a shorter row into
+      // a longer buffer would index Σxxᵀ at the wrong offsets and feed
+      // silently-corrupt moments into every PCA fit (and embQuality's
+      // dim census, whose whole point is dim-inconsistent corpora —
+      // that census counts dims BEFORE aggregating, so a clean corpus
+      // never reaches this require with mixed d)
+      require(b.length == 1 + d + d * d,
+        s"MomentAgg: row dimension $d does not match the buffer's " +
+          s"(len ${b.length} = 1+d+d²) — mixed-dimension input")
       b(0) += 1.0
       var i = 0
       while (i < d) {
@@ -90,8 +99,13 @@ object Aggregators {
     override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
       if (a.isEmpty) b else if (b.isEmpty) a
       else {
+        // two partitions that saw different dims would sum misaligned
+        // prefixes — corrupt statistics, not an error. Refuse.
+        require(a.length == b.length,
+          s"MomentAgg: merging buffers of different dimension " +
+            s"(${a.length} vs ${b.length}) — mixed-dimension input")
         var i = 0
-        while (i < math.min(a.length, b.length)) { a(i) += b(i); i += 1 }
+        while (i < a.length) { a(i) += b(i); i += 1 }
         a
       }
     override def finish(b: Array[Double]): (Long, Seq[Double], Seq[Double]) =

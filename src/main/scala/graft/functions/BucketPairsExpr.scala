@@ -73,17 +73,30 @@ case class BucketPairsExpr(child: Expression, maxBucket: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
-    val n = arr.numElements()
-    if (n < 2) return Iterator.empty
-    val ids = new Array[Long](n)
-    val rks = new Array[Long](n)
+    val nIn = arr.numElements()
+    if (nIn < 2) return Iterator.empty
+    // skip null elements / null struct fields: internal callers
+    // (collect_list) never produce them, but the function is
+    // SQL-exposed and ad-hoc input must not NPE the task
+    val idsBuf = new Array[Long](nIn)
+    val rksBuf = new Array[Long](nIn)
+    var m = 0
     var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      rks(i) = row.getLong(1)
+    while (i < nIn) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+          idsBuf(m) = row.getLong(0)
+          rksBuf(m) = row.getLong(1)
+          m += 1
+        }
+      }
       i += 1
     }
+    if (m < 2) return Iterator.empty
+    val n = m
+    val ids = java.util.Arrays.copyOf(idsBuf, m)
+    val rks = java.util.Arrays.copyOf(rksBuf, m)
     if (n <= maxBucket) return allPairs(ids)
     // oversized: rk groups (insertion-ordered for determinism of the
     // streamed order — the SET is order-independent anyway)

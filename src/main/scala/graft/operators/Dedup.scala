@@ -23,6 +23,19 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /**
+   * Driver-collect gate for the incremental probe paths: collect the
+   * single-column frame ONLY if it holds ≤ `limit` rows (checked via
+   * `limit(n+1)` — never a full materialization), else None and the
+   * caller must stay distributed (plain scan / semi-join). A backfill
+   * batch with millions of distinct hashes must not land 100s of MB
+   * on the driver just to be discarded over the threshold.
+   */
+  private def boundedCollect[T](df: DataFrame, limit: Int)(get: Row => T): Option[Seq[T]] = {
+    val rows = df.limit(limit + 1).collect()
+    if (rows.length > limit) None else Some(rows.toSeq.map(get))
+  }
+
+  /**
    * `col IN <set>` as a single catalyst InSet node. `isInCollection`
    * builds an In with one Literal CHILD per value — at a 10k-hash
    * batch that's a 10k-node expression tree and seconds of
@@ -458,9 +471,11 @@ object Dedup {
    * candidate ids' shingle sets. Per-batch cost tracks the batch and
    * its candidate fan-out, not the corpus size.
    *
-   * The two driver collects are batch-bounded by construction: the
-   * batch's distinct band hashes (≤ batch×bands values) and the
-   * candidate corpus ids (≤ pairs the bands propose).
+   * Driver materialization is GATED ([[boundedCollect]]): the batch's
+   * distinct band hashes and the candidate corpus ids are collected
+   * only when small enough to prune reads (≤1024 / ≤4096); a backfill
+   * over the threshold stays fully distributed (plain index scan +
+   * left-semi join) — nothing unbounded ever lands on the driver.
    */
   def indexedNearDupPairs(newDocs: DataFrame, table: String, k: Int = 128,
       bands: Int = 32, shingleN: Int = 5, threshold: Double = 0.7,
@@ -481,8 +496,8 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
       .localCheckpoint()
-    val batchHashes = newBands.select("band_hash").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val batchHashes = boundedCollect(
+      newBands.select("band_hash").distinct(), 1024)(_.getLong(0))
     // two read regimes: a SMALL batch's hash set prunes buckets and
     // row groups (point-lookup IO); a large batch touches every
     // bucket anyway and the per-value pruning machinery costs more
@@ -493,24 +508,38 @@ object Dedup {
     // join can resurrect an id that never proposes itself
     val idx0 = graft.sources.Bucketing.minusTombstones(
       spark.table(s"${table}_bands"), table)
-    val idx =
-      if (batchHashes.size <= 1024) idx0.filter(inSet(col("band_hash"), batchHashes))
-      else idx0
+    val idx = batchHashes match {
+      case Some(hs) => idx0.filter(inSet(col("band_hash"), hs))
+      case None     => idx0
+    }
+    // broadcast GATE: broadcasting a frame collects it to the driver
+    // first — the same unbounded-driver-state hazard as a collect. A
+    // micro-batch broadcasts (no shuffle of the index side); a
+    // backfill batch joins by shuffle instead.
+    val smallBatch = newSh.limit(16385).count() <= 16384
+    def bcast(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     // materialize the (small) candidate list so the pruned index read
     // runs ONCE — the candIds collect and the verification join both
     // consume it
-    val cand = idx.join(broadcast(newBands), Seq("band_idx", "band_hash"))
+    val cand = idx.join(bcast(newBands), Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
       .localCheckpoint()
-    val candIds = cand.select("corpus_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val idxSh = spark.table(s"${table}_shingles")
-      .filter(inSet(col("id"), candIds))
+    // small candidate sets prune the shingle read via InSet (row-group
+    // point lookups); a hot backfill's candidate set stays distributed
+    // as a left-semi join (the clusterAssignIncremental discipline)
+    val candIds = boundedCollect(
+      cand.select("corpus_id").distinct(), 4096)(_.getLong(0))
+    val idxSh0 = spark.table(s"${table}_shingles")
+    val idxSh = candIds match {
+      case Some(ids) => idxSh0.filter(inSet(col("id"), ids))
+      case None => idxSh0.join(
+        cand.select(col("corpus_id").as("id")).distinct(), Seq("id"), "left_semi")
+    }
     cand
       .join(idxSh.select(col("id").as("corpus_id"), col("sh_set").as("corp_sh")),
         "corpus_id")
-      .join(broadcast(newSh), "new_id")
+      .join(bcast(newSh), "new_id")
       .withColumn("n_inter", size(array_intersect(col("new_sh"), col("corp_sh"))))
       .withColumn("jaccard",
         col("n_inter") / (size(col("new_sh")) + size(col("corp_sh")) - col("n_inter")))
@@ -624,9 +653,10 @@ object Dedup {
    *    occurrence ((ord, pidx) min within the batch).
    * Equals [[paragraphDedup]] over (corpus ∪ batch) restricted to
    * the batch when every corpus order key precedes the batch's
-   * (law-tested). The driver collect is the batch's distinct unit
-   * hashes (batch-bounded); large batches skip the point-lookup
-   * pruning and scan, as in [[indexedNearDupPairs]]. The index read
+   * (law-tested). The driver collect of the batch's distinct unit
+   * hashes is GATED ([[boundedCollect]]): a backfill over the
+   * threshold never materializes them — it scans, as in
+   * [[indexedNearDupPairs]]. The index read
    * re-aggregates min per hash, so duplicate marker rows from
    * replayed appends never double-match.
    */
@@ -635,12 +665,14 @@ object Dedup {
       orderOf: Column => Column = _.cast("long")): DataFrame = {
     val spark = batch.sparkSession
     val paras = unitRows(batch, width, textCol, idCol, orderOf).localCheckpoint()
-    val hashes = paras.select("_h").distinct().collect().map(_.getString(0)).toSeq
+    val hashes = boundedCollect(
+      paras.select("_h").distinct(), 4096)(_.getString(0))
     // tombstoned owners vanish before ownership resolves (takedown)
     val idx0 = graft.sources.Bucketing.minusTombstones(spark.table(table), table)
-    val idxPruned =
-      if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes))
-      else idx0
+    val idxPruned = hashes match {
+      case Some(hs) => idx0.filter(inSet(col("h"), hs))
+      case None     => idx0
+    }
     val owners = idxPruned.groupBy("h")
       .agg(min(struct(col("ord"), col("pidx"))).as("_owner"))
     val batchFirst = paras.groupBy("_h")
@@ -839,11 +871,15 @@ object Dedup {
       orderOf: Column => Column = _.cast("long")): DataFrame = {
     val spark = batch.sparkSession
     val pos = spanRows(batch, span, textCol, idCol, orderOf).localCheckpoint()
-    val hashes = pos.select("sh").distinct().collect().map(_.getLong(0)).toSeq
+    val hashes = boundedCollect(
+      pos.select("sh").distinct(), 4096)(_.getLong(0))
     // tombstoned owners vanish before ownership resolves: their
     // windows have no owner, so later content legitimately revives
     val idx0 = graft.sources.Bucketing.minusTombstones(spark.table(table), table)
-    val idx = if (hashes.size <= 4096) idx0.filter(inSet(col("h"), hashes)) else idx0
+    val idx = hashes match {
+      case Some(hs) => idx0.filter(inSet(col("h"), hs))
+      case None     => idx0
+    }
     val owners = idx.groupBy(col("h").as("sh"))
       .agg(min(struct(col("ord"), col("p"))).as("_owner"))
     val bfirst = pos.groupBy(col("sh"))
@@ -1061,6 +1097,12 @@ object Dedup {
    * chain-shaped component can never stall the job (set
    * `smallGraphEdges = 0` to force it; the spec asserts all three
    * paths agree).
+   *
+   * Failure mode: the star-forest loop THROWS if its fixpoint is not
+   * reached within `maxIters` rounds — a loud failure, never a silent
+   * partial closure. 30 covers any realistic graph (worst case is
+   * ~2·log₂(n)² rounds only on adversarial shapes); raise `maxIters`
+   * for such inputs rather than forking the operator.
    */
   def dupClusters(pairs: DataFrame, maxIters: Int = 30,
       smallGraphEdges: Long = 2000000L): DataFrame = {
@@ -1260,9 +1302,16 @@ object Dedup {
    * and no new merges. Relabel growth is bounded by total merges;
    * [[compactClusterIndex]] folds it back into the bucketed table
    * out of band.
+   *
+   * Failure mode: a batch over `maxDriverPairs` routes through
+   * [[dupClustersBigGraph]], which THROWS (rather than silently
+   * returning a partial closure) if its star-contraction fixpoint is
+   * not reached within `maxIters` rounds — worst case ~2·log₂(n)²
+   * for adversarial graphs. Cluster-scale callers with such inputs
+   * raise `maxIters` here instead of forking.
    */
   def clusterAssignIncremental(newPairs: DataFrame, table: String,
-      maxDriverPairs: Long = 2000000L): Unit = {
+      maxDriverPairs: Long = 2000000L, maxIters: Int = 30): Unit = {
     val spark = newPairs.sparkSession
     import spark.implicits._
     if (!spark.catalog.tableExists(table))
@@ -1277,7 +1326,8 @@ object Dedup {
       .materializeRound
     val nPairs = pairsD.count()
     if (nPairs == 0) return
-    if (nPairs > maxDriverPairs) return clusterAssignIncrementalBig(pairsD, table)
+    if (nPairs > maxDriverPairs)
+      return clusterAssignIncrementalBig(pairsD, table, maxIters)
     val pairRows = pairsD.collect().map(r => (r.getLong(0), r.getLong(1)))
     val ids = pairRows.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
     val clusters0 = spark.table(table)
@@ -1339,7 +1389,8 @@ object Dedup {
    *     KEYS, so the new merges can't collide with old entries).
    * Law-tested equal to the driver path, including the merge case.
    */
-  private def clusterAssignIncrementalBig(pairsD: DataFrame, table: String): Unit = {
+  private def clusterAssignIncrementalBig(pairsD: DataFrame, table: String,
+      maxIters: Int = 30): Unit = {
     val spark = pairsD.sparkSession
     val relabel0 = readRelabel(spark, table)
     val ids = pairsD.select(col("a_id").as("doc_id"))
@@ -1358,7 +1409,7 @@ object Dedup {
       .select(col("ra").as("u"), col("rb").as("v"))
       .filter(col("u") =!= col("v"))
     val labels = dupClustersBigGraph(
-        rr.union(rr.select(col("v").as("u"), col("u").as("v"))).distinct())
+        rr.union(rr.select(col("v").as("u"), col("u").as("v"))).distinct(), maxIters)
       .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
       .materializeRound
     val newRows = resolved.filter(!col("known"))

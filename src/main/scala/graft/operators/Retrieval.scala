@@ -158,8 +158,17 @@ object Retrieval {
     val idcg = cut.withColumn("irank", row_number().over(w))
       .groupBy("query")
       .agg(sum(col("rel") / log2(col("irank") + 1)).as("idcg"))
-    dcg.join(idcg, "query")
-      .select(col("query"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    // left-join from the QUERY UNIVERSE (the rankingMetrics
+    // discipline): a query with no judged rows, or whose judged
+    // relevances are all 0 (idcg = 0), gets a defined ndcg of 0
+    // instead of vanishing / yielding null from 0/0
+    results.select("query").distinct()
+      .join(dcg, Seq("query"), "left_outer")
+      .join(idcg, Seq("query"), "left_outer")
+      .select(col("query"),
+        when(coalesce(col("idcg"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
+          .as("ndcg"))
   }
 
   /**

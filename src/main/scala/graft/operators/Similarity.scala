@@ -682,7 +682,9 @@ object Similarity {
           s"whiten: component $ci variance $lam is degenerate vs leading $lam0")
         raw / math.sqrt(lam)
       } else raw
-      round(scaled, 4).as(s"p$ci")
+      // + 0.0 normalizes IEEE -0.0 from rounded near-zero projections
+      // to +0.0 so the result is bit-identical across engines
+      (round(scaled, 4) + lit(0.0)).as(s"p$ci")
     }
     embs.select(col(idCol) +: proj: _*)
   }

@@ -394,6 +394,74 @@ class CurationLawsSpec extends AnyFunSuite {
     assert(run(b2).head._3 === 0L)
   }
 
+  test("gated-collect law: over-threshold backfill stays distributed and equals the global rewrite") {
+    import graft.operators.Dedup
+    // A backfill batch whose hash sets CROSS the boundedCollect gates
+    // (>4096 unit/span hashes, >1024 band hashes, >4096 candidate
+    // ids) must take the distributed path (plain scan / left-semi
+    // join) and still equal the global-rewrite law — the same law the
+    // under-threshold batches above pin on the pruned path.
+    val mkDoc = (id: Long, s: Long) =>
+      (id, (0 until 9).map(j => s"u${(s * 9 + j) % 200}").mkString(" "))
+    val corpus = (0L until 40L).map(i => mkDoc(i, i)).toDF("doc_id", "text")
+    // 1400 filler docs with corpus-disjoint units → 4200+ distinct
+    // unit hashes; plus a full copy of corpus doc 7
+    val filler = spark.range(1000L, 2400L).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(8)), i => concat(lit("f"), col("doc_id") * 9 + i))))
+    val batch = filler.unionByName(Seq(mkDoc(100L, 7L)).toDF("doc_id", "text"))
+      .localCheckpoint()
+    Dedup.writeUnitIndex(corpus, "graft_law_unit_big", width = 3)
+    val incr = Dedup.paragraphDedupIncremental(batch, "graft_law_unit_big", width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val global = Dedup.paragraphDedup(corpus.unionByName(batch), width = 3)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(incr === global)
+    assert(incr.exists(r => r._1 == 100L && r._2 == 0L)) // corpus copy emptied
+
+    // span path: 12-token docs, span=6 → 7 windows/doc; 700 fillers
+    // cross the 4096 gate
+    val mkSpanDoc = (id: Long, s: Long) =>
+      (id, (0 until 12).map(j => s"w${(s * 12 + j) % 300}").mkString(" "))
+    val spanCorpus = (0L until 30L).map(i => mkSpanDoc(i, i)).toDF("doc_id", "text")
+    val spanFiller = spark.range(1000L, 1700L).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(11)), i => concat(lit("g"), col("doc_id") * 12 + i))))
+    val spanBatch = spanFiller
+      .unionByName(Seq(mkSpanDoc(100L, 5L)).toDF("doc_id", "text"))
+      .localCheckpoint()
+    Dedup.writeSpanIndex(spanCorpus, "graft_law_span_big", span = 6)
+    val sIncr = Dedup.spanRewriteIncremental(spanBatch, "graft_law_span_big", span = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val sGlobal = Dedup.spanRewrite(spanCorpus.unionByName(spanBatch), span = 6)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(sIncr === sGlobal)
+    assert(sIncr.exists(r => r._1 == 100L && r._2 == 0L))
+  }
+
+  test("gated-collect law: minhash index probe over both thresholds takes the semi-join path correctly") {
+    import graft.operators.Dedup
+    // corpus: 4300 identical docs → ANY matching probe proposes 4300
+    // candidate ids (> the 4096 inSet gate); batch: 1050 distinct-text
+    // docs → >1024 distinct band hashes (> the bucket-pruning gate).
+    // Both collects must return None and the distributed path must
+    // still find every true pair.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = spark.range(4300L).toDF("doc_id").withColumn("text", lit(shared))
+    Dedup.writeMinhashIndex(corpus, "graft_law_mh_big")
+    val probe = spark.range(10000L, 11050L).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(11)), i => concat(lit("z"), col("doc_id") * 12 + i))))
+      .unionByName(Seq((99999L, shared)).toDF("doc_id", "text"))
+    val pairs = Dedup.indexedNearDupPairs(probe, "graft_law_mh_big")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 4300)
+    assert(pairs.forall(p => p._1 == 99999L && p._3 == 1.0))
+    assert(pairs.map(_._2).toSet === (0L until 4300L).toSet)
+  }
+
   test("rewrite-index takedown law: deleted owners revive content; purge invisible; re-append revokes") {
     import graft.operators.Dedup
     val mkDoc = (id: Long, s: Long) =>

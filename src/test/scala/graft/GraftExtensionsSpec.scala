@@ -78,6 +78,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(pairs === Set((10L, 11L), (10L, 12L)))
   }
 
+  test("bucket_pairs from ad-hoc SQL skips null elements and null struct fields instead of NPEing") {
+    val pairs = spark.sql(
+      "SELECT p.* FROM (SELECT array(struct(10L AS id, 1L AS rk), " +
+        "CAST(NULL AS struct<id: bigint, rk: bigint>), " +
+        "struct(CAST(NULL AS bigint) AS id, 1L AS rk), " +
+        "struct(11L AS id, CAST(NULL AS bigint) AS rk), " +
+        "struct(12L AS id, 1L AS rk)) AS xs) " +
+        "LATERAL VIEW bucket_pairs(xs, 10) p AS a_id, b_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((10L, 12L)))
+    // all-null input degenerates to no pairs, not a task failure
+    val empty = spark.sql(
+      "SELECT p.* FROM (SELECT array(CAST(NULL AS struct<id: bigint, rk: bigint>), " +
+        "CAST(NULL AS struct<id: bigint, rk: bigint>)) AS xs) " +
+        "LATERAL VIEW bucket_pairs(xs, 10) p AS a_id, b_id").collect()
+    assert(empty.isEmpty)
+  }
+
   test("sketch parameters must be literals") {
     val docsView = spark.range(3).selectExpr("CAST(id AS INT) AS n", "'a b c' AS t")
     docsView.createOrReplaceTempView("ext_docs")

@@ -10,6 +10,12 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // per-process warehouse (the Verify.scala discipline): two
+    // concurrent test JVMs sharing ./spark-warehouse race each
+    // other's catalog tables — reproduced as 1 spurious failure per
+    // run in the round-6 judge pass
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

@@ -82,6 +82,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("momentState refuses ragged-dimension input loudly (no silent Σxxᵀ corruption)") {
+    val ragged = Seq(
+      (0L, Seq(1.0, 2.0, 3.0)),
+      (1L, Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(7.0, 8.0))). // one short row
+      toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.momentState(ragged).collect()
+    }
+    assert(e.getMessage.contains("dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension")),
+      s"expected a loud mixed-dimension failure, got: ${e.getMessage}")
+  }
+
   test("exactDupGroups finds the planted exact duplicate") {
     val groups = Dedup.exactDupGroups(docs).collect()
     assert(groups.length === 1)

@@ -199,6 +199,19 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(Retrieval.ndcgAtK(swapped, rels, 3).head().getDouble(1) === expect)
   }
 
+  test("ndcgAtK: unjudged query and all-zero-relevance query both score a defined 0") {
+    val rels = Seq(("q1", 1L, 3.0), ("q2", 1L, 0.0), ("q2", 2L, 0.0))
+      .toDF("query", "doc_id", "rel")
+    // q1 judged normally, q2 judged but all-zero (idcg = 0), q3 has
+    // NO judged rows at all — q2 and q3 must come back as ndcg = 0,
+    // not vanish (old inner join) or null (0/0)
+    val results = Seq(("q1", 1, 1L), ("q2", 1, 1L), ("q3", 1, 7L))
+      .toDF("query", "rank", "doc_id")
+    val out = Retrieval.ndcgAtK(results, rels, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("q1" -> 1.0, "q2" -> 0.0, "q3" -> 0.0))
+  }
+
   test("clusteringCoefficient: clique transitivity 1, star 0, paw hand value") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
