@@ -36,4 +36,61 @@ object Graft {
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
     spark
   }
+
+  /**
+   * Operability facade — the reference's `INFOCLUSTER` / `sendReply`
+   * introspection surface (reference src/cluster.c:1668-1756,
+   * src/mr.h:244-252) re-expressed for a Spark deployment: one tall
+   * (section, key, value) DataFrame a user can query, show, or join.
+   *
+   * Sections map the cluster concepts to their Spark owners:
+   *  - `engine`    — node identity/topology (MyId/MyRunId/nodes →
+   *                  app id, master, parallelism, slot space, AQE);
+   *  - `function`  — every graft SQL function and whether THIS
+   *                  session has it registered;
+   *  - `strategy`  — injected planner strategies;
+   *  - `table`     — persistent catalog tables (the engine's standing
+   *                  indexes live here);
+   *  - `index`     — tombstone freshness per maintained index base
+   *                  (counts are tombstone-table-sized — never a scan
+   *                  of the index itself);
+   *  - `stream`    — active structured-streaming queries.
+   *
+   * Everything is driver-side catalog metadata except the tombstone
+   * counts, which are bounded by [[graft.sources.Bucketing]]'s purge
+   * discipline (a big tombstone set is overdue for a purge).
+   */
+  def info(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val engine = Seq(
+      ("engine", "spark_version", spark.version),
+      ("engine", "master", sc.master),
+      ("engine", "app_id", sc.applicationId),
+      ("engine", "default_parallelism", sc.defaultParallelism.toString),
+      ("engine", "shuffle_partitions",
+        spark.conf.get("spark.sql.shuffle.partitions", "200")),
+      ("engine", "aqe_enabled",
+        spark.conf.get("spark.sql.adaptive.enabled", "false")),
+      ("engine", "slots", graft.core.Slots.NumSlots.toString))
+    val fns = GraftExtensions.functions.map(_._1).sorted.map { n =>
+      ("function", n,
+        if (spark.catalog.functionExists(n)) "registered" else "absent")
+    }
+    val strat = Seq(("strategy", "topk_per_key",
+      if (spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        "injected" else "absent"))
+    val tables = spark.catalog.listTables().collect().toSeq
+      .filter(!_.isTemporary).sortBy(_.name)
+      .map(t => ("table", t.name, t.tableType.toLowerCase))
+    val indexes = tables.collect {
+      case (_, n, _) if n.endsWith("_tombstones") =>
+        ("index", n.stripSuffix("_tombstones"),
+          s"tombstones=${spark.table(n).count()}")
+    }
+    val streams = spark.streams.active.toSeq.sortBy(_.id.toString)
+      .map(q => ("stream", Option(q.name).getOrElse(q.id.toString), "active"))
+    (engine ++ fns ++ strat ++ tables ++ indexes ++ streams)
+      .toDF("section", "key", "value")
+  }
 }

@@ -1558,6 +1558,20 @@ object SparkEntry {
    * the loop. Same k=128/b=32 parameters ⇒ same exhaustive-jaccard
    * oracle as dedup_minhash.
    */
+  /**
+   * Operability facade ([[Graft.info]] — the reference's INFOCLUSTER,
+   * src/cluster.c:1668-1756), restricted to its deterministic rows:
+   * the slot-space size, the full registered-function census, and the
+   * injected planner strategy. Catalog/stream rows depend on what a
+   * shared session has run and are exercised by the spec instead.
+   */
+  private def qInfo(s: SparkSession, dir: String): DataFrame = {
+    Graft.attach(s)
+    Graft.info(s).filter(
+      (col("section") === "engine" && col("key") === "slots") ||
+        col("section") === "function" || col("section") === "strategy")
+  }
+
   private def dedupMinhashSql(s: SparkSession, dir: String): DataFrame = {
     Graft.attach(s)
     t(s, dir, "documents").createOrReplaceTempView("documents_mhsql")
@@ -3519,6 +3533,7 @@ object SparkEntry {
     "lmr_dbsize" -> (lmrDbsize _),
     "lmr_error_channel" -> (lmrErrorChannel _),
     "q_internal_command" -> (qInternalCommand _),
+    "q_info" -> (qInfo _),
     // relational gap table
     "q1_pricing" -> (q1Pricing _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
@@ -4307,6 +4322,15 @@ object SparkEntry {
         "ELSE CAST((s.shard+1)*n.nr AS VARCHAR) END AS reply " +
         "FROM generate_series(0,7) s(shard), generate_series(0,2) c(cmd), " +
         "(SELECT count(*) AS nr FROM region) n"),
+    // the function census IS the engine's spec surface — the oracle
+    // replays it from the same registration list the session wires
+    "q_info" -> {
+      val fnRows = GraftExtensions.functions.map(_._1).sorted
+        .map(n => s"('function', '$n', 'registered')").mkString(", ")
+      "SELECT section, key, value FROM (VALUES " +
+        "('engine', 'slots', '16384'), " + fnRows + ", " +
+        "('strategy', 'topk_per_key', 'injected')) t(section, key, value)"
+    },
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

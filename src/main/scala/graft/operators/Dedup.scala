@@ -515,9 +515,15 @@ object Dedup {
     // broadcast GATE: broadcasting a frame collects it to the driver
     // first — the same unbounded-driver-state hazard as a collect. A
     // micro-batch broadcasts (no shuffle of the index side); a
-    // backfill batch joins by shuffle instead.
+    // backfill batch must join by shuffle — and the shuffle_hash hint
+    // is load-bearing, not advisory: a localCheckpointed frame
+    // INHERITS its origin plan's size estimate, so a generated/pruned
+    // batch can look broadcastable to Catalyst while its checkpointed
+    // rows (shingle sets) are 100x the estimate (measured 126 MB
+    // collected for an estimated ~1 MB at a 100k-doc backfill).
     val smallBatch = newSh.limit(16385).count() <= 16384
-    def bcast(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
+    def bcast(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df.hint("shuffle_hash")
     // materialize the (small) candidate list so the pruned index read
     // runs ONCE — the candIds collect and the verification join both
     // consume it

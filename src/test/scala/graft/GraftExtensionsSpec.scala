@@ -105,6 +105,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("literal"))
   }
 
+  test("Graft.info: engine/function/strategy census plus index tombstone freshness") {
+    import graft.operators.Dedup
+    val s = Graft.attach(SparkTestSession.spark)
+    import s.implicits._
+    val rows = Graft.info(s).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val bySec = rows.groupBy(_._1)
+    // engine identity/topology
+    assert(rows.contains(("engine", "slots", "16384")))
+    assert(rows.contains(("engine", "spark_version", s.version)))
+    // full function census, all registered after attach
+    val fnRows = bySec("function")
+    assert(fnRows.length === GraftExtensions.functions.length)
+    assert(fnRows.forall(_._3 == "registered"))
+    assert(rows.contains(("strategy", "topk_per_key", "injected")))
+    // index freshness: a maintained index with one tombstoned doc
+    // surfaces as an index row with its tombstone count
+    val corpus = (0L until 6L).map(i => (i, s"alpha beta gamma doc$i word"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, "graft_info_idx", k = 8, bands = 2)
+    Dedup.deleteFromMinhashIndex(Seq(Tuple1(3L)).toDF("doc_id"), "graft_info_idx")
+    val rows2 = Graft.info(s).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows2.contains(("index", "graft_info_idx", "tombstones=1")))
+    assert(rows2.exists(r => r._1 == "table" && r._2 == "graft_info_idx_bands"))
+  }
+
   test("Graft.attach wires functions and the TopK strategy onto an existing session") {
     val s = Graft.attach(SparkTestSession.spark)
     assert(s.sql("SELECT crc16_slot('x') AS s").head().getInt(0) === graft.core.Slots.slot("x"))
