@@ -123,6 +123,86 @@ object Aggregators {
   }
 
   /**
+   * Exact H-INDEX of the group's values: the largest h such that at
+   * least h values are ≥ h. The per-round kernel of the distributed
+   * k-core decomposition ([[graft.operators.Graph.coreness]] —
+   * Montresor et al. 2011), where each node's next value is the
+   * h-index of its neighbors' current values.
+   *
+   * Replaces the sort-window formulation (`row_number` over cd desc,
+   * then `max(least(rn, cd))`): a histogram needs no per-group SORT,
+   * and partial aggregation ships one (value, count) histogram per
+   * (partition, group) instead of every edge-sized row — on a
+   * dst-partitioned edge join that cuts the per-round shuffle from
+   * edge-sized to node-sized-per-partition and drops the sort stage
+   * entirely. Buffer is a value-sorted interleaved [v₁,c₁,v₂,c₂,…]
+   * array: O(distinct values) per group — bounded by the group's
+   * degree like the sort's state, but values in an h-index loop
+   * cluster into a narrow band (they are coreness estimates), so the
+   * practical size is tens of entries even for hub nodes.
+   *
+   * Values ≤ 0 never affect an h-index (h ≥ 1 requires a value ≥ 1)
+   * and are skipped.
+   */
+  object HIndex extends Aggregator[Long, Array[Long], Long] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def find(b: Array[Long], v: Long): Int = {
+      // binary search over the even (value) slots
+      var lo = 0
+      var hi = b.length / 2 - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mv = b(2 * mid)
+        if (mv == v) return 2 * mid
+        else if (mv < v) lo = mid + 1
+        else hi = mid - 1
+      }
+      -(2 * lo) - 1                       // insertion point, encoded
+    }
+    private def add(b: Array[Long], v: Long, c: Long): Array[Long] = {
+      if (v <= 0L) return b
+      val idx = find(b, v)
+      if (idx >= 0) { b(idx + 1) += c; b }
+      else {
+        val at = -(idx + 1)
+        val out = new Array[Long](b.length + 2)
+        System.arraycopy(b, 0, out, 0, at)
+        out(at) = v
+        out(at + 1) = c
+        System.arraycopy(b, at, out, at + 2, b.length - at)
+        out
+      }
+    }
+    override def reduce(b: Array[Long], in: Long): Array[Long] = add(b, in, 1L)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      var out = a
+      var i = 0
+      while (i < b.length) { out = add(out, b(i), b(i + 1)); i += 2 }
+      out
+    }
+    override def finish(b: Array[Long]): Long = {
+      // descending values, cumulative count: h = max(min(v, cum)).
+      // Once cum ≥ v the candidate equals v and every later (smaller)
+      // value's candidate is < v — stop.
+      var h = 0L
+      var cum = 0L
+      var i = b.length - 2
+      while (i >= 0) {
+        cum += b(i + 1)
+        val cand = math.min(b(i), cum)
+        if (cand > h) h = cand
+        if (cum >= b(i)) i = -1 else i -= 2
+      }
+      h
+    }
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /**
    * KMV (k-minimum-values) sketch core: the `k` smallest DISTINCT
    * hash values of the group, as a sorted ascending array. The
    * mergeable distinct-count summary (Bar-Yossef et al. 2002; the

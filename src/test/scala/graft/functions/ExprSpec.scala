@@ -127,4 +127,48 @@ class ExprSpec extends AnyFunSuite {
     assert(b(1L) === b(2L))
     assert(TextOps.hamming64(b(1L), b(3L)) <= TextOps.hamming64(b(1L), b(4L)))
   }
+
+  test("HIndex aggregator: law-equal to the brute-force h-index over random multisets") {
+    def brute(xs: Seq[Long]): Long = {
+      val s = xs.sorted(Ordering[Long].reverse)
+      s.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }
+        .foldLeft(0L)(math.max)
+    }
+    val agg = Aggregators.HIndex
+    val rnd = new scala.util.Random(42)
+    // hand cases first: ties, all-equal, zeros/negatives skipped, empty
+    val hand = Seq(
+      Seq[Long]() -> 0L,
+      Seq(5L, 5L, 5L) -> 3L,
+      Seq(1L, 1L, 1L, 1L) -> 1L,
+      Seq(10L, 8L, 5L, 4L, 3L) -> 4L,
+      Seq(0L, -3L, 2L, 2L) -> 2L)
+    for ((xs, want) <- hand) {
+      val direct = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(direct === want, s"hand case $xs")
+    }
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(40)
+      val xs = Seq.fill(n)(rnd.nextInt(12).toLong - 1L)   // incl. 0/-1
+      val want = brute(xs.filter(_ > 0L))
+      // reduce path
+      assert(agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) === want)
+      // merge path: random split into 3 partials, merged pairwise
+      val parts = xs.grouped(math.max(1, n / 3 + 1)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === want)
+    }
+    // through Spark's partial/final split, as coreness uses it
+    val spark2 = spark
+    import spark2.implicits._
+    val hAgg = udaf(agg)
+    val rows = (1 to 500).map(i => (i % 7, (i % 23).toLong))
+    val got = rows.toDF("g", "v").groupBy("g").agg(hAgg(col("v")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> brute(vs.map(_._2).filter(_ > 0L))
+    }
+    assert(got === want)
+  }
 }
