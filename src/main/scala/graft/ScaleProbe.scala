@@ -890,10 +890,16 @@ object ScaleProbe {
       val unitWanted = only.forall(o => o.exists(_.startsWith("para_")) ||
         o.exists(_.startsWith("unit_")) || o.exists(_.startsWith("span_incr")) ||
         o.contains("incr_backfill_gate"))
-      val incrBatch = spark.range(9000000L, 9002000L).toDF("doc_id")
+      // batch size is env-dialable (SPARK_GRAFT_PROBE_BATCH, default
+      // 2000): 2k exercises the collect+broadcast micro-batch regime,
+      // 500k the gated scan/semi-join backfill regime — the cost
+      // curve across both regimes and corpus sizes goes in BASELINE.md
+      val batchDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_BATCH", "2000").toLong
+      val incrBatch = spark.range(9000000L, 9000000L + batchDocs).toDF("doc_id")
         .withColumn("text",
           concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
             concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
+        .repartition(cpus.toInt).localCheckpoint()
       // the index is para_incr_batch's INPUT: stage it outside the
       // timings so a restricted run (only=para_incr_batch) still has
       // it; the build timing below measures a rebuild

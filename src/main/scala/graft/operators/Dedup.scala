@@ -679,14 +679,23 @@ object Dedup {
       case Some(hs) => idx0.filter(inSet(col("h"), hs))
       case None     => idx0
     }
+    // backfill regime (hashes over threshold): every derived side is
+    // batch- or corpus-sized, but a localCheckpointed origin's size
+    // estimate makes them LOOK broadcastable to Catalyst — pin the
+    // joins to sort-merge (a 500k-doc probe batch OOMed the driver on
+    // the unpinned broadcast plan, and overflowed the per-task hash
+    // relation under shuffle_hash: merge is the spillable giant-giant
+    // strategy)
+    def big(df: DataFrame): DataFrame =
+      if (hashes.isDefined) df else df.hint("merge")
     val owners = idxPruned.groupBy("h")
       .agg(min(struct(col("ord"), col("pidx"))).as("_owner"))
     val batchFirst = paras.groupBy("_h")
       .agg(min(struct(col("_ord"), col("_pidx"))).as("_bfirst"))
     val self = struct(col("_ord"), col("_pidx"))
     val kept = paras
-      .join(owners.withColumnRenamed("h", "_h"), Seq("_h"), "left")
-      .join(batchFirst, Seq("_h"))
+      .join(big(owners.withColumnRenamed("h", "_h")), Seq("_h"), "left")
+      .join(big(batchFirst), Seq("_h"))
       .filter((col("_owner").isNull && self === col("_bfirst")) ||
         (col("_owner").isNotNull && self === col("_owner")))
       .select(col(idCol), col("_pidx"), col("_ptext"))
@@ -886,19 +895,26 @@ object Dedup {
       case Some(hs) => idx0.filter(inSet(col("h"), hs))
       case None     => idx0
     }
+    // backfill regime: same sort-merge pin as
+    // paragraphDedupIncremental — a big batch's window-hash and
+    // dup-start sides are tens of millions of rows (with per-doc
+    // arrays on dupStarts) that Catalyst size-estimates as
+    // broadcastable off the checkpointed origin
+    def big(df: DataFrame): DataFrame =
+      if (hashes.isDefined) df else df.hint("merge")
     val owners = idx.groupBy(col("h").as("sh"))
       .agg(min(struct(col("ord"), col("p"))).as("_owner"))
     val bfirst = pos.groupBy(col("sh"))
       .agg(min(struct(col("_ord"), col("p"))).as("_bfirst"))
     val self = struct(col("_ord"), col("p"))
     val dupStarts = pos
-      .join(owners, Seq("sh"), "left")
-      .join(bfirst, Seq("sh"))
+      .join(big(owners), Seq("sh"), "left")
+      .join(big(bfirst), Seq("sh"))
       .filter((col("_owner").isNotNull && self =!= col("_owner")) ||
         (col("_owner").isNull && self =!= col("_bfirst")))
       .groupBy("id").agg(sort_array(collect_list(col("p"))).as("starts"))
     val toks = split(col(textCol), " ")
-    batch.join(dupStarts, batch(idCol) === dupStarts("id"), "left_outer")
+    batch.join(big(dupStarts), batch(idCol) === dupStarts("id"), "left_outer")
       .withColumn("covered", array_distinct(flatten(transform(
         coalesce(col("starts"), array().cast("array<int>")),
         s => sequence(s, s + lit(span - 1))))))

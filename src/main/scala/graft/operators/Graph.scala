@@ -209,30 +209,34 @@ object Graph {
    * co-occurrence graphs the dedup family builds.
    *
    * Scale: each round is one degree aggregate + two semi-joins over
-   * an edge set that only SHRINKS; the surviving-node counts are
-   * nested (keepₜ ⊆ keepₜ₋₁), so an unchanged count IS the fixpoint
-   * proof — one driver action per round, no checksum needed.
+   * an edge set that only SHRINKS; the edge sets are nested
+   * (edgesₜ ⊆ edgesₜ₋₁ — a falling node takes its edges with it), so
+   * an unchanged edge COUNT is the fixpoint proof, and that count
+   * rides the round's own materialization via `Dataset.observe` —
+   * ONE job per peel round (the [[coreness]] discipline; previously
+   * a separate keep-count job doubled the driver cadence).
    * Fails loudly if `maxIters` is exhausted before the fixpoint
    * (the [[Dedup.dupClustersBigGraph]] discipline): silent partial
    * peels would report a too-large core.
    */
   def kCore(edges0: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
     var edges = edges0.select(col("src"), col("dst")).materializeRound
-    var prevKeep = -1L
+    var prevEdges = -1L
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      val nKeep = keep.count()
-      if (nKeep == prevKeep) converged = true
-      else {
-        prevKeep = nKeep
-        edges = edges
-          .join(keep, Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          .materializeRound
-      }
+      val obs = org.apache.spark.sql.Observation()
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
+        .materializeRound
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n == prevEdges) converged = true
+      prevEdges = n
+      edges = next
       i += 1
     }
     require(converged, s"kCore: no fixpoint after $maxIters peel rounds")
