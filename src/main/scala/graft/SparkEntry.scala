@@ -491,6 +491,167 @@ object SparkEntry {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /**
+   * Derived PARTSUPP: the fixture ships no partsupp table, so the
+   * five partsupp TPC-H shapes (Q2/Q9/Q11/Q16/Q20) build it
+   * DETERMINISTICALLY from part × supplier with dbgen's
+   * supplier-assignment formula — each part's 4 candidate suppliers
+   * step by floor(S/4) + floor((p−1)/S) around the supplier ring —
+   * and integer-valued availqty/supplycost attributes (hash-free
+   * modular arithmetic, so float sums are EXACT and order-free).
+   * Both engines derive the SAME rows from the same fixture parquet,
+   * so the DuckDB oracle stays a true independent replay; DISTINCT
+   * absorbs the small-S step-wraparound collisions (step ≡ 0 mod S
+   * folds the 4 candidates together — possible at fixture S, never
+   * at dbgen's S ≥ 10k).
+   */
+  private def partsuppDerived(s: SparkSession, dir: String): DataFrame = {
+    val scnt = t(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    val quarters = s.range(0, 4).toDF("i")
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(quarters))
+      .crossJoin(broadcast(scnt))
+      .withColumn("step",
+        floor(col("s_cnt") / 4) + floor((col("p_partkey") - 1) / col("s_cnt")))
+      .select(col("p_partkey").as("ps_partkey"),
+        (pmod(col("p_partkey") + col("i") * col("step"), col("s_cnt")) + 1)
+          .cast("long").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 37 + col("ps_suppkey") * 43, lit(9999L)) + 1)
+      .withColumn("ps_supplycost",
+        (pmod(col("ps_partkey") * 53 + col("ps_suppkey") * 61, lit(920L)) + 1)
+          .cast("double"))
+  }
+
+  /**
+   * TPC-H Q2 (minimum-cost supplier, fixture-adapted predicates):
+   * for each LARGE-type part, the EUROPE supplier(s) offering it
+   * at the minimum derived supply cost — the classic correlated-min
+   * subquery decorrelated into a per-part min aggregate joined back.
+   * All dimension sides broadcast; the only shuffle is partsupp's
+   * per-part min. Full tie-break ordering so the LIMIT cut is
+   * engine-independent.
+   */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_type") === "LARGE")
+      .select("p_partkey", "p_brand")
+    val eur = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = partsuppDerived(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("ps_partkey").as("mp"))
+      .agg(min(col("ps_supplycost")).as("mc"))
+    offers.join(broadcast(minCost),
+        col("ps_partkey") === col("mp") && col("ps_supplycost") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("ps_supplycost").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /**
+   * TPC-H Q9 (product-type profit): profit on every '%rod%' part —
+   * revenue minus derived supply cost — by supplier nation and order
+   * year. The part prefilter broadcasts into lineitem; partsupp
+   * attaches by its (partkey, suppkey) key; one (nation, year)
+   * aggregate. Sum rounds to 2dp on both engines (the q5/q8 float
+   * discipline).
+   */
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val rods = t(s, dir, "part").filter(col("p_name").like("%rod%"))
+      .select("p_partkey")
+    val ps = partsuppDerived(s, dir)
+    t(s, dir, "lineitem")
+      .join(broadcast(rods), col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")), 2).as("sum_profit"))
+  }
+
+  /**
+   * TPC-H Q11 (important stock): parts whose NATION_3 stock value
+   * (supplycost × availqty) exceeds 0.1% of that nation's total —
+   * the group-by-HAVING-global-subquery shape. Stock values are
+   * integer-valued doubles, so both sums and the threshold compare
+   * are EXACT on both engines; the 1-row total broadcasts.
+   */
+  private def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val scoped = partsuppDerived(s, dir)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("value", col("ps_supplycost") * col("ps_availqty"))
+    val total = scoped.agg(sum(col("value")).as("tot"))
+    scoped.groupBy(col("ps_partkey"))
+      .agg(sum(col("value")).as("part_value"))
+      .crossJoin(broadcast(total))
+      .filter(col("part_value") > col("tot") * 0.001)
+      .select(col("ps_partkey"), round(col("part_value"), 2).as("stock_value"))
+  }
+
+  /**
+   * TPC-H Q16 (parts/supplier relationship): distinct supplier count
+   * per (brand, type, size) over the derived partsupp, excluding one
+   * brand, one type, off-list sizes, and negative-balance suppliers
+   * (the fixture's stand-in for the complaint-comment NOT IN — same
+   * anti-join shape).
+   */
+  private def q16PartsSupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 15))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("ps_suppkey"))
+    partsuppDerived(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), Seq("ps_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  /**
+   * TPC-H Q20 (potential part promotion): EUROPE suppliers whose
+   * derived stock of a 'blue%' part exceeds half of what they
+   * shipped of it in 1996 — the nested EXISTS/IN chain as semi-join
+   * + per-(part, supplier) shipped aggregate. Quantities are
+   * integer-valued, so the half-threshold compare is exact.
+   */
+  private def q20StockedPromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val blue = t(s, dir, "part").filter(col("p_name").like("blue%"))
+      .select("p_partkey")
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+      .join(broadcast(blue), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val qualified = partsuppDerived(s, dir)
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > col("qty") * 0.5)
+      .select(col("ps_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("n_name"))
+  }
+
   private def qWindowLatestOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     t(s, dir, "orders")
@@ -3552,6 +3713,12 @@ object SparkEntry {
     "q19_brand_promo" -> (q19BrandPromo _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    // partsupp tier (derived table, dbgen assignment formula)
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q16_parts_supplier_cnt" -> (q16PartsSupplierCnt _),
+    "q20_stocked_promo_suppliers" -> (q20StockedPromoSuppliers _),
     "q_window_latest_orders" -> (qWindowLatestOrders _),
     "q_rollup" -> (qRollup _),
     "q_intersect" -> (qIntersect _),
@@ -4219,6 +4386,21 @@ object SparkEntry {
   private val stopwordsSql = "('the','a','an','of','and','or','in','on','to','is')"
 
   /**
+   * DuckDB replay of [[partsuppDerived]] — same ring-walk assignment
+   * and modular attributes, floor-division spelled explicitly (DuckDB
+   * CAST rounds half-away where Spark's floor truncates).
+   */
+  private val partsuppOracleCte =
+    "partsupp AS (SELECT ps_partkey, ps_suppkey, " +
+      "((ps_partkey * 37 + ps_suppkey * 43) % 9999) + 1 AS ps_availqty, " +
+      "CAST(((ps_partkey * 53 + ps_suppkey * 61) % 920) + 1 AS DOUBLE) AS ps_supplycost " +
+      "FROM (SELECT DISTINCT p_partkey AS ps_partkey, " +
+      "((p_partkey + i.i * (CAST(floor(sc.s / 4.0) AS BIGINT) " +
+      "+ CAST(floor((p_partkey - 1.0) / sc.s) AS BIGINT))) % sc.s) + 1 AS ps_suppkey " +
+      "FROM part, (VALUES (0), (1), (2), (3)) i(i), " +
+      "(SELECT count(*) AS s FROM supplier) sc))"
+
+  /**
    * Shared co-purchase edge CTE for the graph oracles; replays
    * Graph.coOccurrenceEdges' maxGroup cap (groups of 2..1000 distinct
    * parts) so an order with a pathological line count would drop from
@@ -4475,6 +4657,67 @@ object SparkEntry {
         "WHERE c_acctbal > 0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= '2000-01-01') GROUP BY 1"),
+    // the derived-partsupp CTE every partsupp oracle replays: dbgen's
+    // supplier-assignment ring walk + the same modular attributes the
+    // Spark side computes (partsuppDerived) — an independent DuckDB
+    // rebuild of the identical rows
+    "q2_min_cost_supplier" ->
+      (s"WITH $partsuppOracleCte, " +
+        "eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "offers AS (SELECT * FROM partsupp " +
+        "JOIN (SELECT p_partkey, p_brand FROM part " +
+        "WHERE p_type = 'LARGE') p ON ps_partkey = p_partkey " +
+        "JOIN eur ON ps_suppkey = s_suppkey) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, " +
+        "ps_supplycost AS min_cost FROM offers o " +
+        "WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM offers " +
+        "WHERE ps_partkey = o.ps_partkey) " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    "q9_product_profit" ->
+      (s"WITH $partsuppOracleCte " +
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount) " +
+        "- ps_supplycost * l_quantity), 2) AS sum_profit " +
+        "FROM lineitem " +
+        "JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%') p " +
+        "ON l_partkey = p_partkey " +
+        "JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2"),
+    "q11_important_stock" ->
+      (s"WITH $partsuppOracleCte, " +
+        "scoped AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS value " +
+        "FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') " +
+        "SELECT ps_partkey, round(sum(value), 2) AS stock_value FROM scoped " +
+        "GROUP BY 1 HAVING sum(value) > (SELECT sum(value) * 0.001 FROM scoped)"),
+    "q16_parts_supplier_cnt" ->
+      (s"WITH $partsuppOracleCte " +
+        "SELECT p_brand, p_type, p_size, " +
+        "count(DISTINCT ps_suppkey) AS supplier_cnt FROM partsupp " +
+        "JOIN part ON ps_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 5, 9, 15) " +
+        "AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3"),
+    "q20_stocked_promo_suppliers" ->
+      (s"WITH $partsuppOracleCte, " +
+        "shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty " +
+        "FROM lineitem JOIN (SELECT p_partkey FROM part " +
+        "WHERE p_name LIKE 'blue%') p ON l_partkey = p_partkey " +
+        "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' " +
+        "GROUP BY 1, 2) " +
+        "SELECT s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE' AND s_suppkey IN (" +
+        "SELECT ps_suppkey FROM partsupp " +
+        "JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey " +
+        "WHERE ps_availqty > qty * 0.5)"),
     "q_window_latest_orders" ->
       ("SELECT o_custkey, o_orderkey, rn, total FROM (" +
         "SELECT o_custkey, o_orderkey, " +

@@ -515,15 +515,18 @@ object Dedup {
     // broadcast GATE: broadcasting a frame collects it to the driver
     // first — the same unbounded-driver-state hazard as a collect. A
     // micro-batch broadcasts (no shuffle of the index side); a
-    // backfill batch must join by shuffle — and the shuffle_hash hint
-    // is load-bearing, not advisory: a localCheckpointed frame
-    // INHERITS its origin plan's size estimate, so a generated/pruned
-    // batch can look broadcastable to Catalyst while its checkpointed
-    // rows (shingle sets) are 100x the estimate (measured 126 MB
-    // collected for an estimated ~1 MB at a 100k-doc backfill).
+    // backfill batch must join by shuffle — and the explicit hint is
+    // load-bearing, not advisory: a localCheckpointed frame INHERITS
+    // its origin plan's size estimate, so a generated/pruned batch
+    // can look broadcastable to Catalyst while its checkpointed rows
+    // (shingle sets) are 100x the estimate (measured 126 MB collected
+    // for an estimated ~1 MB at a 100k-doc backfill). Sort-merge, not
+    // shuffle_hash: the shingle rows are ~1 KB arrays, and a
+    // backfill-sized build side overflows the per-task hash relation
+    // (observed on the span path at a 500k-doc batch) — merge spills.
     val smallBatch = newSh.limit(16385).count() <= 16384
     def bcast(df: DataFrame): DataFrame =
-      if (smallBatch) broadcast(df) else df.hint("shuffle_hash")
+      if (smallBatch) broadcast(df) else df.hint("merge")
     // materialize the (small) candidate list so the pruned index read
     // runs ONCE — the candIds collect and the verification join both
     // consume it
