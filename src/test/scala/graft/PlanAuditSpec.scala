@@ -567,4 +567,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
       "blocked pair generation degenerated into a product join")
   }
+
+  test("partsupp tier: fact joins broadcast; only the tiny generator crosses nest-loop") {
+    // the derived-partsupp construction legitimately crosses part with
+    // a 4-row quarters frame and a 1-row supplier count (and q11 with
+    // a 1-row total) — those appear as BroadcastNestedLoopJoin over
+    // IdentityBroadcastMode literals. Everything else must hash-join,
+    // and nothing may fall to a CartesianProduct.
+    for (q <- Seq("q2_min_cost_supplier", "q9_product_profit",
+        "q11_important_stock", "q16_parts_supplier_cnt",
+        "q20_stocked_promo_suppliers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast hash join")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: a dimension-sized side fell to sort-merge")
+      // every nested-loop must be an INTENTIONAL Cross (the 4-row /
+      // 1-row generator literals; duplicated where the subtree feeds
+      // two consumers — q2's offers, q11's scoped) — a real pair of
+      // tables falling to nested-loop would surface as Inner/Semi
+      val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnl.forall(_.contains("Cross")),
+        s"$q: a non-cross join fell to nested-loop")
+      assert(bnl.size <= 5, s"$q: more nested-loop crosses than the generators explain")
+    }
+    // Q2's full-tie-break LIMIT lowers to top-k; Q20 keeps the
+    // supplier probe a LeftSemi (never materializes the IN list rows)
+    assert(plan("q2_min_cost_supplier").contains("TakeOrderedAndProject"))
+    assert(plan("q20_stocked_promo_suppliers").contains("LeftSemi"))
+  }
 }
