@@ -123,9 +123,13 @@ object Bench {
     // per round → per-query history lives in git), print it for human
     // eyes, and END with a compact line that fits the capture window:
     // total + the slowest queries at 3 decimals.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] full-record write failed: $e") }
+    // only a FULL run may overwrite the committed record: a restricted
+    // (SPARK_GRAFT_ONLY) iteration run clobbering BENCH_full.json kept
+    // leaving partial records for `git checkout` to undo
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] full-record write failed: $e") }
     println(fullLine)
     val slowest = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
