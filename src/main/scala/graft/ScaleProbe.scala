@@ -22,6 +22,17 @@ import graft.relational.Relational
  */
 object ScaleProbe {
 
+  /**
+   * The synthetic 100-token probe text for an id: ONE copy of the
+   * formula the incremental-batch and backfill corpora share — a
+   * vocab or token-count tweak applied to a stray copy would silently
+   * desynchronize the corpora the BASELINE.md rows compare.
+   * ([[synthDocs]] extends the same shape with near-dup planting.)
+   */
+  private def probeText(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
+      concat(lit("w"), pmod(xxhash64(id * 1000 + i), lit(400)))))
+
   private def synthDocs(spark: SparkSession, n: Int): DataFrame = {
     val vocab = 400 // tokens; small vocab stresses bucket skew like the fixtures
     spark.range(n.toLong).toDF("doc_id")
@@ -893,12 +904,12 @@ object ScaleProbe {
       // batch size is env-dialable (SPARK_GRAFT_PROBE_BATCH, default
       // 2000): 2k exercises the collect+broadcast micro-batch regime,
       // 500k the gated scan/semi-join backfill regime — the cost
-      // curve across both regimes and corpus sizes goes in BASELINE.md
+      // curve across both regimes and corpus sizes goes in BASELINE.md.
+      // lazy: a restricted run that selects none of its consumers must
+      // not pay a 500k-doc generation + checkpoint job
       val batchDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_BATCH", "2000").toLong
-      val incrBatch = spark.range(9000000L, 9000000L + batchDocs).toDF("doc_id")
-        .withColumn("text",
-          concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
-            concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
+      lazy val incrBatch = spark.range(9000000L, 9000000L + batchDocs).toDF("doc_id")
+        .withColumn("text", probeText(col("doc_id")))
         .repartition(cpus.toInt).localCheckpoint()
       // the index is para_incr_batch's INPUT: stage it outside the
       // timings so a restricted run (only=para_incr_batch) still has
@@ -937,61 +948,61 @@ object ScaleProbe {
         // below any full hash collect: the gated run must stay
         // distributed (limit-probe + plain scan / left-semi join).
         time("incr_backfill_gate") {
-          if (!only.forall(_.contains("incr_backfill_gate"))) 0L else {
-            val backfill = spark.range(9100000L, 9200000L).toDF("doc_id")
-              .withColumn("text",
-                concat_ws(" ", transform(sequence(lit(0), lit(99)), i =>
-                  concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(400))))))
-              .repartition(cpus.toInt).localCheckpoint()
-            if (!spark.catalog.tableExists("graft_probe_idx_bf"))
-              Dedup.writeMinhashIndex(docs, "graft_probe_idx_bf")
-            val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
-            val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-            val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-            val listener = new org.apache.spark.scheduler.SparkListener {
-              override def onStageSubmitted(
-                  ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-                stageSite.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
-              override def onTaskEnd(
-                  te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-                if (te.taskMetrics != null) {
-                  resultBytes.addAndGet(te.taskMetrics.resultSize)
-                  val site = stageSite.getOrDefault(te.stageId, "?")
-                  siteBytes.computeIfAbsent(site,
-                    _ => new java.util.concurrent.atomic.AtomicLong(0))
-                    .addAndGet(te.taskMetrics.resultSize)
-                }
-            }
-            spark.sparkContext.addSparkListener(listener)
-            def mark(tag: String): Unit = {
-              Thread.sleep(1500)
-              System.err.println(f"== incr_backfill_gate after $tag: " +
-                f"${resultBytes.get() / 1024.0 / 1024.0}%.1f MB")
-            }
-            try {
-              val n1 = Dedup.paragraphDedupIncremental(
-                backfill, "graft_probe_unit_idx", width = 15).count()
-              mark("para")
-              val n2 = Dedup.spanRewriteIncremental(
-                backfill, "graft_probe_span_idx", span = 20).count()
-              mark("span")
-              val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
-              val n3 = res3.collect().length.toLong
-              if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
-                System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
-              Thread.sleep(2000) // listener bus is async; drain
-              val mb = resultBytes.get() / 1024.0 / 1024.0
-              System.err.println(f"== incr_backfill_gate driver result bytes: $mb%.1f MB")
-              import scala.jdk.CollectionConverters._
-              siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
-                System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
+          // (time() already skips unselected tags before this body runs)
+          val backfill = spark.range(9100000L, 9200000L).toDF("doc_id")
+            .withColumn("text", probeText(col("doc_id")))
+            .repartition(cpus.toInt).localCheckpoint()
+          if (!spark.catalog.tableExists("graft_probe_idx_bf"))
+            Dedup.writeMinhashIndex(docs, "graft_probe_idx_bf")
+          val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
+          val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageSubmitted(
+                ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+              stageSite.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null) {
+                resultBytes.addAndGet(te.taskMetrics.resultSize)
+                val site = stageSite.getOrDefault(te.stageId, "?")
+                siteBytes.computeIfAbsent(site,
+                  _ => new java.util.concurrent.atomic.AtomicLong(0))
+                  .addAndGet(te.taskMetrics.resultSize)
               }
-              require(resultBytes.get() < 32L * 1024 * 1024,
-                f"backfill shipped $mb%.1f MB of task results to the driver " +
-                  "— a hash collect leaked past its gate")
-              n1 + n2 + n3
-            } finally spark.sparkContext.removeSparkListener(listener)
           }
+          spark.sparkContext.addSparkListener(listener)
+          // deterministic bus drain, not a fixed sleep — the old
+          // 2×1.5s + 2s sleeps ran INSIDE time() and inflated every
+          // recorded gate timing by ~5 s
+          def mark(tag: String): Unit = {
+            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            System.err.println(f"== incr_backfill_gate after $tag: " +
+              f"${resultBytes.get() / 1024.0 / 1024.0}%.1f MB")
+          }
+          try {
+            val n1 = Dedup.paragraphDedupIncremental(
+              backfill, "graft_probe_unit_idx", width = 15).count()
+            mark("para")
+            val n2 = Dedup.spanRewriteIncremental(
+              backfill, "graft_probe_span_idx", span = 20).count()
+            mark("span")
+            val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
+            val n3 = res3.collect().length.toLong
+            if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+              System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
+            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            val mb = resultBytes.get() / 1024.0 / 1024.0
+            System.err.println(f"== incr_backfill_gate driver result bytes: $mb%.1f MB")
+            import scala.jdk.CollectionConverters._
+            siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
+              System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
+            }
+            require(resultBytes.get() < 32L * 1024 * 1024,
+              f"backfill shipped $mb%.1f MB of task results to the driver " +
+                "— a hash collect leaked past its gate")
+            n1 + n2 + n3
+          } finally spark.sparkContext.removeSparkListener(listener)
         },
         // maintained cluster closure: persist the corpus's near-dup
         // assignment once, then ingest a FIXED 100-pair batch — the

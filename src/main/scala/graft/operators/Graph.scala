@@ -305,13 +305,20 @@ object Graph {
       var (vals, cur) = materializeWithSum(deg)
       // the observe carries the EXACT node count every round, so the
       // join strategy is chosen from measured size, not an estimate:
-      // a value table under ~8M rows (~128 MB broadcast) pins the
-      // edge side in place — zero edge-row movement per round; above
-      // it (the billion-node regime) both applications fall back to
-      // the shuffled hash join. The composed second application's
-      // input is the first's output, whose row count can only SHRINK
-      // to the first's group count ≤ n, so one threshold covers both.
-      val bcast = cur._1 <= 8L * 1024 * 1024
+      // a value table under the threshold pins the edge side in place
+      // — zero edge-row movement per round; above it (the
+      // billion-node regime) both applications fall back to the
+      // shuffled hash join. Default 2M rows: a hashed broadcast
+      // relation costs ~3-4× the raw 16 B/row (UnsafeRow + map), so
+      // 2M ≈ 100-200 MB on the driver and on every executor —
+      // conservative
+      // for a default driver; `spark.graft.coreness.broadcastNodes`
+      // raises it on big-memory clusters. The composed second
+      // application's input is the first's output, whose row count
+      // can only SHRINK to the first's group count ≤ n, so one
+      // threshold covers both.
+      val bcast = cur._1 <= edges.sparkSession.conf
+        .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {

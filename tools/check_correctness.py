@@ -77,10 +77,8 @@ def values_differ(x, y):
         return None
     try:
         if pd.isna(x) and pd.isna(y):
-            # both NaN/NaT: driver hashes a canonical null marker
-            if isinstance(x, float) and isinstance(y, float) \
-                    and math.isnan(x) and math.isnan(y):
-                return None
+            # both missing (NaN/NaT/None): the driver hashes one
+            # canonical null marker, so NaN payload bits don't matter
             return None
     except (TypeError, ValueError):
         pass
