@@ -2871,6 +2871,27 @@ object SparkEntry {
     TextAnalysis.classifierScore(t(s, dir, "documents"))
 
   /**
+   * TRAINED classifier (multinomial Naive Bayes,
+   * [[TextAnalysis.naiveBayesModel]]): fit source-prediction on the
+   * %5≠0 training split, score the held-out %5=0 split, emit each
+   * doc's argmax label with its (pre-argmax-rounded) score and a
+   * correctness flag. The model is a dense bounded-vocab × label
+   * table; the oracle replays fit AND scoring end-to-end in SQL.
+   */
+  private def textNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.naiveBayesModel(
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("source").as("label"), col("text")),
+      "label", "text", minCount = 2)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    TextAnalysis.naiveBayesClassify(test, model)
+      .join(test.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("pred"), col("score"),
+        (col("pred") === col("source")).cast("long").as("correct"))
+  }
+
+  /**
    * The classifier scored from a (bucket, weight) MODEL TABLE
    * (TextAnalysis.classifierScoreFromTable): the weights parquet is
    * written once (here, from the stub generator — in production, by a
@@ -3890,6 +3911,7 @@ object SparkEntry {
     "text_calibration" -> (textCalibration _),
     "text_auc" -> (textAuc _),
     "text_classify_eval" -> (textClassifyEval _),
+    "text_nb_classify" -> (textNbClassify _),
     "text_classify_table" -> (textClassifyTable _),
     "text_langid_table" -> (textLangidTable _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -5361,6 +5383,37 @@ object SparkEntry {
     // same oracle: the table-driven path must score identically to
     // the inline-stub path (the model-swap contract, proven in code)
     "text_classify_table" -> classifySql,
+    // trained multinomial NB, fit AND scoring replayed end-to-end:
+    // smoothing arithmetic is exact-integer until the final ln, and
+    // scores round to 6dp BEFORE the argmax on both engines
+    "text_nb_classify" ->
+      ("WITH train AS (SELECT source AS label, lower(text) AS t " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "tokt AS (SELECT label, unnest(string_split(t, ' ')) AS token FROM train), " +
+        "vocab AS (SELECT token FROM (SELECT token, count(*) AS c FROM tokt " +
+        "GROUP BY 1) WHERE c >= 2), " +
+        "counts AS (SELECT label, token, count(*) AS n FROM tokt " +
+        "JOIN vocab USING (token) GROUP BY 1, 2), " +
+        "tot AS (SELECT label, sum(n) AS tn FROM counts GROUP BY 1), " +
+        "v AS (SELECT count(*) AS vs FROM vocab), " +
+        "model AS (SELECT tot.label, vocab.token, " +
+        "ln((coalesce(c.n, 0) + 1.0) / (tot.tn + v.vs)) AS lp " +
+        "FROM tot CROSS JOIN vocab CROSS JOIN v " +
+        "LEFT JOIN counts c ON c.label = tot.label AND c.token = vocab.token), " +
+        "labels AS (SELECT label, count(*) AS docs FROM train GROUP BY 1), " +
+        "prior AS (SELECT label, ln(docs * 1.0 / (SELECT sum(docs) FROM labels)) " +
+        "AS lprior FROM labels), " +
+        "test AS (SELECT doc_id, source, " +
+        "unnest(string_split(lower(text), ' ')) AS token " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "sc AS (SELECT t.doc_id, t.source, m.label, sum(m.lp) AS s " +
+        "FROM test t JOIN model m USING (token) GROUP BY 1, 2, 3), " +
+        "scored AS (SELECT doc_id, source, label, " +
+        "round(s + lprior, 6) AS score FROM sc JOIN prior USING (label)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, label) AS rn FROM scored) " +
+        "SELECT doc_id, source, label AS pred, score, " +
+        "CAST(label = source AS BIGINT) AS correct FROM r WHERE rn = 1"),
     "text_langid_table" -> langidSql,
     // near-dup clusters resolved to their best-quality representative
     "dedup_keep_best" ->

@@ -913,4 +913,78 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /**
+   * Multinomial Naive Bayes FIT — the trainable counterpart of the
+   * fixed-weight [[classifierScoreFromTable]]: the model IS a table,
+   * learned from labeled docs with one pass of count aggregates (the
+   * reference's accumulate step generalized to a keyed fold;
+   * src/mr.c:787-810). Output: one DENSE row per (label, token) over
+   * the bounded vocab — log P(token|label) with add-one smoothing —
+   * plus a per-label `(label, '', log_prior)` row (empty token; real
+   * tokens are never empty after split).
+   *
+   * Scale shape: vocab is BOUNDED (global train count ≥ `minCount` —
+   * the LM family's discipline), so the dense vocab × labels grid is
+   * model-sized, never corpus-sized; the only corpus-wide exchanges
+   * are the two count aggregates (map-side combining). Smoothing
+   * arithmetic stays in exact-integer territory until the final log.
+   */
+  def naiveBayesModel(train: DataFrame, labelCol: String = "label",
+      textCol: String = "text", minCount: Long = 2): DataFrame = {
+    val toks = train.select(col(labelCol).as("label"),
+      explode(split(lower(col(textCol)), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("token")
+    val counts = toks.join(broadcast(vocab), Seq("token"))
+      .groupBy("label", "token").agg(count(lit(1)).as("n"))
+    val labelTotals = counts.groupBy("label").agg(sum(col("n")).as("tn"))
+    val vocabSize = vocab.agg(count(lit(1)).as("vs"))
+    // dense grid: a (label, token) pair with no training hits still
+    // scores the smoothed 1/(tn+V) — absent rows would silently skip
+    // the penalty and inflate rare-token labels
+    val dense = labelTotals.select("label", "tn")
+      .crossJoin(broadcast(vocab))
+      .join(counts, Seq("label", "token"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("label"), col("token"),
+        log((coalesce(col("n"), lit(0L)) + lit(1.0)) / (col("tn") + col("vs")))
+          .as("log_prob"))
+    val docCounts = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+    val priors = docCounts
+      .crossJoin(broadcast(docCounts.agg(sum(col("docs")).as("all_docs"))))
+      .select(col("label"), lit("").as("token"),
+        log(col("docs") / col("all_docs")).as("log_prob"))
+    dense.unionByName(priors)
+  }
+
+  /**
+   * Score docs against a [[naiveBayesModel]] table and keep each
+   * doc's argmax label. The model broadcasts (bounded vocab × labels);
+   * the corpus-sized work is one exploded-token join + one
+   * (doc, label) sum — OOV tokens drop (both engines agree, and the
+   * dense grid already charges unseen-but-in-vocab tokens). Scores
+   * round to 6dp BEFORE the argmax so an engine-replay picks the
+   * same winner; ties break to the smallest label.
+   */
+  def naiveBayesClassify(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = model.filter(col("token") =!= "")
+    val priors = model.filter(col("token") === "")
+      .select(col("label"), col("log_prob").as("log_prior"))
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("token"))
+    val scored = toks.join(broadcast(m), Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("log_prob")).as("s"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col(idCol), col("label"),
+        round(col("s") + col("log_prior"), 6).as("score"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score"))
+  }
 }

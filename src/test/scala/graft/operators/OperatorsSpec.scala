@@ -1262,4 +1262,31 @@ class OperatorsSpec extends AnyFunSuite {
     // identical docs select identical fingerprint sets
     assert(census(0L) === census(1L))
   }
+
+  test("naiveBayes: hand-computed smoothed model and argmax classification") {
+    // two labels with one distinctive token each, one shared token;
+    // every token clears minCount=2
+    val train = Seq(
+      ("spam", "buy buy now"), ("spam", "buy now"),
+      ("ham", "hello world now"), ("ham", "hello now")).toDF("label", "text")
+    val model = TextAnalysis.naiveBayesModel(train, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // vocab = {buy, now, hello, world}? counts: buy=3, now=4, hello=2,
+    // world=1 (dropped by minCount=2) -> V=3
+    // spam totals over vocab: buy 3 + now 2 = 5; ham: hello 2 + now 2 = 4
+    val eps = 1e-12
+    assert(math.abs(model(("spam", "buy")) - math.log(4.0 / 8)) < eps)   // (3+1)/(5+3)
+    assert(math.abs(model(("spam", "now")) - math.log(3.0 / 8)) < eps)
+    assert(math.abs(model(("spam", "hello")) - math.log(1.0 / 8)) < eps) // unseen, dense
+    assert(math.abs(model(("ham", "hello")) - math.log(3.0 / 7)) < eps)  // (2+1)/(4+3)
+    assert(!model.contains(("spam", "world")), "sub-minCount token leaked into the vocab")
+    // priors ride the empty-token rows: 2/4 each
+    assert(math.abs(model(("spam", "")) - math.log(0.5)) < eps)
+    // classification: distinctive tokens win their label; OOV ignored
+    val test = Seq((1L, "buy buy zzz"), (2L, "hello world")).toDF("doc_id", "text")
+    val modelDf = TextAnalysis.naiveBayesModel(train, minCount = 2)
+    val pred = TextAnalysis.naiveBayesClassify(test, modelDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(1L -> "spam", 2L -> "ham"))
+  }
 }
