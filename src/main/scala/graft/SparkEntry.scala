@@ -3621,7 +3621,10 @@ object SparkEntry {
       when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
     }
     val docs = t(s, dir, "documents")
+    // the pair set feeds BOTH the cluster build and the leakage joins
+    // — materialize once or the shingle/jaccard generation runs twice
     val pairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.7)
+      .localCheckpoint()
     val clusters = Dedup.dupClusters(pairs)
     pairs
       .join(clusters.select(col("doc_id").as("a_id"), col("cluster_id").as("c_a")), "a_id")
