@@ -931,13 +931,36 @@ object TextAnalysis {
    * arithmetic stays in exact-integer territory until the final log.
    */
   def naiveBayesModel(train: DataFrame, labelCol: String = "label",
-      textCol: String = "text", minCount: Long = 2): DataFrame = {
+      textCol: String = "text", minCount: Long = 2): DataFrame =
+    naiveBayesModelFromCounts(nbCountState(train, labelCol, textCol), minCount)
+
+  /**
+   * The MERGEABLE sufficient statistics behind [[naiveBayesModel]]:
+   * per-(label, token) instance counts plus per-label doc counts on
+   * empty-token rows — NB's whole training state is counts, so two
+   * corpora's states merge by summing (label, token) groups. This is
+   * the streaming-maintenance contract: each micro-batch writes its
+   * own state partition and the model refits from the merged ledger
+   * ([[graft.streaming.DocumentStreams.streamingNbMaintenance]] —
+   * the [[Similarity.momentState]] discipline for text).
+   */
+  def nbCountState(train: DataFrame, labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
     val toks = train.select(col(labelCol).as("label"),
       explode(split(lower(col(textCol)), " ")).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    toks.groupBy("label", "token").agg(count(lit(1)).as("n"))
+      .unionByName(train.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n")).select(col("label"), lit("").as("token"), col("n")))
+  }
+
+  /** Fit the dense smoothed model from (merged) [[nbCountState]] rows. */
+  def naiveBayesModelFromCounts(state: DataFrame, minCount: Long = 2): DataFrame = {
+    val merged = state.groupBy("label", "token").agg(sum(col("n")).as("n"))
+      .localCheckpoint() // token counts, doc counts, and vocab all read it
+    val tokCounts = merged.filter(col("token") =!= "")
+    val vocab = tokCounts.groupBy("token").agg(sum(col("n")).as("c"))
       .filter(col("c") >= minCount).select("token")
-    val counts = toks.join(broadcast(vocab), Seq("token"))
-      .groupBy("label", "token").agg(count(lit(1)).as("n"))
+    val counts = tokCounts.join(broadcast(vocab), Seq("token"))
     val labelTotals = counts.groupBy("label").agg(sum(col("n")).as("tn"))
     val vocabSize = vocab.agg(count(lit(1)).as("vs"))
     // dense grid: a (label, token) pair with no training hits still
@@ -950,8 +973,8 @@ object TextAnalysis {
       .select(col("label"), col("token"),
         log((coalesce(col("n"), lit(0L)) + lit(1.0)) / (col("tn") + col("vs")))
           .as("log_prob"))
-    val docCounts = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("docs"))
+    val docCounts = merged.filter(col("token") === "")
+      .select(col("label"), col("n").as("docs"))
     val priors = docCounts
       .crossJoin(broadcast(docCounts.agg(sum(col("docs")).as("all_docs"))))
       .select(col("label"), lit("").as("token"),

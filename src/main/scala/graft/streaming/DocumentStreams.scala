@@ -240,4 +240,35 @@ object DocumentStreams {
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
       }
       .start()
+
+  /**
+   * Naive-Bayes model maintained under ingest: each micro-batch's
+   * MERGEABLE count state ([[TextAnalysis.nbCountState]] — NB's whole
+   * training state is counts) lands in its own `batch=<id>` ledger
+   * partition; an at-least-once redelivery OVERWRITES its own
+   * partition, so replay is idempotent (the
+   * [[VectorStreams.streamingPcaMaintenance]] moment-ledger
+   * discipline). Already-ingested docs are never rescanned and the
+   * ledger grows bytes-per-batch (bounded by the batch's vocab ×
+   * labels), while [[nbFromCounts]] always fits the model the full
+   * corpus would have trained — law-tested bit-identical to the
+   * batch fit.
+   */
+  def streamingNbMaintenance(docStream: DataFrame, countsPath: String,
+      checkpoint: String, labelCol: String = "source")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          TextAnalysis.nbCountState(batch.toDF(), labelCol)
+            .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+      }
+      .start()
+
+  /** Fit from the maintained count ledger (merge, then smooth). */
+  def nbFromCounts(spark: SparkSession, countsPath: String,
+      minCount: Long = 2): DataFrame =
+    TextAnalysis.naiveBayesModelFromCounts(
+      spark.read.parquet(countsPath).select("label", "token", "n"), minCount)
 }

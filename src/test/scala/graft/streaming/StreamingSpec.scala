@@ -1339,4 +1339,46 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(summary2 === batchVerdicts)
   }
+
+  test("streaming NB maintenance: merged count ledger fits the batch model; replay idempotent") {
+    import graft.operators.TextAnalysis
+    val s = spark; import s.implicits._
+    val mkDoc = (id: Long) => (id,
+      (0 until 12).map(j => s"w${(id * 7 + j * 3) % 9}").mkString(" "),
+      "en", if (id % 2 == 0) "srcA" else "srcB", 50L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbstream").toString
+    val w1 = (0L until 20L).map(mkDoc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    w1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q1 = DocumentStreams.streamingNbMaintenance(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"), s"$dir/counts", s"$dir/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    val w2 = (20L until 35L).map(mkDoc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    w2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = DocumentStreams.streamingNbMaintenance(
+      DocumentStreams.readDocumentStream(spark, s"$dir/in"), s"$dir/counts", s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    def modelRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val streamed = modelRows(DocumentStreams.nbFromCounts(spark, s"$dir/counts"))
+    val batchTwin = modelRows(TextAnalysis.naiveBayesModel(
+      w1.unionByName(w2).select(col("source").as("label"), col("text"))))
+    assert(streamed === batchTwin,
+      "count-ledger fit diverged from the single-pass fit")
+    // at-least-once replay: re-running a batch under its own id
+    // overwrites batch=<id> instead of double-counting
+    TextAnalysis.nbCountState(w2.select(col("source").as("label"), col("text")))
+      .write.mode("overwrite").parquet(s"$dir/counts/batch=1")
+    assert(modelRows(DocumentStreams.nbFromCounts(spark, s"$dir/counts")) === streamed,
+      "replayed batch changed the fitted model")
+    // and the maintained model CLASSIFIES like the batch-fit one
+    val test = (100L until 110L).map(mkDoc).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val predStream = TextAnalysis.naiveBayesClassify(test,
+        DocumentStreams.nbFromCounts(spark, s"$dir/counts"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val predBatch = TextAnalysis.naiveBayesClassify(test,
+        TextAnalysis.naiveBayesModel(
+          w1.unionByName(w2).select(col("source").as("label"), col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(predStream === predBatch)
+  }
 }
