@@ -2461,6 +2461,18 @@ object SparkEntry {
   }
 
   /**
+   * 5-truss of the co-purchase graph ([[Graph.kTruss]]): every
+   * surviving edge closes ≥3 triangles within the truss — the edge-
+   * level cohesion cut (4 peel rounds to fixpoint at sf0.01; the
+   * oracle unrolls 8, fixpoint idempotence absorbing the spares).
+   * Output is canonical edges with in-truss support.
+   */
+  private def graphKtruss(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    Graph.kTruss(Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"), k = 5)
+  }
+
+  /**
    * Full coreness decomposition of the co-purchase graph
    * ([[Graph.coreness]], h-index fixpoint — 46 rounds at sf0.01).
    * Oracle unrolls 56 h-index rounds; once the fixpoint is reached
@@ -3872,6 +3884,7 @@ object SparkEntry {
     "graph_coreness" -> (graphCoreness _),
     "graph_harmonic" -> (graphHarmonic _),
     "graph_kcore" -> (graphKcore _),
+    "graph_ktruss" -> (graphKtruss _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
@@ -6357,6 +6370,24 @@ object SparkEntry {
             s"JOIN k$r a ON c.src = a.src JOIN k$r b ON c.dst = b.src)"
         }.mkString(", ") +
         " SELECT src AS node, count(*) AS deg FROM p18 GROUP BY src"),
+    // 8 unrolled support-peel rounds (fixpoint at 4 at sf0.01);
+    // support via the plain common-neighbor join — the oracle replays
+    // semantics, the engine's degree-oriented enumeration is the
+    // scale path
+    "graph_ktruss" ->
+      (graphEdgeCte + "c0 AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst), " +
+        (1 to 8).map { r =>
+          s"sym${r - 1} AS MATERIALIZED (SELECT src, dst FROM c${r - 1} " +
+            s"UNION ALL SELECT dst, src FROM c${r - 1}), " +
+            s"s$r AS MATERIALIZED (SELECT c.src, c.dst, count(*) AS sup " +
+            s"FROM c${r - 1} c JOIN sym${r - 1} a ON a.src = c.src " +
+            s"JOIN sym${r - 1} b ON b.src = c.dst AND b.dst = a.dst " +
+            "GROUP BY 1, 2), " +
+            s"c$r AS MATERIALIZED (SELECT c.src, c.dst FROM c${r - 1} c " +
+            s"JOIN s$r s ON s.src = c.src AND s.dst = c.dst AND s.sup >= 3)"
+        }.mkString(", ") +
+        " SELECT c.src, c.dst, s.sup AS support FROM c8 c " +
+        "JOIN s8 s ON s.src = c.src AND s.dst = c.dst"),
     // 56 unrolled h-index rounds (fixpoint at 46 at sf0.01; spares
     // are no-ops); MATERIALIZED for the same anti-inlining reason
     "graph_coreness" ->

@@ -201,6 +201,76 @@ object Graph {
   }
 
   /**
+   * k-TRUSS (Cohen 2008): the maximal subgraph in which every edge
+   * closes at least k−2 triangles WITHIN the subgraph — the edge
+   * analog of [[kCore]] and the stricter cohesion cut (every k-truss
+   * sits inside the (k−1)-core). Peel: compute per-edge support over
+   * the surviving subgraph, drop deficient edges, repeat to fixpoint.
+   * Output: surviving canonical (src < dst) edges with their in-truss
+   * support.
+   *
+   * Scale shape: support comes from [[triangleCount]]'s
+   * degree-oriented enumeration — each triangle generated ONCE at its
+   * smallest-(deg,id) apex (hub fan-out bounded ~O(√|E|)), then
+   * exploded into its 3 canonical edges and count-aggregated
+   * (map-side combining) — never a per-edge common-neighbor join.
+   * Edge sets are nested across rounds, so an unchanged edge count is
+   * the fixpoint proof, and it rides each round's own materialization
+   * via `observe` (the [[kCore]] discipline). Loud failure on
+   * iteration-cap exit.
+   */
+  def kTruss(edges0: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss is defined for k >= 3, got $k")
+    var canon = edges0.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst")).distinct().materializeRound
+    var lastSupport: DataFrame = null
+    var prevEdges = -1L
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val sym = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val oriented = sym
+        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+        .filter(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")))
+        .select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("vdeg"))
+        .materializeRound // consumed by both wedge sides + the closing probe
+      val tris = oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
+        .join(oriented.select(col("u"), col("v").as("w2"), col("vdeg").as("d2")), "u")
+        .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+        .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+          Seq("w1", "w2"), "left_semi") // closing edge confirms the triangle
+        .select(col("u"), col("w1"), col("w2"))
+      val support = tris.select(explode(array(
+          struct(least(col("u"), col("w1")).as("src"),
+            greatest(col("u"), col("w1")).as("dst")),
+          struct(least(col("u"), col("w2")).as("src"),
+            greatest(col("u"), col("w2")).as("dst")),
+          struct(least(col("w1"), col("w2")).as("src"),
+            greatest(col("w1"), col("w2")).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+      lastSupport = support
+      val obs = org.apache.spark.sql.Observation()
+      val next = canon
+        .join(support.filter(col("support") >= k - 2), Seq("src", "dst"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
+        .materializeRound
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n == prevEdges) converged = true
+      prevEdges = n
+      canon = next
+      i += 1
+    }
+    require(converged, s"kTruss: no fixpoint after $maxIters peel rounds")
+    // at fixpoint the last support was computed over the final edge
+    // set itself, so it IS the in-truss support
+    canon.join(lastSupport, Seq("src", "dst"))
+  }
+
+  /**
    * k-core membership (Matula–Beck peeling): the maximal subgraph in
    * which every node keeps degree ≥ k, found by repeatedly dropping
    * under-degree nodes and re-inducing the edge set until no node

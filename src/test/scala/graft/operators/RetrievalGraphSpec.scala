@@ -182,6 +182,20 @@ class RetrievalGraphSpec extends AnyFunSuite {
     val cnf = Graph.coreness(k4chain, frontier = true).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cnf === cn)
+    // k-truss on K4 + a lone triangle hanging off node 3 (3-4-5
+    // closed): K4 edges each close 2 triangles (support 2), the
+    // triangle's edges close 1 — the 4-truss is exactly K4 (the
+    // pendant triangle peels), the 3-truss keeps both, and k=5
+    // empties the graph (peel must CASCADE: dropping the triangle
+    // zeroes nothing in K4, but no K4 edge reaches support 3)
+    val k4tri = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val t4 = Graph.kTruss(k4tri, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t4 === Map((0L, 1L) -> 2L, (0L, 2L) -> 2L, (0L, 3L) -> 2L,
+      (1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+    assert(Graph.kTruss(k4tri, k = 3).count() === 9L)
+    assert(Graph.kTruss(k4tri, k = 5).count() === 0L)
   }
 
   test("ndcgAtK: perfect ranking scores 1; a top-2 swap scores the hand value; unjudged gains 0") {
