@@ -2473,6 +2473,20 @@ object SparkEntry {
   }
 
   /**
+   * Newman modularity of the 3-round LPA communities
+   * ([[Graph.modularity]]) — the community family's quality metric.
+   * Oracle replays the LPA rounds (the graph_communities chain) and
+   * the Q aggregate; intra/degree sums are exact integers, the final
+   * community-sized sum rounds to 6dp.
+   */
+  private def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .localCheckpoint() // feeds LPA AND the modularity aggregates
+    Graph.modularity(edges, Graph.labelPropagation(edges))
+  }
+
+  /**
    * Full coreness decomposition of the co-purchase graph
    * ([[Graph.coreness]], h-index fixpoint — 46 rounds at sf0.01).
    * Oracle unrolls 56 h-index rounds; once the fixpoint is reached
@@ -3885,6 +3899,7 @@ object SparkEntry {
     "graph_harmonic" -> (graphHarmonic _),
     "graph_kcore" -> (graphKcore _),
     "graph_ktruss" -> (graphKtruss _),
+    "graph_modularity" -> (graphModularity _),
     "graph_bfs" -> (graphBfs _),
     "q_event_pattern" -> (qEventPattern _),
     "emb_pca" -> (embPca _),
@@ -6491,6 +6506,23 @@ object SparkEntry {
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), " +
         lpRound("l1", "l0") + lpRound("l2", "l1") + lpRound("l3", "l2").stripSuffix(", ") +
         " SELECT label AS community, count(*) AS n_members FROM l3 GROUP BY label"),
+    // the same LPA chain + Newman Q: intra/degree sums are exact
+    // integers, the community-sized term sum rounds to 6dp
+    "graph_modularity" ->
+      (graphEdgeCte +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), " +
+        lpRound("l1", "l0") + lpRound("l2", "l1") + lpRound("l3", "l2") +
+        "m AS (SELECT count(*) AS m2 FROM e), " +
+        "intra AS (SELECT a.label, count(*) AS intra FROM e " +
+        "JOIN l3 a ON e.src = a.node JOIN l3 b ON e.dst = b.node " +
+        "WHERE a.label = b.label GROUP BY 1), " +
+        "degc AS (SELECT l3.label, sum(d.deg) AS degc FROM " +
+        "(SELECT src AS node, count(*) AS deg FROM e GROUP BY 1) d " +
+        "JOIN l3 ON d.node = l3.node GROUP BY 1) " +
+        "SELECT count(*) AS n_communities, " +
+        "round(sum(coalesce(intra.intra, 0) * 1.0 / m.m2 " +
+        "- (degc.degc * 1.0 / m.m2) * (degc.degc * 1.0 / m.m2)), 6) AS modularity " +
+        "FROM degc LEFT JOIN intra ON degc.label = intra.label CROSS JOIN m"),
     // bounded BFS: 3 chained frontier rounds, min-distance per node
     "graph_bfs" ->
       (graphEdgeCte.stripSuffix(", ") + ", " +

@@ -79,6 +79,36 @@ object Graph {
   }
 
   /**
+   * Newman MODULARITY of a community assignment over a symmetric
+   * edge list: Q = Σ_c (intra_c/2m − (deg_c/2m)²) — the standard
+   * quality score for [[labelPropagation]]'s output (the eval metric
+   * the community family was missing, as nDCG is to retrieval).
+   * Three aggregates + two label joins, everything keyed by node or
+   * community — the community-sized final sum is the only
+   * non-edge-sized stage. 2m = the symmetric edge count, so intra
+   * edges count once per direction, matching the textbook form.
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val la = labels.select(col("node").as("src"), col("label").as("la"))
+    val lb = labels.select(col("node").as("dst"), col("label").as("lb"))
+    val intra = edges.join(la, "src").join(lb, "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra"))
+    val degC = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(labels, "node")
+      .groupBy("label").agg(sum(col("deg")).as("degc"))
+    degC.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      // (x)*(x), not pow(x, 2): both engines then use one IEEE
+      // multiply instead of possibly-divergent libm pow paths
+      .select((coalesce(col("intra"), lit(0L)) / col("m2")
+        - (col("degc") / col("m2")) * (col("degc") / col("m2"))).as("term"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum(col("term")), 6).as("modularity"))
+  }
+
+  /**
    * Bounded BFS: exact shortest-hop distances (≤ `maxDepth`) from the
    * `source` node set over a symmetric edge list — the reachability /
    * ego-network primitive. Frontier iteration in the dupClusters

@@ -198,6 +198,20 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(Graph.kTruss(k4tri, k = 5).count() === 0L)
   }
 
+  test("modularity: two disjoint triangles score 0.5 split, 0 merged") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val twoTris = sym((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val split = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 1L, 11L -> 1L, 12L -> 1L)
+      .toDF("node", "label")
+    val r = Graph.modularity(twoTris, split).head()
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-9)   // 2 × (6/12 − (6/12)²)
+    val merged = split.select(col("node"), lit(0L).as("label"))
+    val r2 = Graph.modularity(twoTris, merged).head()
+    assert(r2.getLong(0) === 1L && r2.getDouble(1) === 0.0)
+  }
+
   test("ndcgAtK: perfect ranking scores 1; a top-2 swap scores the hand value; unjudged gains 0") {
     val rels = Seq(("q", 1L, 3.0), ("q", 2L, 2.0), ("q", 3L, 1.0))
       .toDF("query", "doc_id", "rel")
