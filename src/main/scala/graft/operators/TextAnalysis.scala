@@ -946,8 +946,12 @@ object TextAnalysis {
    */
   def nbCountState(train: DataFrame, labelCol: String = "label",
       textCol: String = "text"): DataFrame = {
+    // empty tokens (consecutive/leading/trailing spaces) are dropped at
+    // tokenization: '' is the doc-count sentinel and must stay outside
+    // the token domain or irregular whitespace corrupts the priors
     val toks = train.select(col(labelCol).as("label"),
       explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
     toks.groupBy("label", "token").agg(count(lit(1)).as("n"))
       .unionByName(train.groupBy(col(labelCol).as("label"))
         .agg(count(lit(1)).as("n")).select(col("label"), lit("").as("token"), col("n")))
@@ -986,10 +990,12 @@ object TextAnalysis {
    * Score docs against a [[naiveBayesModel]] table and keep each
    * doc's argmax label. The model broadcasts (bounded vocab × labels);
    * the corpus-sized work is one exploded-token join + one
-   * (doc, label) sum — OOV tokens drop (both engines agree, and the
-   * dense grid already charges unseen-but-in-vocab tokens). Scores
-   * round to 6dp BEFORE the argmax so an engine-replay picks the
-   * same winner; ties break to the smallest label.
+   * (doc, label) sum — OOV tokens contribute nothing (the dense grid
+   * already charges unseen-but-in-vocab tokens), but every input doc
+   * survives: scoring left-joins from the doc × label universe, so an
+   * all-OOV doc falls back to the prior-only argmax instead of being
+   * dropped. Scores round to 6dp BEFORE the argmax so an engine-replay
+   * picks the same winner; ties break to the smallest label.
    */
   def naiveBayesClassify(docs: DataFrame, model: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -999,12 +1005,17 @@ object TextAnalysis {
       .select(col("label"), col("log_prob").as("log_prior"))
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("token"))
-    val scored = toks.join(broadcast(m), Seq("token"))
+      .filter(col("token") =!= "")
+    val tokenScores = toks.join(broadcast(m), Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("log_prob")).as("s"))
-      .join(broadcast(priors), Seq("label"))
+    // score from the doc universe, not the token join: a doc whose
+    // tokens are all OOV still gets a prior-only argmax instead of
+    // silently vanishing from the output
+    val scored = docs.select(col(idCol)).crossJoin(broadcast(priors))
+      .join(tokenScores, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
-        round(col("s") + col("log_prior"), 6).as("score"))
+        round(coalesce(col("s"), lit(0.0)) + col("log_prior"), 6).as("score"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
