@@ -85,8 +85,12 @@ object Graft {
       .map(t => ("table", t.name, t.tableType.toLowerCase))
     val indexes = tables.collect {
       case (_, n, _) if n.endsWith("_tombstones") =>
+        // a corrupt/vanished tombstone table degrades ITS row, never
+        // the whole facade (the reference's INFOCLUSTER keeps
+        // answering when one shard is sick — same contract here)
         ("index", n.stripSuffix("_tombstones"),
-          s"tombstones=${spark.table(n).count()}")
+          scala.util.Try(s"tombstones=${spark.table(n).count()}")
+            .getOrElse(s"error=unreadable"))
     }
     val streams = spark.streams.active.toSeq.sortBy(_.id.toString)
       .map(q => ("stream", Option(q.name).getOrElse(q.id.toString), "active"))

@@ -988,19 +988,27 @@ object ScaleProbe {
               backfill, "graft_probe_span_idx", span = 20).count()
             mark("span")
             val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
+            // the pair set IS the query's output — collecting it is
+            // legitimate driver traffic, so the 32 MB leak gate closes
+            // over everything BEFORE this point (index probes, hash
+            // exchanges, count plumbing) and excludes the final collect
+            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            val gatedBytes = resultBytes.get()
             val n3 = res3.collect().length.toLong
             if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
               System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
             org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
             val mb = resultBytes.get() / 1024.0 / 1024.0
-            System.err.println(f"== incr_backfill_gate driver result bytes: $mb%.1f MB")
+            val gatedMb = gatedBytes / 1024.0 / 1024.0
+            System.err.println(f"== incr_backfill_gate driver result bytes: " +
+              f"$mb%.1f MB total, $gatedMb%.1f MB gated (pre-output)")
             import scala.jdk.CollectionConverters._
             siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
               System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
             }
-            require(resultBytes.get() < 32L * 1024 * 1024,
-              f"backfill shipped $mb%.1f MB of task results to the driver " +
-                "— a hash collect leaked past its gate")
+            require(gatedBytes < 32L * 1024 * 1024,
+              f"backfill shipped $gatedMb%.1f MB of NON-OUTPUT task results " +
+                "to the driver — a hash collect leaked past its gate")
             n1 + n2 + n3
           } finally spark.sparkContext.removeSparkListener(listener)
         },

@@ -2905,12 +2905,21 @@ object SparkEntry {
    * table; the oracle replays fit AND scoring end-to-end in SQL.
    */
   private def textNbClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = t(s, dir, "documents")
     val model = TextAnalysis.naiveBayesModel(
       docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("source").as("label"), col("text")),
       "label", "text", minCount = 2)
+    // the fixture's held-out slice has no all-OOV doc, so both engines
+    // append a deterministic probe whose tokens can't clear minCount:
+    // under the pre-fallback semantics it vanished from the output,
+    // now it must surface with the prior-only argmax (oracle-checked)
+    val probe = Seq((-1L, "oov_probe", "zqzqzqzq xvxvxvxv"))
+      .toDF("doc_id", "source", "text")
     val test = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(probe)
     TextAnalysis.naiveBayesClassify(test, model)
       .join(test.select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("pred"), col("score"),
@@ -5416,11 +5425,15 @@ object SparkEntry {
     "text_classify_table" -> classifySql,
     // trained multinomial NB, fit AND scoring replayed end-to-end:
     // smoothing arithmetic is exact-integer until the final ln, and
-    // scores round to 6dp BEFORE the argmax on both engines
+    // scores round to 6dp BEFORE the argmax on both engines; empty
+    // tokens (irregular whitespace) are dropped at tokenization on
+    // both sides, and scoring runs from the doc x label universe so
+    // an all-OOV held-out doc gets a prior-only argmax, not dropped
     "text_nb_classify" ->
       ("WITH train AS (SELECT source AS label, lower(text) AS t " +
         "FROM documents WHERE doc_id % 5 <> 0), " +
-        "tokt AS (SELECT label, unnest(string_split(t, ' ')) AS token FROM train), " +
+        "tokt AS (SELECT label, token FROM (SELECT label, " +
+        "unnest(string_split(t, ' ')) AS token FROM train) WHERE token <> ''), " +
         "vocab AS (SELECT token FROM (SELECT token, count(*) AS c FROM tokt " +
         "GROUP BY 1) WHERE c >= 2), " +
         "counts AS (SELECT label, token, count(*) AS n FROM tokt " +
@@ -5434,13 +5447,19 @@ object SparkEntry {
         "labels AS (SELECT label, count(*) AS docs FROM train GROUP BY 1), " +
         "prior AS (SELECT label, ln(docs * 1.0 / (SELECT sum(docs) FROM labels)) " +
         "AS lprior FROM labels), " +
-        "test AS (SELECT doc_id, source, " +
-        "unnest(string_split(lower(text), ' ')) AS token " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
-        "sc AS (SELECT t.doc_id, t.source, m.label, sum(m.lp) AS s " +
-        "FROM test t JOIN model m USING (token) GROUP BY 1, 2, 3), " +
-        "scored AS (SELECT doc_id, source, label, " +
-        "round(s + lprior, 6) AS score FROM sc JOIN prior USING (label)), " +
+        "testraw AS (SELECT doc_id, source, lower(text) AS t " +
+        "FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT -1, 'oov_probe', 'zqzqzqzq xvxvxvxv'), " +
+        "testdocs AS (SELECT doc_id, source FROM testraw), " +
+        "test AS (SELECT doc_id, token FROM (SELECT doc_id, " +
+        "unnest(string_split(t, ' ')) AS token FROM testraw) " +
+        "WHERE token <> ''), " +
+        "sc AS (SELECT t.doc_id, m.label, sum(m.lp) AS s " +
+        "FROM test t JOIN model m USING (token) GROUP BY 1, 2), " +
+        "scored AS (SELECT d.doc_id, d.source, p.label, " +
+        "round(coalesce(sc.s, 0) + p.lprior, 6) AS score " +
+        "FROM testdocs d CROSS JOIN prior p " +
+        "LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, label) AS rn FROM scored) " +
         "SELECT doc_id, source, label AS pred, score, " +

@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,2,2048] runs the whole dump
+    // multi-process: executors are forked JVMs, so every custom
+    // serializable (codegen expression reference objects, Aggregator
+    // buffers, Env[R] encoders, DSv2 partitions) crosses a real
+    // process boundary — the one bug class local[N] can never catch.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -19,7 +25,8 @@ object Verify {
       // subdirectories as query results.
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-verify-wh").toString)
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      graft.core.ClusterHarness.configure(builder) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def rmTree(f: java.io.File): Unit = {

@@ -206,12 +206,25 @@ object Graph {
    * it is never an apex. Total: two aggregations + two shuffle joins
    * over edge-sized rows.
    */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame): DataFrame =
+    orientedTriangles(edges).agg(count(lit(1)).as("n_triangles"))
+
+  /**
+   * THE shared triangle kernel: every triangle of a symmetric edge
+   * list enumerated exactly once as (u, w1, w2), u the
+   * smallest-(deg, id) apex and (w1, w2) its wedge ordered by the
+   * same key. Undirected edge (a,b) is kept once, oriented by the
+   * (deg, id) total order; the endpoint's degree rides along so
+   * wedge pairs can be ordered by the SAME key (a plain id order
+   * would point some closing edges the other way and miss their
+   * triangles). Degree orientation bounds any apex's wedge fan-out
+   * by O(√|E|) on skewed graphs — a hub points all its edges
+   * OUTWARD from its neighbors, so it is never an apex.
+   * Consumed by [[triangleCount]], [[kTruss]] (per peel round), and
+   * [[clusteringCoefficient]] — one kernel, no drift.
+   */
+  def orientedTriangles(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // undirected edge (a,b) kept once, oriented by the (deg, id)
-    // total order; the endpoint's degree rides along so wedge pairs
-    // can be ordered by the SAME key (a plain id order would point
-    // some closing edges the other way and miss their triangles)
     val oriented = edges
       .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
@@ -221,13 +234,12 @@ object Graph {
       // closing-edge probe) would otherwise each recompute the edge
       // build + degree joins through the lineage
       .materializeRound
-    val wedges = oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
+    oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
       .join(oriented.select(col("u"), col("v").as("w2"), col("vdeg").as("d2")), "u")
       .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
-      .select(col("w1"), col("w2"))
-    wedges
-      .join(oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"), "left_semi") // closing edge confirms the triangle
+      .select(col("u"), col("w1"), col("w2"))
   }
 
   /**
@@ -239,7 +251,7 @@ object Graph {
    * Output: surviving canonical (src < dst) edges with their in-truss
    * support.
    *
-   * Scale shape: support comes from [[triangleCount]]'s
+   * Scale shape: support comes from [[orientedTriangles]]'s
    * degree-oriented enumeration — each triangle generated ONCE at its
    * smallest-(deg,id) apex (hub fan-out bounded ~O(√|E|)), then
    * exploded into its 3 canonical edges and count-aggregated
@@ -260,19 +272,7 @@ object Graph {
     while (!converged && i < maxIters) {
       val sym = canon.unionByName(
         canon.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      val oriented = sym
-        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
-        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
-        .filter(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")))
-        .select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("vdeg"))
-        .materializeRound // consumed by both wedge sides + the closing probe
-      val tris = oriented.select(col("u"), col("v").as("w1"), col("vdeg").as("d1"))
-        .join(oriented.select(col("u"), col("v").as("w2"), col("vdeg").as("d2")), "u")
-        .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
-        .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
-          Seq("w1", "w2"), "left_semi") // closing edge confirms the triangle
-        .select(col("u"), col("w1"), col("w2"))
+      val tris = orientedTriangles(sym)
       val support = tris.select(explode(array(
           struct(least(col("u"), col("w1")).as("src"),
             greatest(col("u"), col("w1")).as("dst")),

@@ -943,6 +943,13 @@ object TextAnalysis {
    * own state partition and the model refits from the merged ledger
    * ([[graft.streaming.DocumentStreams.streamingNbMaintenance]] —
    * the [[Similarity.momentState]] discipline for text).
+   *
+   * Compatibility note: ledgers written BEFORE the empty-token filter
+   * below may contain legacy token='' rows minted from irregular
+   * whitespace; [[naiveBayesModelFromCounts]] cannot distinguish those
+   * from doc-count sentinel rows, so refitting from an old ledger
+   * keeps the corrupted priors. Regenerate such ledgers by replaying
+   * the source (the per-`batch=<id>` overwrite sink makes this cheap).
    */
   def nbCountState(train: DataFrame, labelCol: String = "label",
       textCol: String = "text"): DataFrame = {
@@ -1011,11 +1018,23 @@ object TextAnalysis {
       .agg(sum(col("log_prob")).as("s"))
     // score from the doc universe, not the token join: a doc whose
     // tokens are all OOV still gets a prior-only argmax instead of
-    // silently vanishing from the output
-    val scored = docs.select(col(idCol)).crossJoin(broadcast(priors))
-      .join(tokenScores, Seq(idCol, "label"), "left")
+    // silently vanishing. The model grid is dense (every in-vocab
+    // token scores every label), so per doc tokenScores holds either
+    // ALL labels or none — the prior-only fallback is needed exactly
+    // for the anti-joined (all-OOV) docs, and unioning those in costs
+    // one |docs|-sized anti-join instead of re-shuffling the full
+    // |docs| x |labels| universe through a left join
+    val scoredHit = tokenScores.join(broadcast(priors), Seq("label"))
       .select(col(idCol), col("label"),
-        round(coalesce(col("s"), lit(0.0)) + col("log_prior"), 6).as("score"))
+        round(col("s") + col("log_prior"), 6).as("score"))
+    val vocabDocs = toks.join(broadcast(m.select("token").distinct()), Seq("token"))
+      .select(col(idCol)).distinct()
+    val scoredOov = docs.select(col(idCol))
+      .join(vocabDocs, Seq(idCol), "left_anti")
+      .crossJoin(broadcast(priors))
+      .select(col(idCol), col("label"),
+        round(col("log_prior"), 6).as("score"))
+    val scored = scoredHit.unionByName(scoredOov)
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

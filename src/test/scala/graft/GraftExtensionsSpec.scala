@@ -132,6 +132,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows2.exists(r => r._1 == "table" && r._2 == "graft_info_idx_bands"))
   }
 
+  test("Graft.info: a corrupt tombstone table degrades its row, not the facade") {
+    val s = Graft.attach(SparkTestSession.spark)
+    s.sql("CREATE TABLE graft_sick_tombstones USING parquet AS SELECT 1L AS doc_id")
+    try {
+      // smash every data file so the count genuinely fails at read
+      val loc = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_sick_tombstones")).location
+      java.nio.file.Paths.get(loc).toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val w = new java.io.FileOutputStream(f)
+          w.write("this is not a parquet footer".getBytes); w.close()
+        }
+      intercept[Exception] { s.table("graft_sick_tombstones").count() }
+      val rows = Graft.info(s).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      // the sick index reports itself...
+      assert(rows.contains(("index", "graft_sick", "error=unreadable")))
+      // ...and every other section still answers (INFOCLUSTER contract)
+      assert(rows.contains(("engine", "slots", "16384")))
+      assert(rows.exists(_._1 == "function"))
+    } finally s.sql("DROP TABLE IF EXISTS graft_sick_tombstones")
+  }
+
   test("Graft.attach wires functions and the TopK strategy onto an existing session") {
     val s = Graft.attach(SparkTestSession.spark)
     assert(s.sql("SELECT crc16_slot('x') AS s").head().getInt(0) === graft.core.Slots.slot("x"))

@@ -1289,4 +1289,40 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pred === Map(1L -> "spam", 2L -> "ham"))
   }
+
+  test("naiveBayes: all-OOV docs fall back to the prior argmax; " +
+      "irregular whitespace never corrupts the priors") {
+    // unequal priors (3 spam : 1 ham) so the prior-only winner is
+    // determinate; one training doc carries a doubled space — the
+    // empty token it would mint collides with the doc-count sentinel
+    // and must be dropped at tokenization
+    val train = Seq(
+      ("spam", "buy  buy now"), ("spam", "buy now"), ("spam", "buy now"),
+      ("ham", "hello now hello")).toDF("label", "text")
+    val modelDf = TextAnalysis.naiveBayesModel(train, minCount = 2)
+    val model = modelDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val eps = 1e-12
+    // exactly one prior row per label — a leaked '' token would add more
+    assert(model.keys.count(_._2 == "") === 2)
+    assert(math.abs(model(("spam", "")) - math.log(0.75)) < eps)
+    assert(math.abs(model(("ham", "")) - math.log(0.25)) < eps)
+    // token counts unaffected by the doubled space: buy=4,now=4,hello=2
+    // -> V=3; spam totals 4+3=7, so P(buy|spam)=(4+1)/(7+3)
+    assert(math.abs(model(("spam", "buy")) - math.log(0.5)) < eps)
+    // doc 1: all tokens OOV; doc 3: whitespace-only text (zero real
+    // tokens). Both previously vanished from the output — now both
+    // get the prior-only argmax (spam, the 3/4-prior label) with
+    // score = round(ln 0.75, 6). Doc 2 scores normally.
+    val test = Seq((1L, "zzz qqq"), (2L, "hello hello hello"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.naiveBayesClassify(test, modelDf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out.size === 3, s"every input doc must survive scoring: $out")
+    val priorOnly = BigDecimal(math.log(0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === (("spam", priorOnly)))
+    assert(out(3L) === (("spam", priorOnly)))
+    assert(out(2L)._1 === "ham")
+  }
 }
