@@ -4,19 +4,45 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites (spark_guide: session per suite, not per test). */
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-tests")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    // per-process warehouse (the Verify.scala discipline): two
-    // concurrent test JVMs sharing ./spark-warehouse race each
-    // other's catalog tables — reproduced as 1 spurious failure per
-    // run in the round-6 judge pass
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
-    .getOrCreate()
+  @volatile private var current: SparkSession = _
+
+  /**
+   * The shared `local[4]` session. Revival-capable rather than a
+   * `lazy val`: the multi-JVM suites (LocalClusterSpec,
+   * FaultRecoverySpec) must own the process's single SparkContext for
+   * their duration, so they stop whatever is active and any suite
+   * running after them transparently gets a fresh local session here.
+   */
+  def spark: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      current = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // per-process warehouse (the Verify.scala discipline): two
+        // concurrent test JVMs sharing ./spark-warehouse race each
+        // other's catalog tables — reproduced as 1 spurious failure per
+        // run in the round-6 judge pass
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
+        .getOrCreate()
+    }
+    current
+  }
+
+  /** Stop the active context (multi-JVM suites call this to take over). */
+  def release(): Unit = synchronized {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    if (current != null && !current.sparkContext.isStopped) current.stop()
+    current = null
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   val sfDir = "/root/testdata/sf0.001"
 }

@@ -1,6 +1,12 @@
 #!/bin/bash
 # Run a graft main against compiled classes (compile first via sbt).
 MAIN=$1; shift
+# local-cluster masters fork executor JVMs through the standalone
+# Worker, which resolves the launch command via SPARK_HOME
+export SPARK_HOME=${SPARK_HOME:-/opt/spark}
+# load-spark-env.sh normally sets this; the launcher's classpath
+# builder needs it when executors are forked outside spark-submit
+export SPARK_SCALA_VERSION=${SPARK_SCALA_VERSION:-2.13}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic; do ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"; done
