@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// LocalClusterSpec (master=local-cluster[...]) forks standalone-Worker
+// executor JVMs. The launcher resolves the executor command from
+// SPARK_HOME, and its classpath builder needs SPARK_SCALA_VERSION when
+// run outside spark-submit (load-spark-env.sh normally sets it). Export
+// both so a clean `sbt test` shell is self-contained.
+Test / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"),
+)
 // Forked `run` output must reach stdout verbatim (no sbt `[info] `
 // prefix): the bench/verify drivers parse the printed JSON line.
 // Set at every plausible scope — the forked process's OutputStrategy is

@@ -957,7 +957,15 @@ object ScaleProbe {
           val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
           val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+          val stageBytes = new java.util.concurrent.ConcurrentHashMap[Integer, java.util.concurrent.atomic.AtomicLong]()
+          val jobStages = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Int]]()
+          val lastJobId = new java.util.concurrent.atomic.AtomicInteger(-1)
           val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobStages.put(js.jobId, js.stageIds.map(_.toInt).toArray)
+              lastJobId.updateAndGet(m => math.max(m, js.jobId))
+            }
             override def onStageSubmitted(
                 ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
               stageSite.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
@@ -967,6 +975,9 @@ object ScaleProbe {
                 resultBytes.addAndGet(te.taskMetrics.resultSize)
                 val site = stageSite.getOrDefault(te.stageId, "?")
                 siteBytes.computeIfAbsent(site,
+                  _ => new java.util.concurrent.atomic.AtomicLong(0))
+                  .addAndGet(te.taskMetrics.resultSize)
+                stageBytes.computeIfAbsent(te.stageId,
                   _ => new java.util.concurrent.atomic.AtomicLong(0))
                   .addAndGet(te.taskMetrics.resultSize)
               }
@@ -989,20 +1000,31 @@ object ScaleProbe {
             mark("span")
             val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
             // the pair set IS the query's output — collecting it is
-            // legitimate driver traffic, so the 32 MB leak gate closes
-            // over everything BEFORE this point (index probes, hash
-            // exchanges, count plumbing) and excludes the final collect
-            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-            val gatedBytes = resultBytes.get()
+            // legitimate driver traffic. But the collect's LAZY job
+            // also executes every upstream exchange, so the 32 MB leak
+            // gate must cover that job too (a regression that lets
+            // Catalyst auto-broadcast the 126 MB shingle frame runs
+            // DURING this collect): gate TOTAL bytes minus only the
+            // final result stage's output (the last-submitted job's
+            // stages = res3's result stage under AQE; broadcast
+            // exchanges and shuffle materializations run as earlier
+            // jobs and stay inside the gate)
             val n3 = res3.collect().length.toLong
             if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
               System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
             org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            import scala.jdk.CollectionConverters._
+            val finalStages = jobStages
+              .getOrDefault(lastJobId.get(), Array.empty[Int]).toSet
+            val outputBytes = stageBytes.asScala.collect {
+              case (sid, b) if finalStages.contains(sid.intValue) => b.get() }.sum
+            val gatedBytes = resultBytes.get() - outputBytes
             val mb = resultBytes.get() / 1024.0 / 1024.0
             val gatedMb = gatedBytes / 1024.0 / 1024.0
             System.err.println(f"== incr_backfill_gate driver result bytes: " +
-              f"$mb%.1f MB total, $gatedMb%.1f MB gated (pre-output)")
-            import scala.jdk.CollectionConverters._
+              f"$mb%.1f MB total, $gatedMb%.1f MB gated " +
+              f"(total minus the ${outputBytes / 1024.0 / 1024.0}%.1f MB final " +
+              f"result stage of job ${lastJobId.get()})")
             siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
               System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
             }

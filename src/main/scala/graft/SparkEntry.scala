@@ -2215,6 +2215,23 @@ object SparkEntry {
   }
 
   /**
+   * BATCHED iterative BPE (TextAnalysis.bpeTrainBatched): many merges
+   * per corpus scan under the disjoint-prefix + strict-cutoff rules
+   * that make the batch EXACTLY the sequential algorithm — so the
+   * oracle is the same sequential round-by-round SQL replay as
+   * text_bpe_iterative, just deeper. The driver's hash compare on
+   * this query is the batched≡sequential law run at the oracle bar
+   * on the real corpus.
+   */
+  private def textBpeBatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), nMerges = 16)
+      .zipWithIndex.map { case ((x, y, c), i) =>
+        ((i + 1).toLong, x.replace('\u0001', ' '), y.replace('\u0001', ' '), c)
+      }.toDF("rank", "x", "y", "cnt")
+  }
+
+  /**
    * Stream-static enrichment census (batch twin — the streaming run
    * over the same plan, with the dimension broadcast, is proven
    * equivalent in StreamingSpec).
@@ -2907,9 +2924,16 @@ object SparkEntry {
   private def textNbClassify(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
+    // gridless-label probe: a training label whose every token falls
+    // below minCount has a prior but zero in-vocab mass; the fit must
+    // still emit its dense-grid rows (tn=0 smoothing) so it competes
+    // in every argmax — both engines inject it so the path executes
+    val trainProbe = Seq(("rare_src", "jjjuniqjjj kkkuniqkkk"))
+      .toDF("label", "text")
     val model = TextAnalysis.naiveBayesModel(
       docs.filter(col("doc_id") % 5 =!= 0)
-        .select(col("source").as("label"), col("text")),
+        .select(col("source").as("label"), col("text"))
+        .unionByName(trainProbe),
       "label", "text", minCount = 2)
     // the fixture's held-out slice has no all-OOV doc, so both engines
     // append a deterministic probe whose tokens can't clear minCount:
@@ -3890,6 +3914,7 @@ object SparkEntry {
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_apply" -> (textBpeApply _),
     "text_bpe_iterative" -> (textBpeIterative _),
+    "text_bpe_batched" -> (textBpeBatched _),
     "text_bpe_table" -> (textBpeTable _),
     "stream_enrich" -> (qStreamEnrich _),
     "stream_funnel" -> (qStreamFunnel _),
@@ -4345,14 +4370,18 @@ object SparkEntry {
   /** The s0..sN segment-and-count CTE chain shared by the BPE oracles. */
   private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH s0 AS (SELECT doc_id, ' ' || array_to_string(" +
+    // MATERIALIZED is load-bearing: every s_r is referenced twice
+    // (by m_{r+1} and s_{r+1}); DuckDB inlines plain CTEs, so an
+    // n-round chain would expand to 2^n scans of `documents` ("too
+    // many open files" at n=16, exponential CPU before that)
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT doc_id, ' ' || array_to_string(" +
       "string_split(lower(text), ' '), '  ') || ' ' AS s FROM documents)"
     for (r <- 1 to n) {
-      sb ++= s", m$r AS (SELECT array_to_string(u[i:i+1], ' ') AS pair, " +
+      sb ++= s", m$r AS MATERIALIZED (SELECT array_to_string(u[i:i+1], ' ') AS pair, " +
         "count(*) AS cnt FROM (SELECT string_split(trim(s), '  ') AS u " +
         s"FROM s${r - 1}), UNNEST(generate_series(1, greatest(len(u) - 1, 0))) t(i) " +
         "GROUP BY pair HAVING count(*) >= 2 ORDER BY cnt DESC, pair LIMIT 1)"
-      sb ++= s", s$r AS (SELECT doc_id, replace(s, " +
+      sb ++= s", s$r AS MATERIALIZED (SELECT doc_id, replace(s, " +
         "' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ', " +
         "' ' || split_part(pair, ' ', 1) || chr(1) || split_part(pair, ' ', 2) || ' ') AS s " +
         s"FROM s${r - 1}, m$r)"
@@ -5431,20 +5460,25 @@ object SparkEntry {
     // an all-OOV held-out doc gets a prior-only argmax, not dropped
     "text_nb_classify" ->
       ("WITH train AS (SELECT source AS label, lower(text) AS t " +
-        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "FROM documents WHERE doc_id % 5 <> 0 " +
+        "UNION ALL SELECT 'rare_src', 'jjjuniqjjj kkkuniqkkk'), " +
         "tokt AS (SELECT label, token FROM (SELECT label, " +
         "unnest(string_split(t, ' ')) AS token FROM train) WHERE token <> ''), " +
         "vocab AS (SELECT token FROM (SELECT token, count(*) AS c FROM tokt " +
         "GROUP BY 1) WHERE c >= 2), " +
         "counts AS (SELECT label, token, count(*) AS n FROM tokt " +
         "JOIN vocab USING (token) GROUP BY 1, 2), " +
-        "tot AS (SELECT label, sum(n) AS tn FROM counts GROUP BY 1), " +
+        "labels AS (SELECT label, count(*) AS docs FROM train GROUP BY 1), " +
+        // dense grid covers EVERY trained label: a label with no
+        // in-vocab tokens gets tn=0 (uniform smoothed 1/V per token)
+        "tot AS (SELECT labels.label, coalesce(ct.tn, 0) AS tn FROM labels " +
+        "LEFT JOIN (SELECT label, sum(n) AS tn FROM counts GROUP BY 1) ct " +
+        "USING (label)), " +
         "v AS (SELECT count(*) AS vs FROM vocab), " +
         "model AS (SELECT tot.label, vocab.token, " +
         "ln((coalesce(c.n, 0) + 1.0) / (tot.tn + v.vs)) AS lp " +
         "FROM tot CROSS JOIN vocab CROSS JOIN v " +
         "LEFT JOIN counts c ON c.label = tot.label AND c.token = vocab.token), " +
-        "labels AS (SELECT label, count(*) AS docs FROM train GROUP BY 1), " +
         "prior AS (SELECT label, ln(docs * 1.0 / (SELECT sum(docs) FROM labels)) " +
         "AS lprior FROM labels), " +
         "testraw AS (SELECT doc_id, source, lower(text) AS t " +
@@ -6305,6 +6339,9 @@ object SparkEntry {
         "replace(array_to_string(f.units, '|'), chr(1), ' ') AS seg " +
         "FROM fin f JOIN tok t ON f.doc_id = t.doc_id"),
     "text_bpe_iterative" -> bpeIterativeSql(8),
+    // the batched trainer's oracle IS the sequential replay, deeper:
+    // a hash match here proves batched ≡ sequential on the real corpus
+    "text_bpe_batched" -> bpeIterativeSql(16),
     // learned-merge apply: s8 of the shared chain IS the segmentation
     "text_bpe_table" ->
       (bpeChainSql(8) +

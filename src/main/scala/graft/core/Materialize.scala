@@ -33,13 +33,26 @@ object Materialize {
   /** Materialize one iteration round under the session's checkpoint mode. */
   def iter(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.get(Flag, "false").toBoolean) {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
-        s"$Flag=true requires sparkContext.setCheckpointDir(<path that " +
-          "survives executor loss>) — a local dir would silently lose " +
-          "the fault-tolerance the flag promises")
-      df.checkpoint()
-    } else df.localCheckpoint()
+    // Dataset.checkpoint rebuilds the frame as a LogicalRDD and rewrites
+    // the ANALYZED plan's constraints onto the new output attributes.
+    // Alias-swapped self-union shapes (largeStar-style symmetrization)
+    // can carry a child constraint referencing a sibling child's
+    // attribute, and Spark's UnionBase.rewriteConstraints then throws
+    // `key not found: <attr>` (reproduced on Spark 4.1.2, pinned in
+    // MaterializeSpec). Constraints are an optimizer hint, never a
+    // correctness input, so compute none during the rewrite window.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
+    try {
+      if (spark.conf.get(Flag, "false").toBoolean) {
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          s"$Flag=true requires sparkContext.setCheckpointDir(<path that " +
+            "survives executor loss>) — a local dir would silently lose " +
+            "the fault-tolerance the flag promises")
+        df.checkpoint()
+      } else df.localCheckpoint()
+    } finally spark.conf.set(cpKey, prev)
   }
 
   /** `df.materializeRound` syntax for the loop bodies. */

@@ -1133,9 +1133,12 @@ object Dedup {
       smallGraphEdges: Long = 2000000L): DataFrame = {
     // materialize the (small) edge list once — every iteration joins
     // against it, and recomputing the upstream pair pipeline per
-    // round would dominate the whole operator
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // round would dominate the whole operator. Symmetrize via explode
+    // (one scan of the upstream pair pipeline, not two; no self-union)
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
       .materializeRound
     if (smallGraphEdges > 0 && edges.count() <= smallGraphEdges)
@@ -1183,7 +1186,13 @@ object Dedup {
    * one (monotone — labels only decrease).
    */
   private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // explode, not self-union: one scan of the round's (materialized)
+    // edge frame instead of two, and no alias-swapped Union for
+    // Spark's constraint rewrite to trip over at the next checkpoint
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
     val m = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
     sym.join(m, "u")

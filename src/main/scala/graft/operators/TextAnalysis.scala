@@ -757,6 +757,77 @@ object TextAnalysis {
   }
 
   /**
+   * [[bpeTrainIterative]] at SCALE: many merges per corpus scan,
+   * EXACTLY equal to the sequential algorithm. Per round, one
+   * explode+count job returns the top-`window` pairs; a batch is
+   * accepted off the ranked list under two rules that make
+   * batched ≡ sequential a theorem, not an approximation:
+   *
+   *  1. *Disjoint prefix*: walk the ranking, accept a pair only while
+   *     its symbols are disjoint from every accepted pair's; stop at
+   *     the first conflict. Applying merge (a,b) only mutates counts
+   *     of pairs touching `a` or `b` (it can never make two other
+   *     units newly adjacent), so accepted pairs' counts are
+   *     invariant under each other.
+   *  2. *Strict cutoff*: drop accepted pairs (beyond the head) whose
+   *     count is ≤ the first conflicting pair's count, and ≤ the
+   *     window's last count when the window filled. Mutated pairs —
+   *     including NEW pairs minted by a merge, e.g. (c, a␁b), whose
+   *     count is bounded by the conflicting pre-image (c,a) — and
+   *     every unseen below-window pair then sit strictly below each
+   *     remaining accepted count, so they can never overtake on the
+   *     (count desc, pair asc) order, tie-break included. The head is
+   *     always exactly the sequential argmax.
+   *
+   * The per-scan batch is adaptive (corpora with many independent
+   * frequent pairs — the common case — take large batches; a corpus
+   * where one symbol chains through everything degrades to 1/scan =
+   * the sequential cadence), so a 32k-merge vocabulary is hundreds of
+   * scans, not 32k. Law-pinned: `bpeTrainBatched(n) ===
+   * bpeTrainIterative(n)` on fixtures AND the sf corpus (reference's
+   * iterative trainer contract, re-expressed with a provable batch
+   * rule — see OperatorsSpec "batched BPE").
+   */
+  def bpeTrainBatched(docs: DataFrame, nMerges: Int = 256,
+      textCol: String = "text", window: Int = 512): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    var out = Vector.empty[(String, String, Long)]
+    val lowered = docs.select(lower(col(textCol)).as("t"))
+    var exhausted = false
+    while (out.size < nMerges && !exhausted) {
+      val seg =
+        if (merges.isEmpty) col("t")
+        else concat_ws(" ", bpe_segment(col("t"), merges))
+      val top = lowered.select(explode(shingle_strings(seg, 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(window).collect()
+        .map { r => val p = r.getString(0).split(" ", 2); (p(0), p(1), r.getLong(1)) }
+      val eligible = top.takeWhile(_._3 >= 2) // BPE stops below 2 occurrences
+      if (eligible.isEmpty) exhausted = true
+      else {
+        var used = Set.empty[String]
+        var accepted = Vector.empty[(String, String, Long)]
+        var conflictCnt = -1L
+        var i = 0
+        while (i < eligible.length && conflictCnt < 0) {
+          val (x, y, c) = eligible(i)
+          if (used.contains(x) || used.contains(y)) conflictCnt = c
+          else { accepted :+= ((x, y, c)); used += x; used += y }
+          i += 1
+        }
+        val windowFloor = if (top.length == window) top.last._3 else -1L
+        val cutoff = math.max(conflictCnt, windowFloor)
+        val batch = (accepted.head +: accepted.tail.takeWhile(_._3 > cutoff))
+          .take(nMerges - out.size)
+        merges ++= batch.map(b => (b._1, b._2))
+        out ++= batch
+      }
+    }
+    out
+  }
+
+  /**
    * Apply a learned BPE merge table ([[bpeTrain]]) to segment each
    * document: merges apply in rank order, left-to-right,
    * non-overlapping ([[graft.functions.BpeSegmentExpr]] — scan-stage,
@@ -972,7 +1043,17 @@ object TextAnalysis {
     val vocab = tokCounts.groupBy("token").agg(sum(col("n")).as("c"))
       .filter(col("c") >= minCount).select("token")
     val counts = tokCounts.join(broadcast(vocab), Seq("token"))
-    val labelTotals = counts.groupBy("label").agg(sum(col("n")).as("tn"))
+    // the label universe comes from the doc-count sentinel rows, NOT
+    // from counts: a label whose every token falls below minCount
+    // still gets dense-grid rows (tn=0 ⇒ uniform smoothed 1/V per
+    // token), so it competes in every doc's argmax exactly like the
+    // oracle's CROSS-JOIN-prior universe — without it, the label
+    // would be silently excluded for in-vocab docs yet still win
+    // all-OOV docs via the prior fallback (internally inconsistent)
+    val labelUniverse = merged.filter(col("token") === "").select("label")
+    val labelTotals = labelUniverse
+      .join(counts.groupBy("label").agg(sum(col("n")).as("tn")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("tn"), lit(0L)).as("tn"))
     val vocabSize = vocab.agg(count(lit(1)).as("vs"))
     // dense grid: a (label, token) pair with no training hits still
     // scores the smoothed 1/(tn+V) — absent rows would silently skip

@@ -32,6 +32,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.iter(df).count() === 1L)
   }
 
+  test("reliable checkpoint survives constraint-bearing iterative plans " +
+      "(Spark 4.1.2 UnionBase.rewriteConstraints regression pin)") {
+    // a filter over range-built pairs gives the plan real constraints;
+    // before Materialize.iter disabled constraint propagation during
+    // the checkpoint rewrite window, the star rounds' alias-swapped
+    // shapes crashed Dataset.checkpoint with `key not found: u#7L`
+    withReliable {
+      val pairs = spark.range(0, 3999).toDF("a_id")
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+      val out = Dedup.dupClusters(pairs, smallGraphEdges = 0)
+      assert(out.count() === 4000)
+      assert(out.select(countDistinct("cluster_id")).head().getLong(0) === 1L)
+    }
+  }
+
   test("CC / SSSP / k-means results are identical in both checkpoint modes") {
     // random-ish graph: 300 nodes, deterministic pseudo-random edges
     val edges = (0L until 600L).map { i =>
