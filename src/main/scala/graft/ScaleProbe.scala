@@ -958,14 +958,7 @@ object ScaleProbe {
           val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
           val stageBytes = new java.util.concurrent.ConcurrentHashMap[Integer, java.util.concurrent.atomic.AtomicLong]()
-          val jobStages = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Int]]()
-          val lastJobId = new java.util.concurrent.atomic.AtomicInteger(-1)
           val listener = new org.apache.spark.scheduler.SparkListener {
-            override def onJobStart(
-                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-              jobStages.put(js.jobId, js.stageIds.map(_.toInt).toArray)
-              lastJobId.updateAndGet(m => math.max(m, js.jobId))
-            }
             override def onStageSubmitted(
                 ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
               stageSite.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
@@ -1005,26 +998,30 @@ object ScaleProbe {
             // gate must cover that job too (a regression that lets
             // Catalyst auto-broadcast the 126 MB shingle frame runs
             // DURING this collect): gate TOTAL bytes minus only the
-            // final result stage's output (the last-submitted job's
-            // stages = res3's result stage under AQE; broadcast
-            // exchanges and shuffle materializations run as earlier
-            // jobs and stay inside the gate)
+            // output stage, identified by its CALLSITE name — only the
+            // collect on the next line produces stages named
+            // "collect at ScaleProbe"; an internal hash collect is
+            // named after its Dedup.scala callsite and a broadcast
+            // exchange job runs on a broadcast-pool thread with a
+            // Spark-internal callsite, so both stay inside the gate.
+            // (Job-ordering heuristics fail open with AQE disabled —
+            // one job for the whole query — and can race a broadcast
+            // job's onJobStart past the result job's.)
             val n3 = res3.collect().length.toLong
             if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
               System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
             org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
             import scala.jdk.CollectionConverters._
-            val finalStages = jobStages
-              .getOrDefault(lastJobId.get(), Array.empty[Int]).toSet
             val outputBytes = stageBytes.asScala.collect {
-              case (sid, b) if finalStages.contains(sid.intValue) => b.get() }.sum
+              case (sid, b) if stageSite.getOrDefault(sid.intValue, "?")
+                .startsWith("collect at ScaleProbe") => b.get() }.sum
             val gatedBytes = resultBytes.get() - outputBytes
             val mb = resultBytes.get() / 1024.0 / 1024.0
             val gatedMb = gatedBytes / 1024.0 / 1024.0
             System.err.println(f"== incr_backfill_gate driver result bytes: " +
               f"$mb%.1f MB total, $gatedMb%.1f MB gated " +
-              f"(total minus the ${outputBytes / 1024.0 / 1024.0}%.1f MB final " +
-              f"result stage of job ${lastJobId.get()})")
+              f"(total minus the ${outputBytes / 1024.0 / 1024.0}%.1f MB " +
+              "'collect at ScaleProbe' output stage)")
             siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
               System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
             }

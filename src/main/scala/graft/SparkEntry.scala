@@ -1599,20 +1599,81 @@ object SparkEntry {
    * path is partition-parallel on read via predicates/bounds; here
    * the table is a 25-row dimension, the single-partition default.
    */
+  /** Monotonic nonce for Derby scratch databases: each call gets a fresh
+    * path, because a previously booted database (in this JVM or a live
+    * executor JVM) holds db.lck until that JVM exits, and a jar must not
+    * be rewritten while an engine has it booted. */
+  private val derbyNonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Derby embedded engine shutdown for one database — releases db.lck so
+    * ANOTHER JVM can boot it. Success is signalled by SQLException 08006,
+    * per the Derby contract. */
+  private def shutdownDerby(dbPath: String): Unit =
+    try { java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
+
+  /** Zip a closed Derby database directory into a jar under entry-prefix
+    * `dbName/` — the layout Derby's `jdbc:derby:jar:(file)dbName`
+    * read-only subprotocol boots from. */
+  private def jarDerbyDb(dbDir: java.io.File, dbName: String, jarPath: String): Unit = {
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(jarPath))
+    def walk(d: java.io.File, prefix: String): Unit = d.listFiles().foreach { f =>
+      if (f.isDirectory) walk(f, s"$prefix${f.getName}/")
+      else {
+        z.putNextEntry(new java.util.zip.ZipEntry(s"$prefix${f.getName}"))
+        java.nio.file.Files.copy(f.toPath, z); z.closeEntry()
+      }
+    }
+    try walk(dbDir, s"$dbName/") finally z.close()
+  }
+
   private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = System.getProperty("java.io.tmpdir")
     System.setProperty("derby.system.home", tmp)  // keep derby.log out of the repo
-    // per-PROCESS database path: embedded Derby allows one booting JVM
-    // per database, so a deterministic path made two concurrent JVMs
-    // (suite + bench, or judge + builder) fail each other with
-    // "another instance may have booted" — reproduced in round 6.
-    // Stable within a process (overwrite/re-read round-trips work).
+    // Embedded Derby allows ONE booting JVM per read-write database, and
+    // Spark opens DRIVER-side connections at unpredictable points (lazy
+    // schema fetch at first analysis, scan-build at physical planning —
+    // both re-boot the driver engine AFTER any hand-off shutdown, caught
+    // by the round-11 local-cluster Verify run). So the SCAN side reads a
+    // jar-packed READ-ONLY database instead: per the Derby contract,
+    // read-only jar databases are concurrently bootable by multiple JVMs,
+    // which makes the executor-side partition-parallel read.jdbc path
+    // work identically on local[N] and multi-process masters. Against a
+    // networked RDBMS the same plan runs without the jar step.
     val pid = ProcessHandle.current().pid()
-    val url = s"jdbc:derby:$tmp/graft_derby_${pid}_${math.abs(dir.hashCode)};create=true"
     val props = new java.util.Properties()
-    t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      .write.mode("overwrite").jdbc(url, "nation_rt", props)
-    s.read.jdbc(url, "nation_rt", props)
+    val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val scratch = s"$tmp/graft_derby_${pid}_${math.abs(dir.hashCode)}_${derbyNonce.incrementAndGet()}"
+    if (s.sparkContext.isLocal) {
+      // single-JVM master: executors share the driver's engine, so the
+      // real distributed sink path (write.jdbc = executor-side
+      // connections, partition-parallel against a production RDBMS) runs
+      src.write.mode("overwrite").jdbc(s"jdbc:derby:$scratch;create=true", "nation_rt", props)
+    } else {
+      // multi-process master: write.jdbc is impossible on embedded Derby
+      // by construction — Spark's save() boots the DRIVER engine
+      // (tableExists/create) before the executor write tasks run, and
+      // db.lck then blocks every executor boot. Write the 25-row dim
+      // through one driver connection instead (bounded driver traffic).
+      val rows = src.collect()
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$scratch;create=true")
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          "CREATE TABLE nation_rt (n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT)")
+        st.close()
+        val ps = conn.prepareStatement("INSERT INTO nation_rt VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getAs[Number](0).longValue()); ps.setString(2, r.getString(1))
+          ps.setLong(3, r.getAs[Number](2).longValue()); ps.executeUpdate()
+        }
+        ps.close()
+      } finally conn.close()
+    }
+    shutdownDerby(scratch)  // close the db cleanly before packing
+    val jar = s"$scratch.jar"
+    jarDerbyDb(new java.io.File(scratch), "nation_db", jar)
+    s.read.jdbc(s"jdbc:derby:jar:($jar)nation_db", "nation_rt", props)
       .groupBy("n_regionkey")
       .agg(count("*").as("n"), min("n_name").as("first_name"))
   }

@@ -30,6 +30,23 @@ object Materialize {
   /** Session conf key for the reliable-checkpoint mode. */
   val Flag = "spark.graft.reliableCheckpoints"
 
+  private val cpKey = "spark.sql.constraintPropagation.enabled"
+
+  /** Per-session reentrancy guard for the constraint-propagation window.
+    * The conf is session-global, so two concurrent `iter` calls on one
+    * session (iterative ops do run from parallel foreachBatch threads)
+    * could otherwise interleave save/restore as A-saves-true →
+    * B-saves-false → A-restores-true → B-restores-false and leave the
+    * session pessimized for its remaining lifetime. The FIRST entrant
+    * saves the pre-call value and disables; the LAST exiter restores.
+    * Never evicted: removing on last-exit would reopen the race (a
+    * concurrent entrant can hold the just-removed guard). Weak keys keep
+    * the map from pinning stopped sessions; identity semantics are what
+    * we want (one guard per live session object). */
+  private final class Guard { var depth = 0; var prev = "true" }
+  private val guards = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Guard]())
+
   /** Materialize one iteration round under the session's checkpoint mode. */
   def iter(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -41,9 +58,11 @@ object Materialize {
     // `key not found: <attr>` (reproduced on Spark 4.1.2, pinned in
     // MaterializeSpec). Constraints are an optimizer hint, never a
     // correctness input, so compute none during the rewrite window.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val prev = spark.conf.get(cpKey, "true")
-    spark.conf.set(cpKey, "false")
+    val g = guards.computeIfAbsent(spark, _ => new Guard)
+    g.synchronized {
+      if (g.depth == 0) { g.prev = spark.conf.get(cpKey, "true"); spark.conf.set(cpKey, "false") }
+      g.depth += 1
+    }
     try {
       if (spark.conf.get(Flag, "false").toBoolean) {
         require(spark.sparkContext.getCheckpointDir.isDefined,
@@ -52,7 +71,10 @@ object Materialize {
             "the fault-tolerance the flag promises")
         df.checkpoint()
       } else df.localCheckpoint()
-    } finally spark.conf.set(cpKey, prev)
+    } finally g.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) spark.conf.set(cpKey, g.prev)
+    }
   }
 
   /** `df.materializeRound` syntax for the loop bodies. */

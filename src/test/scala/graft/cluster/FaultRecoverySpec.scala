@@ -103,9 +103,22 @@ class FaultRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       val jobsDone = new AtomicInteger(0)
       val killFired = new AtomicBoolean(false)
       val running = new AtomicBoolean(false)
+      // key the trigger to a job GROUP set only around the disturbed run:
+      // the async listener bus can replay the probe job's onJobEnd (and
+      // baseline stragglers) into a freshly added listener, which would
+      // shift the "kill after 3 jobs" trigger a job early — group-scoped
+      // counting makes the 3-job landmark and killedWhileRunning exact
+      val disturbedGroup = "graft-fault-disturbed"
+      val disturbedJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val saboteur = new SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(js.properties).exists(
+              _.getProperty("spark.jobGroup.id") == disturbedGroup)) {
+            disturbedJobs.add(js.jobId); ()
+          }
         override def onJobEnd(je: SparkListenerJobEnd): Unit =
-          if (jobsDone.incrementAndGet() == 3 && killFired.compareAndSet(false, true)) {
+          if (disturbedJobs.contains(je.jobId) &&
+              jobsDone.incrementAndGet() == 3 && killFired.compareAndSet(false, true)) {
             killedWhileRunning = running.get()
             new ProcessBuilder("kill", "-9", victimPid).start().waitFor()
             System.err.println(s"== FaultRecoverySpec: killed executor JVM $victim " +
@@ -114,10 +127,15 @@ class FaultRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       spark.sparkContext.addSparkListener(saboteur)
       try {
+        spark.sparkContext.setJobGroup(disturbedGroup, "disturbed CC run",
+          interruptOnCancel = false)
         running.set(true)
         disturbed = runCc(spark)
         running.set(false)
-      } finally spark.sparkContext.removeSparkListener(saboteur)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(saboteur)
+      }
       killedPid = if (killFired.get()) Some(victim) else None
       postPids = executorJvms(spark)
     } catch {

@@ -12,6 +12,14 @@ import graft.operators.{Dedup, Graph, Similarity}
  * never their results — CC, SSSP-to-fixpoint, and k-means produce
  * identical rows in both modes on a random graph / vector set.
  */
+object MaterializeSpec {
+  // task-side gates for the deterministic guard pin: companion-object
+  // statics so local-mode task closures capture only an Int index
+  import java.util.concurrent.CountDownLatch
+  val entered: Array[CountDownLatch] = Array.fill(2)(new CountDownLatch(1))
+  val gates: Array[CountDownLatch] = Array.fill(2)(new CountDownLatch(1))
+}
+
 class MaterializeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -46,6 +54,45 @@ class MaterializeSpec extends AnyFunSuite {
       assert(out.count() === 4000)
       assert(out.select(countDistinct("cluster_id")).head().getLong(0) === 1L)
     }
+  }
+
+  test("interleaved iter() calls restore constraintPropagation to the " +
+      "pre-call value (deterministic guard pin)") {
+    // Law for the reentrant guard: the exact interleave that used to
+    // leak is A-saves-true → B-saves-false → A-restores-true →
+    // B-restores-false, pessimizing the session for its remaining
+    // lifetime. Reproduce it deterministically: each iter() call's
+    // localCheckpoint job blocks on a companion-object latch, so we can
+    // hold BOTH calls open, release A first, then B, and assert the
+    // last exit restores the PRE-A value.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    assert(spark.conf.get(cpKey, "true") === "true") // meaningful restore target
+    import MaterializeSpec._
+    import spark.implicits._
+    def gated(idx: Int) =
+      spark.range(0, 4, 1, 1).as[Long].mapPartitions { it =>
+        entered(idx).countDown()
+        gates(idx).await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.toDF("id")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val a = Future(Materialize.iter(gated(0)).count())
+    assert(entered(0).await(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(spark.conf.get(cpKey, "true") === "false",
+      "A is inside its window — constraints must be disabled")
+    val b = Future(Materialize.iter(gated(1)).count())
+    assert(entered(1).await(60, java.util.concurrent.TimeUnit.SECONDS))
+    gates(0).countDown() // A exits while B is still inside
+    assert(Await.result(a, 60.seconds) === 4L)
+    assert(spark.conf.get(cpKey, "true") === "false",
+      "B is still inside — A's exit must NOT restore yet")
+    gates(1).countDown() // B, the last exiter, restores
+    assert(Await.result(b, 60.seconds) === 4L)
+    assert(spark.conf.get(cpKey, "true") === "true",
+      "last exit must restore the pre-call value, not an intermediate save")
   }
 
   test("CC / SSSP / k-means results are identical in both checkpoint modes") {
