@@ -363,7 +363,7 @@ object Graph {
    * Fails loudly on iteration-cap exit.
    */
   def coreness(edges0: DataFrame, maxIters: Int = 100,
-      frontier: Boolean = false): DataFrame = {
+      frontier: Boolean = false, adaptive: Boolean = true): DataFrame = {
     val edges = edges0.select(col("src"), col("dst"))
       .repartition(col("dst")).materializeRound
     // histogram h-index aggregate, not a sort window: the edge-sized
@@ -386,7 +386,28 @@ object Graph {
     }
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
 
-    if (!frontier) {
+    // MODE SELECTION rides the seed materialization the loop needs
+    // anyway (one extra observe column, zero extra jobs): the default
+    // full-recompute mode wins when the fixpoint lands in few rounds
+    // (low-diameter graphs — dense co-occurrence, expanders: measured
+    // 5.5 s vs frontier's 14.5 s at sf0.1), but POWER-LAW graphs carry
+    // long pendant chains whose h-index fixpoint needs ~chain-length
+    // rounds, and paying a full edge recompute each round collapses
+    // (measured 481 s default vs 97 s frontier on the 1.1M-edge Zipf
+    // probe fixture, hub degree 53k). Chain mass is measurable up
+    // front: the degree-≤2 node fraction is ~0 on every low-diameter
+    // fixture and ≥70% on the Zipf fixture, so ≥30% chooses frontier.
+    val obs0 = org.apache.spark.sql.Observation()
+    val degMat = deg.observe(obs0, count(lit(1)).as("n"),
+      coalesce(sum(col("c")), lit(0L)).as("s"),
+      coalesce(sum((col("c") <= 2).cast("long")), lit(0L)).as("low"))
+      .materializeRound
+    val m0 = obs0.get
+    val (n0, s0) = (m0("n").asInstanceOf[Long], m0("s").asInstanceOf[Long])
+    val useFrontier = frontier ||
+      (adaptive && m0("low").asInstanceOf[Long] * 10L >= n0 * 3L)
+
+    if (!useFrontier) {
       // DEFAULT: full recompute, TWO h-index applications composed
       // lazily per materialization — values are per-node monotone
       // non-increasing, so the composed step's observe-carried sum
@@ -402,7 +423,8 @@ object Graph {
         val m = obs.get
         (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
       }
-      var (vals, cur) = materializeWithSum(deg)
+      var vals = degMat
+      var cur = (n0, s0)
       // the observe carries the EXACT node count every round, so the
       // join strategy is chosen from measured size, not an estimate:
       // a value table under the threshold pins the edge side in place
@@ -447,7 +469,7 @@ object Graph {
     // moved-count rides each round's job via observe. Law-tested
     // equal to the default mode.
     val edgesBySrc = edges.repartition(col("src")).materializeRound
-    var vals = deg.materializeRound
+    var vals = degMat
     var changed = vals.select("node")
     var converged = false
     var i = 0

@@ -789,12 +789,15 @@ object TextAnalysis {
    * rule — see OperatorsSpec "batched BPE").
    */
   def bpeTrainBatched(docs: DataFrame, nMerges: Int = 256,
-      textCol: String = "text", window: Int = 512): Seq[(String, String, Long)] = {
+      textCol: String = "text", window: Int = 512,
+      scanCounter: java.util.concurrent.atomic.AtomicInteger = null)
+      : Seq[(String, String, Long)] = {
     var merges = Vector.empty[(String, String)]
     var out = Vector.empty[(String, String, Long)]
     val lowered = docs.select(lower(col(textCol)).as("t"))
     var exhausted = false
     while (out.size < nMerges && !exhausted) {
+      if (scanCounter != null) { scanCounter.incrementAndGet(); () }
       val seg =
         if (merges.isEmpty) col("t")
         else concat_ws(" ", bpe_segment(col("t"), merges))

@@ -419,6 +419,42 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hub fixture law: 50k-degree star+ring has exact triangles, coreness, " +
+      "truss, and components under extreme skew") {
+    // The degree-skew law test the power-law probe records at scale
+    // (BASELINE.md): a hub of degree 50,000 (node 0) whose leaves
+    // 1..50000 also form a ring. Every quantity is known in closed
+    // form, so the skew path is checked EXACTLY:
+    //  - triangles: one per ring edge (hub + two consecutive leaves)
+    //    = 50,000. orientedTriangles orients every spoke INTO the hub
+    //    (max degree), so the hub's own wedge fan-out is zero — the
+    //    apex work rides the ring nodes, never the hub.
+    //  - coreness: leaves have degree 3 (two ring + spoke), the graph
+    //    is its own 3-core and the 4-core is empty ⇒ coreness ≡ 3.
+    //  - kTruss(3): every edge is in ≥1 triangle ⇒ nothing peels.
+    //  - CC: one component.
+    val n = 50000L
+    val spokes = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+    val ring = spark.range(1, n + 1).select(col("id").as("src"),
+      (col("id") % n + 1).as("dst"))
+    val half = spokes.union(ring)
+    val sym = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val hubDeg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(hubDeg === n, "fixture lost its hub")
+    assert(Graph.triangleCount(sym).head().getLong(0) === n)
+    val core = Graph.coreness(sym)
+    assert(core.filter(col("coreness") =!= 3L).count() === 0L)
+    assert(core.count() === n + 1)
+    // kTruss emits one row per UNDIRECTED edge: n spokes + n ring edges
+    assert(Graph.kTruss(sym, k = 3).count() === 2 * n)
+    val cc = Dedup.dupClusters(
+      sym.select(col("src").as("a_id"), col("dst").as("b_id")), smallGraphEdges = 0)
+    assert(cc.select(countDistinct("cluster_id")).head().getLong(0) === 1L)
+    assert(cc.count() === n + 1)
+  }
+
   test("kmeansAssign recovers well-separated planted clusters") {
     // 3 orthogonal directions ± small deterministic noise, 30 vectors each
     val vecs = (0 until 90).map { i =>
