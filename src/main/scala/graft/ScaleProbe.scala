@@ -1155,7 +1155,9 @@ object ScaleProbe {
       // back to 1/scan in OperatorsSpec).
       Seq(time("bpe_train_1k") {
         val scans = new java.util.concurrent.atomic.AtomicInteger(0)
-        val nM = sys.env.getOrElse("SPARK_GRAFT_PROBE_MERGES", "1024").toInt
+        // default 256 keeps full-suite sweeps bounded; the 1k-merge
+        // record (1024 merges / 871 scans / 770 s) is in BASELINE.md
+        val nM = sys.env.getOrElse("SPARK_GRAFT_PROBE_MERGES", "256").toInt
         val merges = graft.operators.TextAnalysis.bpeTrainBatched(docs,
           nMerges = nM, window = 512, scanCounter = scans)
         require(merges.size >= nM,
