@@ -145,6 +145,23 @@ object TextOps {
  * per document; these stay O(bytes).
  */
 object TextPass {
+  /** Mean of per-token scores from a driver-built table (null-key-free;
+    * misses take `dflt`); empty array → 0.0. Keys are UTF8String so the
+    * probe compares bytes — no per-row String materialization. */
+  def tokenScoreMean(arr: ArrayData,
+      scores: java.util.HashMap[UTF8String, java.lang.Double], dflt: Double): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = scores.get(arr.getUTF8String(i))
+      s += (if (v == null) dflt else v.doubleValue())
+      i += 1
+    }
+    s / n
+  }
+
   /** FNV-1a + avalanche over an ASCII-lowercased byte slice. */
   @inline private def hashSlice(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
@@ -648,6 +665,33 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeSegmentExpr = copy(child = c)
 }
 
+/**
+ * `token_score_mean(tokens, table, default)` — mean over an
+ * `array<string>` of a driver-built per-token score (language-model
+ * NLL, DSIR importance log-ratios, quality lexicon weights). The
+ * score table rides the plan as a codegen reference object (the
+ * [[BpeSegmentExpr]] discipline), so scoring is a scan-stage pass
+ * with UTF8String-keyed byte-compare lookups — no Scala UDF (no
+ * per-row Seq[String] conversion, no SerializedLambda on the wire),
+ * no join, no shuffle.
+ */
+case class TokenScoreMeanExpr(child: Expression,
+    scores: java.util.HashMap[UTF8String, java.lang.Double], dflt: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_score_mean"
+  override protected def nullSafeEval(in: Any): Any =
+    TextPass.tokenScoreMean(in.asInstanceOf[ArrayData], scores, dflt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenScores", scores, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextPass.tokenScoreMean($c, $ref, ${dflt}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenScoreMeanExpr =
+    copy(child = c)
+}
+
 /** `minhash_doc(text, n, k, seed)` — k-long MinHash signature computed in the scan stage. */
 case class MinHashDocExpr(child: Expression, n: Int, k: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -774,4 +818,13 @@ object TextFunctions {
   /** BPE segmentation of an already-lowercased text by a rank-ordered merge table. */
   def bpe_segment(loweredText: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(loweredText), merges))
+
+  /** Mean per-token score from a driver-built table; misses take `dflt`. */
+  def token_score_mean(tokens: Column, scores: collection.Map[String, Double],
+      dflt: Double): Column = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](scores.size * 2)
+    scores.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Double.valueOf(v)) }
+    ColumnBridge.column(TokenScoreMeanExpr(ColumnBridge.expression(tokens), m, dflt))
+  }
 }

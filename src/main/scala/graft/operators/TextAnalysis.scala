@@ -258,20 +258,14 @@ object TextAnalysis {
     val pOov =
       if (oovTypes == 0) 1.0 / total // cap never bound; branch unused
       else oovTokens.toDouble / oovTypes.toDouble / total
-    val bc = spark.sparkContext.broadcast(kept.toMap)
-    val nll = udf { (ws: Seq[String]) =>
-      var s = 0.0
-      var n = 0
-      ws.foreach { w =>
-        val c = bc.value.getOrElse(w, -1L)
-        s -= (if (c >= 0) math.log(c / total) else math.log(pOov))
-        n += 1
-      }
-      if (n == 0) 0.0 else s / n
-    }
+    // per-type NLL computed ONCE driver-side; the table rides the plan
+    // as a codegen reference object (token_score_mean — scan-stage
+    // byte-compare lookups, no UDF, no per-row Seq[String] conversion)
+    val nllByTok = kept.map { case (w, c) => w -> -math.log(c / total) }.toMap
     score.select(col(idCol) +: carry.map(col) :+
       size(tokens(col(textCol))).cast("long").as("n_tokens") :+
-      round(nll(tokens(col(textCol))), 4).as("nll"): _*)
+      round(token_score_mean(
+        tokens(col(textCol)), nllByTok, -math.log(pOov)), 4).as("nll"): _*)
   }
 
   /**
@@ -358,22 +352,23 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok").asc).limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tDenom = tFreq.values.sum.toDouble + vocabAll
-    val bcC = spark.sparkContext.broadcast(kept.toMap)
-    val bcT = spark.sparkContext.broadcast(tFreq)
-    val ratio = udf { (ws: Seq[String]) =>
-      var s = 0.0
-      var n = 0
-      ws.foreach { w =>
-        val c = bcC.value.getOrElse(w, -1L)
-        val lc = if (c >= 0) math.log(c / cTotal) else math.log(pOov)
-        s += math.log((bcT.value.getOrElse(w, 0L) + 1) / tDenom) - lc
-        n += 1
-      }
-      if (n == 0) 0.0 else s / n
-    }
+    // per-type log-ratio computed ONCE driver-side over the union of
+    // both LM vocabularies; misses (token in neither) take the default
+    // smoothed-OOV ratio. Same arithmetic as the per-occurrence form —
+    // log((t+1)/tDenom) − log c with identical double ops — so scores
+    // are bit-identical; the table rides the plan as a codegen
+    // reference object (token_score_mean), no UDF, no broadcasts.
+    val keptM = kept.toMap
+    val ratioByTok = (keptM.keySet ++ tFreq.keySet).iterator.map { w =>
+      val c = keptM.getOrElse(w, -1L)
+      val lc = if (c >= 0) math.log(c / cTotal) else math.log(pOov)
+      w -> (math.log((tFreq.getOrElse(w, 0L) + 1) / tDenom) - lc)
+    }.toMap
+    val dfltRatio = math.log(1 / tDenom) - math.log(pOov)
     docs.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      round(ratio(tokens(col(textCol))), 4).as("importance"))
+      round(token_score_mean(tokens(col(textCol)), ratioByTok, dfltRatio), 4)
+        .as("importance"))
   }
 
   /**
