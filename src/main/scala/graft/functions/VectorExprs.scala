@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -45,6 +45,98 @@ object VectorOps {
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
+  }
+
+  /** Cosine between an array<double> value and a driver-built centroid
+    * — bit-identical kernel to [[cosineD]]/Similarity.cosineArr. */
+  def cosineDA(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = c(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-n centroid ids by cosine (desc; earlier id wins ties via the
+    * strict insertion compare), over a driver-built matrix sorted by id. */
+  def topCentroids(v: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], n: Int): ArrayData = {
+    val bs = new Array[Long](n); val cs = new Array[Double](n)
+    var filled = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cosineDA(v, cents(ci))
+      var pos = filled
+      while (pos > 0 && c > cs(pos - 1)) pos -= 1
+      if (pos < n) {
+        val last = math.min(filled, n - 1)
+        var j = last; while (j > pos) { bs(j) = bs(j - 1); cs(j) = cs(j - 1); j -= 1 }
+        bs(pos) = ids(ci); cs(pos) = c
+        if (filled < n) filled += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(bs.take(filled))
+  }
+
+  /** Cosine-distance silhouette of a vector against its own centroid (a)
+    * and the nearest other centroid (b): (b−a)/max(a,b), 0 when both 0. */
+  def silhouetteScore(v: ArrayData, cl: Long, ids: Array[Long],
+      cents: Array[Array[Double]]): Double = {
+    var a = 0.0
+    var bMin = Double.PositiveInfinity
+    var i = 0
+    while (i < cents.length) {
+      val d = 1.0 - cosineDA(v, cents(i))
+      if (ids(i) == cl) a = d else if (d < bMin) bMin = d
+      i += 1
+    }
+    val m = math.max(a, bMin)
+    if (m == 0.0) 0.0 else (bMin - a) / m
+  }
+
+  /** PQ-encode one vector: per subspace, the L2-nearest codebook entry
+    * (strict compare — lowest entry wins ties); also the total squared
+    * reconstruction error. */
+  def pqEncode(v: ArrayData, m: Int,
+      books: Array[Array[Double]]): (Array[Long], Double) = {
+    val subdim = v.numElements() / m
+    val codes = new Array[Long](m)
+    var err2 = 0.0
+    var j = 0
+    while (j < m) {
+      var bestB = -1
+      var bestD = Double.PositiveInfinity
+      var b = 0
+      while (b < books.length) {
+        val c = books(b)
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val diff = v.getDouble(j * subdim + i) - c(j * subdim + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestB = b } // strict: lowest b wins ties
+        b += 1
+      }
+      codes(j) = bestB.toLong
+      err2 += bestD
+      j += 1
+    }
+    (codes, err2)
+  }
+
+  def pqCodes(v: ArrayData, m: Int, books: Array[Array[Double]]): ArrayData =
+    new GenericArrayData(pqEncode(v, m, books)._1)
+
+  def pqEncodeStruct(v: ArrayData, m: Int,
+      books: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (codes, err2) = pqEncode(v, m, books)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(codes), math.sqrt(err2))
   }
 
   /** Called from generated code: PQ asymmetric distance (see [[PqAdcExpr]]). */
@@ -373,6 +465,87 @@ case class Md5ProjExpr(child: Expression, k: Int, table: Int)
  * ArrayData access — no per-row Seq boxing, which dominates the
  * equivalent Scala UDF at millions of scored pairs.
  */
+/**
+ * `top_centroids(v, n)` over a driver-built (ids, centroid-matrix) pair
+ * — the IVF/kmeans coarse-assignment kernel as a scan-stage codegen
+ * expression: the matrix rides the plan as a reference object, each row
+ * costs one pass over nlist centroids, no UDF and no per-row
+ * Seq[Double] conversion. Top-n by (cosine desc, id asc — strict
+ * insertion compare keeps the earlier id on ties).
+ */
+case class TopCentroidsExpr(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]], n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_centroids"
+  override protected def nullSafeEval(in: Any): Any =
+    VectorOps.topCentroids(in.asInstanceOf[ArrayData], ids, cents, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val cRef = ctx.addReferenceObj("centMatrix", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.topCentroids($c, $idRef, $cRef, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): TopCentroidsExpr =
+    copy(child = c)
+}
+
+/** `silhouette(v, cl)` against a driver-built centroid matrix (see
+  * [[VectorOps.silhouetteScore]]) — scan-stage, no UDF. */
+case class SilhouetteExpr(left: Expression, right: Expression,
+    ids: Array[Long], cents: Array[Array[Double]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "silhouette"
+  override protected def nullSafeEval(v: Any, cl: Any): Any =
+    VectorOps.silhouetteScore(v.asInstanceOf[ArrayData],
+      cl.asInstanceOf[Long], ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val cRef = ctx.addReferenceObj("centMatrix", cents, "double[][]")
+    defineCodeGen(ctx, ev, (v, cl) =>
+      s"graft.functions.VectorOps.silhouetteScore($v, $cl, $idRef, $cRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pq_codes(v)` — PQ code array under a driver-built codebook
+  * ([[VectorOps.pqEncode]]), scan-stage, no UDF. */
+case class PqCodesExpr(child: Expression, m: Int,
+    books: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_codes"
+  override protected def nullSafeEval(in: Any): Any =
+    VectorOps.pqCodes(in.asInstanceOf[ArrayData], m, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.pqCodes($c, $m, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr =
+    copy(child = c)
+}
+
+/** `pq_encode(v)` — struct(codes array<bigint>, err double) where err is
+  * the root total squared reconstruction error. */
+case class PqEncodeExpr(child: Expression, m: Int,
+    books: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(in: Any): Any =
+    VectorOps.pqEncodeStruct(in.asInstanceOf[ArrayData], m, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.pqEncodeStruct($c, $m, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
 case class PqAdcExpr(left: Expression, right: Expression,
     books: Array[Array[Double]], m: Int) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -418,6 +591,24 @@ object VectorFunctions {
   /** Cosine similarity as a Column function (codegen'd, no UDF). */
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Top-n centroid ids by cosine over a driver-built (id, centroid) matrix. */
+  def top_centroids(v: Column, cents: Array[(Long, Array[Double])], n: Int): Column =
+    ColumnBridge.column(TopCentroidsExpr(ColumnBridge.expression(v),
+      cents.map(_._1), cents.map(_._2), n))
+
+  /** Cosine-distance silhouette against a driver-built centroid matrix. */
+  def silhouette_score(v: Column, cl: Column, cents: Array[(Long, Array[Double])]): Column =
+    ColumnBridge.column(SilhouetteExpr(ColumnBridge.expression(v),
+      ColumnBridge.expression(cl), cents.map(_._1), cents.map(_._2)))
+
+  /** PQ code array under a driver-built codebook. */
+  def pq_codes(v: Column, m: Int, books: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqCodesExpr(ColumnBridge.expression(v), m, books))
+
+  /** PQ struct(codes, err) — codes plus root squared reconstruction error. */
+  def pq_encode(v: Column, m: Int, books: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), m, books))
 
   /** PQ asymmetric distance of a query vector against a code row. */
   def pq_adc(queryVec: Column, codes: Column, books: Array[Array[Double]], m: Int): Column =

@@ -116,7 +116,7 @@ object Similarity {
    * on ties, matching the oracles' ORDER BY cos DESC, _b.
    */
   private[operators] def coarseTopListsUdf(corpus: DataFrame, nlist: Int,
-      vecCol: String, idCol: String): org.apache.spark.sql.expressions.UserDefinedFunction =
+      vecCol: String, idCol: String): (Column, Int) => Column =
     topListsFromMatrix(corpus.sparkSession,
       coarseCentroids(corpus, nlist, vecCol, idCol))
 
@@ -135,32 +135,14 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  /** The nearest-n-centroids probe over an already-known matrix. */
+  /** The nearest-n-centroids probe over an already-known matrix — a
+    * native scan-stage expression ([[graft.functions.TopCentroidsExpr]]):
+    * the matrix rides the plan as a codegen reference object; top-n by
+    * (cos desc, id asc), the strict insertion compare keeping the
+    * earlier id on ties, matching the oracles' ORDER BY cos DESC, _b. */
   private def topListsFromMatrix(spark: SparkSession,
-      centMatrix: Array[(Long, Array[Double])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val bcCent = spark.sparkContext.broadcast(centMatrix)
-    udf { (v: Seq[Double], n: Int) =>
-      val cents = bcCent.value
-      val va = v.toArray
-      // top-n (cos desc, b asc) via insertion into a tiny buffer
-      val bs = new Array[Long](n); val cs = new Array[Double](n)
-      var filled = 0
-      var ci = 0
-      while (ci < cents.length) {
-        val c = Similarity.cosineArr(va, cents(ci)._2)
-        var pos = filled
-        while (pos > 0 && c > cs(pos - 1)) pos -= 1
-        if (pos < n) {
-          val last = math.min(filled, n - 1)
-          var j = last; while (j > pos) { bs(j) = bs(j - 1); cs(j) = cs(j - 1); j -= 1 }
-          bs(pos) = cents(ci)._1; cs(pos) = c
-          if (filled < n) filled += 1
-        }
-        ci += 1
-      }
-      bs.take(filled)
-    }
-  }
+      centMatrix: Array[(Long, Array[Double])]): (Column, Int) => Column =
+    (v, n) => graft.functions.VectorFunctions.top_centroids(v, centMatrix, n)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nlist: Int = 64, nprobe: Int = 8,
@@ -169,12 +151,12 @@ object Similarity {
     val topLists = coarseTopListsUdf(corpus, nlist, vecCol, idCol)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("list_id", topLists(col("cv"), lit(1))(0))
+      .withColumn("list_id", topLists(col("cv"), 1)(0))
     // 3. each query probes its nprobe nearest lists — same single pass
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
+        explode(topLists(col("qv"), nprobe)).as("list_id"))
     // 4. exact ranking over the probed posting lists only
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(probes, "list_id")
@@ -205,7 +187,7 @@ object Similarity {
     val topLists = coarseTopListsUdf(embs, nlist, vecCol, idCol)
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cluster", topLists(col("v"), lit(1))(0))
+      .withColumn("cluster", topLists(col("v"), 1)(0))
     // each vector has exactly ONE cluster, so posting lists carry
     // (id, vector) structs and pairs explode with both vectors
     // inline: the pair expansion, cosine, and threshold all run in
@@ -255,17 +237,11 @@ object Similarity {
         .collect()
         .map(r => (r.getAs[Number]("cl").longValue(), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      val bc = spark.sparkContext.broadcast(matrix)
-      val assign = udf { (v: Seq[Double]) =>
-        val va = v.toArray
-        var best = -1L
-        var bestC = Double.NegativeInfinity
-        bc.value.foreach { case (cl, c) =>
-          val s = Similarity.cosineArr(va, c)
-          if (s > bestC) { bestC = s; best = cl } // strict: lowest cl wins ties
-        }
-        best
-      }
+      // nearest centroid = top_centroids n=1 (native expression; the
+      // strict insertion compare keeps the lowest cl on ties, exactly
+      // the old strict-improvement loop)
+      val assign = (v: Column) =>
+        graft.functions.VectorFunctions.top_centroids(v, matrix, 1)(0)
       // materialize each round: the centroid aggregate of round t
       // otherwise re-runs rounds 1..t-1's assignment UDFs through the
       // lineage (O(iters²) scans; same reasoning as Dedup.dupClusters)
@@ -356,18 +332,8 @@ object Similarity {
       .collect()
       .map(r => (r.getAs[Number]("cl").longValue(), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(matrix)
-    val sil = udf { (v: Seq[Double], cl: Long) =>
-      val va = v.toArray
-      var a = 0.0
-      var bMin = Double.PositiveInfinity
-      bc.value.foreach { case (c, cent) =>
-        val d = 1.0 - cosineArr(va, cent)
-        if (c == cl) a = d else if (d < bMin) bMin = d
-      }
-      val m = math.max(a, bMin)
-      if (m == 0.0) 0.0 else (bMin - a) / m
-    }
+    val sil = (v: Column, cl: Column) =>
+      graft.functions.VectorFunctions.silhouette_score(v, cl, matrix)
     assigned.withColumn("s", sil(col("v"), col("cl")))
       .groupBy(col("cl"))
       .agg(count(lit(1)).as("n_members"), round(avg("s"), 4).as("mean_sil"))
@@ -434,18 +400,13 @@ object Similarity {
     val spark = embs.sparkSession
     val v = embs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val matrix = pqCodebooks(v, k)
-    val bc = spark.sparkContext.broadcast(matrix)
-    val kk = matrix.length
-    val encode = udf { (vec: Seq[Double]) =>
-      val (codes, err2) = pqEncodeOne(vec.toArray, m, bc.value)
-      (codes.toSeq, math.sqrt(err2))
-    }
-    require(kk > 0, "empty codebook")
-    val encoded = v.withColumn("q", encode(col("v")))
+    require(matrix.length > 0, "empty codebook")
+    val encoded = v.withColumn("q",
+      graft.functions.VectorFunctions.pq_encode(col("v"), m, matrix))
     encoded.select(
       (col("id").as(idCol) +:
-        (0 until m).map(j => col("q._1")(j).as(s"code_$j")) :+
-        round(col("q._2"), 4).as("err")): _*)
+        (0 until m).map(j => col("q.codes")(j).as(s"code_$j")) :+
+        round(col("q.err"), 4).as("err")): _*)
   }
 
   /**
@@ -468,9 +429,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val books = pqCodebooks(v, k)
-    val bc = spark.sparkContext.broadcast(books)
-    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
-    val codes = v.select(col("id").as("neighbor_id"), encode(col("v")).as("codes"))
+    val codes = v.select(col("id").as("neighbor_id"),
+      graft.functions.VectorFunctions.pq_codes(col("v"), m, books).as("codes"))
     // the query set is bounded by contract (it broadcasts in every ANN
     // path); collect it once and precompute each query's m×k table
     val qrows = queries
@@ -523,13 +483,14 @@ object Similarity {
     val topLists = coarseTopListsUdf(corpus, nlist, vecCol, idCol)
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val bc = spark.sparkContext.broadcast(pqCodebooks(v, k))
-    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
+    val encode = (vec: Column) =>
+      graft.functions.VectorFunctions.pq_codes(vec, m, bc.value)
     val assigned = v.select(col("id").as("neighbor_id"),
-      topLists(col("v"), lit(1))(0).as("list_id"), encode(col("v")).as("codes"))
+      topLists(col("v"), 1)(0).as("list_id"), encode(col("v")).as("codes"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
+        explode(topLists(col("qv"), nprobe)).as("list_id"))
     val scored = assigned.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(pq_adc(col("qv"), col("codes"), bc.value, m), 6))
@@ -765,9 +726,9 @@ object Similarity {
   private def encodeRows(v: DataFrame, cents: Array[(Long, Array[Double])],
       books: Array[Array[Double]], m: Int, metaCols: Seq[String] = Nil): DataFrame = {
     val topLists = topListsFromMatrix(v.sparkSession, cents)
-    val bc = v.sparkSession.sparkContext.broadcast(books)
-    val encode = udf { (vec: Seq[Double]) => pqEncodeOne(vec.toArray, m, bc.value)._1.toSeq }
-    v.select(Seq(col("id"), topLists(col("v"), lit(1))(0).as("list_id"),
+    val encode = (vec: Column) =>
+      graft.functions.VectorFunctions.pq_codes(vec, m, books)
+    v.select(Seq(col("id"), topLists(col("v"), 1)(0).as("list_id"),
       encode(col("v")).as("codes")) ++ metaCols.map(col): _*)
   }
 
@@ -868,7 +829,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(topLists(col("qv"), lit(nprobe))).as("list_id"))
+        explode(topLists(col("qv"), nprobe)).as("list_id"))
       .localCheckpoint() // query-sized; consumed by the prune collect AND the join
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
