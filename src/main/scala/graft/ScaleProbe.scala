@@ -976,7 +976,6 @@ object ScaleProbe {
           val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
           val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           val siteBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-          val stageBytes = new java.util.concurrent.ConcurrentHashMap[Integer, java.util.concurrent.atomic.AtomicLong]()
           val listener = new org.apache.spark.scheduler.SparkListener {
             override def onStageSubmitted(
                 ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
@@ -987,9 +986,6 @@ object ScaleProbe {
                 resultBytes.addAndGet(te.taskMetrics.resultSize)
                 val site = stageSite.getOrDefault(te.stageId, "?")
                 siteBytes.computeIfAbsent(site,
-                  _ => new java.util.concurrent.atomic.AtomicLong(0))
-                  .addAndGet(te.taskMetrics.resultSize)
-                stageBytes.computeIfAbsent(te.stageId,
                   _ => new java.util.concurrent.atomic.AtomicLong(0))
                   .addAndGet(te.taskMetrics.resultSize)
               }
@@ -1011,42 +1007,32 @@ object ScaleProbe {
               backfill, "graft_probe_span_idx", span = 20).count()
             mark("span")
             val res3 = Dedup.indexedNearDupPairs(backfill, "graft_probe_idx_bf")
-            // the pair set IS the query's output — collecting it is
-            // legitimate driver traffic. But the collect's LAZY job
-            // also executes every upstream exchange, so the 32 MB leak
-            // gate must cover that job too (a regression that lets
+            // count(), NOT collect(): the count's lazy job still
+            // executes every upstream exchange (a regression that lets
             // Catalyst auto-broadcast the 126 MB shingle frame runs
-            // DURING this collect): gate TOTAL bytes minus only the
-            // output stage, identified by its CALLSITE name — only the
-            // collect on the next line produces stages named
-            // "collect at ScaleProbe"; an internal hash collect is
-            // named after its Dedup.scala callsite and a broadcast
-            // exchange job runs on a broadcast-pool thread with a
-            // Spark-internal callsite, so both stay inside the gate.
-            // (Job-ordering heuristics fail open with AQE disabled —
-            // one job for the whole query — and can race a broadcast
-            // job's onJobStart past the result job's.)
-            val n3 = res3.collect().length.toLong
+            // DURING this job and lands in the gate), but the probe's
+            // own output never rides task results — so the 32 MB gate
+            // needs NO exclusion and covers every byte. (Exclusion
+            // heuristics all had holes: last-job ordering fails open
+            // with AQE off and races broadcast jobs; callsite-name
+            // matching fails because Spark 4 runs EVERY SQL collect's
+            // result stage via SQLExecution.withThreadLocalCaptured,
+            // so internal hash collects and the legitimate output get
+            // the same generic CompletableFuture callsite.)
+            val n3 = res3.count()
             if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
               System.err.println(res3.queryExecution.executedPlan.toString.take(12000))
             org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
             import scala.jdk.CollectionConverters._
-            val outputBytes = stageBytes.asScala.collect {
-              case (sid, b) if stageSite.getOrDefault(sid.intValue, "?")
-                .startsWith("collect at ScaleProbe") => b.get() }.sum
-            val gatedBytes = resultBytes.get() - outputBytes
             val mb = resultBytes.get() / 1024.0 / 1024.0
-            val gatedMb = gatedBytes / 1024.0 / 1024.0
             System.err.println(f"== incr_backfill_gate driver result bytes: " +
-              f"$mb%.1f MB total, $gatedMb%.1f MB gated " +
-              f"(total minus the ${outputBytes / 1024.0 / 1024.0}%.1f MB " +
-              "'collect at ScaleProbe' output stage)")
+              f"$mb%.1f MB total (no exclusions — the probe's output is a count)")
             siteBytes.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach { case (s, b) =>
               System.err.println(f"==   ${b.get() / 1024.0 / 1024.0}%8.1f MB  $s")
             }
-            require(gatedBytes < 32L * 1024 * 1024,
-              f"backfill shipped $gatedMb%.1f MB of NON-OUTPUT task results " +
-                "to the driver — a hash collect leaked past its gate")
+            require(resultBytes.get() < 32L * 1024 * 1024,
+              f"backfill shipped $mb%.1f MB of task results to the driver — " +
+                "a hash collect leaked past its gate")
             n1 + n2 + n3
           } finally spark.sparkContext.removeSparkListener(listener)
         },
