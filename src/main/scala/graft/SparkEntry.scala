@@ -1673,6 +1673,15 @@ object SparkEntry {
     shutdownDerby(scratch)  // close the db cleanly before packing
     val jar = s"$scratch.jar"
     jarDerbyDb(new java.io.File(scratch), "nation_db", jar)
+    // all reads go through the jar from here on: drop the scratch
+    // directory NOW and the jar at JVM exit, so repeated bench/suite
+    // sweeps don't accumulate unbounded scratch DBs in java.io.tmpdir
+    def deleteRec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(scratch))
+    new java.io.File(jar).deleteOnExit()
     s.read.jdbc(s"jdbc:derby:jar:($jar)nation_db", "nation_rt", props)
       .groupBy("n_regionkey")
       .agg(count("*").as("n"), min("n_name").as("first_name"))

@@ -685,8 +685,13 @@ case class TokenScoreMeanExpr(child: Expression,
     TextPass.tokenScoreMean(in.asInstanceOf[ArrayData], scores, dflt)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("tokenScores", scores, "java.util.HashMap")
+    // emit the default via its bit pattern (the Literal-codegen
+    // discipline): a raw `${dflt}D` interpolation produces
+    // uncompilable Java for non-finite defaults (`NaND`, `InfinityD`)
+    // and silently kicks the stage out of whole-stage codegen
+    val dBits = java.lang.Double.doubleToLongBits(dflt)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextPass.tokenScoreMean($c, $ref, ${dflt}D)")
+      s"graft.functions.TextPass.tokenScoreMean($c, $ref, Double.longBitsToDouble(${dBits}L))")
   }
   override protected def withNewChildInternal(c: Expression): TokenScoreMeanExpr =
     copy(child = c)

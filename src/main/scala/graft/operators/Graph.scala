@@ -407,6 +407,25 @@ object Graph {
     val useFrontier = frontier ||
       (adaptive && m0("low").asInstanceOf[Long] * 10L >= n0 * 3L)
 
+    // MID-RUN ESCAPE HATCH: the seed-time predictor above is a
+    // one-shot static threshold, and graphs in the untested middle
+    // band (long pendant chains at 20-29% degree-≤2 mass — below the
+    // frontier trigger, still ~chain-length rounds to converge) would
+    // pay a full edge recompute per round for hundreds of rounds. So
+    // the default mode runs under a ROUND BUDGET; if it hasn't
+    // converged by then, the loop switches to frontier mode FROM THE
+    // CURRENT VALUES — sound because the h-index fixpoint is
+    // mode-independent and every intermediate state is still an
+    // upper bound of it (values are monotone non-increasing from the
+    // degree seed), so continuing the contraction in either mode
+    // reaches the same fixpoint (law-tested). This bounds the
+    // predictor's worst case at budget × full-recompute-round + the
+    // frontier cost the graph would have paid anyway.
+    val escapeBudget = edges.sparkSession.conf
+      .get("spark.graft.coreness.escapeRounds", "16").toInt
+    var escVals: DataFrame = degMat
+    var roundsUsed = 0
+
     if (!useFrontier) {
       // DEFAULT: full recompute, TWO h-index applications composed
       // lazily per materialization — values are per-node monotone
@@ -443,7 +462,8 @@ object Graph {
         .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
       var converged = false
       var i = 0
-      while (!converged && i < maxIters) {
+      val budget = if (adaptive) math.min(maxIters, escapeBudget) else maxIters
+      while (!converged && i < budget) {
         val (next, nextSum) = materializeWithSum(
           hIndexRound(hIndexRound(vals, edges, bcast), edges, bcast))
         converged = nextSum == cur
@@ -451,8 +471,13 @@ object Graph {
         cur = nextSum
         i += 2
       }
-      require(converged, s"coreness: no fixpoint after $maxIters h-index rounds")
-      return vals.select(col("node"), col("c").as("coreness"))
+      if (converged) return vals.select(col("node"), col("c").as("coreness"))
+      require(adaptive, s"coreness: no fixpoint after $maxIters h-index rounds")
+      // budget exhausted: escape to frontier mode from the current
+      // state (all nodes start dirty; the first frontier round is one
+      // full recompute, every later one is frontier-sized)
+      escVals = vals
+      roundsUsed = i
     }
 
     // FRONTIER mode (Montresor's optimization): a node's h-index
@@ -469,10 +494,10 @@ object Graph {
     // moved-count rides each round's job via observe. Law-tested
     // equal to the default mode.
     val edgesBySrc = edges.repartition(col("src")).materializeRound
-    var vals = degMat
+    var vals = escVals
     var changed = vals.select("node")
     var converged = false
-    var i = 0
+    var i = roundsUsed
     while (!converged && i < maxIters) {
       // no distinct on dirty: it is only ever a semi-join right side
       val dirty = edges

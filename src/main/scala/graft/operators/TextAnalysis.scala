@@ -764,22 +764,26 @@ object TextAnalysis {
    *     of pairs touching `a` or `b` (it can never make two other
    *     units newly adjacent), so accepted pairs' counts are
    *     invariant under each other.
-   *  2. *Strict cutoff*: drop accepted pairs (beyond the head) whose
-   *     count is ≤ the first conflicting pair's count, and ≤ the
-   *     window's last count when the window filled. Mutated pairs —
-   *     including NEW pairs minted by a merge, e.g. (c, a␁b), whose
-   *     count is bounded by the conflicting pre-image (c,a) — and
-   *     every unseen below-window pair then sit strictly below each
-   *     remaining accepted count, so they can never overtake on the
-   *     (count desc, pair asc) order, tie-break included. The head is
-   *     always exactly the sequential argmax.
+   *  2. *Tie-group hygiene*: a merge-minted pair, e.g. (c, a␁b) with
+   *     count ≤ its pre-image (c,a), can TIE an accepted count and
+   *     win the name tie-break — but only via a pre-image AT that
+   *     count touching an applied symbol. So a tied pair is accepted
+   *     only when its whole tie group is visible (count strictly
+   *     above the window floor), no tied competitor touches an
+   *     accepted pair's symbols, and it is itself disjoint from every
+   *     tied competitor. Pre-images below a group mint strictly below
+   *     it and ranked pre-images above the stop are impossible
+   *     (they'd have been accepted, and accepted pairs are mutually
+   *     disjoint) — so every accepted pair is the sequential argmax
+   *     at its turn, tie-break included. (Round 12: this generalizes
+   *     the original strict-cutoff rule, which dropped ALL tied pairs
+   *     at a conflicting count; on tie-plateau corpora the clean
+   *     prefix of each group now lands in one scan.)
    *
    * The per-scan batch is adaptive (corpora with many independent
-   * frequent pairs take large batches; a corpus where one symbol
-   * chains through everything — or whose pair counts plateau in wide
-   * TIES, where exactness forbids accepting tied pairs because a
-   * merge-minted pair can tie and win the name tie-break — degrades
-   * to 1/scan = the sequential cadence). Law-pinned:
+   * frequent pairs take large batches — tied or not; a corpus where
+   * one symbol chains through everything degrades to 1/scan = the
+   * sequential cadence). Law-pinned:
    * `bpeTrainBatched(n) === bpeTrainIterative(n)` on fixtures AND the
    * sf corpus (reference's iterative trainer contract, re-expressed
    * with a provable batch rule — see OperatorsSpec "batched BPE").
@@ -816,20 +820,71 @@ object TextAnalysis {
       val eligible = top.takeWhile(_._3 >= 2) // BPE stops below 2 occurrences
       if (eligible.isEmpty) exhausted = true
       else {
-        var used = Set.empty[String]
-        var accepted = Vector.empty[(String, String, Long)]
-        var conflictCnt = -1L
-        var i = 0
-        while (i < eligible.length && conflictCnt < 0) {
-          val (x, y, c) = eligible(i)
-          if (used.contains(x) || used.contains(y)) conflictCnt = c
-          else { accepted :+= ((x, y, c)); used += x; used += y }
-          i += 1
-        }
+        // TIE-TOLERANT exact acceptance walk (rank order, stop at the
+        // first failure — no gaps, so sequential picks accepted pairs
+        // in exactly this order). A pair at count c is accepted iff:
+        //  (1) its symbols are disjoint from every accepted pair's
+        //      (applying an accepted merge then can't mutate it);
+        //  (2) c is strictly above the window floor when the window
+        //      filled (its tie group is FULLY visible, and no unseen
+        //      below-window pair — nor anything minted/mutated from
+        //      one, counts never increase under merges — can reach c);
+        //  (3) its tie group is CLEAN: no tied competitor shares a
+        //      symbol with any previously accepted pair. Applying a
+        //      merge (a,b) can mint (u,a␁b) with count ≤ count(u,a);
+        //      a minted pair can tie at c — with an arbitrary name,
+        //      so it could win the (count desc, pair asc) tie-break —
+        //      only via a pre-image IN the tie group touching an
+        //      applied symbol, which is exactly what clean rules out;
+        //  (4) it is disjoint from every tied competitor: applying IT
+        //      must not mint a tie at its own count either (same
+        //      pre-image argument, and pre-images below the group
+        //      mint strictly below c, which (2) keeps harmless).
+        // Pre-images above the current count are impossible: ranked
+        // pairs before the stop are all accepted and accepted pairs
+        // are mutually disjoint, so a pair sharing a symbol with an
+        // accepted one either ranks at/after the stop (count ≤ the
+        // stop count) or sits below the window. Hence every accepted
+        // pair is the sequential argmax at its turn — batched ≡
+        // sequential stays a theorem, tie-break included. The head is
+        // always accepted (it IS the sequential argmax). This
+        // generalizes the round-10 disjoint-prefix + strict-cutoff
+        // rule: with no ties the group checks are vacuous and the
+        // walk degenerates to it; on tie-plateau corpora (wide groups
+        // of mutually disjoint pairs) it accepts the whole clean
+        // prefix of the group instead of the head alone.
         val windowFloor = if (top.length == window) top.last._3 else -1L
-        val cutoff = math.max(conflictCnt, windowFloor)
-        val batch = (accepted.head +: accepted.tail.takeWhile(_._3 > cutoff))
-          .take(nMerges - out.size)
+        val byCount = eligible.groupBy(_._3)
+        var used = Set.empty[String]
+        var acceptedSet = Set.empty[(String, String)]
+        var accepted = Vector.empty[(String, String, Long)]
+        var stopped = false
+        var i = 0
+        while (i < eligible.length && !stopped) {
+          val (x, y, c) = eligible(i)
+          val tied = byCount(c)
+          // accepted group members are exempt from the clean check:
+          // their own symbols in `used` are not a minted-tie hazard
+          // against themselves, and (4) already proved them disjoint
+          // from the rest of the group — EXCEPT the head, whose
+          // entanglements surface here as a non-accepted competitor
+          // touching `used`, correctly contaminating its group
+          val ok = i == 0 || (
+            !used.contains(x) && !used.contains(y) &&
+            c > windowFloor &&
+            (tied.length == 1 || tied.forall { t =>
+              acceptedSet.contains((t._1, t._2)) ||
+                (t._1 == x && t._2 == y) ||
+                (!used.contains(t._1) && !used.contains(t._2) &&       // (3)
+                  t._1 != x && t._1 != y && t._2 != x && t._2 != y)    // (4)
+            }))
+          if (!ok) stopped = true
+          else {
+            accepted :+= ((x, y, c)); acceptedSet += ((x, y))
+            used += x; used += y; i += 1
+          }
+        }
+        val batch = accepted.take(nMerges - out.size)
         out ++= batch
         // advance the segmented state by THIS batch only
         val next = cur.select(concat_ws(" ",
@@ -840,7 +895,7 @@ object TextAnalysis {
         curCkpt = next
         if (scanCounter != null)
           System.err.println(s"==   bpe scan ${scanCounter.get()}: " +
-            s"+${batch.size} merges (total ${out.size}, cutoff $cutoff)")
+            s"+${batch.size} merges (total ${out.size}, floor $windowFloor)")
       }
     }
     if (curCkpt != null)

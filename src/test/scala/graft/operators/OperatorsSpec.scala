@@ -882,6 +882,43 @@ class OperatorsSpec extends AnyFunSuite {
       === TextAnalysis.bpeTrainIterative(disjoint, nMerges = 6))
   }
 
+  test("bpeTrainBatched tie groups: clean tied prefix lands in one scan, " +
+      "entangled tie stops the group — still ≡ sequential") {
+    // four pairs tied at count 4: (a,b),(c,d),(e,f) mutually disjoint,
+    // (f,g) entangled with (e,f). Name order walks a b → c d → e f →
+    // f g. The clean prefix {(a,b),(c,d)} is exact in one scan; (e,f)
+    // must NOT join it (applying it could mint a tie at 4 via the
+    // entangled competitor's pre-image), and the old strict-cutoff
+    // rule would have dropped everything past the head
+    val tied = Seq(
+      (1L, "a b p1 a b p2 a b p3 a b"),
+      (2L, "c d q1 c d q2 c d q3 c d"),
+      (3L, "e f s1 e f s2 e f s3 e f"),
+      (4L, "f g r1 f g r2 f g r3 f g")).toDF("doc_id", "text")
+    val seqT = TextAnalysis.bpeTrainIterative(tied, nMerges = 4)
+    assert(seqT.map(m => (m._1, m._2)) ===
+      Seq(("a", "b"), ("c", "d"), ("e", "f"), ("f", "g")))
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batT = TextAnalysis.bpeTrainBatched(tied, nMerges = 4, scanCounter = scans)
+    assert(batT === seqT)
+    // cadence: {(a,b),(c,d)} then {(e,f)} then {(f,g)} = 3 scans for
+    // 4 merges (the old rule needed 4)
+    assert(scans.get() === 3, s"expected 3 scans, got ${scans.get()}")
+    // a WIDE clean plateau with one entangled straggler: the whole
+    // clean prefix lands in scan 1
+    val plateau = Seq(
+      (1L, "a b x1 a b x2 a b"),
+      (2L, "c d x3 c d x4 c d"),
+      (3L, "e f x5 e f x6 e f"),
+      (4L, "g h x7 g h x8 g h"),
+      (5L, "i j x9 i j xa i j"),
+      (6L, "j k xb j k xc j k")).toDF("doc_id", "text")
+    val scans2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batP = TextAnalysis.bpeTrainBatched(plateau, nMerges = 6, scanCounter = scans2)
+    assert(batP === TextAnalysis.bpeTrainIterative(plateau, nMerges = 6))
+    assert(scans2.get() <= 3, s"expected ≤3 scans on the plateau, got ${scans2.get()}")
+  }
+
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {
     val docs = Seq(
       (1L, "a b a b c"), // both (a,b) occurrences merge

@@ -182,6 +182,24 @@ class RetrievalGraphSpec extends AnyFunSuite {
     val cnf = Graph.coreness(k4chain, frontier = true).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cnf === cn)
+    // MID-RUN ESCAPE law: a graph UNDER the 30% degree-≤2 seed
+    // threshold (K20 clique + 7-node chain: 7/27 ≈ 26% → default
+    // mode) whose chain needs more h-rounds than a tiny escape budget
+    // switches to frontier FROM THE CURRENT VALUES mid-run — the
+    // fixpoint must be bit-identical to the pure default mode's
+    val clique = for { i <- 0L until 20L; j <- (i + 1) until 20L } yield (i, j)
+    val chain = (19L to 26L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val mix = sym((clique ++ chain): _*)
+    val pureDefault = Graph.coreness(mix, adaptive = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pureDefault(0L) === 19L && pureDefault(26L) === 1L)
+    val spark2 = mix.sparkSession
+    spark2.conf.set("spark.graft.coreness.escapeRounds", "2")
+    try {
+      val escaped = Graph.coreness(mix).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(escaped === pureDefault)
+    } finally spark2.conf.unset("spark.graft.coreness.escapeRounds")
     // k-truss on K4 + a lone triangle hanging off node 3 (3-4-5
     // closed): K4 edges each close 2 triangles (support 2), the
     // triangle's edges close 1 — the 4-truss is exactly K4 (the
