@@ -1199,22 +1199,14 @@ object ScaleProbe {
           q.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         }
-        val (lat, postCompact) = try {
-          val main = (0 until nB).map(oneBatch)
-          // LSM-style maintenance: each append lands ≤buckets files, so
-          // nB batches accumulate ~nB×buckets small files whose listing
-          // tax is the ONE index-size-correlated cost on the probe path.
-          // One out-of-band compaction (between batches — the loop is
-          // idle) restores the one-file-per-bucket layout; the post-
-          // compaction batches show the recovered latency.
-          val tables = if (kind == "index") Seq(s"${idx}_bands", s"${idx}_shingles")
-            else Seq(idx) // the unit index IS the table (bucketed by h)
-          tables.foreach(t =>
-            try graft.sources.Bucketing.compactBucketed(spark, t)
-            catch { case e: Exception =>
-              System.err.println(s"==   compact $t skipped: ${e.getMessage}") })
-          (main, (nB until nB + 5).map(oneBatch))
-        } finally q.stop()
+        // LSM-style maintenance is now AUTOMATIC (round 12): the loops
+        // run the files-per-bucket trigger between batches, so the
+        // small-file listing tax — the one index-size-correlated cost
+        // on the probe path — self-cures with NO manual step. Batches
+        // that fire the trigger pay the (amortized) rewrite inline;
+        // p50 is robust to those spikes, and the flat-latency bar
+        // tightens from the manual-era 2.5× to 1.3×.
+        val lat = try (0 until nB).map(oneBatch) finally q.stop()
         def p(xs: Seq[Double], q: Double) = xs.sorted.apply(
           math.min(xs.size - 1, (q * xs.size).toInt))
         // skip the first 5 batches (JIT + first-touch of the sink);
@@ -1225,9 +1217,10 @@ object ScaleProbe {
         val (e50, l50) = (p(early, 0.5), p(late, 0.5))
         System.err.println(f"==   stream_${kind}%s: p50 early $e50%.2f s, " +
           f"p50 late $l50%.2f s, p99 ${p(lat.drop(5), 0.99)}%.2f s over $nB batches " +
-          f"(index +${nB}k docs); post-compaction p50 ${p(postCompact, 0.5)}%.2f s")
-        require(l50 <= 2.5 * e50 + 0.2,
-          f"per-batch latency grew with the index: p50 $e50%.2f -> $l50%.2f s")
+          f"(index +${nB}k docs, auto-compaction on)")
+        require(l50 <= 1.3 * e50 + 0.2,
+          f"per-batch latency grew with the index despite auto-compaction: " +
+            f"p50 $e50%.2f -> $l50%.2f s")
         nB.toLong
       }
       Seq(

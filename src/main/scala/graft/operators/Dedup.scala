@@ -1496,6 +1496,35 @@ object Dedup {
   }
 
   /**
+   * Auto-compaction trigger for the maintained cluster table — the
+   * [[graft.sources.Bucketing.maybeCompactBucketed]] policy with the
+   * relabel fold riding the same rewrite: when the file trigger
+   * fires and a relabel map exists, ONE [[compactClusterIndex]]
+   * rewrite both restores the one-file-per-bucket layout and folds
+   * the accumulated merges back into the table (clearing the
+   * broadcast-side map queries pay on every read). Returns whether a
+   * compaction ran.
+   */
+  def maybeCompactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxFilesPerBucket: Int = 8): Boolean = {
+    if (maxFilesPerBucket <= 0) return false
+    if (!spark.catalog.tableExists(table)) return false
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec match {
+      case Some(spec) => spec.numBuckets
+      case None => return false
+    }
+    if (graft.sources.Bucketing.dataFileCount(spark, table) >
+        buckets.toLong * maxFilesPerBucket) {
+      if (spark.catalog.tableExists(s"${table}_relabel"))
+        compactClusterIndex(spark, table)
+      else graft.sources.Bucketing.compactBucketed(spark, table)
+      true
+    } else false
+  }
+
+  /**
    * End-to-end near-dup removal: pair graph → connected components →
    * keep the min-id representative per cluster, anti-join the rest
    * out. The full dedup decision as one operator — candidates via

@@ -212,6 +212,47 @@ object Bucketing {
   def compactBucketed(spark: SparkSession, table: String): Unit =
     rewriteBucketed(spark, table, identity)
 
+  /** Data-file count under a managed table's location — ONE directory
+    * listing, the same listing every scan of the table pays. */
+  def dataFileCount(spark: SparkSession, table: String): Long = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+  }
+
+  /**
+   * The AUTO-compaction policy the continuous-ingest loops run
+   * between batches (the LSM analogy [[compactBucketed]] cites, made
+   * self-maintaining): when the table's data-file count exceeds
+   * `maxFilesPerBucket × buckets`, compact back to one file per
+   * bucket. The trigger costs one directory listing per check; the
+   * compaction is a corpus-sized rewrite amortized over the
+   * `maxFilesPerBucket` batches that accumulated the files — the
+   * same cadence contract as an LSM tree's full compaction tier.
+   * Returns whether a compaction ran, so the streaming loops' specs
+   * and probes can observe the trigger. `maxFilesPerBucket ≤ 0`
+   * disables the policy (the manual out-of-band path).
+   */
+  def maybeCompactBucketed(spark: SparkSession, table: String,
+      maxFilesPerBucket: Int = 8): Boolean = {
+    if (maxFilesPerBucket <= 0) return false
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (!cat.tableExists(ident)) return false
+    val buckets = cat.getTableMetadata(ident).bucketSpec match {
+      case Some(spec) => spec.numBuckets
+      case None => return false
+    }
+    if (dataFileCount(spark, table) > buckets.toLong * maxFilesPerBucket) {
+      compactBucketed(spark, table); true
+    } else false
+  }
+
   /**
    * Join two bucketed tables on their bucket keys. The merge hint
    * pins sort-merge so the plan demonstrates the point: with equal

@@ -131,8 +131,8 @@ object DocumentStreams {
    * previous output bit-for-bit.
    */
   def streamingParagraphIngest(docStream: DataFrame, indexTable: String,
-      outPath: String, checkpoint: String,
-      width: Int = 15): org.apache.spark.sql.streaming.StreamingQuery =
+      outPath: String, checkpoint: String, width: Int = 15,
+      autoCompact: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -140,6 +140,12 @@ object DocumentStreams {
         graft.operators.Dedup.paragraphDedupIncremental(b, indexTable, width = width)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         graft.operators.Dedup.appendToUnitIndex(b, indexTable, width = width)
+        // between-batch LSM maintenance: the appends above land ≤buckets
+        // files each, and the accumulated small-file listing tax is the
+        // ONE index-size-correlated cost on the probe path — the
+        // files-per-bucket trigger keeps the loop self-maintaining
+        graft.sources.Bucketing
+          .maybeCompactBucketed(b.sparkSession, indexTable, autoCompact); ()
       }
       .start()
 
@@ -155,8 +161,8 @@ object DocumentStreams {
    * reproduces every output bit-identically (spec-pinned).
    */
   def streamingSpanIngest(docStream: DataFrame, indexTable: String,
-      outPath: String, checkpoint: String,
-      span: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+      outPath: String, checkpoint: String, span: Int = 20,
+      autoCompact: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -164,6 +170,8 @@ object DocumentStreams {
         graft.operators.Dedup.spanRewriteIncremental(b, indexTable, span = span)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         graft.operators.Dedup.appendToSpanIndex(b, indexTable, span = span)
+        graft.sources.Bucketing
+          .maybeCompactBucketed(b.sparkSession, indexTable, autoCompact); ()
       }
       .start()
 
@@ -188,7 +196,8 @@ object DocumentStreams {
    */
   def streamingClusterIngest(docStream: DataFrame, indexTable: String,
       clusterTable: String, outPath: String, checkpoint: String,
-      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.7,
+      autoCompact: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -218,12 +227,22 @@ object DocumentStreams {
         val novel = b.join(rawPairs.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
+        // between-batch maintenance for BOTH maintained structures:
+        // the minhash index's bucketed tables (small-file listing tax)
+        // and the cluster table (files + the broadcast relabel map,
+        // folded by the same rewrite when the trigger fires)
+        graft.sources.Bucketing
+          .maybeCompactBucketed(spark, s"${indexTable}_bands", autoCompact)
+        graft.sources.Bucketing
+          .maybeCompactBucketed(spark, s"${indexTable}_shingles", autoCompact)
+        graft.operators.Dedup
+          .maybeCompactClusterIndex(spark, clusterTable, autoCompact); ()
       }
       .start()
 
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
-      outPath: String, checkpoint: String,
-      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+      outPath: String, checkpoint: String, threshold: Double = 0.7,
+      autoCompact: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -238,6 +257,11 @@ object DocumentStreams {
         val novel = b.join(rawPairs.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
+        val s = b.sparkSession
+        graft.sources.Bucketing
+          .maybeCompactBucketed(s, s"${indexTable}_bands", autoCompact)
+        graft.sources.Bucketing
+          .maybeCompactBucketed(s, s"${indexTable}_shingles", autoCompact); ()
       }
       .start()
 

@@ -46,7 +46,8 @@ object VectorStreams {
    */
   def streamingAnnIngest(vecStream: DataFrame, table: String,
       outPath: String, checkpoint: String,
-      topk: Int = 5, nprobe: Int = 8, m: Int = 8): StreamingQuery =
+      topk: Int = 5, nprobe: Int = 8, m: Int = 8,
+      autoCompact: Int = 8): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -54,6 +55,10 @@ object VectorStreams {
         Similarity.annIndexTopK(b, table, topk = topk, nprobe = nprobe, m = m)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         Similarity.appendNovelToAnnIndex(b, table, m = m)
+        // between-batch LSM maintenance on the codes table (the
+        // DocumentStreams files-per-bucket policy; ≤0 disables)
+        graft.sources.Bucketing
+          .maybeCompactBucketed(b.sparkSession, s"${table}_codes", autoCompact); ()
       }
       .start()
 

@@ -257,7 +257,9 @@ class OperatorsSpec extends AnyFunSuite {
   test("clusterAssignIncremental: adopt, found, and MERGE standing clusters; replay idempotent") {
     import org.apache.spark.sql.DataFrame
     val corpusPairs = Seq((1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
-    Dedup.writeClusterIndex(corpusPairs, "graft_test_clusters")
+    // 2 buckets (not the 64 default) so the auto-compaction file
+    // trigger below is reachable with fixture-sized appends
+    Dedup.writeClusterIndex(corpusPairs, "graft_test_clusters", buckets = 2)
     // batch: doc 100 bridges clusters {1,2} and {5,6} (MERGE into 1);
     // doc 101 adopts; docs 200/201 found a fresh cluster
     val batch = Seq((100L, 2L), (100L, 5L), (101L, 6L), (200L, 201L))
@@ -283,6 +285,27 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.clusterAssignIncremental(
       Seq((300L, 100L)).toDF("a_id", "b_id"), "graft_test_clusters")
     assert(assignments()(300L) === 1L)
+    // AUTO-compaction (the streaming loops' between-batch policy):
+    // the last batch re-created a relabel-free append; feed a merge to
+    // re-create relabel state, then fire the file trigger — one
+    // rewrite must both restore the layout and fold the relabel map
+    Dedup.clusterAssignIncremental(
+      Seq((400L, 401L), (402L, 403L)).toDF("a_id", "b_id"), "graft_test_clusters")
+    Dedup.clusterAssignIncremental(
+      Seq((401L, 402L)).toDF("a_id", "b_id"), "graft_test_clusters") // merge → relabel
+    assert(spark.catalog.tableExists("graft_test_clusters_relabel"),
+      "fixture should have standing relabel state")
+    val want = assignments()
+    assert(want(403L) === 400L)
+    assert(Dedup.maybeCompactClusterIndex(spark, "graft_test_clusters", 1),
+      "file trigger should fire at threshold 1 after the appends")
+    assert(!spark.catalog.tableExists("graft_test_clusters_relabel"),
+      "auto-compaction must fold the relabel map")
+    assert(graft.sources.Bucketing.dataFileCount(spark, "graft_test_clusters") <= 2L,
+      "compaction must restore ≤ one file per bucket")
+    assert(assignments() === want, "auto-compaction must be invisible to reads")
+    assert(!Dedup.maybeCompactClusterIndex(spark, "graft_test_clusters", 1),
+      "freshly compacted table must not re-fire")
   }
 
   test("clusterAssignIncremental: giant batch routes distributed and equals the driver path") {

@@ -101,6 +101,36 @@ class SkewAndSinkSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_compact_t")
   }
 
+  test("maybeCompactBucketed: files-per-bucket trigger fires above the threshold, " +
+      "no-ops below it, preserves contents") {
+    import graft.sources.Bucketing
+    val base = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_autocompact_t", "k", 4)
+    try {
+      // 1 file/bucket: below any threshold ≥ 1 → no-op
+      assert(!Bucketing.maybeCompactBucketed(spark, "graft_autocompact_t", 2))
+      assert(Bucketing.dataFileCount(spark, "graft_autocompact_t") === 4L)
+      // two appends → up to 12 files total; threshold 2 → 12 > 8 fires
+      (1 to 2).foreach { b =>
+        Bucketing.appendBucketed(
+          (0L until 40L).map(i => (1000L * b + i, s"a$b$i")).toDF("k", "v"),
+          "graft_autocompact_t", "k")
+      }
+      val before = spark.table("graft_autocompact_t").collect().map(_.toString).sorted
+      assert(Bucketing.dataFileCount(spark, "graft_autocompact_t") > 8L)
+      assert(Bucketing.maybeCompactBucketed(spark, "graft_autocompact_t", 2))
+      assert(Bucketing.dataFileCount(spark, "graft_autocompact_t") === 4L,
+        "trigger must restore one file per bucket")
+      val after = spark.table("graft_autocompact_t").collect().map(_.toString).sorted
+      assert(after === before, "auto-compaction must not change table contents")
+      // idempotent: immediately re-checking does not fire again
+      assert(!Bucketing.maybeCompactBucketed(spark, "graft_autocompact_t", 2))
+      // disabled and missing-table paths are inert
+      assert(!Bucketing.maybeCompactBucketed(spark, "graft_autocompact_t", 0))
+      assert(!Bucketing.maybeCompactBucketed(spark, "graft_no_such_table", 2))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_autocompact_t")
+  }
+
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")

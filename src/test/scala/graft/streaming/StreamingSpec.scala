@@ -1430,10 +1430,21 @@ class StreamingSpec extends AnyFunSuite {
     val early = p50(lat.slice(5, 20))
     val late = p50(lat.takeRight(15))
     info(f"p50 early $early%.2f s, p50 late $late%.2f s over 50 batches")
-    // generous bound (shared-suite host): flat-vs-growth is the law;
-    // a corpus-rescan regression shows up as late >> early, not 2.5x
-    assert(late <= 2.5 * early + 0.2,
-      f"per-batch latency grew with the index: p50 $early%.2f -> $late%.2f s")
+    // round 12: the loop runs the files-per-bucket auto-compaction
+    // trigger between batches, so the small-file listing tax self-
+    // cures — the bound tightens from the manual-era 2.5× to 1.3×
+    // (+0.2 s absolute slack for sub-second shared-host noise)
+    assert(late <= 1.3 * early + 0.2,
+      f"per-batch latency grew with the index despite auto-compaction: " +
+        f"p50 $early%.2f -> $late%.2f s")
+    // the TRIGGER really fired: 50 appends × ≤64 files against the
+    // 8-files-per-bucket default would otherwise stand at ~3k files;
+    // the post-trigger ceiling is one compacted layout (64) plus at
+    // most 8 rounds of fresh appends before the next firing
+    for (t <- Seq(s"${idx}_bands", s"${idx}_shingles")) {
+      val n = graft.sources.Bucketing.dataFileCount(spark, t)
+      assert(n <= 64L * 9, s"$t has $n files — the auto-compaction trigger never fired")
+    }
     // and the loop really ingested: the index grew by the novel docs
     assert(spark.table(s"${idx}_shingles")
       .select(org.apache.spark.sql.functions.countDistinct(col("id")))
