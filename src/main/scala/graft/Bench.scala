@@ -23,8 +23,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[w,c,mem] times the sweep with
+    // forked executor JVMs (the Verify.scala multi-process discipline):
+    // every closure / codegen reference object / Aggregator buffer pays
+    // real serialization on the task path, so a regression in wire cost
+    // shows up as time, not just as a correctness risk. Compare against
+    // a local[w*c] run at EQUAL core count — vs local[32] the delta
+    // would mostly measure parallelism, not process boundaries.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,7 +44,8 @@ object Bench {
       // run must not race a concurrent suite/verify JVM's catalog
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      graft.core.ClusterHarness.configure(builder) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     Tables.t(spark, sfDir, "lineitem").count() // session/codegen warm-up
