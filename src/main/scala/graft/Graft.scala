@@ -81,7 +81,12 @@ object Graft {
       if (spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
         "injected" else "absent"))
     val tables = spark.catalog.listTables().collect().toSeq
-      .filter(!_.isTemporary).sortBy(_.name)
+      .filter(!_.isTemporary)
+      // versioned physical tables (`name__v3`) are an implementation
+      // detail of Bucketing's view layer — the facade reports the
+      // LOGICAL tables users query, like any manifest-backed format
+      .filter(t => !t.name.matches(".*__v\\d+$"))
+      .sortBy(_.name)
       .map(t => ("table", t.name, t.tableType.toLowerCase))
     val indexes = tables.collect {
       case (_, n, _) if n.endsWith("_tombstones") =>

@@ -1096,8 +1096,8 @@ object ScaleProbe {
         // assignment count and a spot-checked chain root prove the
         // closure landed
         time("cluster_incr_bigbatch") {
-          spark.sql("DROP TABLE IF EXISTS graft_probe_bigbatch")
-          spark.sql("DROP TABLE IF EXISTS graft_probe_bigbatch_relabel")
+          graft.sources.Bucketing.dropLogical(spark, "graft_probe_bigbatch")
+          graft.sources.Bucketing.dropLogical(spark, "graft_probe_bigbatch_relabel")
           val pairs = spark.range(5000000).filter(col("id") % 10 =!= 9)
             .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
           Dedup.clusterAssignIncremental(pairs, "graft_probe_bigbatch")
@@ -1285,9 +1285,72 @@ object ScaleProbe {
             f"p50 $e50%.2f -> $l50%.2f s")
         nB.toLong
       }
+      // the READ half of the sustained-arrival story: the ingest-latency
+      // probes show the MAINTENANCE cost stays flat; this one shows
+      // QUERY latency against the same growing index stays flat too —
+      // per batch, ingest 1k novel docs, then time a fixed 500-doc
+      // probe (bucket-pruned indexedNearDupPairs) against the index.
+      // Without compaction the probe pays the same small-file listing
+      // tax that hit ingest; the between-batch trigger must keep the
+      // read path flat as well. Reads interleave with maintenance in
+      // the SAME thread — the single-maintainer contract documented on
+      // Bucketing.rewriteBucketed (the swap is crash-safe, not
+      // concurrent-reader-isolated).
+      def readLatency(): Long = {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val nonce = math.abs(System.nanoTime())
+        val idx = s"graft_probe_srd_$nonce"
+        val dir = java.nio.file.Files.createTempDirectory("graft-srd").toString
+        Dedup.writeMinhashIndex(docs, idx)
+        val ms = MemoryStream[(Long, String)]
+        val q = graft.streaming.DocumentStreams.streamingIndexIngest(
+          ms.toDF().toDF("doc_id", "text"), idx, s"$dir/out", s"$dir/ckpt")
+        def mix(z0: Long): Long = {
+          var z = z0 * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        def docsFor(base: Long, n: Int): Seq[(Long, String)] =
+          (0 until n).map { i =>
+            val id = base + i
+            (id, (0 until 100).map(j =>
+              "w" + java.lang.Long.remainderUnsigned(
+                mix(id * 1000 + j), 400L)).mkString(" "))
+          }
+        // fixed probe set, reused every batch: latency deltas then
+        // measure the INDEX side (files, size), not the query side
+        val probeSet = docsFor(90000000L, 500).toDF("doc_id", "text")
+          .repartition(4).localCheckpoint()
+        probeSet.count()
+        val lat = try {
+          (0 until nB).map { b =>
+            ms.addData(docsFor(10000000L + b * 1000L, 1000))
+            q.processAllAvailable()
+            val t0 = System.nanoTime()
+            Dedup.indexedNearDupPairs(probeSet, idx).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        def p(xs: Seq[Double], qq: Double) = xs.sorted.apply(
+          math.min(xs.size - 1, (qq * xs.size).toInt))
+        val early = lat.slice(5, 20)
+        val late = lat.takeRight(15)
+        val (e50, l50) = (p(early, 0.5), p(late, 0.5))
+        System.err.println(f"==   stream_read: p50 early $e50%.2f s, " +
+          f"p50 late $l50%.2f s, p99 ${p(lat.drop(5), 0.99)}%.2f s over $nB batches " +
+          f"(index +${nB}k docs, auto-compaction on)")
+        require(l50 <= 1.3 * e50 + 0.2,
+          f"query latency grew with the index despite auto-compaction: " +
+            f"p50 $e50%.2f -> $l50%.2f s")
+        nB.toLong
+      }
       Seq(
         time("stream_ingest_lat_idx")(ingestLatency("index")),
-        time("stream_ingest_lat_para")(ingestLatency("para")))
+        time("stream_ingest_lat_para")(ingestLatency("para")),
+        time("stream_ingest_read_lat")(readLatency()))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }

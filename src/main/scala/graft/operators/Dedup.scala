@@ -1490,9 +1490,8 @@ object Dedup {
       df => df.join(broadcast(relabel), df("cluster_id") === relabel("old_rep"),
           "left_outer")
         .select(df("doc_id"),
-          coalesce(relabel("new_rep"), df("cluster_id")).as("cluster_id")),
-      tag = "relabel")
-    spark.sql(s"DROP TABLE ${table}_relabel")
+          coalesce(relabel("new_rep"), df("cluster_id")).as("cluster_id")))
+    graft.sources.Bucketing.dropLogical(spark, s"${table}_relabel")
   }
 
   /**
@@ -1509,9 +1508,7 @@ object Dedup {
       table: String, maxFilesPerBucket: Int = 8): Boolean = {
     if (maxFilesPerBucket <= 0) return false
     if (!spark.catalog.tableExists(table)) return false
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec match {
+    val buckets = graft.sources.Bucketing.bucketSpecOf(spark, table) match {
       case Some(spec) => spec.numBuckets
       case None => return false
     }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.col
 
 /**
@@ -16,21 +17,155 @@ import org.apache.spark.sql.functions.col
  * born co-located by slot and reshuffle is explicit
  * (`src/cluster.c:1820-1843`); bucketing is Spark's durable form of
  * the same contract.
+ *
+ * == Versioned tables behind a view (snapshot-isolated maintenance) ==
+ *
+ * Every logical table this module manages is a catalog VIEW over a
+ * versioned physical table (`name` → `SELECT * FROM name__v{N}`), the
+ * smallest possible form of the manifest layer every production table
+ * format (Iceberg/Delta/Hudi) builds around immutable files:
+ *
+ *  - MAINTENANCE NEVER MUTATES a table readers may hold: compaction /
+ *    purge / relabel-fold write `name__v{N+1}` from v{N}'s files, then
+ *    flip the view — one catalog op in the external catalog, which is
+ *    SHARED across every session of the process, so all sessions see
+ *    the flip on their next resolution. The previous design's
+ *    DROP→RENAME swap deleted v{N}'s files in place, and any OTHER
+ *    session's cached relation (Spark's per-session tableRelationCache
+ *    keys data-source relations by table name) kept listing them —
+ *    FAILED_READ_FILE.FILE_NOT_EXIST on the next query, found by the
+ *    stream_ingest_read_lat probe. The view indirection removes the
+ *    hazard structurally: a re-resolution lands on a NEW physical name
+ *    (cache miss → fresh listing), never on a stale listing.
+ *  - ONE-VERSION GRACE: v{N-1} is retained until the NEXT rewrite
+ *    vacuums it, so even a query planned against v{N-1} moments before
+ *    a flip still finds its files. Readers therefore need no
+ *    coordination with maintenance at all; only WRITERS are single —
+ *    the streaming ingest loops run appends and the auto-compaction
+ *    trigger from one between-batch hook, which is that contract.
+ *  - CRASH-SAFE BY CONSTRUCTION: a crash after writing v{N+1} but
+ *    before the flip leaves an unreferenced orphan that the next
+ *    rewrite attempt clears and re-creates (operations re-run `f`
+ *    from the still-current v{N} — no half-state is ever adopted, so
+ *    the old tag-discrimination machinery is unnecessary). A crash
+ *    between a legacy-table drop and its first view creation is
+ *    recovered by [[currentPhys]]: logical name missing + versioned
+ *    physicals present → re-point the view at the max version.
+ *
+ * Readers are untouched: `spark.table(name)` resolves the view to the
+ * current physical relation, bucket spec included — bucket pruning
+ * and exchange-free bucketed joins work through the view exactly as
+ * against the physical table (pinned by SkewAndSinkSpec).
  */
 object Bucketing {
+
+  private def physName(table: String, v: Int) = s"${table}__v$v"
+
+  private val ViewVer = """SELECT \* FROM \S*__v(\d+)\s*$""".r
+
+  private def catalogOf(spark: SparkSession) = spark.sessionState.catalog
+
+  private def tableType(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTableType] = {
+    val cat = catalogOf(spark)
+    val id = TableIdentifier(name)
+    if (cat.tableExists(id)) Some(cat.getTableMetadata(id).tableType) else None
+  }
+
+  /** All catalog-registered versions of `table`, as (physName, version). */
+  private def listVersions(spark: SparkSession, table: String): Seq[(String, Int)] = {
+    val db = spark.catalog.currentDatabase
+    catalogOf(spark).listTables(db, s"${table}__v*").flatMap { id =>
+      val n = id.table
+      val suffix = n.stripPrefix(s"${table}__v")
+      if (suffix.nonEmpty && suffix.forall(_.isDigit)) Some((n, suffix.toInt)) else None
+    }
+  }
+
+  /**
+   * Resolve the CURRENT physical table behind logical `table`:
+   * `Some((physName, version))`, with `version = 0` for a legacy
+   * plain table occupying the logical name (created outside this
+   * module, or by it before versioning). If the logical name is
+   * missing but versioned physicals exist (a crash between a legacy
+   * drop and the first view creation), the view is re-created over
+   * the max version — the recovery path.
+   */
+  def currentPhys(spark: SparkSession, table: String): Option[(String, Int)] = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    tableType(spark, table) match {
+      case Some(CatalogTableType.VIEW) =>
+        val meta = catalogOf(spark).getTableMetadata(TableIdentifier(table))
+        meta.viewText.flatMap(t => ViewVer.findFirstMatchIn(t)).map { m =>
+          (physName(table, m.group(1).toInt), m.group(1).toInt)
+        }
+      case Some(_) => Some((table, 0)) // legacy plain table
+      case None =>
+        val vs = listVersions(spark, table)
+        if (vs.isEmpty) None
+        else { // crash recovery: re-point the view at the max version
+          val (phys, v) = vs.maxBy(_._2)
+          spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $phys")
+          Some((phys, v))
+        }
+    }
+  }
+
+  /** Bucket spec of the CURRENT physical table behind `table` (views
+    * carry no spec of their own). */
+  def bucketSpecOf(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    currentPhys(spark, table).flatMap { case (phys, _) =>
+      catalogOf(spark).getTableMetadata(TableIdentifier(phys)).bucketSpec
+    }
+
+  /** Drop a physical table if present, and its orphaned warehouse
+    * directory if a previous process left one without a catalog entry. */
+  private def dropPhys(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    ()
+  }
+
+  /** Drop a LOGICAL table: the view and every physical version (or the
+    * plain table, for a legacy layout). The module's DROP entry point —
+    * `DROP TABLE name` alone would refuse a view and strand versions. */
+  def dropLogical(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    tableType(spark, table) match {
+      case Some(CatalogTableType.VIEW) => spark.sql(s"DROP VIEW $table"); ()
+      case Some(_) => spark.sql(s"DROP TABLE $table"); ()
+      case None => ()
+    }
+    listVersions(spark, table).foreach { case (phys, _) => dropPhys(spark, phys) }
+  }
+
+  /** Point the logical view at version `v`; drops a legacy plain table
+    * first (a view cannot replace a table under the same name). */
+  private def flipView(spark: SparkSession, table: String, v: Int): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    if (tableType(spark, table).exists(_ != CatalogTableType.VIEW))
+      spark.sql(s"DROP TABLE $table")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+    ()
+  }
+
+  /** Drop every version except `current` and its grace predecessor. */
+  private def vacuumVersions(spark: SparkSession, table: String, current: Int): Unit =
+    listVersions(spark, table)
+      .filter { case (_, v) => v != current && v != current - 1 }
+      .foreach { case (phys, _) => dropPhys(spark, phys) }
 
   /** Write df as a bucketed+sorted managed parquet table (overwrite). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    // a previous JVM's warehouse directory can outlive its (in-memory)
-    // catalog entry; overwrite mode refuses such an orphaned location,
-    // so clear both
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
+    val phys = physName(table, next)
+    dropPhys(spark, phys) // orphan of a crashed writer, or a stale dir
     // co-locate each bucket's rows in ONE task before the bucketed
     // write: without this every task writes a file per bucket it sees
     // (tasks × buckets small files — footer/listing overhead dominates
@@ -38,22 +173,26 @@ object Bucketing {
     df.repartition(buckets, col(bucketCol))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+      .saveAsTable(phys)
+    flipView(spark, table, next)
+    vacuumVersions(spark, table, next)
   }
 
   /**
    * Write a small (driver-boundable) frame as a single-file managed
-   * parquet table — model artifacts, filter banks, codebooks. Clears
-   * an orphaned warehouse directory like [[writeBucketed]].
+   * parquet table — model artifacts, filter banks, codebooks. Same
+   * versioned-view layout as [[writeBucketed]] (these tables get
+   * OVERWRITTEN on maintenance — tombstone clears, relabel folds —
+   * which is exactly the stale-listing hazard the versioning removes).
    */
   def writeSmallTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-    df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+    val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
+    val phys = physName(table, next)
+    dropPhys(spark, phys)
+    df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(phys)
+    flipView(spark, table, next)
+    vacuumVersions(spark, table, next)
   }
 
   /**
@@ -64,78 +203,76 @@ object Bucketing {
    * and sorted, so bucket pruning and exchange-free joins keep
    * working over old + new rows alike. Append cost is batch-sized;
    * the standing data is never rewritten. (At very high batch
-   * frequency the per-append files accumulate — a periodic compaction
-   * rewrite is the standard companion; here the contract is that the
-   * APPEND itself never pays corpus cost.)
+   * frequency the per-append files accumulate — the
+   * [[maybeCompactBucketed]] trigger is the standard companion; the
+   * contract here is that the APPEND itself never pays corpus cost.)
+   * Appends go to the CURRENT version in place — an append is not a
+   * rewrite; readers of the grace predecessor simply don't see the
+   * newest batch yet, the same read-your-writes semantics a snapshot
+   * reader of any LSM store has.
    */
   def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
     val spark = df.sparkSession
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val spec = catalogOf(spark).getTableMetadata(TableIdentifier(phys)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
     require(spec.bucketColumnNames == Seq(bucketCol),
       s"$table is bucketed by ${spec.bucketColumnNames}, not $bucketCol")
     df.repartition(spec.numBuckets, col(bucketCol))
       .write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+      .saveAsTable(phys)
   }
 
   /**
    * Append rows to a small managed parquet table, creating it on
-   * first use (clears an orphaned warehouse directory then, like
-   * [[writeSmallTable]]) — the marker/tombstone tables that ride
-   * alongside a big bucketed index: each append is one small file,
-   * reads stay cheap because the table is bounded by design.
+   * first use — the marker/tombstone tables that ride alongside a big
+   * bucketed index: each append is one small file, reads stay cheap
+   * because the table is bounded by design.
    */
   def appendSmallTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (!spark.sessionState.catalog.tableExists(ident)) {
-      val path = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.delete(path, true)
+    currentPhys(spark, table) match {
+      case Some((phys, _)) =>
+        df.coalesce(1).write.mode("append").format("parquet").saveAsTable(phys)
+      case None =>
+        val phys = physName(table, 1)
+        dropPhys(spark, phys)
+        df.coalesce(1).write.mode("append").format("parquet").saveAsTable(phys)
+        flipView(spark, table, 1)
     }
-    df.coalesce(1).write.mode("append").format("parquet").saveAsTable(table)
   }
 
   /**
    * Rewrite a bucketed table's rows through `f`, preserving the
    * bucket spec — the shared machinery under compaction (f =
-   * identity) and physical tombstone purges (f = anti-join the
-   * tombstones). Same crash-safe DROP→RENAME swap and recovery
-   * contract as documented on [[compactBucketed]]; reads the files
-   * as PLAIN parquet for the same one-file-per-bucket reason.
-   *
-   * `tag` names the OPERATION in the temp table (`{table}__rw_{tag}`)
-   * so crash recovery only ever completes its OWN swap: a purge must
-   * never adopt a half-finished compaction's tmp (whose rows still
-   * contain the tombstoned data) as if its anti-join had run.
+   * identity), physical tombstone purges (f = anti-join the
+   * tombstones), and relabel folds. Writes `f` of the current
+   * version's files into the NEXT version, flips the view, and
+   * vacuums all but the grace predecessor — see the versioning
+   * contract in the object doc. Reads the files as PLAIN parquet so
+   * the rewrite itself is a scan of exactly the current version's
+   * data files, never a stale listing.
    */
   def rewriteBucketed(spark: SparkSession, table: String,
-      f: DataFrame => DataFrame, tag: String = "compact"): Unit = {
-    val tmpName = s"${table}__rw_$tag"
-    val cat = spark.sessionState.catalog
-    if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table))) {
-      // crash recovery: THIS operation's prior rewrite finished but
-      // died between DROP and RENAME — finish the swap (f is NOT
-      // re-applied; the tmp already holds this op's rewritten rows).
-      // A different operation's leftover tmp is NOT adopted.
-      require(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)),
-        s"neither $table nor $tmpName exists (a crashed rewrite of a DIFFERENT " +
-          "operation must be completed by re-running that operation)")
-      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
-      return
-    }
-    val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      f: DataFrame => DataFrame): Unit = {
+    val (phys, v) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
-    writeBucketed(f(spark.read.parquet(meta.location.toString)), tmpName,
-      spec.bucketColumnNames.head, spec.numBuckets)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    val next = v + 1
+    val nextPhys = physName(table, next)
+    dropPhys(spark, nextPhys) // orphan of a crashed rewrite
+    f(spark.read.parquet(meta.location.toString))
+      .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.bucketColumnNames.head)
+      .saveAsTable(nextPhys)
+    flipView(spark, table, next)
+    vacuumVersions(spark, table, next)
   }
 
   // ------------------------------------------------------------------
@@ -165,7 +302,7 @@ object Bucketing {
     val keep = spark.table(table)
       .join(ids.select(col(ids.columns.head).cast("long").as("id")).distinct(),
         Seq("id"), "left_anti")
-      .localCheckpoint() // materialize BEFORE overwriting the table read above
+      .localCheckpoint() // materialize BEFORE the versioned overwrite
     writeSmallTable(keep, table)
   }
 
@@ -181,17 +318,18 @@ object Bucketing {
 
   /**
    * Physically drop tombstoned rows from the given bucketed tables
-   * and clear the markers. Crash-safe and idempotent: the rewrites
-   * use the purge-tagged swap; a crash mid-purge leaves the markers
-   * in place (queries stay correct) and a re-run completes the job.
+   * and clear the markers. Crash-safe and idempotent: each rewrite
+   * lands as a new version behind the view; a crash mid-purge leaves
+   * the markers in place (queries stay correct) and a re-run
+   * completes the job.
    */
   def purgeTombstoned(spark: SparkSession, base: String, tables: Seq[String]): Unit = {
     if (!spark.catalog.tableExists(s"${base}_tombstones")) return
     val tomb = spark.table(s"${base}_tombstones").select("id").localCheckpoint()
     tables.foreach { t =>
-      rewriteBucketed(spark, t, _.join(tomb, Seq("id"), "left_anti"), tag = "purge")
+      rewriteBucketed(spark, t, _.join(tomb, Seq("id"), "left_anti"))
     }
-    spark.sql(s"DROP TABLE ${base}_tombstones")
+    dropLogical(spark, s"${base}_tombstones")
   }
 
   /**
@@ -200,23 +338,21 @@ object Bucketing {
    * `buckets` files, and after many batches the per-file
    * footer/listing overhead starts to tax reads. One rewrite restores
    * the one-file-per-bucket layout without touching the bucket spec
-   * (so pruning and exchange-free joins are unaffected); runs out of
-   * band of both appends and queries, like any LSM-style maintenance
-   * job. Implementation: rewrite into a sibling table, then swap by
-   * catalog rename — the compacted data is fully written before the
-   * old table disappears. The DROP→RENAME swap is two catalog ops,
-   * not one atomic move; a crash between them leaves the data intact
-   * under `{table}__compact`, and RE-RUNNING compactBucketed detects
-   * that state and completes the swap.
+   * (so pruning and exchange-free joins are unaffected); like any
+   * LSM-style maintenance job it runs out of band of queries — and
+   * with the versioned-view layout it is invisible to them: readers
+   * resolve the new version on their next query, in-flight plans
+   * finish against the grace-retained previous version.
    */
   def compactBucketed(spark: SparkSession, table: String): Unit =
     rewriteBucketed(spark, table, identity)
 
-  /** Data-file count under a managed table's location — ONE directory
-    * listing, the same listing every scan of the table pays. */
+  /** Data-file count under the CURRENT version's location — ONE
+    * directory listing, the same listing every scan of the table pays. */
   def dataFileCount(spark: SparkSession, table: String): Long = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
     val path = new org.apache.hadoop.fs.Path(meta.location)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path).count { s =>
@@ -241,10 +377,8 @@ object Bucketing {
   def maybeCompactBucketed(spark: SparkSession, table: String,
       maxFilesPerBucket: Int = 8): Boolean = {
     if (maxFilesPerBucket <= 0) return false
-    val cat = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (!cat.tableExists(ident)) return false
-    val buckets = cat.getTableMetadata(ident).bucketSpec match {
+    if (!spark.catalog.tableExists(table)) return false
+    val buckets = bucketSpecOf(spark, table) match {
       case Some(spec) => spec.numBuckets
       case None => return false
     }

@@ -32,13 +32,16 @@ class SkewAndSinkSpec extends AnyFunSuite {
     assert(hot.toSeq === Seq(999L))
   }
 
-  test("bucketed tables join without a shuffle (co-located join)") {
+  test("bucketed tables join without a shuffle (co-located join), through the versioned views") {
+    import graft.sources.Bucketing
     val o = Tables.t(spark, SparkTestSession.sfDir, "orders")
     val l = Tables.t(spark, SparkTestSession.sfDir, "lineitem")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("orders_b")
-    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("lineitem_b")
+    // through the module API: the logical names are VIEWS over
+    // versioned physical tables — the Exchange-free plan must survive
+    // the view indirection (the bucket spec is a property of the
+    // resolved physical relation)
+    Bucketing.writeBucketed(o, "orders_b", "o_orderkey", 8)
+    Bucketing.writeBucketed(l, "lineitem_b", "l_orderkey", 8)
     // disable broadcast so the co-location is what avoids the shuffle
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -51,8 +54,8 @@ class SkewAndSinkSpec extends AnyFunSuite {
         o.join(l, o("o_orderkey") === l("l_orderkey")).count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      Bucketing.dropLogical(spark, "orders_b")
+      Bucketing.dropLogical(spark, "lineitem_b")
     }
   }
 
@@ -66,39 +69,59 @@ class SkewAndSinkSpec extends AnyFunSuite {
         (0L until 100L).map(i => (1000L * b + i, s"a$b$i")).toDF("k", "v"),
         "graft_compact_t", "k")
     }
-    def files(): Int = {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t"))
-      val p = new org.apache.hadoop.fs.Path(meta.location)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).count(s => s.getPath.getName.startsWith("part-"))
-    }
+    def files(): Long = Bucketing.dataFileCount(spark, "graft_compact_t")
     val before = spark.table("graft_compact_t").collect().map(_.toString).sorted
     assert(files() > 4, s"appends should add files, saw ${files()}")
+    // the stale-reader hazard compaction used to carry (found by the
+    // stream_ingest_read_lat probe): ANOTHER session caches the
+    // relation, then maintenance rewrites the table. Under the
+    // versioned-view layout the rewrite lands as a new version and
+    // the old files survive as the grace predecessor — the second
+    // session must keep working before AND after its re-resolution.
+    val s2 = spark.newSession()
+    assert(s2.table("graft_compact_t").count() === 800L) // cache the relation
     Bucketing.compactBucketed(spark, "graft_compact_t")
     assert(files() === 4, s"compaction should leave one file per bucket, saw ${files()}")
     val after = spark.table("graft_compact_t").collect().map(_.toString).sorted
     assert(after === before, "compaction must not change table contents")
-    // bucket spec survives the swap: metadata still says 4 buckets on k
-    val spec = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_t")).bucketSpec
+    assert(s2.table("graft_compact_t").count() === 800L,
+      "a second session must survive a compaction it did not run")
+    // bucket spec survives the rewrite (resolved through the view)
+    val spec = Bucketing.bucketSpecOf(spark, "graft_compact_t")
     assert(spec.exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
-    // crash recovery: simulate dying between DROP and RENAME — the
-    // rewrite exists under the compact-tagged tmp, the original name
-    // is gone; re-running compactBucketed must complete the swap
-    Bucketing.writeBucketed(spark.table("graft_compact_t"),
-      "graft_compact_t__rw_compact", "k", 4)
-    spark.sql("DROP TABLE graft_compact_t")
-    // a DIFFERENT operation must refuse to adopt the compact tmp: a
-    // purge completing a compaction's swap would skip its anti-join
-    // yet report success
-    intercept[IllegalArgumentException] {
-      Bucketing.rewriteBucketed(spark, "graft_compact_t", identity, tag = "purge")
-    }
+    // crash recovery 1: a rewrite that died AFTER writing the next
+    // version but BEFORE the view flip leaves an unreferenced orphan;
+    // the next compaction clears it and re-runs from the still-current
+    // version — contents are what the crashed rewrite would have made
+    val (curPhys, curV) = Bucketing.currentPhys(spark, "graft_compact_t").get
+    (0L until 7L).map(i => (i, s"garbage$i")).toDF("k", "v")
+      .write.format("parquet").bucketBy(4, "k").sortBy("k")
+      .saveAsTable(s"graft_compact_t__v${curV + 1}")
     Bucketing.compactBucketed(spark, "graft_compact_t")
     val recovered = spark.table("graft_compact_t").collect().map(_.toString).sorted
-    assert(recovered === after, "recovery swap must restore the full table")
-    spark.sql("DROP TABLE IF EXISTS graft_compact_t")
+    assert(recovered === after, "recovery must ignore the orphan version's rows")
+    // crash recovery 2: the view itself lost (crash between a legacy
+    // drop and the first flip) — the next Bucketing-API touch
+    // re-points the view at the max version and the table answers again
+    spark.sql("DROP VIEW graft_compact_t")
+    assert(Bucketing.currentPhys(spark, "graft_compact_t").isDefined)
+    assert(spark.table("graft_compact_t").collect().map(_.toString).sorted === after)
+    // grace window: current and previous versions exist, older are
+    // vacuumed (curPhys from before the compaction is the predecessor)
+    val cat = spark.sessionState.catalog
+    val (nowPhys, nowV) = Bucketing.currentPhys(spark, "graft_compact_t").get
+    assert(nowV === curV + 1)
+    assert(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(curPhys)),
+      "grace predecessor must survive one rewrite")
+    Bucketing.compactBucketed(spark, "graft_compact_t")
+    assert(!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(curPhys)),
+      "second rewrite must vacuum the now two-generations-old version")
+    assert(cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(nowPhys)))
+    Bucketing.dropLogical(spark, "graft_compact_t")
+    assert(!spark.catalog.tableExists("graft_compact_t"))
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_compact_t__v")),
+      "dropLogical must remove every physical version")
   }
 
   test("maybeCompactBucketed: files-per-bucket trigger fires above the threshold, " +
@@ -128,7 +151,7 @@ class SkewAndSinkSpec extends AnyFunSuite {
       // disabled and missing-table paths are inert
       assert(!Bucketing.maybeCompactBucketed(spark, "graft_autocompact_t", 0))
       assert(!Bucketing.maybeCompactBucketed(spark, "graft_no_such_table", 2))
-    } finally spark.sql("DROP TABLE IF EXISTS graft_autocompact_t")
+    } finally Bucketing.dropLogical(spark, "graft_autocompact_t")
   }
 
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
