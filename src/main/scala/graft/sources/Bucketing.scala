@@ -37,12 +37,14 @@ import org.apache.spark.sql.functions.col
  *    stream_ingest_read_lat probe. The view indirection removes the
  *    hazard structurally: a re-resolution lands on a NEW physical name
  *    (cache miss → fresh listing), never on a stale listing.
- *  - ONE-VERSION GRACE: v{N-1} is retained until the NEXT rewrite
- *    vacuums it, so even a query planned against v{N-1} moments before
- *    a flip still finds its files. Readers therefore need no
- *    coordination with maintenance at all; only WRITERS are single —
- *    the streaming ingest loops run appends and the auto-compaction
- *    trigger from one between-batch hook, which is that contract.
+ *  - GRACE WINDOW: v{N-1} is retained until the NEXT rewrite vacuums
+ *    it (`spark.graft.bucketing.graceVersions`, default 1 — raise it
+ *    when long-running readers overlap frequent compactions), so even
+ *    a query planned against v{N-1} moments before a flip still finds
+ *    its files. Readers therefore need no coordination with
+ *    maintenance at all; only WRITERS are single — the streaming
+ *    ingest loops run appends and the auto-compaction trigger from
+ *    one between-batch hook, which is that contract.
  *  - CRASH-SAFE BY CONSTRUCTION: a crash after writing v{N+1} but
  *    before the flip leaves an unreferenced orphan that the next
  *    rewrite attempt clears and re-creates (operations re-run `f`
@@ -153,11 +155,19 @@ object Bucketing {
     ()
   }
 
-  /** Drop every version except `current` and its grace predecessor. */
-  private def vacuumVersions(spark: SparkSession, table: String, current: Int): Unit =
+  /** Drop every version outside the grace window `[current-g, current]`
+    * (plus any orphan ABOVE current — a crashed rewrite's leftovers).
+    * `g` = `spark.graft.bucketing.graceVersions` (default 1): how many
+    * predecessors stay readable for in-flight plans. Deployments with
+    * long-running readers over a frequently-compacted index raise it —
+    * the storage cost is `g` extra table copies, the LSM rent. */
+  private def vacuumVersions(spark: SparkSession, table: String, current: Int): Unit = {
+    val grace = math.max(0,
+      spark.conf.get("spark.graft.bucketing.graceVersions", "1").toInt)
     listVersions(spark, table)
-      .filter { case (_, v) => v != current && v != current - 1 }
+      .filter { case (_, v) => v < current - grace || v > current }
       .foreach { case (phys, _) => dropPhys(spark, phys) }
+  }
 
   /** Write df as a bucketed+sorted managed parquet table (overwrite). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

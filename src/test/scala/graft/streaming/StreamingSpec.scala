@@ -1449,5 +1449,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(s"${idx}_shingles")
       .select(org.apache.spark.sql.functions.countDistinct(col("id")))
       .head().getLong(0) >= 2000L + 50L * 200L - 50L)
+    // the stream_ingest_read_lat find, pinned in-suite: a DIFFERENT
+    // session (fresh relation cache, like any user session sharing
+    // the process) must read the index after the loop's compactions —
+    // under the pre-versioning DROP→RENAME layout this threw
+    // FAILED_READ_FILE.FILE_NOT_EXIST once its cached listing went
+    // stale; the versioned-view layer makes it structurally safe.
+    // Resolve once, compact underneath, read the SAME frame again.
+    val outer = spark.newSession()
+    val held = outer.table(s"${idx}_bands")
+    val preCount = held.count()
+    assert(preCount > 0L)
+    graft.sources.Bucketing.compactBucketed(spark, s"${idx}_bands")
+    assert(held.count() === preCount,
+      "a frame resolved BEFORE the compaction must finish against the " +
+        "grace-retained previous version")
+    assert(outer.table(s"${idx}_bands").count() === preCount,
+      "an outer session must survive a compaction it did not run")
+    assert(Dedup.indexedNearDupPairs(
+        Seq((99000001L, text(7L))).toDF("doc_id", "text"), idx)
+      .count() >= 0L) // full read path (bands + shingles) post-compaction
   }
 }
