@@ -1292,10 +1292,12 @@ object ScaleProbe {
       // probe (bucket-pruned indexedNearDupPairs) against the index.
       // Without compaction the probe pays the same small-file listing
       // tax that hit ingest; the between-batch trigger must keep the
-      // read path flat as well. Reads interleave with maintenance in
-      // the SAME thread — the single-maintainer contract documented on
-      // Bucketing.rewriteBucketed (the swap is crash-safe, not
-      // concurrent-reader-isolated).
+      // read path flat as well. This probe's first run (round 12) is
+      // what exposed the cross-session stale-listing bug in the
+      // pre-versioning DROP→RENAME swap (FAILED_READ_FILE between a
+      // cloned-session compaction and an outer-session read) — it now
+      // doubles as the regression pin for Bucketing's versioned-view
+      // layer, which made reads maintenance-isolated.
       def readLatency(): Long = {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
