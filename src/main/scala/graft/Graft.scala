@@ -80,14 +80,26 @@ object Graft {
     val strat = Seq(("strategy", "topk_per_key",
       if (spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
         "injected" else "absent"))
-    val tables = spark.catalog.listTables().collect().toSeq
+    val allTables = spark.catalog.listTables().collect().toSeq
       .filter(!_.isTemporary)
-      // versioned physical tables (`name__v3`) are an implementation
-      // detail of Bucketing's view layer — the facade reports the
-      // LOGICAL tables users query, like any manifest-backed format
+    // versioned physical tables (`name__v3`) are an implementation
+    // detail of Bucketing's view layer — the facade reports the
+    // LOGICAL tables users query, like any manifest-backed format...
+    val tables = allTables
       .filter(t => !t.name.matches(".*__v\\d+$"))
       .sortBy(_.name)
       .map(t => ("table", t.name, t.tableType.toLowerCase))
+    // ...plus one row per versioned table showing its manifest state
+    // (current version + how many physical versions are on disk —
+    // current + grace predecessors awaiting vacuum)
+    val versioned = allTables
+      .filter(t => t.name.matches(".*__v\\d+$"))
+      .groupBy(_.name.replaceAll("__v\\d+$", ""))
+      .toSeq.sortBy(_._1)
+      .map { case (base, vs) =>
+        val nums = vs.map(_.name.replaceAll(".*__v", "").toInt).sorted
+        ("table_version", base, s"v${nums.last} (${nums.size} on disk)")
+      }
     val indexes = tables.collect {
       case (_, n, _) if n.endsWith("_tombstones") =>
         // a corrupt/vanished tombstone table degrades ITS row, never
@@ -99,7 +111,7 @@ object Graft {
     }
     val streams = spark.streams.active.toSeq.sortBy(_.id.toString)
       .map(q => ("stream", Option(q.name).getOrElse(q.id.toString), "active"))
-    (engine ++ fns ++ strat ++ tables ++ indexes ++ streams)
+    (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ streams)
       .toDF("section", "key", "value")
   }
 }

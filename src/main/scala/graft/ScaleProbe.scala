@@ -1349,10 +1349,58 @@ object ScaleProbe {
             f"p50 $e50%.2f -> $l50%.2f s")
         nB.toLong
       }
+      // the same read-flat law for the SECOND index family: the IVF-PQ
+      // ANN index (codes bucketed by list, VectorStreams ingest loop
+      // with the codes-table compaction trigger). Per batch: ingest 1k
+      // novel vectors, then time a fixed 200-query annIndexTopK. Query
+      // cost must track (nprobe buckets × query count), not the
+      // standing corpus or its accumulated files.
+      def annReadLatency(): Long = {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val nonce = math.abs(System.nanoTime())
+        val idx = s"graft_probe_sann_$nonce"
+        val dir = java.nio.file.Files.createTempDirectory("graft-sann").toString
+        val embsD = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        Similarity.writeAnnIndex(embsD, idx, nlist = 256, m = 8, k = 256)
+        val ms = MemoryStream[(Long, Seq[Double])]
+        val q = graft.streaming.VectorStreams.streamingAnnIngest(
+          ms.toDF().toDF("vec_id", "embedding"), idx, s"$dir/out", s"$dir/ckpt")
+        val queries = embsD.filter(col("vec_id") < 200).localCheckpoint()
+        queries.count()
+        def vec(id: Long): Seq[Double] =
+          (0 until 64).map(d => math.sin(id * 64.0 + d))
+        val lat = try {
+          (0 until nB).map { b =>
+            ms.addData((0 until 1000).map { i =>
+              val id = 30000000L + b * 1000L + i; (id, vec(id))
+            })
+            q.processAllAvailable()
+            val t0 = System.nanoTime()
+            Similarity.annIndexTopK(queries, idx, topk = 5, nprobe = 16).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+        } finally q.stop()
+        def p(xs: Seq[Double], qq: Double) = xs.sorted.apply(
+          math.min(xs.size - 1, (qq * xs.size).toInt))
+        val early = lat.slice(5, 20)
+        val late = lat.takeRight(15)
+        val (e50, l50) = (p(early, 0.5), p(late, 0.5))
+        System.err.println(f"==   stream_ann_read: p50 early $e50%.2f s, " +
+          f"p50 late $l50%.2f s, p99 ${p(lat.drop(5), 0.99)}%.2f s over $nB batches " +
+          f"(index +${nB}k vecs, auto-compaction on)")
+        require(l50 <= 1.3 * e50 + 0.2,
+          f"ANN query latency grew with the index despite auto-compaction: " +
+            f"p50 $e50%.2f -> $l50%.2f s")
+        nB.toLong
+      }
       Seq(
         time("stream_ingest_lat_idx")(ingestLatency("index")),
         time("stream_ingest_lat_para")(ingestLatency("para")),
-        time("stream_ingest_read_lat")(readLatency()))
+        time("stream_ingest_read_lat")(readLatency()),
+        time("stream_ann_read_lat")(annReadLatency()))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }
