@@ -89,16 +89,27 @@ object Graft {
       .filter(t => !t.name.matches(".*__v\\d+$"))
       .sortBy(_.name)
       .map(t => ("table", t.name, t.tableType.toLowerCase))
-    // ...plus one row per versioned table showing its manifest state
-    // (current version + how many physical versions are on disk —
-    // current + grace predecessors awaiting vacuum)
+    // ...plus one row per versioned table showing its manifest state.
+    // The CURRENT version is what the view POINTS AT (read without the
+    // recovery side effect — reporting must not mutate), not the max
+    // on disk: a crashed rewrite's orphan ABOVE the flipped version is
+    // reported distinctly, never as current.
     val versioned = allTables
       .filter(t => t.name.matches(".*__v\\d+$"))
       .groupBy(_.name.replaceAll("__v\\d+$", ""))
       .toSeq.sortBy(_._1)
       .map { case (base, vs) =>
         val nums = vs.map(_.name.replaceAll(".*__v", "").toInt).sorted
-        ("table_version", base, s"v${nums.last} (${nums.size} on disk)")
+        val state = graft.sources.Bucketing.peekCurrentVersion(spark, base) match {
+          case Some(cur) =>
+            val orphans = nums.filter(_ > cur)
+            s"v$cur (${nums.size} on disk" +
+              (if (orphans.nonEmpty)
+                 orphans.map("v" + _).mkString(", orphans ", ",", ")")
+               else ")")
+          case None => s"view missing (max v${nums.last} on disk)"
+        }
+        ("table_version", base, state)
       }
     val indexes = tables.collect {
       case (_, n, _) if n.endsWith("_tombstones") =>

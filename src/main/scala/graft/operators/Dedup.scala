@@ -1514,10 +1514,17 @@ object Dedup {
     }
     if (graft.sources.Bucketing.dataFileCount(spark, table) >
         buckets.toLong * maxFilesPerBucket) {
-      if (spark.catalog.tableExists(s"${table}_relabel"))
-        compactClusterIndex(spark, table)
-      else graft.sources.Bucketing.compactBucketed(spark, table)
-      true
+      // the relabel FOLD stays inline: an out-of-band fold would clear
+      // the relabel map while rows appended during the background
+      // rewrite still carry unfolded cluster_ids (the delta carry-over
+      // copies bytes, it cannot re-apply the fold atomically with the
+      // map clear) — old representatives would resurface. The fold is
+      // relabel-map-sized in its join side and rarer than file-count
+      // compactions; the plain no-relabel case goes out of band.
+      if (spark.catalog.tableExists(s"${table}_relabel")) {
+        compactClusterIndex(spark, table); true
+      } else graft.sources.Bucketing
+        .maybeCompactBucketedAsync(spark, table, maxFilesPerBucket)
     } else false
   }
 

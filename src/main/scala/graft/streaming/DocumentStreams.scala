@@ -142,10 +142,12 @@ object DocumentStreams {
         graft.operators.Dedup.appendToUnitIndex(b, indexTable, width = width)
         // between-batch LSM maintenance: the appends above land ≤buckets
         // files each, and the accumulated small-file listing tax is the
-        // ONE index-size-correlated cost on the probe path — the
-        // files-per-bucket trigger keeps the loop self-maintaining
+        // ONE index-size-correlated cost on the probe path. The ASYNC
+        // trigger keeps the loop self-maintaining WITHOUT stalling the
+        // batch that trips it: the corpus-sized rewrite runs on the
+        // maintenance thread, this hook only enqueues/finalizes
         graft.sources.Bucketing
-          .maybeCompactBucketed(b.sparkSession, indexTable, autoCompact); ()
+          .maybeCompactBucketedAsync(b.sparkSession, indexTable, autoCompact); ()
       }
       .start()
 
@@ -171,7 +173,7 @@ object DocumentStreams {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         graft.operators.Dedup.appendToSpanIndex(b, indexTable, span = span)
         graft.sources.Bucketing
-          .maybeCompactBucketed(b.sparkSession, indexTable, autoCompact); ()
+          .maybeCompactBucketedAsync(b.sparkSession, indexTable, autoCompact); ()
       }
       .start()
 
@@ -228,13 +230,15 @@ object DocumentStreams {
           Seq("doc_id"), "left_anti")
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
         // between-batch maintenance for BOTH maintained structures:
-        // the minhash index's bucketed tables (small-file listing tax)
+        // the minhash index's bucketed tables (small-file listing tax,
+        // out-of-band — the hook never waits on a corpus-sized rewrite)
         // and the cluster table (files + the broadcast relabel map,
-        // folded by the same rewrite when the trigger fires)
+        // folded by the same rewrite when the trigger fires; the fold
+        // stays inline — see maybeCompactClusterIndex)
         graft.sources.Bucketing
-          .maybeCompactBucketed(spark, s"${indexTable}_bands", autoCompact)
+          .maybeCompactBucketedAsync(spark, s"${indexTable}_bands", autoCompact)
         graft.sources.Bucketing
-          .maybeCompactBucketed(spark, s"${indexTable}_shingles", autoCompact)
+          .maybeCompactBucketedAsync(spark, s"${indexTable}_shingles", autoCompact)
         graft.operators.Dedup
           .maybeCompactClusterIndex(spark, clusterTable, autoCompact); ()
       }
@@ -259,9 +263,9 @@ object DocumentStreams {
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
         val s = b.sparkSession
         graft.sources.Bucketing
-          .maybeCompactBucketed(s, s"${indexTable}_bands", autoCompact)
+          .maybeCompactBucketedAsync(s, s"${indexTable}_bands", autoCompact)
         graft.sources.Bucketing
-          .maybeCompactBucketed(s, s"${indexTable}_shingles", autoCompact); ()
+          .maybeCompactBucketedAsync(s, s"${indexTable}_shingles", autoCompact); ()
       }
       .start()
 

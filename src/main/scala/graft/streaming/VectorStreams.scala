@@ -56,9 +56,11 @@ object VectorStreams {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         Similarity.appendNovelToAnnIndex(b, table, m = m)
         // between-batch LSM maintenance on the codes table (the
-        // DocumentStreams files-per-bucket policy; ≤0 disables)
+        // DocumentStreams files-per-bucket policy, out-of-band so the
+        // batch that trips the trigger never pays the rewrite inline;
+        // ≤0 disables)
         graft.sources.Bucketing
-          .maybeCompactBucketed(b.sparkSession, s"${table}_codes", autoCompact); ()
+          .maybeCompactBucketedAsync(b.sparkSession, s"${table}_codes", autoCompact); ()
       }
       .start()
 

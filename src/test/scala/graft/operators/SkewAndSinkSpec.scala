@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -164,7 +166,9 @@ class SkewAndSinkSpec extends AnyFunSuite {
     val base = (0L until 800L).map(i => (i, s"v$i")).toDF("k", "v")
     Bucketing.writeBucketed(base, "graft_conc_t", "k", 4)
     val reader = spark.newSession()
-    reader.conf.set("spark.graft.bucketing.graceVersions", "2")
+    // graceVersions is read by the session RUNNING THE MAINTENANCE
+    // (vacuum happens on the writer) — setting it on the reader
+    // session would have no effect
     spark.conf.set("spark.graft.bucketing.graceVersions", "2")
     try {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -192,6 +196,176 @@ class SkewAndSinkSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.bucketing.graceVersions")
       Bucketing.dropLogical(spark, "graft_conc_t")
     }
+  }
+
+  test("compactBucketedPartial: only over-threshold buckets rewrite; cold files carry over untouched; content ≡ full compaction") {
+    import graft.sources.Bucketing
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_partial_t", "k", 4)
+    try {
+      // skewed appends: one repeated key → ONE bucket accumulates files
+      (1 to 3).foreach { b =>
+        Bucketing.appendBucketed(
+          (0L until 20L).map(i => (42L, s"hot$b$i")).toDF("k", "v"),
+          "graft_partial_t", "k")
+      }
+      val before = spark.table("graft_partial_t").collect().map(_.toString).sorted
+      assert(Bucketing.dataFileCount(spark, "graft_partial_t") === 7L) // 4 + 3 hot
+      def files(): Set[String] = {
+        val (phys, _) = Bucketing.currentPhys(spark, "graft_partial_t").get
+        val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(phys)).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).collect {
+          case s if s.isFile && !s.getPath.getName.startsWith("_") => s.getPath.getName
+        }.toSet
+      }
+      // identify the hot bucket's files as the names appearing >2 per bucket id
+      val byBucket = files().groupBy(n => n.replaceAll(""".*_(\d{5}).*""", "$1"))
+      val hotBucket = byBucket.find(_._2.size > 2).get._1
+      val coldNames = byBucket.filter(_._1 != hotBucket).values.flatten.toSet
+      assert(coldNames.size === 3)
+      // below-threshold → no-op; above → partial rewrite
+      assert(!Bucketing.compactBucketedPartial(spark, "graft_partial_t", 8))
+      assert(Bucketing.compactBucketedPartial(spark, "graft_partial_t", 2))
+      val after = spark.table("graft_partial_t").collect().map(_.toString).sorted
+      assert(after === before, "partial compaction must equal full compaction content")
+      assert(Bucketing.dataFileCount(spark, "graft_partial_t") === 4L)
+      assert(coldNames.subsetOf(files()),
+        "cold buckets' files must carry over byte-identical (same names), not rewrite")
+      // bucketed-join contract survives a partial rewrite
+      assert(Bucketing.bucketSpecOf(spark, "graft_partial_t")
+        .exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
+    } finally Bucketing.dropLogical(spark, "graft_partial_t")
+  }
+
+  test("maybeCompactBucketedAsync: the trigger never rewrites inline — enqueue, keep appending, finalize carries the delta") {
+    import graft.sources.Bucketing
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_async_t", "k", 4)
+    try {
+      (1 to 3).foreach { b =>
+        Bucketing.appendBucketed(
+          (0L until 80L).map(i => (1000L * b + i, s"a$b$i")).toDF("k", "v"),
+          "graft_async_t", "k")
+      }
+      val (_, v0) = Bucketing.currentPhys(spark, "graft_async_t").get
+      // trip the trigger: ENQUEUES and returns immediately — no flip yet
+      assert(!Bucketing.maybeCompactBucketedAsync(spark, "graft_async_t", 2))
+      assert(Bucketing.pendingMaintenance("graft_async_t"))
+      assert(Bucketing.currentPhys(spark, "graft_async_t").get._2 === v0,
+        "enqueue must not flip the view")
+      // the ingest loop keeps appending WHILE the background compaction
+      // runs — these rows are the delta the finalize must carry over
+      Bucketing.appendBucketed(
+        (0L until 50L).map(i => (9000L + i, s"delta$i")).toDF("k", "v"),
+        "graft_async_t", "k")
+      assert(Bucketing.awaitMaintenance("graft_async_t"))
+      // next trigger call (next batch, same writer thread) finalizes
+      assert(Bucketing.maybeCompactBucketedAsync(spark, "graft_async_t", 2))
+      assert(!Bucketing.pendingMaintenance("graft_async_t"))
+      assert(Bucketing.currentPhys(spark, "graft_async_t").get._2 === v0 + 1)
+      assert(spark.table("graft_async_t").count() === 400L + 240L + 50L,
+        "delta rows appended during the background write must survive the flip")
+      assert(spark.table("graft_async_t")
+        .filter(col("k") >= 9000L).count() === 50L)
+      // compacted: 4 rewritten/carried + ≤4 delta files
+      assert(Bucketing.dataFileCount(spark, "graft_async_t") <= 8L)
+      // quiet table: no re-trigger
+      assert(!Bucketing.maybeCompactBucketedAsync(spark, "graft_async_t", 2))
+    } finally Bucketing.dropLogical(spark, "graft_async_t")
+  }
+
+  test("CAS flip: a rewrite that lost the race fails loudly instead of silently dropping the winner's update") {
+    import graft.sources.Bucketing
+    val base = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(base, "graft_cas_t", "k", 4)
+    try {
+      val before = spark.table("graft_cas_t").collect().map(_.toString).sorted
+      val (_, v0) = Bucketing.currentPhys(spark, "graft_cas_t").get
+      val aHoldsLock = new java.util.concurrent.CountDownLatch(1)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // A enters the rewrite and parks INSIDE it (holding the table
+      // lock); B then enters, reads the same version, and blocks on the
+      // lock — the textbook two-writer race, made deterministic
+      val tA = new Thread(() => {
+        try Bucketing.rewriteBucketed(spark, "graft_cas_t", { df =>
+          aHoldsLock.countDown(); go.await(); df
+        })
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      val tB = new Thread(() => {
+        try Bucketing.rewriteBucketed(spark, "graft_cas_t", identity)
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      tA.start(); aHoldsLock.await()
+      tB.start(); Thread.sleep(500) // B reads v0, parks on the table lock
+      go.countDown()
+      tA.join(60000); tB.join(60000)
+      val (_, v1) = Bucketing.currentPhys(spark, "graft_cas_t").get
+      // contract: every completed rewrite advanced the version exactly
+      // once; a writer that would have overwritten a foreign flip threw
+      assert(errs.size() + (v1 - v0) === 2,
+        s"two writers, v$v0->v$v1, ${errs.size()} threw: lost update?")
+      assert(errs.asScala.forall(
+        _.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"unexpected failure kind: ${errs.asScala.map(_.toString)}")
+      assert(errs.size() === 1, "the second writer should have lost the CAS")
+      assert(spark.table("graft_cas_t").collect().map(_.toString).sorted === before)
+    } finally Bucketing.dropLogical(spark, "graft_cas_t")
+  }
+
+  test("vacuumRetainMs: superseded versions survive rapid compactions while the time window covers them; vacuum reclaims after") {
+    import graft.sources.Bucketing
+    val cat = spark.sessionState.catalog
+    def onDisk(): Seq[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_retain_t__v")).toSeq.sorted
+    val base = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    spark.conf.set("spark.graft.bucketing.graceVersions", "0")
+    spark.conf.set("spark.graft.bucketing.vacuumRetainMs", "600000")
+    try {
+      Bucketing.writeBucketed(base, "graft_retain_t", "k", 2)
+      // three rapid compactions: count-grace is ZERO, yet every
+      // superseded version is younger than the retain window → kept
+      (1 to 3).foreach(_ => Bucketing.compactBucketed(spark, "graft_retain_t"))
+      assert(onDisk().size === 4,
+        s"retainMs must keep recently-superseded versions, saw ${onDisk()}")
+      assert(spark.table("graft_retain_t").count() === 100L)
+      // window elapses → the next rewrite's vacuum reclaims them
+      spark.conf.set("spark.graft.bucketing.vacuumRetainMs", "1")
+      Thread.sleep(50)
+      Bucketing.compactBucketed(spark, "graft_retain_t")
+      assert(onDisk().size === 1,
+        s"expired versions must vacuum (grace 0), saw ${onDisk()}")
+    } finally {
+      spark.conf.unset("spark.graft.bucketing.graceVersions")
+      spark.conf.unset("spark.graft.bucketing.vacuumRetainMs")
+      Bucketing.dropLogical(spark, "graft_retain_t")
+    }
+  }
+
+  test("purgeTombstoned physically removes rows NOW: no grace predecessor retains them after the markers drop") {
+    import graft.sources.Bucketing
+    val rows = (0L until 300L).map(i => (i, s"v$i")).toDF("id", "v")
+    Bucketing.writeBucketed(rows, "graft_purge_t", "id", 4)
+    try {
+      Bucketing.appendTombstones(
+        (0L until 300L by 3).map(Tuple1(_)).toDF("id"), "graft_purge")
+      assert(Bucketing.minusTombstones(
+        spark.table("graft_purge_t"), "graft_purge").count() === 200L)
+      Bucketing.purgeTombstoned(spark, "graft_purge", Seq("graft_purge_t"))
+      assert(spark.table("graft_purge_t").count() === 200L)
+      assert(!spark.catalog.tableExists("graft_purge_tombstones"),
+        "markers must drop with the purge")
+      // THE advice-item pin: no pre-purge version may outlive the
+      // marker drop — a reader resolving a retained predecessor would
+      // see the deleted rows resurface with nothing excluding them
+      val vs = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_purge_t__v")).toSeq
+      assert(vs.size === 1,
+        s"purge must vacuum every pre-purge version immediately, saw $vs")
+    } finally Bucketing.dropLogical(spark, "graft_purge_t")
   }
 
   test("write-back sink: slot-bucketed partitioned parquet round-trips (replacekeysvalues shape)") {
