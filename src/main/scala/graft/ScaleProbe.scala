@@ -1194,8 +1194,10 @@ object ScaleProbe {
         time("bpe_train_zipf") {
           val scans = new java.util.concurrent.atomic.AtomicInteger(0)
           val nM = sys.env.getOrElse("SPARK_GRAFT_PROBE_MERGES", "256").toInt
+          val tier2 = sys.env.getOrElse("SPARK_GRAFT_PROBE_BPE_TIER2", "false").toBoolean
           val merges = graft.operators.TextAnalysis.bpeTrainBatched(zdocs,
-            nMerges = nM, window = 512, scanCounter = scans)
+            nMerges = nM, window = 512, scanCounter = scans,
+            interferenceTier = tier2)
           require(merges.size >= nM,
             s"only ${merges.size} of $nM merges learned before exhaustion")
           System.err.println(f"==   bpe_train_zipf: ${merges.size} merges in " +

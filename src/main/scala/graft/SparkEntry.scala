@@ -2786,6 +2786,42 @@ object SparkEntry {
   }
 
   /**
+   * Quantizer DRIFT SIGNAL (Similarity.annAssignmentResidual): the
+   * index trains on the first 90%, and the one-row census measures
+   * the mean cosine assignment residual of the FULL corpus against
+   * the stored centroids — the observable that rises when
+   * frozen-quantizer growth drifts away from the trained lists.
+   * Oracle replays the id-seeded centroids and the (cos desc, _b)
+   * assignment in SQL.
+   */
+  private def annDriftResidual(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val cut = (embs.agg(max("vec_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_ann_idxq_codes"))
+      Similarity.writeAnnIndex(embs.filter(col("vec_id") < cut), "graft_ann_idxq")
+    Similarity.annAssignmentResidual(embs, "graft_ann_idxq")
+  }
+
+  /**
+   * RE-QUANTIZATION maintenance (Similarity.requantizeAnnIndex): the
+   * index trains on the first 90%, grows by the last 10% under the
+   * frozen quantizer, then RETRAINS over the full corpus — after
+   * which it must be indistinguishable from an index freshly built
+   * on everything (the training step is deterministic), so the
+   * oracle is exactly the full-train IVF-PQ replay.
+   */
+  private def annIndexRequantize(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val cut = (embs.agg(max("vec_id")).head.getLong(0) + 1L) * 9L / 10L
+    if (!s.catalog.tableExists("graft_ann_idxr_codes")) {
+      Similarity.writeAnnIndex(embs.filter(col("vec_id") < cut), "graft_ann_idxr")
+      Similarity.appendToAnnIndex(embs.filter(col("vec_id") >= cut), "graft_ann_idxr")
+      Similarity.requantizeAnnIndex(embs, "graft_ann_idxr")
+    }
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idxr")
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -4035,6 +4071,8 @@ object SparkEntry {
     "ann_index_persisted" -> (annIndexPersisted _),
     "ann_index_filtered" -> (annIndexFiltered _),
     "ann_index_append" -> (annIndexAppend _),
+    "ann_drift_residual" -> (annDriftResidual _),
+    "ann_index_requantize" -> (annIndexRequantize _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_mmr" -> (annMmr _),
@@ -4402,12 +4440,24 @@ object SparkEntry {
    * the ann_ivfpq / ann_index_persisted case; a vec_id cut ⇒ the
    * frozen-quantizer append case (ann_index_append).
    */
-  private def ivfPqSql(trainFilter: String, candJoin: String = ""): String =
+  private def ivfPqSql(trainFilter: String, candJoin: String = "",
+      refineRounds: Int = 0): String =
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       s"tv AS (SELECT * FROM v $trainFilter), " +
-      "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM tv, " +
-      "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
-      "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+      (if (refineRounds == 0)
+        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM tv, " +
+          "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+          "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), "
+      else
+        // Lloyd-refined coarse quantizer (requantizeAnnIndex): the
+        // emb_kmeans round CTEs seeded at vec_id % 32, final
+        // centroids = means of the last reassignment
+        "ra0 AS (SELECT vec_id, v, vec_id % 32 AS cl FROM tv), " +
+          (1 to refineRounds).map(r =>
+            kmRound(s"rc$r", s"ra$r", s"ra${r - 1}")).mkString +
+          "cent AS (SELECT cl AS _b, list(cv ORDER BY i) AS centroid FROM (" +
+          s"SELECT cl, i, avg(v[i]) AS cv FROM ra$refineRounds, " +
+          "generate_series(1, 64) t(i) GROUP BY cl, i) GROUP BY cl), ") +
       "assign AS (SELECT vec_id, _b FROM (" +
       "SELECT x.vec_id, ct._b, row_number() OVER (PARTITION BY x.vec_id " +
       "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
@@ -5331,6 +5381,25 @@ object SparkEntry {
     // first 90% only; the appended 10% is encoded under them
     "ann_index_append" -> ivfPqSql(
       "WHERE vec_id < (SELECT (max(vec_id) + 1) * 9 // 10 FROM embeddings)"),
+    // drift census: centroids from the 90% train set, mean cosine
+    // assignment residual of the FULL corpus against them
+    "ann_drift_residual" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "tv AS (SELECT * FROM v WHERE vec_id < " +
+        "(SELECT (max(vec_id) + 1) * 9 // 10 FROM embeddings)), " +
+        "d AS (SELECT vec_id % 32 AS _b, i, avg(v[i]) AS cv FROM tv, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "cent AS (SELECT _b, list(cv ORDER BY i) AS centroid FROM d GROUP BY _b), " +
+        "assign AS (SELECT vec_id, cos FROM (" +
+        "SELECT x.vec_id, list_cosine_similarity(x.v, ct.centroid) AS cos, " +
+        "row_number() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY list_cosine_similarity(x.v, ct.centroid) DESC, ct._b) AS rn " +
+        "FROM v x, cent ct) WHERE rn = 1) " +
+        "SELECT count(*) AS n_vectors, round(avg(1.0 - cos), 4) AS mean_residual " +
+        "FROM assign"),
+    // requantized index ≡ an index freshly trained on the full corpus
+    // with 3 Lloyd rounds (deterministic) — the refined IVF-PQ replay
+    "ann_index_requantize" -> ivfPqSql("", refineRounds = 3),
     // replays the md5-plane LSH: ±1 weights from md5('lsh:t:b:i'),
     // 4 tables × 8-bit buckets, candidates ranked by exact cosine
     "ann_lsh" ->

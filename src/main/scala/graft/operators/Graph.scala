@@ -115,19 +115,35 @@ object Graph {
    * mold: per round one edge-sized join against the (node-sized)
    * distance table + a min-aggregate; the edge list is partitioned
    * once and every round consumes it in place. Rounds are
-   * materialized so round t doesn't re-run rounds 1..t−1 through the
-   * lineage.
+   * materialized every `fuse` steps so deep walks don't re-run their
+   * whole history through the lineage — and so the loop pays ONE job
+   * dispatch per `fuse` rounds instead of per round. On a single JVM
+   * dispatch is cheap; across a process boundary it is the measured
+   * tax on round-dominated fixpoints (BASELINE.md round-12: graph_bfs
+   * 1.48× multi-process, pure per-round dispatch), and fusing divides
+   * it. The fused job is the same relax-join/min-agg composed k deep
+   * (shuffle count per ROUND is unchanged; only driver round-trips
+   * drop), so results are identical to the unfused loop (law-tested).
    */
   def bfsDistances(edges0: DataFrame, source: DataFrame,
-      maxDepth: Int = 3): DataFrame = {
+      maxDepth: Int = 3, fuse: Int = 2): DataFrame = {
     val edges = edges0.repartition(col("src")).materializeRound
     var dist = source.select(col("node"), lit(0L).as("dist")).materializeRound
-    for (_ <- 1 to maxDepth) {
-      val next = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionAll(next)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .materializeRound
+    var done = 0
+    while (done < maxDepth) {
+      val k = math.max(1, math.min(fuse, maxDepth - done))
+      var d = dist
+      for (_ <- 1 to k) {
+        // name-based join: the fused plan joins `edges` against a
+        // subplan that already CONTAINS `edges`; USING-resolution
+        // stays unambiguous under Spark's relation deduplication
+        val frontier = d.select(col("node").as("src"), col("dist"))
+        val next = edges.join(frontier, Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        d = d.unionAll(next).groupBy("node").agg(min("dist").as("dist"))
+      }
+      dist = d.materializeRound
+      done += k
     }
     dist
   }
@@ -144,17 +160,23 @@ object Graph {
    * than looping [[bfsDistances]] per source.
    */
   def harmonicCentrality(edges0: DataFrame, sources: DataFrame,
-      maxDepth: Int = 3): DataFrame = {
+      maxDepth: Int = 3, fuse: Int = 2): DataFrame = {
     val edges = edges0.repartition(col("src")).materializeRound
     var dist = sources
       .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
       .materializeRound
-    for (_ <- 1 to maxDepth) {
-      val next = edges.join(dist, edges("src") === dist("node"))
-        .select(col("s"), col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(next)
-        .groupBy("s", "node").agg(min("dist").as("dist"))
-        .materializeRound
+    var done = 0
+    while (done < maxDepth) { // k rounds per job — see bfsDistances
+      val k = math.max(1, math.min(fuse, maxDepth - done))
+      var d = dist
+      for (_ <- 1 to k) {
+        val frontier = d.select(col("s"), col("node").as("src"), col("dist"))
+        val next = edges.join(frontier, Seq("src"))
+          .select(col("s"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        d = d.unionByName(next).groupBy("s", "node").agg(min("dist").as("dist"))
+      }
+      dist = d.materializeRound
+      done += k
     }
     dist.filter(col("dist") > 0)
       .groupBy("node")
@@ -574,18 +596,24 @@ object Graph {
    * pre-rounded so cross-engine replays sum identical doubles.
    */
   def weightedShortestPaths(wEdges: DataFrame, source: DataFrame,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4, fuse: Int = 2): DataFrame = {
     // one edge exchange TOTAL (same discipline as bfsDistances): the
     // edge side is pre-partitioned on the join key and materialized,
     // so no round re-shuffles it — only dist-sized rows move per round
     val edges = wEdges.repartition(col("src")).materializeRound
     var dist = source.select(col("node"), lit(0.0).as("dist"))
-    for (_ <- 1 to rounds) {
-      val relax = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relax)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .materializeRound
+    var done = 0
+    while (done < rounds) { // k relax rounds per job — see bfsDistances
+      val k = math.max(1, math.min(fuse, rounds - done))
+      var d = dist
+      for (_ <- 1 to k) {
+        val frontier = d.select(col("node").as("src"), col("dist"))
+        val relax = edges.join(frontier, Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
+      }
+      dist = d.materializeRound
+      done += k
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }
@@ -600,9 +628,18 @@ object Graph {
    * no wrong early stop possible. `maxRounds` bounds runaway graphs
    * with negative-cost cycles (true Bellman–Ford termination);
    * distances are exact at fixpoint for non-negative weights.
+   *
+   * `fuse` relax rounds run per materialized job (see
+   * [[bfsDistances]] — per-round driver dispatch is the measured
+   * multi-process tax on fixpoint loops), with the checksum observed
+   * on the fused job. Convergence is detected at fused-block
+   * granularity: k rounds changing nothing is a strictly stronger
+   * witness than one round changing nothing, so the fixpoint (and
+   * the result) is identical — the loop just may run up to k−1
+   * no-op relaxations inside its final job.
    */
   def weightedShortestPathsConverged(wEdges: DataFrame, source: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, fuse: Int = 4): DataFrame = {
     // checksum rides the relax job itself (Dataset.observe) — ONE job
     // per round instead of materialize + checksum aggregate; at
     // hundreds of rounds the driver cadence is the bottleneck, not
@@ -623,16 +660,21 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val relax = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val (next, nextSum) = materializeWithChecksum(
-        dist.unionByName(relax).groupBy("node").agg(min("dist").as("dist")))
+      val k = math.max(1, math.min(fuse, maxRounds - i))
+      var d = dist
+      for (_ <- 1 to k) {
+        val frontier = d.select(col("node").as("src"), col("dist"))
+        val relax = edges.join(frontier, Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
+      }
+      val (next, nextSum) = materializeWithChecksum(d)
       converged = nextSum == cur &&
         next.except(dist).limit(1).count() == 0 &&
         dist.except(next).limit(1).count() == 0
       dist = next
       cur = nextSum
-      i += 1
+      i += k
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
   }

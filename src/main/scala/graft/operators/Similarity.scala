@@ -120,19 +120,34 @@ object Similarity {
     topListsFromMatrix(corpus.sparkSession,
       coarseCentroids(corpus, nlist, vecCol, idCol))
 
-  /** Id-seeded coarse centroids, collected as the (nlist × dims) matrix. */
+  /** Id-seeded coarse centroids, collected as the (nlist × dims)
+    * matrix — optionally sharpened by `refineIters` Lloyd rounds
+    * (argmax-cosine reassignment → means, the [[kmeansAssign]] step;
+    * deterministic given the id seeding, so an oracle replays the
+    * rounds as chained CTEs). Each round is one corpus scan; the
+    * assignment matrix never stacks across rounds. Clusters that
+    * lose every member drop out (both engines agree: the mean of an
+    * empty group is no row). */
   private def coarseCentroids(corpus: DataFrame, nlist: Int,
-      vecCol: String, idCol: String): Array[(Long, Array[Double])] = {
+      vecCol: String, idCol: String,
+      refineIters: Int = 0): Array[(Long, Array[Double])] = {
     val vsum = udaf(graft.functions.Aggregators.VecSum)
-    corpus
+    val v = corpus
       .withColumn("_b", pmod(col(idCol), lit(nlist)))
       .select(col("_b"), col(vecCol).cast("array<double>").as("v"))
+    def means(assigned: DataFrame): Array[(Long, Array[Double])] = assigned
       .groupBy("_b")
       .agg(vsum(col("v")).as("vs"), count("*").as("n"))
       .select(col("_b"), transform(col("vs"), x => x / col("n")).as("centroid"))
       .collect()
       .map(r => (r.getAs[Number]("_b").longValue(), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    var cents = means(v)
+    for (_ <- 1 to refineIters) {
+      val assign = topListsFromMatrix(corpus.sparkSession, cents)
+      cents = means(v.select(assign(col("v"), 1)(0).as("_b"), col("v")))
+    }
+    cents
   }
 
   /** The nearest-n-centroids probe over an already-known matrix — a
@@ -700,12 +715,12 @@ object Similarity {
   def writeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
       m: Int = 8, k: Int = 16, buckets: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil, refineIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(Seq(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
-    val cents = coarseCentroids(corpus, nlist, vecCol, idCol)
+    val cents = coarseCentroids(corpus, nlist, vecCol, idCol, refineIters)
     val books = pqCodebooks(v.select("id", "v"), k)
     graft.sources.Bucketing.writeSmallTable(
       cents.toSeq.map { case (b, c) => (b, c.toSeq) }
@@ -817,6 +832,73 @@ object Similarity {
   /** Physically drop tombstoned code rows and clear the markers (crash-safe, idempotent). */
   def purgeAnnIndex(spark: SparkSession, table: String): Unit =
     graft.sources.Bucketing.purgeTombstoned(spark, table, Seq(s"${table}_codes"))
+
+  /**
+   * DRIFT SIGNAL for a persisted ANN index: one row
+   * `(n_vectors, mean_residual)` where the residual is
+   * `1 − cos(v, nearest stored coarse centroid)` — the quantity IVF
+   * recall actually depends on. Frozen-quantizer appends
+   * ([[appendToAnnIndex]]) are how production indexes grow, but if
+   * the arriving vector distribution drifts away from the trained
+   * centroids, vectors land in lists that no longer bound their
+   * neighborhoods and recall against exact ranking decays SILENTLY.
+   * Rising mean residual is that drift made observable: batch-sized
+   * cost (assignment is the same in-row centroid loop the index
+   * uses, [[graft.functions.TopCentroidsExpr]]), so the streaming
+   * ingest loop can afford it per micro-batch — and
+   * [[VectorStreams.streamingAnnIngest]] ledgers it when given a
+   * drift path. The maintenance answer is [[requantizeAnnIndex]].
+   */
+  def annAssignmentResidual(batch: DataFrame, table: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
+    val topLists = topListsFromMatrix(spark, cents)
+    batch
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("v"), topLists(col("v"), 1)(0).as("list_id"))
+      .join(broadcast(spark.table(s"${table}_centroids")), Seq("list_id"))
+      .select((lit(1.0) - graft.functions.VectorFunctions
+        .cosine_sim(col("v"), col("centroid").cast("array<double>"))).as("r"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg("r"), 4).as("mean_residual"))
+  }
+
+  /**
+   * RE-QUANTIZATION maintenance: retrain the coarse centroids and PQ
+   * codebooks over the CURRENT corpus and re-encode every code row —
+   * the repair for quantizer drift that frozen-quantizer growth
+   * accumulates (the probe plants a drifted region and shows recall@5
+   * against exact ranking collapse, then restore). Training is
+   * deterministic (id-seeded means + Lloyd rounds), so a requantized
+   * index is bit-identical to an index freshly built from the same
+   * corpus with the same refinement (law-tested). Each of the three tables rewrites
+   * through the versioned-view layer; run it from the index's single
+   * writer (the ingest loop's between-batch hook) — the three flips
+   * are atomic per table, not across them, so a query racing the swap
+   * could pair the new quantizer with old codes for one resolution.
+   * Returns one row `(n_vectors, pre_residual, post_residual)` so the
+   * operator log records what the rebuild bought.
+   *
+   * Unlike the build-time quantizer (one id-seeded mean step — cheap
+   * and fine when the corpus is what the index will serve), the
+   * retrain runs `refineIters` Lloyd rounds: a drifted corpus is
+   * multi-regional by definition, and the single seeded step would
+   * average the regions together instead of separating them (the
+   * spec's planted-drift fixture demonstrates exactly that failure).
+   */
+  def requantizeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
+      m: Int = 8, k: Int = 16, buckets: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      metaCols: Seq[String] = Nil, refineIters: Int = 3): DataFrame = {
+    val pre = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
+    writeAnnIndex(corpus, table, nlist, m, k, buckets, vecCol, idCol, metaCols,
+      refineIters)
+    val post = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((pre.getLong(0), pre.getDouble(1), post.getDouble(1)))
+      .toDF("n_vectors", "pre_residual", "post_residual")
+  }
 
   def annIndexTopK(queries: DataFrame, table: String, topk: Int = 5,
       nprobe: Int = 8, m: Int = 8,

@@ -802,8 +802,8 @@ object TextAnalysis {
    */
   def bpeTrainBatched(docs: DataFrame, nMerges: Int = 256,
       textCol: String = "text", window: Int = 512,
-      scanCounter: java.util.concurrent.atomic.AtomicInteger = null)
-      : Seq[(String, String, Long)] = {
+      scanCounter: java.util.concurrent.atomic.AtomicInteger = null,
+      interferenceTier: Boolean = false): Seq[(String, String, Long)] = {
     import graft.core.Materialize.MaterializeOps
     var out = Vector.empty[(String, String, Long)]
     // segmented-corpus state under the merges accepted so far
@@ -822,69 +822,173 @@ object TextAnalysis {
       else {
         // TIE-TOLERANT exact acceptance walk (rank order, stop at the
         // first failure — no gaps, so sequential picks accepted pairs
-        // in exactly this order). A pair at count c is accepted iff:
-        //  (1) its symbols are disjoint from every accepted pair's
-        //      (applying an accepted merge then can't mutate it);
+        // in exactly this order). The load-bearing fact throughout:
+        // applying merge (a,b) mutates ONLY pairs of the forms (·,a)
+        // and (b,·) — each application destroys occurrences of those
+        // and mints (u,a␁b)/(a␁b,v) FROM them (mint count ≤ the
+        // destroyed pre-image's count; counts of existing pairs never
+        // increase, and merged-away adjacencies never re-form). The
+        // affectedness test is therefore DIRECTIONAL: (a,c) is exactly
+        // invariant under (a,b) — an `a` followed by `c` is never
+        // consumed — even though they share a symbol. (Round 13: this
+        // replaces the coarse shares-any-symbol test, which was the
+        // recorded head-symbol-overlap bound on Zipf-shaped corpora
+        // where every top pair contains the head word.)
+        //
+        // TIER 1 — invariant candidates. A pair at count c is accepted
+        // iff:
+        //  (1) it is unaffected by every accepted pair (count exactly
+        //      c at its turn);
         //  (2) c is strictly above the window floor when the window
-        //      filled (its tie group is FULLY visible, and no unseen
-        //      below-window pair — nor anything minted/mutated from
-        //      one, counts never increase under merges — can reach c);
-        //  (3) its tie group is CLEAN: no tied competitor shares a
-        //      symbol with any previously accepted pair. Applying a
-        //      merge (a,b) can mint (u,a␁b) with count ≤ count(u,a);
-        //      a minted pair can tie at c — with an arbitrary name,
-        //      so it could win the (count desc, pair asc) tie-break —
-        //      only via a pre-image IN the tie group touching an
-        //      applied symbol, which is exactly what clean rules out;
-        //  (4) it is disjoint from every tied competitor: applying IT
-        //      must not mint a tie at its own count either (same
-        //      pre-image argument, and pre-images below the group
-        //      mint strictly below c, which (2) keeps harmless).
+        //      filled (tie group fully visible; nothing unseen below
+        //      the window — nor minted from it — can reach c) and
+        //      strictly above the mint ceiling (see tier 2);
+        //  (3) its tie group is CLEAN: no tied competitor is a
+        //      pre-image of an applied merge's mint (a minted pair can
+        //      tie at c — with an arbitrary name, so it could win the
+        //      (count desc, pair asc) tie-break — only via a pre-image
+        //      AT count c, i.e. in the group, in mint position);
+        //  (4) applying IT destroys/mints from no tied competitor
+        //      (same argument at its own count).
         // Pre-images above the current count are impossible: ranked
-        // pairs before the stop are all accepted and accepted pairs
-        // are mutually disjoint, so a pair sharing a symbol with an
-        // accepted one either ranks at/after the stop (count ≤ the
-        // stop count) or sits below the window. Hence every accepted
-        // pair is the sequential argmax at its turn — batched ≡
-        // sequential stays a theorem, tie-break included. The head is
-        // always accepted (it IS the sequential argmax). This
-        // generalizes the round-10 disjoint-prefix + strict-cutoff
-        // rule: with no ties the group checks are vacuous and the
-        // walk degenerates to it; on tie-plateau corpora (wide groups
-        // of mutually disjoint pairs) it accepts the whole clean
-        // prefix of the group instead of the head alone.
+        // pairs before the stop are all accepted, and a pre-image of
+        // an accepted pair's mint that was itself accepted EARLIER was
+        // applied first — its occurrences are already merged away, so
+        // it mints nothing (application order = rank order); one
+        // accepted LATER is tier-2 by construction (it is affected)
+        // and its mints are covered by the mint ceiling. Hence every
+        // accepted pair is the sequential argmax at its turn —
+        // batched ≡ sequential stays a theorem, tie-break included.
+        //
+        // TIER 2 — the INTERFERENCE BOUND (round-13, VERDICT ask,
+        // tightened to be live). An accepted interferer always ranks
+        // at or above the candidate, so bounding its destruction by
+        // the interferer's own COUNT can never leave a positive lead
+        // — the usable bound is TRIGRAM EVIDENCE: (a,b) destroys an
+        // occurrence of (x,y) only at an "x a b" site (when y = a) or
+        // an "a b y" site (when x = b), and the initial state's
+        // trigram counts upper-bound those sites at every later step
+        // (counts never increase under merges, and adjacencies of
+        // original symbols never re-form). So when the walk stalls on
+        // an affected candidate, ONE lazy extra pass collects the
+        // top-window trigram counts (floor-bounded like the bigram
+        // window), and the candidate's true count c' ∈ [c − D, c]
+        // with D = Σ matching trigram bounds. If c − D still strictly
+        // dominates EVERY possible competitor — the next ranked
+        // count, the window floor (unseen pairs), and the mint
+        // ceiling (mints with an already-applied pre-image are dead,
+        // with a later-tier-2-accepted pre-image are bounded by that
+        // pair's own D since its minted occurrences ARE its destroyed
+        // ones, and with a non-accepted pre-image are tie-rule
+        // territory) — and c − D ≥ 2 keeps sequential from stopping,
+        // the candidate is the guaranteed argmax at its turn even
+        // though its exact count is unknown here. Its TRUE count
+        // (what sequential records, and what the oracle replays) is
+        // recovered after the walk by one extra corpus pass that
+        // re-counts each tier-2 pair under its batch prefix.
+        // Strict-dominance means ties never reach tier 2, so the
+        // name tie-break needs no argument. MEASURED VERDICT (round
+        // 13, 200k-doc Zipf corpus, 256 merges): the directional
+        // tier-1 refinement alone lifts cadence 2.1 -> 2.4
+        // merges/scan, but enabling this tier DROPS it to 1.3 — its
+        // trigram + recovery passes fire nearly every scan while the
+        // acceptances they enable average under one merge each, so
+        // the bound is exactness-preserving but not cadence-positive
+        // on the target corpus shape. Hence `interferenceTier`
+        // defaults OFF; the laws pin it stays ≡ sequential when on.
         val windowFloor = if (top.length == window) top.last._3 else -1L
+        val effFloor = if (top.length == window) windowFloor else 1L
         val byCount = eligible.groupBy(_._3)
-        var used = Set.empty[String]
+        var firsts = Set.empty[String]  // accepted (a,b): pairs (·,a) are affected
+        var seconds = Set.empty[String] // accepted (a,b): pairs (b,·) are affected
+        def affected(u: String, v: String): Boolean =
+          firsts.contains(v) || seconds.contains(u)
         var acceptedSet = Set.empty[(String, String)]
         var accepted = Vector.empty[(String, String, Long)]
+        var exactIdx = Vector.empty[Int] // batch positions needing true-count recovery
+        var mintCeil = 0L
+        // trigram evidence, collected lazily on the first tier-2 probe
+        var triMap: Map[String, Long] = null
+        var triFloor = 0L
+        def ensureTrigrams(): Unit = if (triMap == null) {
+          if (scanCounter != null) { scanCounter.incrementAndGet(); () }
+          val t3 = cur.select(explode(shingle_strings(col("t"), 3)).as("tri"))
+            .groupBy("tri").agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("tri"))
+            .limit(window).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          triMap = t3.toMap
+          triFloor = if (t3.length == window) t3.last._2 else 0L
+        }
         var stopped = false
         var i = 0
         while (i < eligible.length && !stopped) {
           val (x, y, c) = eligible(i)
           val tied = byCount(c)
           // accepted group members are exempt from the clean check:
-          // their own symbols in `used` are not a minted-tie hazard
-          // against themselves, and (4) already proved them disjoint
-          // from the rest of the group — EXCEPT the head, whose
-          // entanglements surface here as a non-accepted competitor
-          // touching `used`, correctly contaminating its group
-          val ok = i == 0 || (
-            !used.contains(x) && !used.contains(y) &&
-            c > windowFloor &&
+          // their own hazard sets are not a minted-tie hazard against
+          // themselves, and (4) already proved them clean against the
+          // rest of the group — EXCEPT the head, whose entanglements
+          // surface here as a non-accepted competitor in mint
+          // position, correctly contaminating its group
+          val tier1 = i == 0 || (
+            !affected(x, y) &&
+            c > windowFloor && c > mintCeil &&
             (tied.length == 1 || tied.forall { t =>
               acceptedSet.contains((t._1, t._2)) ||
                 (t._1 == x && t._2 == y) ||
-                (!used.contains(t._1) && !used.contains(t._2) &&       // (3)
-                  t._1 != x && t._1 != y && t._2 != x && t._2 != y)    // (4)
+                (!affected(t._1, t._2) &&        // (3), directional
+                  t._2 != x && t._1 != y)        // (4), directional
             }))
-          if (!ok) stopped = true
+          var tier2D = 0L
+          val tier2 = !tier1 && i > 0 && interferenceTier && {
+            val cNext = if (i + 1 < eligible.length) eligible(i + 1)._3 else effFloor
+            val bound = math.max(math.max(cNext, effFloor), mintCeil)
+            // free pre-check: only pay the trigram pass when the
+            // candidate would win even at zero destruction (rules out
+            // ties — cNext = c — and spent leads without any I/O)
+            c >= 2L && c > bound && {
+              ensureTrigrams()
+              val d = accepted.iterator.map { case (a, b, ca) =>
+                (if (y == a) math.min(triMap.getOrElse(s"$x $a $b", triFloor), ca)
+                 else 0L) +
+                (if (x == b) math.min(triMap.getOrElse(s"$a $b $y", triFloor), ca)
+                 else 0L)
+              }.sum
+              val cLow = c - d
+              val ok = cLow >= 2L && cLow > bound
+              if (ok) { mintCeil = math.max(mintCeil, d); tier2D = d }
+              ok
+            }
+          }
+          if (!tier1 && !tier2) stopped = true
           else {
+            if (tier2 && tier2D > 0) exactIdx :+= accepted.size
             accepted :+= ((x, y, c)); acceptedSet += ((x, y))
-            used += x; used += y; i += 1
+            firsts += x; seconds += y; i += 1
           }
         }
-        val batch = accepted.take(nMerges - out.size)
+        var batch = accepted.take(nMerges - out.size)
+        // true-count recovery for tier-2 acceptances: ONE extra corpus
+        // pass (counted as a scan — it is one) re-counts each such
+        // pair over the state its turn sees (cur + its batch prefix),
+        // so the recorded count-at-selection is exactly sequential's
+        val recover = exactIdx.filter(_ < batch.size)
+        if (recover.nonEmpty) {
+          if (scanCounter != null) { scanCounter.incrementAndGet(); () }
+          val aggs = recover.map { t =>
+            val (x, y, _) = batch(t)
+            val seg = if (t == 0) col("t")
+              else concat_ws(" ",
+                bpe_segment(col("t"), batch.take(t).map(b => (b._1, b._2))))
+            sum(size(filter(shingle_strings(seg, 2),
+              s => s === lit(x + " " + y)))).cast("long").as(s"c$t")
+          }
+          val row = cur.select(aggs: _*).collect()(0)
+          recover.zipWithIndex.foreach { case (t, j) =>
+            batch = batch.updated(t, (batch(t)._1, batch(t)._2, row.getLong(j)))
+          }
+        }
         out ++= batch
         // advance the segmented state by THIS batch only
         val next = cur.select(concat_ws(" ",

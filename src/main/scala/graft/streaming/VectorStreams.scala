@@ -47,13 +47,22 @@ object VectorStreams {
   def streamingAnnIngest(vecStream: DataFrame, table: String,
       outPath: String, checkpoint: String,
       topk: Int = 5, nprobe: Int = 8, m: Int = 8,
-      autoCompact: Int = 8): StreamingQuery =
+      autoCompact: Int = 8, driftPath: String = null): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().localCheckpoint() // searched AND appended below
         Similarity.annIndexTopK(b, table, topk = topk, nprobe = nprobe, m = m)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // drift ledger: the batch's mean assignment residual against
+        // the STORED quantizer, measured before the batch joins the
+        // index (a drifted batch should read high, not be averaged
+        // into its own baseline). One batch-sized row per micro-batch,
+        // replay-idempotent via the per-batch overwrite; a rising
+        // series is the requantizeAnnIndex trigger.
+        if (driftPath != null)
+          Similarity.annAssignmentResidual(b, table)
+            .write.mode("overwrite").parquet(s"$driftPath/batch=$batchId")
         Similarity.appendNovelToAnnIndex(b, table, m = m)
         // between-batch LSM maintenance on the codes table (the
         // DocumentStreams files-per-bucket policy, out-of-band so the

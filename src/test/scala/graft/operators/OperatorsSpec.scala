@@ -844,6 +844,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(answers() === before, "compaction changed ANN answers")
   }
 
+  test("ANN drift + requantize: a drifted region reads high residual and low recall; retraining restores both; requantized ≡ fresh-built") {
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      (i.toLong, (0 until 64).map(d => shift + math.sin(i * 64 + d)).toArray)
+    }
+    val trained = vecs(0 until 200, 0.0)
+    val drifted = vecs(1000 until 1200, 6.0) // a new region the quantizer never saw
+    val embs = trained.toDF("vec_id", "embedding")
+    val driftB = drifted.toDF("vec_id", "embedding")
+    val full = (trained ++ drifted).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(embs, "graft_ann_drift", buckets = 8)
+    // the drift SIGNAL: the planted batch's mean assignment residual
+    // reads far above the trained corpus's own
+    def residual(b: org.apache.spark.sql.DataFrame) =
+      Similarity.annAssignmentResidual(b, "graft_ann_drift")
+        .collect()(0).getDouble(1)
+    val rTrained = residual(embs)
+    val rDrifted = residual(driftB)
+    assert(rDrifted > rTrained + 0.1,
+      s"planted drift must read high: trained $rTrained, drifted $rDrifted")
+    // grow under the frozen quantizer (production path), then measure
+    // recall@5 of drifted queries against exact ranking
+    Similarity.appendToAnnIndex(driftB, "graft_ann_drift")
+    val dq = driftB.filter(col("vec_id") < 1010L)
+    def recallAt5(table: String): Double = {
+      val exact = Similarity.bruteForceTopK(full, dq, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val approx = Similarity.annIndexTopK(dq, table, topk = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val recallBefore = recallAt5("graft_ann_drift")
+    // requantize over the current corpus: residual repaired
+    val stats = Similarity.requantizeAnnIndex(full, "graft_ann_drift")
+      .collect()(0)
+    assert(stats.getDouble(1) > stats.getDouble(2),
+      s"requantize must lower the residual: $stats")
+    // law: a requantized index answers exactly like one freshly built
+    // from the same corpus with the same refinement (deterministic) —
+    // so requantize restores recall to the fresh-index CEILING by
+    // construction; the assertions pin that drift had pushed recall
+    // materially below that ceiling and the rebuild closed the gap
+    Similarity.writeAnnIndex(full, "graft_ann_fresh", buckets = 8, refineIters = 3)
+    def ans(t: String) = Similarity.annIndexTopK(dq, t, topk = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ans("graft_ann_drift") === ans("graft_ann_fresh"))
+    val ceiling = recallAt5("graft_ann_fresh")
+    val recallAfter = recallAt5("graft_ann_drift")
+    assert(recallAfter === ceiling)
+    assert(recallBefore < ceiling - 0.05 && recallAfter > recallBefore,
+      s"drift must cost recall and requantize must recover it: " +
+        s"before $recallBefore, after $recallAfter, ceiling $ceiling")
+  }
+
   test("bpeTrainIterative: re-counts between merges; equals one-round when pairs don't interact") {
     // genuinely non-interacting pairs: each repeated pair is isolated
     // by unique filler tokens, so merging one never changes another's
@@ -940,6 +993,57 @@ class OperatorsSpec extends AnyFunSuite {
     val batP = TextAnalysis.bpeTrainBatched(plateau, nMerges = 6, scanCounter = scans2)
     assert(batP === TextAnalysis.bpeTrainIterative(plateau, nMerges = 6))
     assert(scans2.get() <= 3, s"expected ≤3 scans on the plateau, got ${scans2.get()}")
+  }
+
+  test("bpeTrainBatched directional invariance: same-first-symbol pairs land in one scan (the Zipf head-word shape) — still ≡ sequential") {
+    // (w0,a)=10 > (w0,b)=8 > (w0,c)=6 all share the head symbol w0,
+    // but applying (w0,a) only consumes a w0 FOLLOWED BY a — the
+    // other two pairs are exactly invariant. The round-12 walk's
+    // shares-any-symbol test took one merge per scan here (the
+    // recorded head-symbol-overlap bound on Zipf corpora); the
+    // directional test takes all three in one productive scan
+    val zipfHead = Seq(
+      (1L, Seq.fill(10)("w0 a").zipWithIndex.map { case (s, i) => s"$s f$i" }.mkString(" ")),
+      (2L, Seq.fill(8)("w0 b").zipWithIndex.map { case (s, i) => s"$s g$i" }.mkString(" ")),
+      (3L, Seq.fill(6)("w0 c").zipWithIndex.map { case (s, i) => s"$s h$i" }.mkString(" "))
+    ).toDF("doc_id", "text")
+    val seqZ = TextAnalysis.bpeTrainIterative(zipfHead, nMerges = 3)
+    assert(seqZ.map(m => (m._1, m._2)) === Seq(("w0", "a"), ("w0", "b"), ("w0", "c")))
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batZ = TextAnalysis.bpeTrainBatched(zipfHead, nMerges = 3, scanCounter = scans)
+    assert(batZ === seqZ)
+    assert(scans.get() === 1,
+      s"directional invariance should land all three in one scan, got ${scans.get()}")
+  }
+
+  test("bpeTrainBatched interference bound: an affected pair with trigram-bounded destruction and a dominating lead is accepted with its TRUE count") {
+    // (a,b)=20 ranks first; (c,a)=10 is affected by it (a 'c a'
+    // occurrence dies when its a is followed by b) but only 2 sites
+    // are 'c a b' — trigram evidence bounds the destruction at 2, and
+    // 10−2=8 still dominates the next competitor (d,e)=5. The batch
+    // takes all three in one scan; the recorded count for (c,a) must
+    // be sequential's count-at-selection, 8, not the scan count 10
+    val hazardLead = Seq(
+      (1L, "c a b p1 c a b"),                                      // 'c a b' ×2
+      (2L, Seq.fill(8)("c a").zipWithIndex.map { case (s, i) => s"$s z$i" }.mkString(" ")),
+      (3L, Seq.fill(18)("a b").zipWithIndex.map { case (s, i) => s"$s q$i" }.mkString(" ")),
+      (4L, Seq.fill(5)("d e").zipWithIndex.map { case (s, i) => s"$s r$i" }.mkString(" "))
+    ).toDF("doc_id", "text")
+    val seqL = TextAnalysis.bpeTrainIterative(hazardLead, nMerges = 3)
+    assert(seqL === Seq(("a", "b", 20L), ("c", "a", 8L), ("d", "e", 5L)),
+      s"fixture drifted: $seqL")
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the tier is exactness-preserving but measured cadence-negative
+    // on Zipf text, so it is opt-in (see bpeTrainBatched) — the law
+    // here pins that WITH it on, batched stays ≡ sequential
+    val batL = TextAnalysis.bpeTrainBatched(hazardLead, nMerges = 3,
+      scanCounter = scans, interferenceTier = true)
+    assert(batL === seqL)
+    // ranking + trigram evidence + true-count recovery
+    assert(scans.get() === 3, s"expected 3 scans, got ${scans.get()}")
+    // and with it OFF, the affected pair simply waits for its own
+    // scan — same result, one more ranking pass
+    assert(TextAnalysis.bpeTrainBatched(hazardLead, nMerges = 3) === seqL)
   }
 
   test("bpeApply: greedy left-to-right, rank-ordered, merged units atomic") {

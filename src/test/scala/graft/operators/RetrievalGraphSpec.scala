@@ -96,7 +96,10 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val out = Graph.weightedShortestPathsConverged(wEdges, source)
+      // fuse = 1 isolates what this test pins — the checksum riding
+      // the relax job itself — from round fusion (whose own law and
+      // job-count effects the fusion-law test covers)
+      val out = Graph.weightedShortestPathsConverged(wEdges, source, fuse = 1)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
       assert(out === Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
       Thread.sleep(1000) // listener bus is async; let events drain
@@ -320,6 +323,31 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
       s"nodes beyond depth 3 and the disconnected component must be absent: $got")
+  }
+
+  test("round fusion law: fused frontier loops equal the per-round loops (bfs, harmonic, sssp, converged sssp)") {
+    // a braided graph where rounds genuinely interact: chain with
+    // shortcuts, so later relaxations improve earlier distances
+    val raw = Seq(
+      (0L, 1L, 0.2), (1L, 2L, 0.2), (2L, 3L, 0.2), (3L, 4L, 0.2),
+      (4L, 5L, 0.2), (0L, 2L, 0.9), (1L, 4L, 1.1), (0L, 5L, 2.0),
+      (2L, 5L, 0.5))
+    val wEdges = (raw ++ raw.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val edges = wEdges.select("src", "dst")
+    val src = Seq(0L).toDF("node")
+    def sort(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sort(Graph.bfsDistances(edges, src, maxDepth = 5, fuse = 3))
+      === sort(Graph.bfsDistances(edges, src, maxDepth = 5, fuse = 1)))
+    val srcs = Seq(0L, 3L).toDF("node")
+    assert(sort(Graph.harmonicCentrality(edges, srcs, maxDepth = 4, fuse = 3))
+      === sort(Graph.harmonicCentrality(edges, srcs, maxDepth = 4, fuse = 1)))
+    assert(sort(Graph.weightedShortestPaths(wEdges, src, rounds = 5, fuse = 2))
+      === sort(Graph.weightedShortestPaths(wEdges, src, rounds = 5, fuse = 1)))
+    // the fixpoint variant: fused blocks reach the same fixpoint as
+    // per-round convergence (k no-op rounds ⊃ one no-op round)
+    assert(sort(Graph.weightedShortestPathsConverged(wEdges, src, fuse = 4))
+      === sort(Graph.weightedShortestPathsConverged(wEdges, src, fuse = 1)))
   }
 
   test("labelPropagation collapses disjoint triangles to their min-id communities") {

@@ -1048,6 +1048,39 @@ class StreamingSpec extends AnyFunSuite {
       s"self-pairs leaked into the neighbor log: ${replayed.filter(p => p._1 == p._2).toSeq}")
   }
 
+  test("streaming ANN drift ledger: an in-distribution batch reads low, a planted drifted batch reads high") {
+    import graft.operators.Similarity
+    val s = spark; import s.implicits._
+    val mkVec = (i: Long, shift: Double) =>
+      (0 until 64).map(d => (shift + math.sin(i * 64 + d)).toFloat)
+    val corpus = (0L until 200L).map(i => (i, mkVec(i, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.writeAnnIndex(corpus, "graft_ann_driftled", buckets = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annled").toString
+    // batch 0: in-distribution; batch 1: a region the quantizer never saw
+    (6000L to 6019L).map(i => (i, mkVec(i, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q1 = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"), "graft_ann_driftled",
+      s"$dir/nn", s"$dir/ckpt", driftPath = s"$dir/drift")
+    try q1.processAllAvailable() finally q1.stop()
+    (7000L to 7019L).map(i => (i, mkVec(i, 6.0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"), "graft_ann_driftled",
+      s"$dir/nn", s"$dir/ckpt", driftPath = s"$dir/drift")
+    try q2.processAllAvailable() finally q2.stop()
+    val led = spark.read.parquet(s"$dir/drift")
+      .select(col("batch").cast("long"), col("n_vectors"), col("mean_residual"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(led.keySet === Set(0L, 1L), s"one ledger row per micro-batch: $led")
+    assert(led(0L)._1 === 20L && led(1L)._1 === 20L)
+    assert(led(1L)._2 > led(0L)._2 + 0.1,
+      s"the drifted batch must read high in the ledger: $led")
+  }
+
   test("streaming PCA maintenance: merged moment ledger fits the batch model; batch replay is idempotent") {
     import graft.operators.Similarity
     val s = spark; import s.implicits._
