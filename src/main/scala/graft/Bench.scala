@@ -65,10 +65,15 @@ object Bench {
     // a burst can only contaminate one pass, and the per-query min
     // across passes rejects it.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // result-row counts ride the timing action for free: wall-time
+    // alone misjudges the OUTPUT-BOUND family (a 3M-row pair dump is
+    // throughput work, not latency work), so the record carries rows
+    // and a reader can judge rows/s where that is the right quantity
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     val passes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       val pass = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { rowCounts(name) = fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -124,8 +129,11 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query's timing would otherwise read as a (fast) success
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rowsJson = results.flatMap { case (k, _) =>
+      rowCounts.get(k).map(n => "\"" + k + "\":" + n)
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // the full per-query record (≈5 KB at 120 queries) exceeds the
     // driver's 2000-char stdout tail, so its json-parse of the last
     // line always failed. Persist the full record to a file (committed
@@ -143,7 +151,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    // output-bound queries (≥100k result rows) get their row counts in
+    // the compact line too, so the per-round capture can judge rows/s
+    val bigRows = results.flatMap { case (k, _) =>
+      rowCounts.get(k).filter(_ >= 100000L).map(n => "\"" + k + "\":" + n)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"rows":$bigRows,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -130,8 +130,15 @@ object ScaleProbe {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "200000").toInt
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_PROBE_VECS", "100000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[w,c,mem] runs the probes with
+    // forked executor JVMs (the Verify/Bench discipline) — the
+    // streaming-ingest probes under it are the multi-process leg of
+    // the sustained-arrival story: foreachBatch maintenance, RocksDB
+    // state, and versioned-view flips all drive real executor
+    // processes instead of in-JVM threads
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -140,7 +147,8 @@ object ScaleProbe {
       // must not race a concurrent suite/verify JVM's catalog
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-probe-wh").toString)
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      graft.core.ClusterHarness.configure(builder) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = synthDocs(spark, nDocs).repartition(cpus.toInt)
@@ -1285,6 +1293,16 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"per-batch latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
+        // out-of-band compaction pin (round 13): the trigger no longer
+        // stalls the tripping batch with a corpus-sized inline rewrite
+        // (r12 inline: p99 4.1x p50); what remains in p99 is bounded
+        // overlap-contention with the background maintenance thread.
+        // Pinned at the recorded config only — at 4 cores the
+        // background rewrite legitimately starves a concurrent batch
+        // (measured 6x), which is a capacity statement, not a stall
+        if (cpus.toInt >= 16)
+          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+            f"ingest p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
       // the READ half of the sustained-arrival story: the ingest-latency
@@ -1349,6 +1367,9 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
+        if (cpus.toInt >= 16) // recorded-config pin, see ingestLatency
+          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+            f"read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
       // the same read-flat law for the SECOND index family: the IVF-PQ
@@ -1396,6 +1417,9 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"ANN query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
+        if (cpus.toInt >= 16) // recorded-config pin, see ingestLatency
+          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+            f"ANN read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
       Seq(

@@ -636,10 +636,16 @@ object Graph {
    * granularity: k rounds changing nothing is a strictly stronger
    * witness than one round changing nothing, so the fixpoint (and
    * the result) is identical — the loop just may run up to k−1
-   * no-op relaxations inside its final job.
+   * no-op relaxations inside its final job. That overshoot is REAL
+   * data work (each no-op round still joins and re-aggregates), so
+   * the default stays at 2 — dispatch halves, overshoot is at most
+   * one wasted round; fuse=4 measured 1.5× the per-round wall time
+   * at sf0.1 local[32] because short fixpoints rounded up to whole
+   * blocks. Raise it only where dispatch dominates the round (deep
+   * fixpoints across a process boundary).
    */
   def weightedShortestPathsConverged(wEdges: DataFrame, source: DataFrame,
-      maxRounds: Int = 64, fuse: Int = 4): DataFrame = {
+      maxRounds: Int = 64, fuse: Int = 2): DataFrame = {
     // checksum rides the relax job itself (Dataset.observe) — ONE job
     // per round instead of materialize + checksum aggregate; at
     // hundreds of rounds the driver cadence is the bottleneck, not
