@@ -662,6 +662,54 @@ object ScaleProbe {
           "graft_probe_ann")
         0L
       },
+      // quantizer drift at scale (round 13): grow the persisted index
+      // by a 20k-vector region the quantizer never saw (frozen-
+      // quantizer appends — the production growth path), measure
+      // recall@5 of drifted queries against exact ranking, then
+      // requantize (Lloyd-refined retrain over the current corpus)
+      // and measure again. The drift signal and the repair, priced
+      // at the 100k-vec probe index.
+      time("ann_drift_requantize") {
+        val nonce = math.abs(System.nanoTime())
+        val idx = s"graft_probe_adrift_$nonce"
+        // a STRUCTURED corpus (the latent-signal family the PCA probes
+        // use): drift is only measurable relative to structure the
+        // quantizer captured, so the index builds Lloyd-refined — the
+        // hash-random probe embeddings quantize to near-global-mean
+        // centroids where every residual reads ~equally high
+        val base = latentEmbs(spark, nVecs.toLong, cpus.toInt).localCheckpoint()
+        Similarity.writeAnnIndex(base, idx, nlist = 256, m = 8, k = 256,
+          refineIters = 2)
+        // drifted region: same latent structure (so exact top-5 is
+        // well-defined among them), displaced off the trained manifold
+        val drifted = latentEmbs(spark, 20000L, cpus.toInt)
+          .select((col("vec_id") + 50000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+          .localCheckpoint()
+        val rIn = Similarity.annAssignmentResidual(base, idx).collect()(0).getDouble(1)
+        val rDrift = Similarity.annAssignmentResidual(drifted, idx).collect()(0).getDouble(1)
+        Similarity.appendToAnnIndex(drifted, idx)
+        val full = base.unionByName(drifted).localCheckpoint()
+        val dq = drifted.filter(col("vec_id") < 50000200L).localCheckpoint()
+        def recall5(): Double = {
+          val exact = Similarity.bruteForceTopK(full, dq, k = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          val approx = Similarity.annIndexTopK(dq, idx, topk = 5, nprobe = 16)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          (exact intersect approx).size.toDouble / exact.size
+        }
+        val before = recall5()
+        val stats = Similarity.requantizeAnnIndex(full, idx,
+          nlist = 256, m = 8, k = 256).collect()(0)
+        val after = recall5()
+        System.err.println(f"==   ann_drift: residual in-dist $rIn%.4f vs " +
+          f"drifted $rDrift%.4f; recall@5 drifted-queries $before%.3f -> " +
+          f"$after%.3f after requantize (pre/post residual " +
+          f"${stats.getDouble(1)}%.4f/${stats.getDouble(2)}%.4f)")
+        require(rDrift > rIn, "planted drift must read above the in-dist residual")
+        require(after >= before, "requantize must not lose recall")
+        (after * 1000).toLong
+      },
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),
