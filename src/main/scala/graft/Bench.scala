@@ -20,6 +20,47 @@ object Bench {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Result-row threshold above which a query is judged OUTPUT-BOUND:
+    * its wall time is throughput work (rows emitted), not latency
+    * work, so the gate scores it in rows/s. */
+  val OutputBoundRows = 100000L
+
+  /**
+   * The soft regression gate, pure so it is unit-testable: compare
+   * this run's per-query minima against the last committed record.
+   *
+   *  - LATENCY queries gate on wall time: >2× a baseline that clears
+   *    the 0.5 s noise floor (sub-second timings on this virtualized
+   *    host swing multi-x run to run).
+   *  - OUTPUT-BOUND queries (≥ [[OutputBoundRows]] result rows on
+   *    both sides) gate on ROWS/S instead: current throughput below
+   *    half the baseline's. Wall alone misjudged this family every
+   *    round (er_cosine's 3M-row dump read as a "regression" whenever
+   *    the host dipped, though its rows/s held) — row counts ride the
+   *    committed record precisely so the gate can use the right unit.
+   *
+   * Returns (name, (currentSec, baselineSec, note)) per regression.
+   */
+  private[graft] def gateEntries(
+      results: Seq[(String, Double)],
+      rowCounts: Map[String, Long],
+      prior: Map[String, Double],
+      priorRows: Map[String, Long]): Seq[(String, (Double, Double, String))] =
+    results.flatMap { case (name, sec) =>
+      prior.get(name).filter(_ >= 0.5).flatMap { p =>
+        val outputBound = rowCounts.get(name).exists(_ >= OutputBoundRows) &&
+          priorRows.get(name).exists(_ >= OutputBoundRows)
+        if (outputBound) {
+          val curTp = rowCounts(name) / math.max(sec, 1e-9)
+          val oldTp = priorRows(name) / p
+          if (curTp < 0.5 * oldTp)
+            Some(name -> (sec, p, f"rows/s ${curTp}%.0f vs baseline ${oldTp}%.0f"))
+          else None
+        } else if (sec > 2.0 * p) Some(name -> (sec, p, "wall"))
+        else None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,32 +138,38 @@ object Bench {
     // to run — and the compared value is the MIN over passes, so a
     // one-pass spike can never trip it: every pass must have been
     // slow for the min to be.
-    val prior: Map[String, Double] = {
-      def parse(txt: String): Map[String, Double] = {
-        val qsBlock = txt.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qsBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    def numBlock(txt: String, key: String): Map[String, Double] =
+      txt.split("\"" + key + "\":\\{", 2) match {
+        case Array(_, rest) =>
+          "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+            .findAllMatchIn(rest.split("\\}", 2)(0))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        case _ => Map.empty
       }
+    val priorTxt: Option[String] = {
       val committed = try {
         val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
           .redirectErrorStream(false).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(parse(out)) else None
+        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out) else None
       } catch { case _: Exception => None }
-      committed.getOrElse(try parse(new String(java.nio.file.Files.readAllBytes(
+      committed.orElse(try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_full.json")), "UTF-8"))
-      catch { case _: Exception => Map.empty })
+      catch { case _: Exception => None })
     }
-    val gate = results.collect {
-      case (name, sec) if prior.get(name).exists(p => p >= 0.5 && sec > 2.0 * p) =>
-        name -> (sec, prior(name))
+    val prior: Map[String, Double] = priorTxt.map(numBlock(_, "queries")).getOrElse(Map.empty)
+    val priorRows: Map[String, Long] =
+      priorTxt.map(numBlock(_, "rows")).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toLong }
+    val gate = gateEntries(results, rowCounts.toMap, prior, priorRows)
+    gate.foreach { case (n, (cur, old, note)) =>
+      System.err.println(f"[bench] GATE: $n regressed ${cur / old}%.2fx " +
+        f"($old%.3f -> $cur%.3f s; $note)")
     }
-    gate.foreach { case (n, (cur, old)) =>
-      System.err.println(f"[bench] GATE: $n regressed ${cur / old}%.2fx ($old%.3f -> $cur%.3f s)")
-    }
-    val gateJson = gate.map { case (n, (cur, old)) =>
+    val gateJson = gate.map { case (n, (cur, old, note)) =>
       "\"" + n + "\":{\"sec\":" + (math.rint(cur * 1000) / 1000) +
-        ",\"baseline\":" + (math.rint(old * 1000) / 1000) + "}"
+        ",\"baseline\":" + (math.rint(old * 1000) / 1000) +
+        ",\"note\":\"" + note + "\"}"
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -87,6 +87,9 @@ object Graft {
     // LOGICAL tables users query, like any manifest-backed format...
     val tables = allTables
       .filter(t => !t.name.matches(".*__v\\d+$"))
+      // transient segment-writer tables (manifest layer's bucketed
+      // write vehicle) — dropped within their write; hide the race
+      .filter(t => !t.name.contains("__segw_"))
       .sortBy(_.name)
       .map(t => ("table", t.name, t.tableType.toLowerCase))
     // ...plus one row per versioned table showing its manifest state.
@@ -122,7 +125,13 @@ object Graft {
     }
     val streams = spark.streams.active.toSeq.sortBy(_.id.toString)
       .map(q => ("stream", Option(q.name).getOrElse(q.id.toString), "active"))
-    (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ streams)
+    // out-of-band compactions in flight or awaiting finalize — the ops
+    // surface for "a stopped loop stranded a finished background
+    // write" (the stream-stop hook finalizes these; this row is how
+    // an operator sees one pending in between)
+    val maint = graft.sources.Bucketing.pendingTables.sorted
+      .map(t => ("maintenance", t, "pending"))
+    (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ streams ++ maint)
       .toDF("section", "key", "value")
   }
 }

@@ -147,9 +147,38 @@ object ScaleProbe {
       // must not race a concurrent suite/verify JVM's catalog
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-probe-wh").toString)
+    // FAIR scheduling with a low-share maintenance pool: the
+    // out-of-band compaction thread (Bucketing's maintenancePool tags
+    // its jobs spark.scheduler.pool=graft_maintenance) should soak
+    // idle cores, not contend head-to-head with a live micro-batch.
+    // Weight 8:1 means a live batch's stages take ~8/9 of contended
+    // slots at task-boundary granularity (FAIR does not preempt
+    // running tasks — the manifest design keeps merge tasks small, so
+    // boundaries come often).
+    val fairPools = {
+      val f = java.nio.file.Files.createTempFile("graft-fair", ".xml")
+      java.nio.file.Files.write(f,
+        """<?xml version="1.0"?>
+          |<allocations>
+          |  <pool name="default">
+          |    <schedulingMode>FIFO</schedulingMode><weight>8</weight><minShare>0</minShare>
+          |  </pool>
+          |  <pool name="graft_maintenance">
+          |    <schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>0</minShare>
+          |  </pool>
+          |</allocations>""".stripMargin.getBytes("UTF-8"))
+      f.toString
+    }
+    builder.config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairPools)
     val spark = (if (master.startsWith("local-cluster"))
       graft.core.ClusterHarness.configure(builder) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // actual executor cores (r13 advice): under SPARK_GRAFT_MASTER=
+    // local-cluster[2,2,...] the session has 4 cores while the cpus
+    // env string still reads 32 — capacity-regime pins must gate on
+    // what the scheduler actually has, not on the env value
+    val actualCores = spark.sparkContext.defaultParallelism
 
     val docs = synthDocs(spark, nDocs).repartition(cpus.toInt)
     val embs = synthEmbeddings(spark, nVecs).repartition(cpus.toInt)
@@ -1370,7 +1399,7 @@ object ScaleProbe {
         // Pinned at the recorded config only — at 4 cores the
         // background rewrite legitimately starves a concurrent batch
         // (measured 6x), which is a capacity statement, not a stall
-        if (cpus.toInt >= 16)
+        if (actualCores >= 16)
           require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
             f"ingest p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
@@ -1437,7 +1466,7 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
-        if (cpus.toInt >= 16) // recorded-config pin, see ingestLatency
+        if (actualCores >= 16) // recorded-config pin, see ingestLatency
           require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
             f"read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
@@ -1487,16 +1516,155 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"ANN query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
-        if (cpus.toInt >= 16) // recorded-config pin, see ingestLatency
+        if (actualCores >= 16) // recorded-config pin, see ingestLatency
           require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
             f"ANN read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
+      // The maintained-index WRITE path under contention, with a
+      // REQUANTIZE mid-stream (the r13 verdict #7 leg): drifted
+      // vectors arrive mid-stream, the loop's auto-remediation fires
+      // requantizeAnnIndex between batches — committing through the
+      // cross-table epoch flip — while a concurrent reader hammers
+      // annIndexTopK the whole time. Under SPARK_GRAFT_MASTER=
+      // local-cluster this is the multi-process pin: the reader's
+      // codes scans run in forked executor JVMs against whatever
+      // generation its resolution pinned, so a mixed
+      // quantizer/codes pairing or a swept-underfoot file surfaces
+      // as a reader error. Green = epoch advanced, residual
+      // repaired, ZERO reader errors.
+      def annRequantizeMidStream(): Long = {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import scala.jdk.CollectionConverters._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val nonce = math.abs(System.nanoTime())
+        val idx = s"graft_probe_rq_$nonce"
+        val dir = java.nio.file.Files.createTempDirectory("graft-rq").toString
+        def vec(id: Long, shift: Double): Seq[Double] =
+          (0 until 64).map(d => shift + math.sin(id * 64.0 + d))
+        // distributed twin of vec(id, 0.0): sin(id*64 + d)
+        val trained = spark.range(20000).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => sin(col("id") * 64 + d)).as("embedding"))
+          .repartition(cpus.toInt).localCheckpoint()
+        val driftedIds = (40000000L until 40002000L)
+        val driftedDf = driftedIds.map(i => (i, vec(i, 6.0)))
+          .toDF("vec_id", "embedding").localCheckpoint()
+        val full = trained.unionByName(driftedDf).localCheckpoint()
+        Similarity.writeAnnIndex(trained, idx, nlist = 64, buckets = 16)
+        val queries = trained.filter(col("vec_id") < 100).localCheckpoint()
+        queries.count()
+        val readerErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val reads = new java.util.concurrent.atomic.AtomicLong(0)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          val rs = spark.newSession() // a user session, not the loop's
+          while (!stop.get()) {
+            try {
+              require(Similarity.annIndexTopK(queries, idx,
+                topk = 5, nprobe = 8).count() > 0)
+              reads.incrementAndGet(); ()
+            } catch { case t: Throwable => readerErrs.add(t); () }
+          }
+        }, "graft-probe-rq-reader")
+        val ms = MemoryStream[(Long, Seq[Double])]
+        val q = graft.streaming.VectorStreams.streamingAnnIngest(
+          ms.toDF().toDF("vec_id", "embedding"), idx, s"$dir/out", s"$dir/ckpt",
+          nprobe = 8, driftPath = s"$dir/drift",
+          driftThreshold = 0.1, retrainCorpus = () => full)
+        reader.start()
+        try {
+          // batches 0-4: in-distribution (no trigger); batch 5: the
+          // drifted region lands → auto-requantize; 6-9: post-repair
+          (0 until 10).foreach { b =>
+            if (b == 5) ms.addData(driftedIds.map(i => (i, vec(i, 6.0))))
+            else ms.addData((0 until 1000).map { i =>
+              val id = 50000000L + b * 1000L + i; (id, vec(id, 0.0))
+            })
+            q.processAllAvailable()
+          }
+        } finally { q.stop(); stop.set(true); reader.join(60000) }
+        require(graft.sources.Bucketing.currentEpoch(spark, idx) >= 1,
+          "mid-stream drift must auto-requantize through the epoch flip")
+        val post = Similarity.annAssignmentResidual(driftedDf, idx)
+          .collect()(0).getDouble(1)
+        require(post <= 0.1, f"requantize must repair the residual, got $post%.3f")
+        require(readerErrs.isEmpty,
+          s"reader errors during mid-stream requantize: " +
+            readerErrs.asScala.take(2).map(_.toString))
+        require(reads.get() > 0, "reader never completed a query")
+        System.err.println(s"==   stream_ann_requantize: epoch " +
+          s"${graft.sources.Bucketing.currentEpoch(spark, idx)}, " +
+          s"${reads.get()} concurrent reads, 0 reader errors, " +
+          f"post-repair residual $post%.4f")
+        reads.get()
+      }
+      // THE r13 verdict #1 pin: a compaction flip's bytes-written must
+      // track the merged (hot) segments, never the table — the
+      // manifest layer carries cold segments BY REFERENCE (same
+      // physical path across versions), where the previous design
+      // byte-copied the whole table per flip (O(corpus) maintenance
+      // I/O at 100 TB). Three append+merge cycles over a corpus-sized
+      // base segment: each flip writes <20% of the base bytes, and
+      // the base segment's path is IDENTICAL across all versions.
+      def manifestFlipBytes(): Long = {
+        val t = s"graft_probe_mani_${math.abs(System.nanoTime())}"
+        val base = synthOrders(spark, 2000000L)
+          .select(col("o_orderkey").as("k"),
+            concat(col("o_status"), col("o_totalprice").cast("string")).as("v"))
+        graft.sources.Bucketing.writeBucketed(base, t, "k", 32)
+        def manifest(): Map[String, String] = {
+          val (phys, _) = graft.sources.Bucketing.currentPhys(spark, t).get
+          spark.sessionState.catalog
+            .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(phys))
+            .map(p => (p.spec("_graft_seg"), p.location.toString)).toMap
+        }
+        def dirBytes(loc: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(loc)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).collect {
+            case s if s.isFile && !s.getPath.getName.startsWith("_") => s.getLen
+          }.sum
+        }
+        val m0 = manifest()
+        require(m0.size == 1)
+        val (baseSeg, baseLoc) = m0.head
+        val baseBytes = dirBytes(baseLoc)
+        var known = m0.keySet
+        try {
+          (1 to 3).foreach { cycle =>
+            (1 to 3).foreach { a =>
+              graft.sources.Bucketing.appendBucketed(
+                synthOrders(spark, 20000L)
+                  .select((col("o_orderkey") + cycle * 1000000L + a * 100000L)
+                    .as("k"), concat(col("o_status"),
+                      col("o_totalprice").cast("string")).as("v")), t, "k")
+            }
+            require(graft.sources.Bucketing.compactBucketedPartial(spark, t, 2))
+            val m = manifest()
+            require(m.get(baseSeg).contains(baseLoc),
+              s"cycle $cycle: cold base segment must carry by reference")
+            val newSegs = m.keySet -- known
+            val flipBytes = newSegs.toSeq.map(n => dirBytes(m(n))).sum
+            known = m.keySet
+            System.err.println(f"==   manifest_flip_bytes cycle $cycle: " +
+              f"${flipBytes / 1e6}%.1f MB written vs ${baseBytes / 1e6}%.1f MB " +
+              "cold (referenced, 0 copied)")
+            require(flipBytes < baseBytes / 5,
+              s"flip wrote $flipBytes B vs base $baseBytes B — " +
+                "bytes-per-flip must track the hot segments, not the table")
+          }
+          3L
+        } finally graft.sources.Bucketing.dropLogical(spark, t)
+      }
       Seq(
+        time("manifest_flip_bytes")(manifestFlipBytes()),
         time("stream_ingest_lat_idx")(ingestLatency("index")),
         time("stream_ingest_lat_para")(ingestLatency("para")),
         time("stream_ingest_read_lat")(readLatency()),
-        time("stream_ann_read_lat")(annReadLatency()))
+        time("stream_ann_read_lat")(annReadLatency()),
+        time("stream_ann_requantize")(annRequantizeMidStream()))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }

@@ -381,12 +381,37 @@ object Dedup {
   def writeMinhashIndex(docs: DataFrame, table: String, k: Int = 128,
       bands: Int = 32, shingleN: Int = 5, buckets: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    graft.sources.Bucketing.writeBucketed(
-      bandRows(docs, k, bands, shingleN, textCol, idCol),
-      s"${table}_bands", "band_hash", buckets)
-    graft.sources.Bucketing.writeBucketed(
-      shingleRows(docs, shingleN, textCol, idCol),
-      s"${table}_shingles", "id", buckets)
+    def writeTo(nameOf: String => String): Unit = {
+      graft.sources.Bucketing.writeBucketed(
+        bandRows(docs, k, bands, shingleN, textCol, idCol),
+        nameOf("bands"), "band_hash", buckets)
+      graft.sources.Bucketing.writeBucketed(
+        shingleRows(docs, shingleN, textCol, idCol),
+        nameOf("shingles"), "id", buckets)
+    }
+    val spark = docs.sparkSession
+    // REBUILD of an existing index commits through one atomic epoch
+    // flip (Bucketing.rebuildEpoch): both next-generation tables are
+    // written first, the `{table}_epoch` pointer flips LAST — a query
+    // racing the rebuild resolves the epoch once and reads one
+    // generation's band+shingle pair throughout (all-old or all-new;
+    // mixed banding across the pair would silently skew candidates).
+    // A FRESH build keeps the flat epoch-0 names: no indirection until
+    // a rebuild actually happens.
+    if (graft.sources.Bucketing.currentEpoch(spark, table) > 0 ||
+        spark.catalog.tableExists(s"${table}_bands"))
+      graft.sources.Bucketing.rebuildEpoch(spark, table,
+        Seq("bands", "shingles"))(writeTo)
+    else writeTo(m => s"${table}_$m")
+  }
+
+  /** Member-name resolver for the MinHash index's table pair at the
+    * CURRENT epoch — resolved once per operation so the band and
+    * shingle reads of that operation see one generation. */
+  private def mhMembers(spark: org.apache.spark.sql.SparkSession,
+      table: String): String => String = {
+    val g = graft.sources.Bucketing.currentEpoch(spark, table)
+    m => if (g == 0) s"${table}_$m" else s"${table}_${m}_g$g"
   }
 
   /** (id, band_idx, band_hash) rows for the index's candidate side. */
@@ -430,12 +455,13 @@ object Dedup {
     // ended); content changes still require purge-before-append —
     // see Bucketing.clearTombstones
     graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
+    val at = mhMembers(batch.sparkSession, table)
     graft.sources.Bucketing.appendBucketed(
       bandRows(batch, k, bands, shingleN, textCol, idCol),
-      s"${table}_bands", "band_hash")
+      at("bands"), "band_hash")
     graft.sources.Bucketing.appendBucketed(
       shingleRows(batch, shingleN, textCol, idCol),
-      s"${table}_shingles", "id")
+      at("shingles"), "id")
   }
 
   /**
@@ -458,9 +484,11 @@ object Dedup {
    * clear the markers — out of band, crash-safe, idempotent
    * ([[graft.sources.Bucketing.purgeTombstoned]]).
    */
-  def purgeMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+  def purgeMinhashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val at = mhMembers(spark, table)
     graft.sources.Bucketing.purgeTombstoned(spark, table,
-      Seq(s"${table}_bands", s"${table}_shingles"))
+      Seq(at("bands"), at("shingles")))
+  }
 
   /**
    * Near-dup pairs between a (small) new batch and a corpus indexed
@@ -506,8 +534,9 @@ object Dedup {
     // broadcast band join below does the filtering
     // tombstoned docs disappear at the candidate stage — no later
     // join can resurrect an id that never proposes itself
+    val at = mhMembers(spark, table)
     val idx0 = graft.sources.Bucketing.minusTombstones(
-      spark.table(s"${table}_bands"), table)
+      spark.table(at("bands")), table)
     val idx = batchHashes match {
       case Some(hs) => idx0.filter(inSet(col("band_hash"), hs))
       case None     => idx0
@@ -539,7 +568,7 @@ object Dedup {
     // as a left-semi join (the clusterAssignIncremental discipline)
     val candIds = boundedCollect(
       cand.select("corpus_id").distinct(), 4096)(_.getLong(0))
-    val idxSh0 = spark.table(s"${table}_shingles")
+    val idxSh0 = spark.table(at("shingles"))
     val idxSh = candIds match {
       case Some(ids) => idxSh0.filter(inSet(col("id"), ids))
       case None => idxSh0.join(
@@ -1501,8 +1530,13 @@ object Dedup {
    * fires and a relabel map exists, ONE [[compactClusterIndex]]
    * rewrite both restores the one-file-per-bucket layout and folds
    * the accumulated merges back into the table (clearing the
-   * broadcast-side map queries pay on every read). Returns whether a
-   * compaction ran.
+   * broadcast-side map queries pay on every read). Return semantics
+   * differ by branch: the inline relabel fold returns true on the
+   * call that runs it, but the no-relabel branch delegates to
+   * [[graft.sources.Bucketing.maybeCompactBucketedAsync]] — the call
+   * that trips the threshold ENQUEUES and returns false; true comes
+   * from the later call that FINALIZES the flip. Callers counting
+   * compactions see async completions deferred by one trigger cycle.
    */
   def maybeCompactClusterIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, maxFilesPerBucket: Int = 8): Boolean = {

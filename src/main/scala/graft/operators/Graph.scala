@@ -108,6 +108,26 @@ object Graph {
         round(sum(col("term")), 6).as("modularity"))
   }
 
+  /** Sentinel: resolve the fusion depth from the EXECUTION REGIME.
+    * Fusing k relax rounds into one job divides the per-round driver
+    * dispatch by k — the measured multi-process tax on fixpoint loops
+    * (BASELINE.md r12: graph_bfs 1.48× MP, pure dispatch; r13 fused:
+    * 0.94×) — but pays up to k−1 rounds of REAL no-op work past
+    * convergence. On a single-JVM `local[*]` master dispatch is
+    * in-process (~free), so fusing only buys the overshoot: the r13
+    * committed record priced the constant fuse=2 default at 1.2–1.3×
+    * on bfs/harmonic/sssp_converged locally. The default is therefore
+    * regime-resolved, not constant: 1 under local[*], 2 across any
+    * process boundary (local-cluster/standalone/YARN/k8s). Explicit
+    * values override. */
+  val AutoFuse: Int = -1
+  private def resolveFuse(df: DataFrame, fuse: Int): Int =
+    if (fuse != AutoFuse) fuse
+    else {
+      val m = df.sparkSession.sparkContext.master
+      if (m.startsWith("local") && !m.startsWith("local-cluster")) 1 else 2
+    }
+
   /**
    * Bounded BFS: exact shortest-hop distances (≤ `maxDepth`) from the
    * `source` node set over a symmetric edge list — the reachability /
@@ -126,12 +146,13 @@ object Graph {
    * drop), so results are identical to the unfused loop (law-tested).
    */
   def bfsDistances(edges0: DataFrame, source: DataFrame,
-      maxDepth: Int = 3, fuse: Int = 2): DataFrame = {
+      maxDepth: Int = 3, fuse: Int = AutoFuse): DataFrame = {
+    val fz = resolveFuse(edges0, fuse)
     val edges = edges0.repartition(col("src")).materializeRound
     var dist = source.select(col("node"), lit(0L).as("dist")).materializeRound
     var done = 0
     while (done < maxDepth) {
-      val k = math.max(1, math.min(fuse, maxDepth - done))
+      val k = math.max(1, math.min(fz, maxDepth - done))
       var d = dist
       for (_ <- 1 to k) {
         // name-based join: the fused plan joins `edges` against a
@@ -160,14 +181,15 @@ object Graph {
    * than looping [[bfsDistances]] per source.
    */
   def harmonicCentrality(edges0: DataFrame, sources: DataFrame,
-      maxDepth: Int = 3, fuse: Int = 2): DataFrame = {
+      maxDepth: Int = 3, fuse: Int = AutoFuse): DataFrame = {
+    val fz = resolveFuse(edges0, fuse)
     val edges = edges0.repartition(col("src")).materializeRound
     var dist = sources
       .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
       .materializeRound
     var done = 0
     while (done < maxDepth) { // k rounds per job — see bfsDistances
-      val k = math.max(1, math.min(fuse, maxDepth - done))
+      val k = math.max(1, math.min(fz, maxDepth - done))
       var d = dist
       for (_ <- 1 to k) {
         val frontier = d.select(col("s"), col("node").as("src"), col("dist"))
@@ -596,7 +618,8 @@ object Graph {
    * pre-rounded so cross-engine replays sum identical doubles.
    */
   def weightedShortestPaths(wEdges: DataFrame, source: DataFrame,
-      rounds: Int = 4, fuse: Int = 2): DataFrame = {
+      rounds: Int = 4, fuse: Int = AutoFuse): DataFrame = {
+    val fz = resolveFuse(wEdges, fuse)
     // one edge exchange TOTAL (same discipline as bfsDistances): the
     // edge side is pre-partitioned on the join key and materialized,
     // so no round re-shuffles it — only dist-sized rows move per round
@@ -604,7 +627,7 @@ object Graph {
     var dist = source.select(col("node"), lit(0.0).as("dist"))
     var done = 0
     while (done < rounds) { // k relax rounds per job — see bfsDistances
-      val k = math.max(1, math.min(fuse, rounds - done))
+      val k = math.max(1, math.min(fz, rounds - done))
       var d = dist
       for (_ <- 1 to k) {
         val frontier = d.select(col("node").as("src"), col("dist"))
@@ -645,7 +668,8 @@ object Graph {
    * fixpoints across a process boundary).
    */
   def weightedShortestPathsConverged(wEdges: DataFrame, source: DataFrame,
-      maxRounds: Int = 64, fuse: Int = 2): DataFrame = {
+      maxRounds: Int = 64, fuse: Int = AutoFuse): DataFrame = {
+    val fz = resolveFuse(wEdges, fuse)
     // checksum rides the relax job itself (Dataset.observe) — ONE job
     // per round instead of materialize + checksum aggregate; at
     // hundreds of rounds the driver cadence is the bottleneck, not
@@ -666,7 +690,7 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val k = math.max(1, math.min(fuse, maxRounds - i))
+      val k = math.max(1, math.min(fz, maxRounds - i))
       var d = dist
       for (_ <- 1 to k) {
         val frontier = d.select(col("node").as("src"), col("dist"))

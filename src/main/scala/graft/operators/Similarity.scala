@@ -715,7 +715,18 @@ object Similarity {
   def writeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
       m: Int = 8, k: Int = 16, buckets: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      metaCols: Seq[String] = Nil, refineIters: Int = 0): Unit = {
+      metaCols: Seq[String] = Nil, refineIters: Int = 0): Unit =
+    // writes the CURRENT generation's names in place (three per-table
+    // flips — fine for a fresh build or a quiesced rebuild); the
+    // racing-reader-safe rebuild is [[requantizeAnnIndex]], whose
+    // epoch flip commits all three tables atomically
+    writeAnnIndexTo(corpus, annMembers(corpus.sparkSession, table),
+      nlist, m, k, buckets, vecCol, idCol, metaCols, refineIters)
+
+  private def writeAnnIndexTo(corpus: DataFrame, nameOf: String => String,
+      nlist: Int, m: Int, k: Int, buckets: Int,
+      vecCol: String, idCol: String,
+      metaCols: Seq[String], refineIters: Int): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(Seq(col(idCol).as("id"),
@@ -724,12 +735,12 @@ object Similarity {
     val books = pqCodebooks(v.select("id", "v"), k)
     graft.sources.Bucketing.writeSmallTable(
       cents.toSeq.map { case (b, c) => (b, c.toSeq) }
-        .toDF("list_id", "centroid"), s"${table}_centroids")
+        .toDF("list_id", "centroid"), nameOf("centroids"))
     graft.sources.Bucketing.writeSmallTable(
       books.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c.toSeq) }
-        .toDF("b", "centroid"), s"${table}_codebooks")
+        .toDF("b", "centroid"), nameOf("codebooks"))
     graft.sources.Bucketing.writeBucketed(
-      encodeRows(v, cents, books, m, metaCols), s"${table}_codes", "list_id", buckets)
+      encodeRows(v, cents, books, m, metaCols), nameOf("codes"), "list_id", buckets)
   }
 
   /**
@@ -745,6 +756,17 @@ object Similarity {
       graft.functions.VectorFunctions.pq_codes(vec, m, books)
     v.select(Seq(col("id"), topLists(col("v"), 1)(0).as("list_id"),
       encode(col("v")).as("codes")) ++ metaCols.map(col): _*)
+  }
+
+  /** Member-name resolver for the ANN index's table group at the
+    * CURRENT epoch — resolved ONCE per operation so every member read
+    * of that operation sees one generation (all-old or all-new, never
+    * a new quantizer with old codes). Epoch 0 = the flat names a fresh
+    * [[writeAnnIndex]] creates; [[requantizeAnnIndex]] bumps it.
+    * See [[graft.sources.Bucketing.rebuildEpoch]]. */
+  private def annMembers(spark: SparkSession, table: String): String => String = {
+    val g = graft.sources.Bucketing.currentEpoch(spark, table)
+    m => if (g == 0) s"${table}_$m" else s"${table}_${m}_g$g"
   }
 
   private def readCentroids(spark: SparkSession, name: String,
@@ -765,14 +787,15 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
-    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val at = annMembers(spark, table)
+    val cents = readCentroids(spark, at("centroids"), "list_id")
+    val books = readCentroids(spark, at("codebooks"), "b").map(_._2)
     val v = batch.select(Seq(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
     // re-appending a tombstoned id revokes its delete (Bucketing.clearTombstones)
     graft.sources.Bucketing.clearTombstones(batch.select(col(idCol)), table)
     graft.sources.Bucketing.appendBucketed(
-      encodeRows(v, cents, books, m, metaCols), s"${table}_codes", "list_id")
+      encodeRows(v, cents, books, m, metaCols), at("codes"), "list_id")
   }
 
   /**
@@ -788,8 +811,9 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
-    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val at = annMembers(spark, table)
+    val cents = readCentroids(spark, at("centroids"), "list_id")
+    val books = readCentroids(spark, at("codebooks"), "b").map(_._2)
     val v = batch.select(Seq(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
     val enc = encodeRows(v, cents, books, m, metaCols)
@@ -802,10 +826,10 @@ object Similarity {
     // for the same id. Replays are unaffected: the marker is already
     // gone, the row exists, the id stays non-novel.
     graft.sources.Bucketing.clearTombstones(enc.select("id"), table)
-    val existing = spark.table(s"${table}_codes")
+    val existing = spark.table(at("codes"))
       .filter(Dedup.inSet(col("list_id"), routed)).select("id")
     graft.sources.Bucketing.appendBucketed(
-      enc.join(existing, Seq("id"), "left_anti"), s"${table}_codes", "list_id")
+      enc.join(existing, Seq("id"), "left_anti"), at("codes"), "list_id")
   }
 
   /**
@@ -831,7 +855,8 @@ object Similarity {
 
   /** Physically drop tombstoned code rows and clear the markers (crash-safe, idempotent). */
   def purgeAnnIndex(spark: SparkSession, table: String): Unit =
-    graft.sources.Bucketing.purgeTombstoned(spark, table, Seq(s"${table}_codes"))
+    graft.sources.Bucketing.purgeTombstoned(spark, table,
+      Seq(annMembers(spark, table)("codes")))
 
   /**
    * DRIFT SIGNAL for a persisted ANN index: one row
@@ -852,15 +877,52 @@ object Similarity {
   def annAssignmentResidual(batch: DataFrame, table: String,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val spark = batch.sparkSession
-    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
+    val at = annMembers(spark, table)
+    val cents = readCentroids(spark, at("centroids"), "list_id")
     val topLists = topListsFromMatrix(spark, cents)
     batch
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .select(col("v"), topLists(col("v"), 1)(0).as("list_id"))
-      .join(broadcast(spark.table(s"${table}_centroids")), Seq("list_id"))
+      .join(broadcast(spark.table(at("centroids"))), Seq("list_id"))
       .select((lit(1.0) - graft.functions.VectorFunctions
         .cosine_sim(col("v"), col("centroid").cast("array<double>"))).as("r"))
       .agg(count(lit(1)).as("n_vectors"), round(avg("r"), 4).as("mean_residual"))
+  }
+
+  /** The PQ sub-quantizer count the index's stored codes actually
+    * carry (codes arrays have length m) — how a restarted ingest loop
+    * or a reader recovers the encode-time knob without a side channel.
+    * One limit-1 read of the codes table. */
+  def annIndexM(spark: SparkSession, table: String): Int =
+    spark.table(annMembers(spark, table)("codes"))
+      .select(size(col("codes"))).limit(1).collect()(0).getInt(0)
+
+  /**
+   * CODE-RESOLUTION signal for a persisted ANN index: one row
+   * `(n_vectors, mean_pq_error)` where the error is the asymmetric PQ
+   * distance between each batch vector and its OWN code under the
+   * index's stored codebooks — the quantization error the ADC scoring
+   * actually pays. The companion to [[annAssignmentResidual]]: a high
+   * assignment residual says the COARSE quantizer drifted (fix:
+   * requantize); a post-requantize residual that stays low while this
+   * error stays high says CODE RESOLUTION is the binding constraint —
+   * the measured m-escalation lever (the 100k-tier dense-region
+   * finding: recall collapse was PQ code resolution, m=16 recovered
+   * 0.144→0.321, not list count). Batch-sized; m is inferred from the
+   * stored codes so the caller can't measure with a mismatched knob.
+   */
+  def pqReconstructionResidual(batch: DataFrame, table: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val at = annMembers(spark, table)
+    val books = readCentroids(spark, at("codebooks"), "b").map(_._2)
+    val m = annIndexM(spark, table)
+    batch
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(pq_adc(col("v"),
+        graft.functions.VectorFunctions.pq_codes(col("v"), m, books),
+        books, m).as("e"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg("e"), 6).as("mean_pq_error"))
   }
 
   /**
@@ -871,11 +933,14 @@ object Similarity {
    * against exact ranking collapse, then restore). Training is
    * deterministic (id-seeded means + Lloyd rounds), so a requantized
    * index is bit-identical to an index freshly built from the same
-   * corpus with the same refinement (law-tested). Each of the three tables rewrites
-   * through the versioned-view layer; run it from the index's single
-   * writer (the ingest loop's between-batch hook) — the three flips
-   * are atomic per table, not across them, so a query racing the swap
-   * could pair the new quantizer with old codes for one resolution.
+   * corpus with the same refinement (law-tested). The rebuild commits
+   * through ONE atomic epoch flip ([[graft.sources.Bucketing
+   * .rebuildEpoch]]): all three next-generation tables are written
+   * first, then the `{table}_epoch` pointer flips LAST — a query
+   * racing the swap resolves the epoch once and reads one generation
+   * throughout, all-old or all-new, never the new quantizer with old
+   * codes (spec-pinned by a racing-reader loop). Run it from the
+   * index's single writer (the ingest loop's between-batch hook).
    * Returns one row `(n_vectors, pre_residual, post_residual)` so the
    * operator log records what the rebuild bought.
    *
@@ -891,8 +956,11 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       metaCols: Seq[String] = Nil, refineIters: Int = 3): DataFrame = {
     val pre = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
-    writeAnnIndex(corpus, table, nlist, m, k, buckets, vecCol, idCol, metaCols,
-      refineIters)
+    graft.sources.Bucketing.rebuildEpoch(corpus.sparkSession, table,
+      Seq("centroids", "codebooks", "codes")) { nameOf =>
+      writeAnnIndexTo(corpus, nameOf, nlist, m, k, buckets, vecCol, idCol,
+        metaCols, refineIters)
+    }
     val post = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -905,8 +973,9 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       candidateFilter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
-    val cents = readCentroids(spark, s"${table}_centroids", "list_id")
-    val books = readCentroids(spark, s"${table}_codebooks", "b").map(_._2)
+    val at = annMembers(spark, table)
+    val cents = readCentroids(spark, at("centroids"), "list_id")
+    val books = readCentroids(spark, at("codebooks"), "b").map(_._2)
     val topLists = topListsFromMatrix(spark, cents)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
@@ -916,7 +985,7 @@ object Similarity {
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by queries × nprobe
     val pruned = graft.sources.Bucketing.minusTombstones(
-      spark.table(s"${table}_codes"), table)
+      spark.table(at("codes")), table)
       .filter(Dedup.inSet(col("list_id"), probedLists))
     // metadata predicate applies INSIDE the pruned index scan — the
     // vector-DB filtered-search pattern: no post-filtering of a top-k

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /**
  * Bucketed-table discipline — the co-located-join lever at 100 TB:
@@ -18,76 +19,105 @@ import org.apache.spark.sql.functions.col
  * (`src/cluster.c:1820-1843`); bucketing is Spark's durable form of
  * the same contract.
  *
- * == Versioned tables behind a view (snapshot-isolated maintenance) ==
+ * == Versioned tables behind a view, with SEGMENT MANIFESTS ==
  *
  * Every logical table this module manages is a catalog VIEW over a
- * versioned physical table (`name` → `SELECT * FROM name__v{N}`), the
- * smallest possible form of the manifest layer every production table
- * format (Iceberg/Delta/Hudi) builds around immutable files:
+ * versioned table (`name` → `SELECT cols FROM name__v{N}`). For
+ * bucketed tables the version is a MANIFEST, not a directory of
+ * copies: data files live exactly once, in immutable SEGMENT
+ * directories under `{name}__data/seg_*`, and each version
+ * `name__v{N}` is an external parquet table — partitioned by a
+ * synthetic `_graft_seg` column, CLUSTERED BY the bucket key — whose
+ * partitions point at the segment dirs it references. That is the
+ * same files-are-immutable / versions-are-file-lists contract every
+ * production table format (Iceberg/Delta/Hudi) is built on, expressed
+ * with nothing but the Spark catalog:
  *
- *  - MAINTENANCE NEVER MUTATES a table readers may hold: compaction /
- *    purge / relabel-fold write `name__v{N+1}` from v{N}'s files, then
- *    flip the view — ONE ALTER VIEW call (atomic in the external
- *    catalog, which is SHARED across every session of the process;
- *    see [[flipView]] for why not CREATE OR REPLACE), so all sessions
- *    see the flip on their next resolution. The previous design's
- *    DROP→RENAME swap deleted v{N}'s files in place, and any OTHER
- *    session's cached relation (Spark's per-session tableRelationCache
- *    keys data-source relations by table name) kept listing them —
- *    FAILED_READ_FILE.FILE_NOT_EXIST on the next query, found by the
- *    stream_ingest_read_lat probe. The view indirection removes the
- *    hazard structurally: a re-resolution lands on a NEW physical name
- *    (cache miss → fresh listing), never on a stale listing.
- *  - GRACE WINDOW: v{N-1} is retained until the NEXT rewrite vacuums
- *    it (`spark.graft.bucketing.graceVersions`, default 1 — raise it
- *    when long-running readers overlap frequent compactions; a TIME
- *    window `spark.graft.bucketing.vacuumRetainMs` additionally
- *    retains any version superseded less than T ms ago, the
- *    Iceberg/Delta snapshot-expiry semantics). BOTH knobs must be set
- *    on the session RUNNING THE MAINTENANCE — vacuum happens on the
- *    writer; a reader session's conf is never consulted. With them, a
- *    query planned against v{N-1} moments before a flip still finds
- *    its files. Readers therefore need no coordination with
- *    maintenance at all; only WRITERS are single — the streaming
- *    ingest loops run appends and the auto-compaction trigger from
- *    one between-batch hook, which is that contract (and the per-table
- *    writer lock + CAS flip makes a violation fail loudly instead of
- *    losing an update).
- *  - CRASH-SAFE BY CONSTRUCTION: a crash after writing v{N+1} but
- *    before the flip leaves an unreferenced orphan that the next
- *    rewrite attempt clears and re-creates (operations re-run `f`
- *    from the still-current v{N} — no half-state is ever adopted, so
- *    the old tag-discrimination machinery is unnecessary). A crash
- *    between a legacy-table drop and its first view creation is
- *    recovered by [[currentPhys]]: logical name missing + versioned
- *    physicals present → re-point the view at the max version.
+ *  - A version flip never moves a byte of cold data: the next version
+ *    REFERENCES unchanged segments (same physical paths) and adds the
+ *    segments it rewrote. Maintenance I/O is sized by the segments it
+ *    merges, never by the table — the O(corpus)-per-flip copy the
+ *    previous design paid is gone.
+ *  - APPENDS create a new segment (one bucketed write, ≤ buckets
+ *    files) and register it as one partition of the current version —
+ *    batch-sized work, one catalog call, standing data untouched.
+ *  - COMPACTION merges the smallest segments geometrically (the LSM /
+ *    log-structured merge policy: smallest-first, recruit the next
+ *    tier only when the bytes already merged pay for it), so a row is
+ *    re-merged O(log(corpus/batch)) times over the table's life, and
+ *    each flip's bytes-written ≈ the merged (hot) segments only.
+ *  - VACUUM drops version tables (external — a metadata operation)
+ *    and then deletes segment dirs by REFERENCE COUNT: a segment is
+ *    reclaimed only when no retained version's manifest lists it.
+ *  - Bucket semantics ride the catalog bucket spec of the version
+ *    table: bucket pruning and exchange-free bucketed joins work
+ *    through view + manifest exactly as against a plain bucketed
+ *    table (pinned by SkewAndSinkSpec — the merge-join plan over two
+ *    manifest tables carries no Exchange).
+ *
+ * Flip discipline (unchanged from the pre-manifest design, hammer-
+ * measured there): the view flip is ONE ALTER VIEW call — atomic in
+ * the external catalog, which is shared across every session of the
+ * process — so all sessions see a version boundary, never a torn one.
+ *
+ *  - GRACE WINDOW: superseded versions are retained by count
+ *    (`spark.graft.bucketing.graceVersions`, default 1) and/or time
+ *    (`spark.graft.bucketing.vacuumRetainMs`: a version whose
+ *    successor FLIPPED less than T ms ago is kept — the flip instant
+ *    is recorded as a table property at flip time, so out-of-band
+ *    compactions that write long before they flip don't silently
+ *    shorten the window). Both knobs are read on the session RUNNING
+ *    THE MAINTENANCE. A retained version's manifest keeps every
+ *    segment it references alive — refcount vacuum makes the grace
+ *    window free for cold data (the retained "copy" is a file list).
+ *  - CRASH-SAFE BY CONSTRUCTION: a crash before a flip leaves an
+ *    unreferenced orphan version table (cleared by the next rewrite's
+ *    vacuum of v > current) and/or an unreferenced segment dir
+ *    (reclaimed by the refcount sweep). No half-state is ever adopted.
+ *    A crash between a legacy-table drop and its first view creation
+ *    is recovered by [[currentPhys]] (re-point the view at max
+ *    version).
  *
  * Readers are untouched: `spark.table(name)` resolves the view to the
- * current physical relation, bucket spec included — bucket pruning
- * and exchange-free bucketed joins work through the view exactly as
- * against the physical table (pinned by SkewAndSinkSpec).
+ * current version's manifest — one bucketed scan over all referenced
+ * segments. Only WRITERS are single (per-table lock + CAS flip makes
+ * a violation fail loudly). Scope is this JVM/driver — a multi-driver
+ * deployment needs the metastore-level commit protocols production
+ * table formats use (Iceberg's atomic swap, Delta's log); same
+ * boundary as before.
  */
 object Bucketing {
 
   private def physName(table: String, v: Int) = s"${table}__v$v"
 
-  private val ViewVer = """SELECT \* FROM \S*__v(\d+)\s*$""".r
+  /** Synthetic partition column carrying the segment name — never
+    * visible through the logical view (the view projects data columns
+    * only). */
+  private val SegCol = "_graft_seg"
+
+  /** Matches both view shapes: `SELECT * FROM t__vN` (small tables)
+    * and `SELECT `a`,`b` FROM t__vN` (manifest tables). */
+  private val ViewVer = """FROM \S*__v(\d+)\s*$""".r
 
   private def catalogOf(spark: SparkSession) = spark.sessionState.catalog
 
+  private def warehouse(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir")
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataDir(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(warehouse(spark), s"${table}__data")
+
   // -- writer serialization -------------------------------------------------
   // One lock per logical table, held by every WRITER entry point
-  // (write/append/rewrite/drop). Readers never take it — reads are
-  // isolated by the versioned views, not by locking. The lock makes
-  // the single-writer contract ENFORCED in-process (two threads
-  // appending and compacting the same table serialize instead of
-  // interleaving a rewrite's read with an append's write), and it is
-  // where the CAS flip check runs: a rewrite that finds the view
+  // (write/append/rewrite/drop/compaction-trigger/finalize). Readers
+  // never take it — reads are isolated by the versioned views. The
+  // lock makes the single-writer contract ENFORCED in-process, and it
+  // is where the CAS flip check runs: a rewrite that finds the view
   // advanced past the version it read THROWS instead of silently
-  // overwriting the foreign update. Scope is this JVM — a
-  // multi-driver deployment needs the metastore-level lock/commit
-  // protocols production table formats use (Iceberg's atomic swap,
-  // Delta's log protocol); same boundary as the rest of this module.
+  // overwriting the foreign update.
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
@@ -138,7 +168,7 @@ object Bucketing {
           // (the recovery read paths — bucketSpecOf, dataFileCount —
           // must stay callable concurrently).
           val (phys, v) = vs.maxBy(_._2)
-          spark.sql(s"CREATE VIEW IF NOT EXISTS $table AS SELECT * FROM $phys")
+          spark.sql(s"CREATE VIEW IF NOT EXISTS $table AS ${viewSelect(spark, phys)}")
           Some((phys, v))
         }
     }
@@ -168,31 +198,88 @@ object Bucketing {
       catalogOf(spark).getTableMetadata(TableIdentifier(phys)).bucketSpec
     }
 
-  /** Drop a physical table if present, and its orphaned warehouse
-    * directory if a previous process left one without a catalog entry. */
+  /** Whether a version table is manifest-layout (partitioned by the
+    * segment column) as opposed to a plain managed table (small tables,
+    * legacy layout). */
+  private def isManifest(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable) =
+    meta.partitionColumnNames == Seq(SegCol)
+
+  /** The segment manifest of a version: (segmentName, location). For a
+    * non-manifest table, one pseudo-entry for its own location. */
+  private def segmentsOf(spark: SparkSession, phys: String)
+      : Seq[(String, java.net.URI)] = {
+    val cat = catalogOf(spark)
+    val meta = cat.getTableMetadata(TableIdentifier(phys))
+    if (isManifest(meta))
+      cat.listPartitions(TableIdentifier(phys)).map { p =>
+        (p.spec(SegCol), p.location)
+      }
+    else Seq((phys, meta.location))
+  }
+
+  /** Number of segments in the CURRENT version's manifest — the cheap
+    * (catalog-only, no FS listing) health metric the auto-compaction
+    * trigger reads; each segment contributes at most one file per
+    * bucket, so `files-per-bucket ≤ segmentCount`. */
+  def segmentCount(spark: SparkSession, table: String): Int =
+    currentPhys(spark, table) match {
+      case Some((phys, _)) => segmentsOf(spark, phys).size
+      case None => 0
+    }
+
+  /** The data directories of the CURRENT version (segment dirs for a
+    * manifest table; the table location otherwise) — what a rewrite
+    * reads as plain parquet so it scans exactly the current files. */
+  private def currentDataDirs(spark: SparkSession, table: String): Seq[String] = {
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    segmentsOf(spark, phys).map(_._2.toString)
+  }
+
+  /** Drop a physical version table if present. Manifest tables are
+    * external — the DROP is metadata-only and never touches segment
+    * files (those are reclaimed by [[sweepSegments]] refcounting); the
+    * (empty) version root dir is removed. Plain tables (small-table
+    * versions) delete their own directory, plus any orphaned warehouse
+    * directory a previous process left without a catalog entry. */
   private def dropPhys(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(warehouse(spark), name)
+    val fs = hadoopFs(spark, path)
     if (fs.exists(path)) fs.delete(path, true)
     ()
   }
 
-  /** Drop a LOGICAL table: the view and every physical version (or the
-    * plain table, for a legacy layout). The module's DROP entry point —
-    * `DROP TABLE name` alone would refuse a view and strand versions. */
+  /** Drop a LOGICAL table: the view, every physical version, and the
+    * segment data dir. The module's DROP entry point — `DROP TABLE
+    * name` alone would refuse a view and strand versions. */
   def dropLogical(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     lockFor(table).synchronized {
-      cancelPending(spark, table) // a background write would re-create a version
+      cancelPending(spark, table) // a background write would re-create a segment
       tableType(spark, table) match {
         case Some(CatalogTableType.VIEW) => spark.sql(s"DROP VIEW $table"); ()
         case Some(_) => spark.sql(s"DROP TABLE $table"); ()
         case None => ()
       }
       listVersions(spark, table).foreach { case (phys, _) => dropPhys(spark, phys) }
+      val dd = dataDir(spark, table)
+      val fs = hadoopFs(spark, dd)
+      if (fs.exists(dd)) fs.delete(dd, true)
+      ()
     }
+  }
+
+  /** The view body for a version table: manifest tables project the
+    * data columns (hiding the segment partition column); plain tables
+    * keep `SELECT *`. */
+  private def viewSelect(spark: SparkSession, phys: String): String = {
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    if (isManifest(meta)) {
+      val cols = meta.schema.fieldNames.filterNot(_ == SegCol)
+        .map(c => s"`$c`").mkString(", ")
+      s"SELECT $cols FROM $phys"
+    } else s"SELECT * FROM $phys"
   }
 
   /** Point the logical view at version `v`; drops a legacy plain table
@@ -202,50 +289,58 @@ object Bucketing {
     * can fall into (hammer-measured: 842 TABLE_OR_VIEW_NOT_FOUND in
     * 13.5k resolutions across 6.2k replace-flips, ZERO across 6.5k
     * ALTER flips — alter rewrites the entry in one synchronized
-    * external-catalog call). */
+    * external-catalog call). The flip instant is recorded on the new
+    * version (`graft.flippedAt`) — the supersession timestamp the
+    * time-retention vacuum reads, so a version written long before it
+    * flips (out-of-band compaction) doesn't shorten its predecessor's
+    * retention window. */
   private def flipView(spark: SparkSession, table: String, v: Int): Unit = {
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val body = viewSelect(spark, physName(table, v))
     tableType(spark, table) match {
       case Some(CatalogTableType.VIEW) =>
-        spark.sql(s"ALTER VIEW $table AS SELECT * FROM ${physName(table, v)}")
+        spark.sql(s"ALTER VIEW $table AS $body")
       case Some(_) =>
         // ONE-TIME legacy migration (a plain table occupying the logical
         // name, written before versioning) — and the one flip that is
         // NOT concurrency-safe: DROP TABLE + CREATE VIEW is two catalog
         // ops with a resolvable gap, and dropping the managed legacy
-        // table deletes its files with no grace copy, so a reader
-        // holding the legacy relation can hit FAILED_READ_FILE. Run
-        // migrations from a quiesced entry point (first write of a
-        // deploy, not under live readers); every SUBSEQUENT flip is the
-        // atomic ALTER above.
+        // table deletes its files with no grace copy. Run migrations
+        // from a quiesced entry point (first write of a deploy, not
+        // under live readers); every SUBSEQUENT flip is the atomic
+        // ALTER above.
         spark.sql(s"DROP TABLE $table")
-        spark.sql(s"CREATE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+        spark.sql(s"CREATE VIEW $table AS $body")
       case None =>
-        spark.sql(s"CREATE VIEW $table AS SELECT * FROM ${physName(table, v)}")
+        spark.sql(s"CREATE VIEW $table AS $body")
     }
+    spark.sql(s"ALTER TABLE ${physName(table, v)} SET TBLPROPERTIES " +
+      s"('graft.flippedAt'='${System.currentTimeMillis()}')")
     ()
   }
 
   /** Drop every version outside the retention window (plus any orphan
     * ABOVE current — a crashed rewrite's leftovers, dropped
-    * unconditionally). A predecessor version is RETAINED when either
-    * knob covers it:
+    * unconditionally), then reclaim unreferenced segments. A
+    * predecessor version is RETAINED when either knob covers it:
     *
     *  - COUNT grace: `v >= current - g`, `g` =
     *    `spark.graft.bucketing.graceVersions` (default 1) — how many
     *    rewrites an in-flight plan may overlap;
-    *  - TIME grace: the version was superseded (its successor created)
-    *    less than `spark.graft.bucketing.vacuumRetainMs` ago (default
-    *    0 = off) — reader exposure is measured in seconds, not
-    *    rewrites, so deployments with frequent compactions under
-    *    long-running readers set the time knob instead of guessing a
-    *    count (the same semantics as Iceberg/Delta snapshot expiry).
+    *  - TIME grace: the version's successor FLIPPED less than
+    *    `spark.graft.bucketing.vacuumRetainMs` ago (default 0 = off) —
+    *    reader exposure is measured in seconds, not rewrites. The flip
+    *    instant is the `graft.flippedAt` property [[flipView]] records
+    *    (fallback: the successor's catalog createTime, the legacy
+    *    behavior) — so a background compaction that wrote its version
+    *    minutes before flipping it doesn't eat the window.
     *
-    * BOTH knobs are read from the session RUNNING THE MAINTENANCE —
-    * setting them on a reader session has no effect (vacuum happens on
-    * the writer). The storage cost is the retained table copies, the
-    * LSM rent. `graceOverride` is the internal hard-removal path
-    * ([[purgeTombstoned]]): `Some(0)` ignores both knobs. */
+    * BOTH knobs are read from the session RUNNING THE MAINTENANCE.
+    * With manifests the retained versions cost METADATA plus only the
+    * segments unique to them — cold segments are shared, so the grace
+    * window no longer rents table-sized copies. `graceOverride` is the
+    * internal hard-removal path ([[purgeTombstoned]]): `Some(0)`
+    * ignores both knobs. */
   private def vacuumVersions(spark: SparkSession, table: String, current: Int,
       graceOverride: Option[Int] = None): Unit = {
     val grace = graceOverride.getOrElse(math.max(0,
@@ -256,11 +351,13 @@ object Bucketing {
     val existing = vs.map(_._2).sorted
     val now = System.currentTimeMillis()
     // a version stopped being readable-as-current when its successor
-    // was created — the catalog createTime of the next version on disk
+    // FLIPPED (recorded property; fallback: successor createTime)
     def supersededAt(v: Int): Long = {
       val succ = existing.find(_ > v).getOrElse(current)
-      catalogOf(spark).getTableMetadata(TableIdentifier(physName(table, succ)))
-        .createTime
+      val meta = catalogOf(spark).getTableMetadata(
+        TableIdentifier(physName(table, succ)))
+      meta.properties.get("graft.flippedAt").flatMap(s =>
+        scala.util.Try(s.toLong).toOption).getOrElse(meta.createTime)
     }
     vs.foreach { case (phys, v) =>
       if (v > current) dropPhys(spark, phys)
@@ -268,28 +365,103 @@ object Bucketing {
           (retainMs <= 0L || now - supersededAt(v) >= retainMs))
         dropPhys(spark, phys)
     }
+    sweepSegments(spark, table)
   }
 
-  /** Write df as a bucketed+sorted managed parquet table (overwrite).
-    * Overwrite semantics under concurrent writers are last-wins
-    * (serialized by the table lock) — unlike [[rewriteBucketed]],
-    * which is read-modify-write and therefore CAS-fails a lost update. */
+  /** Reclaim segment dirs referenced by NO remaining version table —
+    * the refcount vacuum of the manifest design. Segments being
+    * written right now (an in-flight background compaction, or a
+    * finished one awaiting finalize) are protected by
+    * [[protectedSegs]]; crash orphans from dead processes have no
+    * protection entry and are reclaimed here. */
+  private def sweepSegments(spark: SparkSession, table: String): Unit = {
+    val dd = dataDir(spark, table)
+    val fs = hadoopFs(spark, dd)
+    if (!fs.exists(dd)) return
+    val referenced: Set[String] = listVersions(spark, table).flatMap {
+      case (phys, _) =>
+        val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+        if (isManifest(meta))
+          catalogOf(spark).listPartitions(TableIdentifier(phys))
+            .map(p => new org.apache.hadoop.fs.Path(p.location).getName)
+        else Nil
+    }.toSet
+    fs.listStatus(dd).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && !referenced(n) && !protectedSegs.containsKey(n))
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Segment + version-table primitives
+  // ------------------------------------------------------------------
+
+  private def newSegName(): String =
+    "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /**
+   * Write `df` as one immutable bucketed segment of `table`: ≤
+   * `buckets` files (the repartition co-locates each bucket's rows in
+   * one task; Spark's bucketed writer names the files with their
+   * bucket id, which is how the manifest scan re-associates them).
+   * Spark only accepts `bucketBy` through `saveAsTable`, so the write
+   * goes through a transient uniquely-named EXTERNAL table pointed at
+   * the segment dir — dropped immediately after; external drop keeps
+   * the files. Returns the segment dir.
+   */
+  private def writeSegmentFiles(spark: SparkSession, table: String,
+      df: DataFrame, bucketCol: String, buckets: Int, segName: String)
+      : org.apache.hadoop.fs.Path = {
+    val dir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
+    val tmp = s"${table}__segw_$segName"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet").option("path", dir.toString)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+    dir
+  }
+
+  /** Create version table `table__v{next}` — the manifest: an external
+    * partitioned+bucketed parquet table whose partitions reference the
+    * given segment dirs. Pure metadata; no data I/O. */
+  private def createVersionTable(spark: SparkSession, table: String, next: Int,
+      dataSchema: StructType, bucketCol: String, buckets: Int,
+      segs: Seq[(String, String)]): String = {
+    val phys = physName(table, next)
+    dropPhys(spark, phys) // orphan of a crashed writer
+    val root = new org.apache.hadoop.fs.Path(warehouse(spark), phys)
+    hadoopFs(spark, root).mkdirs(root) // empty root (data lives in segments)
+    spark.sql(
+      s"""CREATE TABLE $phys (${dataSchema.toDDL}, `$SegCol` STRING)
+         |USING parquet PARTITIONED BY (`$SegCol`)
+         |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
+         |INTO $buckets BUCKETS
+         |LOCATION '$root'""".stripMargin)
+    segs.foreach { case (name, loc) =>
+      spark.sql(s"ALTER TABLE $phys ADD PARTITION (`$SegCol`='$name') " +
+        s"LOCATION '$loc'")
+    }
+    phys
+  }
+
+  /** Write df as a bucketed+sorted table (overwrite): one new segment,
+    * a fresh version manifest referencing only it. Overwrite semantics
+    * under concurrent writers are last-wins (serialized by the table
+    * lock) — unlike [[rewriteBucketed]], which is read-modify-write
+    * and therefore CAS-fails a lost update. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
       cancelPending(spark, table)
       val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
-      val phys = physName(table, next)
-      dropPhys(spark, phys) // orphan of a crashed writer, or a stale dir
-      // co-locate each bucket's rows in ONE task before the bucketed
-      // write: without this every task writes a file per bucket it sees
-      // (tasks × buckets small files — footer/listing overhead dominates
-      // later reads); with it the table is exactly `buckets` files
-      df.repartition(buckets, col(bucketCol))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .saveAsTable(phys)
+      val seg = newSegName()
+      val dir = writeSegmentFiles(spark, table, df, bucketCol, buckets, seg)
+      createVersionTable(spark, table, next,
+        df.schema, bucketCol, buckets, Seq((seg, dir.toString)))
       flipView(spark, table, next)
       vacuumVersions(spark, table, next)
     }
@@ -298,9 +470,8 @@ object Bucketing {
   /**
    * Write a small (driver-boundable) frame as a single-file managed
    * parquet table — model artifacts, filter banks, codebooks. Same
-   * versioned-view layout as [[writeBucketed]] (these tables get
-   * OVERWRITTEN on maintenance — tombstone clears, relabel folds —
-   * which is exactly the stale-listing hazard the versioning removes).
+   * versioned-view flip discipline, but PLAIN versions (no manifest:
+   * the whole table is one file, so copy-vs-reference is moot).
    */
   def writeSmallTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
@@ -318,36 +489,44 @@ object Bucketing {
   /**
    * Append rows to an existing bucketed table written by
    * [[writeBucketed]], preserving the bucket spec — the
-   * continuous-ingest maintenance path: each batch lands as at most
-   * `buckets` new files (one per bucket it touches), already hashed
-   * and sorted, so bucket pruning and exchange-free joins keep
-   * working over old + new rows alike. Append cost is batch-sized;
-   * the standing data is never rewritten. (At very high batch
-   * frequency the per-append files accumulate — the
-   * [[maybeCompactBucketed]] trigger is the standard companion; the
-   * contract here is that the APPEND itself never pays corpus cost.)
-   * Appends go to the CURRENT version in place — an append is not a
-   * rewrite; readers of the grace predecessor simply don't see the
-   * newest batch yet, the same read-your-writes semantics a snapshot
-   * reader of any LSM store has.
+   * continuous-ingest path: the batch lands as ONE new segment (≤
+   * `buckets` files, already hashed and sorted) registered as one
+   * partition of the CURRENT version. Batch-sized I/O plus one
+   * catalog call; the standing data is never touched. (At high batch
+   * frequency segments accumulate — [[maybeCompactBucketedAsync]] is
+   * the standard companion.) Appends go to the current version in
+   * place — an append is not a rewrite; readers of the grace
+   * predecessor simply don't see the newest batch yet, the same
+   * read-your-writes semantics a snapshot reader of any LSM store
+   * has. Safe to run while an out-of-band compaction is in flight:
+   * the new segment is not in the compaction's hot set, so the
+   * finalize carries it into the next version BY REFERENCE.
    */
   def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
       val (phys, _) = currentPhys(spark, table).getOrElse(
         throw new IllegalArgumentException(s"$table does not exist"))
-      val spec = catalogOf(spark).getTableMetadata(TableIdentifier(phys)).bucketSpec
+      val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+      val spec = meta.bucketSpec
         .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
       require(spec.bucketColumnNames == Seq(bucketCol),
         s"$table is bucketed by ${spec.bucketColumnNames}, not $bucketCol")
-      // appends may land WHILE an out-of-band compaction is writing the
-      // next version from its pinned snapshot: safe — parquet files are
-      // immutable and appends only ADD files, which the finalize step
-      // carries over into the new version as the delta
-      df.repartition(spec.numBuckets, col(bucketCol))
-        .write.mode("append").format("parquet")
-        .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
-        .saveAsTable(phys)
+      if (isManifest(meta)) {
+        val seg = newSegName()
+        val dir = writeSegmentFiles(spark, table, df, bucketCol,
+          spec.numBuckets, seg)
+        spark.sql(s"ALTER TABLE $phys ADD PARTITION (`$SegCol`='$seg') " +
+          s"LOCATION '$dir'")
+        ()
+      } else {
+        // legacy plain bucketed table (pre-manifest layout / created
+        // outside this module): in-place bucketed append, as before
+        df.repartition(spec.numBuckets, col(bucketCol))
+          .write.mode("append").format("parquet")
+          .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(phys)
+      }
     }
   }
 
@@ -374,14 +553,14 @@ object Bucketing {
 
   /**
    * Rewrite a bucketed table's rows through `f`, preserving the
-   * bucket spec — the shared machinery under compaction (f =
+   * bucket spec — the shared machinery under full compaction (f =
    * identity), physical tombstone purges (f = anti-join the
-   * tombstones), and relabel folds. Writes `f` of the current
-   * version's files into the NEXT version, flips the view, and
-   * vacuums all but the grace predecessor — see the versioning
-   * contract in the object doc. Reads the files as PLAIN parquet so
-   * the rewrite itself is a scan of exactly the current version's
-   * data files, never a stale listing.
+   * tombstones), and relabel folds. Reads the CURRENT version's
+   * segment files as plain parquet (exactly the manifest's file set,
+   * never a stale listing), writes `f` of them as ONE new segment,
+   * flips a fresh manifest, and vacuums. Inherently O(table) — `f`
+   * must see every row; that is the contract of a rewrite, not a
+   * design cost.
    */
   def rewriteBucketed(spark: SparkSession, table: String,
       f: DataFrame => DataFrame): Unit =
@@ -407,15 +586,16 @@ object Bucketing {
       val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
       val spec = meta.bucketSpec.getOrElse(
         throw new IllegalArgumentException(s"$table is not bucketed"))
+      val bcol = spec.bucketColumnNames.head
       val next = v + 1
-      val nextPhys = physName(table, next)
-      dropPhys(spark, nextPhys) // orphan of a crashed rewrite
-      f(spark.read.parquet(meta.location.toString))
-        .repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
-        .sortBy(spec.bucketColumnNames.head)
-        .saveAsTable(nextPhys)
+      val dirs = segmentsOf(spark, phys).map(_._2.toString)
+      val in = spark.read.parquet(dirs: _*)
+      val seg = newSegName()
+      val dir = writeSegmentFiles(spark, table, f(in), bcol,
+        spec.numBuckets, seg)
+      createVersionTable(spark, table, next,
+        StructType(meta.schema.filterNot(_.name == SegCol)),
+        bcol, spec.numBuckets, Seq((seg, dir.toString)))
       flipView(spark, table, next)
       vacuumVersions(spark, table, next, graceOverride)
     }
@@ -472,10 +652,9 @@ object Bucketing {
    * PURGE REVOKES THE GRACE WINDOW for the purged tables: the rewrite
    * vacuums every predecessor version immediately (grace 0, no time
    * retention) BEFORE the markers drop, because "physically remove"
-   * is the operation's whole contract — a purge whose rows survive on
-   * disk until some future rewrite happens to vacuum them (which may
-   * never run) is not a purge, and once the markers are gone a reader
-   * resolving a retained predecessor would see deleted rows RESURFACE.
+   * is the operation's whole contract — with manifests this is also
+   * the step that actually DELETES the old segments carrying the
+   * purged rows (refcount falls to zero once the old manifests drop).
    * The cost is the one reader guarantee the grace window otherwise
    * gives: a query planned against the pre-purge version moments
    * before the flip can hit missing files and must retry. That is the
@@ -493,46 +672,44 @@ object Bucketing {
   }
 
   /**
-   * Compact a bucketed table back to one file per bucket — the
-   * periodic companion to [[appendBucketed]]: each append adds up to
-   * `buckets` files, and after many batches the per-file
-   * footer/listing overhead starts to tax reads. One rewrite restores
-   * the one-file-per-bucket layout without touching the bucket spec
-   * (so pruning and exchange-free joins are unaffected); like any
-   * LSM-style maintenance job it runs out of band of queries — and
-   * with the versioned-view layout it is invisible to them: readers
-   * resolve the new version on their next query, in-flight plans
-   * finish against the grace-retained previous version.
+   * Compact a bucketed table back to one segment (one file per
+   * bucket) — the FULL form: every row rewrites. The periodic
+   * companion to [[appendBucketed]] when bounded segment count
+   * matters more than minimal I/O; the incremental form is
+   * [[compactBucketedPartial]] / [[maybeCompactBucketedAsync]], whose
+   * merge I/O is sized by the small segments only. Invisible to
+   * readers: they resolve the new version on their next query,
+   * in-flight plans finish against the grace-retained previous
+   * version.
    */
   def compactBucketed(spark: SparkSession, table: String): Unit =
     rewriteBucketed(spark, table, identity)
 
-  /** Data-file count under the CURRENT version's location — ONE
-    * directory listing, the same listing every scan of the table pays. */
-  def dataFileCount(spark: SparkSession, table: String): Long = {
-    val (phys, _) = currentPhys(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"$table does not exist"))
-    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
-    val path = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).count { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.toLong
-  }
+  /** Data-file count under the CURRENT version's segments — one
+    * directory listing per segment, the same listings every scan of
+    * the table pays. */
+  def dataFileCount(spark: SparkSession, table: String): Long =
+    currentDataDirs(spark, table).map { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      val fs = hadoopFs(spark, path)
+      if (!fs.exists(path)) 0L
+      else fs.listStatus(path).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    }.sum
 
   /**
    * The AUTO-compaction policy the continuous-ingest loops run
    * between batches (the LSM analogy [[compactBucketed]] cites, made
    * self-maintaining): when the table's data-file count exceeds
    * `maxFilesPerBucket × buckets`, compact back to one file per
-   * bucket. The trigger costs one directory listing per check; the
-   * compaction is a corpus-sized rewrite amortized over the
-   * `maxFilesPerBucket` batches that accumulated the files — the
-   * same cadence contract as an LSM tree's full compaction tier.
-   * Returns whether a compaction ran, so the streaming loops' specs
-   * and probes can observe the trigger. `maxFilesPerBucket ≤ 0`
-   * disables the policy (the manual out-of-band path).
+   * bucket. The trigger costs the same listings a scan pays; the
+   * compaction is a full rewrite amortized over the batches that
+   * accumulated the files. Returns whether a compaction ran, so the
+   * streaming loops' specs and probes can observe the trigger.
+   * `maxFilesPerBucket ≤ 0` disables the policy (the manual
+   * out-of-band path).
    */
   def maybeCompactBucketed(spark: SparkSession, table: String,
       maxFilesPerBucket: Int = 8): Boolean = {
@@ -548,132 +725,122 @@ object Bucketing {
   }
 
   // ------------------------------------------------------------------
-  // Partial + out-of-band compaction — taking the corpus-sized rewrite
-  // off the ingest hot path. Two composable halves:
+  // Partial + out-of-band compaction — the maintenance path that never
+  // pays corpus cost. Two composable halves:
   //
-  //  - PARTIAL: only buckets whose file count exceeds the threshold
-  //    are rewritten through a Spark job; every other bucket's files
-  //    are carried into the next version as RAW BYTE COPIES (no
-  //    decode/shuffle/re-encode — on a distributed FS this is the
-  //    same file-level carry-over a manifest format gets for free by
-  //    referencing unchanged files). Under skewed append patterns the
-  //    rewrite cost tracks the HOT buckets, not the table.
-  //  - OUT-OF-BAND: the trigger pins a snapshot of the current
-  //    version's (immutable) files and hands the heavy write to a
-  //    single maintenance thread; the ingest loop keeps appending to
-  //    the current version meanwhile. The NEXT trigger call — still on
-  //    the single-writer loop thread, between batches — finalizes:
-  //    copy the delta files that appended since the snapshot into the
-  //    new version, CAS-flip the view, vacuum. All catalog mutations
-  //    stay on the writer thread; the background thread only reads
-  //    pinned immutable files and writes a not-yet-referenced table.
-  //    This is exactly an LSM tree's compaction contract: compaction
-  //    runs over a frozen set of runs while new writes go to new runs,
-  //    and the swap is a metadata operation.
+  //  - PARTIAL (segment merge): the smallest segments merge into one
+  //    through a bucketed Spark job; every other segment is carried
+  //    into the next version BY REFERENCE — the new manifest lists the
+  //    same physical paths; zero bytes of cold data move. Selection is
+  //    geometric (LSM tiering): smallest-first, recruiting the next
+  //    larger segment only when the bytes already merged pay for it —
+  //    so a row is re-merged O(log(corpus/batch)) times over the
+  //    table's life and each flip writes ≈ the merged bytes.
+  //  - OUT-OF-BAND: the trigger pins the hot segment set and hands the
+  //    merge to a maintenance thread; the ingest loop keeps appending
+  //    NEW segments meanwhile. The NEXT trigger call — still on the
+  //    single-writer loop thread, between batches — finalizes: build
+  //    the v+1 manifest as (all current segments − hot) + merged —
+  //    which carries the append delta automatically, by reference —
+  //    CAS-flip the view, vacuum. All catalog mutations for the
+  //    logical table stay on the writer thread; the background thread
+  //    only reads pinned immutable files and writes one unreferenced
+  //    segment (plus its transient uniquely-named writer table).
   //
   // Crash anywhere before the flip leaves an unreferenced orphan
-  // version that the standard recovery (dropPhys at the next rewrite,
-  // or the v > current vacuum) clears; the in-memory pending map dying
-  // with the process just means the next trigger starts fresh.
+  // (version table and/or segment dir) that the standard vacuum +
+  // refcount sweep clears; the in-memory pending map dying with the
+  // process just means the next trigger starts fresh.
   // ------------------------------------------------------------------
 
-  /** Bucket id encoded in a bucketed file's name — the naming scheme of
-    * Spark's bucketed writer (`_NNNNN` before the extensions; see
-    * Spark's own parser in sql/core/.../datasources/BucketingUtils.scala). */
-  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
-  private def bucketIdOf(name: String): Option[Int] = name match {
-    case BucketedFileName(id) => scala.util.Try(id.toInt).toOption
-    case _ => None
+  /** Segments to merge, (name, bytes) sorted smallest-first: always at
+    * least two; extend while the remaining segment count would still
+    * exceed the bound (guarantees the trigger clears) or while the
+    * accumulated bytes pay for the next tier (`2·merged ≥ next` — the
+    * geometric rule that bounds lifetime re-merge cost). Empty when
+    * the table is already within bounds. */
+  private def chooseHotSegments(segs: Seq[(String, Long)],
+      maxSegments: Int): Seq[String] = {
+    if (segs.size <= math.max(1, maxSegments)) return Nil
+    val sorted = segs.sortBy(_._2)
+    val hot = scala.collection.mutable.ArrayBuffer[String]()
+    var sum = 0L
+    var i = 0
+    while (i < sorted.size &&
+        (hot.size < 2 ||
+         (sorted.size - hot.size + 1) > maxSegments ||
+         sum * 2 >= sorted(i)._2)) {
+      hot += sorted(i)._1; sum += sorted(i)._2; i += 1
+    }
+    hot.toSeq
   }
 
-  private def listDataFiles(spark: SparkSession, location: java.net.URI)
-      : Seq[org.apache.hadoop.fs.Path] = {
-    val path = new org.apache.hadoop.fs.Path(location)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).toSeq.collect {
+  private def segmentBytes(spark: SparkSession, loc: java.net.URI): Long = {
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = hadoopFs(spark, path)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).collect {
       case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".") => s.getPath
-    }
+          !s.getPath.getName.startsWith(".") => s.getLen
+    }.sum
   }
 
-  /** Raw byte-copy of data files into a directory (names preserved —
-    * the bucket id lives in the name). */
-  private def copyInto(spark: SparkSession,
-      files: Seq[org.apache.hadoop.fs.Path], destDir: java.net.URI): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(destDir)
-    val dfs = dest.getFileSystem(conf)
-    files.foreach { f =>
-      org.apache.hadoop.fs.FileUtil.copy(f.getFileSystem(conf), f, dfs,
-        new org.apache.hadoop.fs.Path(dest, f.getName), false, conf)
-    }
-  }
-
-  /** Write `nextPhys` as: the hot files' rows re-compacted through a
-    * bucketed write + the cold files carried over as raw copies. */
-  private def writePartialCompaction(spark: SparkSession, table: String,
-      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
-      hot: Seq[org.apache.hadoop.fs.Path], cold: Seq[org.apache.hadoop.fs.Path],
-      nextPhys: String): Unit = {
-    dropPhys(spark, nextPhys) // orphan of a crashed writer
-    val bcol = spec.bucketColumnNames.head
-    spark.read.parquet(hot.map(_.toString): _*)
-      .repartition(spec.numBuckets, col(bcol))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(spec.numBuckets, bcol).sortBy(bcol)
-      .saveAsTable(nextPhys)
-    if (cold.nonEmpty) copyInto(spark, cold,
-      catalogOf(spark).getTableMetadata(TableIdentifier(nextPhys)).location)
-  }
-
-  /** Compact only the buckets whose file count exceeds
-    * `maxFilesPerBucket`, carrying every other bucket's files into the
-    * next version untouched (content-identical to [[compactBucketed]],
-    * law-tested). Returns whether any bucket was over threshold.
-    * Synchronous — the out-of-band form is [[maybeCompactBucketedAsync]]. */
+  /**
+   * Merge the smallest segments when the CURRENT version holds more
+   * than `maxSegments` of them, carrying every other segment into the
+   * next version by reference (content-identical to
+   * [[compactBucketed]], law-tested; bytes written ≈ the merged
+   * segments only). Each segment holds at most one file per bucket,
+   * so `maxSegments` bounds files-per-bucket the way the old
+   * file-count knob did. Returns whether a merge ran. Synchronous —
+   * the out-of-band form is [[maybeCompactBucketedAsync]].
+   */
   def compactBucketedPartial(spark: SparkSession, table: String,
-      maxFilesPerBucket: Int = 8): Boolean = lockFor(table).synchronized {
+      maxSegments: Int = 8): Boolean = lockFor(table).synchronized {
     cancelPending(spark, table)
     val (phys, v) = currentPhys(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table does not exist"))
     val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
-    val files = listDataFiles(spark, meta.location)
-    val (hot, cold) = splitHotCold(files, maxFilesPerBucket)
+    if (!isManifest(meta)) { // legacy layout: full rewrite migrates it
+      rewriteBucketedImpl(spark, table, identity, None); return true
+    }
+    val segs = segmentsOf(spark, phys)
+    val sizes = segs.map { case (n, loc) => (n, segmentBytes(spark, loc)) }
+    val hot = chooseHotSegments(sizes, maxSegments).toSet
     if (hot.isEmpty) return false
-    val next = v + 1
-    writePartialCompaction(spark, table, spec, hot, cold, physName(table, next))
-    flipView(spark, table, next)
-    vacuumVersions(spark, table, next)
+    val cold = segs.filterNot { case (n, _) => hot(n) }
+    val bcol = spec.bucketColumnNames.head
+    val hotDirs = segs.collect { case (n, loc) if hot(n) => loc.toString }
+    val seg = newSegName()
+    val dir = writeSegmentFiles(spark, table,
+      spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg)
+    createVersionTable(spark, table, v + 1,
+      StructType(meta.schema.filterNot(_.name == SegCol)),
+      bcol, spec.numBuckets,
+      cold.map { case (n, loc) => (n, loc.toString) } :+ ((seg, dir.toString)))
+    flipView(spark, table, v + 1)
+    vacuumVersions(spark, table, v + 1)
     true
   }
 
-  /** Files of over-threshold buckets (plus any file whose name carries
-    * no parseable bucket id — rewriting those re-homes their rows) vs
-    * everything else. */
-  private def splitHotCold(files: Seq[org.apache.hadoop.fs.Path],
-      maxFilesPerBucket: Int)
-      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
-    val byBucket = files.groupBy(f => bucketIdOf(f.getName))
-    val hotBuckets = byBucket.collect {
-      case (Some(b), fs) if fs.size > maxFilesPerBucket => b
-    }.toSet
-    files.partition { f =>
-      bucketIdOf(f.getName) match {
-        case Some(b) => hotBuckets(b)
-        case None => true
-      }
-    }
-  }
-
-  private final class PendingCompaction(val fromV: Int, val nextPhys: String,
-      val snapshot: Set[String]) {
+  private final class PendingCompaction(val fromV: Int, val hot: Set[String],
+      val segName: String, val segDir: String) {
     @volatile var finished = false
     @volatile var failure: Throwable = null
+    @volatile var future: java.util.concurrent.Future[_] = null
+    /** exactly-one-cleaner guard between a cancel and the job's own
+      * post-run check */
+    val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
   private val pending =
     new java.util.concurrent.ConcurrentHashMap[String, PendingCompaction]()
+  /** Segment dirs that must not be swept: in-flight background writes
+    * and finished-but-unfinalized merge outputs. Keyed by dir NAME
+    * (segment names are globally unique). */
+  private val protectedSegs =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private lazy val maintenancePool =
     java.util.concurrent.Executors.newSingleThreadExecutor(
       (r: Runnable) => {
@@ -682,19 +849,39 @@ object Bucketing {
 
   /** Discard an in-flight background compaction (writer paths that are
     * about to change the version themselves call this under the table
-    * lock): wait out the background write, then drop its unreferenced
-    * output. Wasted work, never wrong state. */
+    * lock). NEVER waits: if the background write already finished, its
+    * unreferenced output is deleted here; if it is still running, the
+    * job notices on completion that its pending entry is gone and
+    * deletes its own output (the `cleaned` flag makes exactly one of
+    * the two clean). Wasted work, never wrong state, no writer stall. */
   private def cancelPending(spark: SparkSession, table: String): Unit = {
     val p = pending.remove(table)
-    if (p != null) {
-      while (!p.finished) Thread.sleep(10)
-      dropPhys(spark, p.nextPhys)
-    }
+    if (p != null && p.finished && p.cleaned.compareAndSet(false, true))
+      discardSegment(spark, table, p)
+  }
+
+  private def discardSegment(spark: SparkSession, table: String,
+      p: PendingCompaction): Unit = {
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__segw_${p.segName}")
+      val path = new org.apache.hadoop.fs.Path(p.segDir)
+      val fs = hadoopFs(spark, path)
+      if (fs.exists(path)) fs.delete(path, true)
+    } catch { case _: Throwable => () } // orphan sweep will reclaim
+    finally protectedSegs.remove(p.segName)
+    ()
   }
 
   /** Ops/test hook: an out-of-band compaction is in flight or awaiting
     * finalize for `table`. */
   def pendingMaintenance(table: String): Boolean = pending.containsKey(table)
+
+  /** Tables with an out-of-band compaction in flight or awaiting
+    * finalize — the quiesce/shutdown hooks iterate this. */
+  def pendingTables: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    pending.keySet().asScala.toSeq
+  }
 
   /** Test hook: block until the background WRITE (if any) completes —
     * the finalize still happens on the next trigger call. Returns
@@ -702,7 +889,12 @@ object Bucketing {
   def awaitMaintenance(table: String): Boolean = {
     val p = pending.get(table)
     if (p == null) false
-    else { while (!p.finished) Thread.sleep(10); true }
+    else {
+      val f = p.future
+      if (f != null) { try f.get() catch { case _: Throwable => () } }
+      while (!p.finished) Thread.sleep(5)
+      true
+    }
   }
 
   /**
@@ -714,82 +906,242 @@ object Bucketing {
    * hours-long ingest stall). Per call, on the single-writer loop
    * thread:
    *
-   *  1. a finished background compaction is FINALIZED (delta files
-   *     appended since the snapshot are byte-copied into the new
-   *     version, the view CAS-flips, old versions vacuum) — a
-   *     metadata-plus-delta-sized step, never corpus-sized;
-   *  2. else, if no compaction is in flight and some bucket exceeds
-   *     `maxFilesPerBucket` files, a PARTIAL compaction of the
-   *     over-threshold buckets is enqueued on the maintenance thread
-   *     and the call returns immediately;
+   *  1. a finished background merge is FINALIZED (new manifest =
+   *     untouched segments + appends since the snapshot + the merged
+   *     segment, all BY REFERENCE; the view CAS-flips; vacuum) — a
+   *     pure-metadata step;
+   *  2. else, if no merge is in flight and the current version holds
+   *     more than `maxSegments` segments, the geometric merge of the
+   *     smallest segments is enqueued on the maintenance thread and
+   *     the call returns immediately;
    *  3. else no-op.
    *
-   * Returns true only when a compaction FLIPPED this call (step 1), so
-   * probes and specs observe completions. A background failure is
-   * rethrown here — on the writer thread, where the loop's error
-   * handling lives. `maxFilesPerBucket <= 0` disables the policy.
+   * The whole call runs under the table lock (trigger INCLUDED — the
+   * version/segment snapshot, the pending registration, and the
+   * submit are atomic against concurrent writers; a writer that lands
+   * after the enqueue cancels the pending entry under the same lock,
+   * so the background output is discarded, never finalized over a
+   * foreign flip). Returns true only when a compaction FLIPPED this
+   * call (step 1). A background failure is rethrown here — on the
+   * writer thread, where the loop's error handling lives.
+   * `maxSegments <= 0` disables the policy.
    */
   def maybeCompactBucketedAsync(spark: SparkSession, table: String,
-      maxFilesPerBucket: Int = 8): Boolean = {
-    if (maxFilesPerBucket <= 0) return false
-    val p = pending.get(table)
-    if (p != null) {
-      if (!p.finished) return false
-      pending.remove(table)
-      if (p.failure != null) {
-        dropPhys(spark, p.nextPhys)
-        throw p.failure
+      maxSegments: Int = 8): Boolean = {
+    if (maxSegments <= 0) return false
+    lockFor(table).synchronized {
+      val p = pending.get(table)
+      if (p != null) {
+        if (!p.finished) return false
+        pending.remove(table)
+        if (p.failure != null) {
+          if (p.cleaned.compareAndSet(false, true)) discardSegment(spark, table, p)
+          throw p.failure
+        }
+        finalizeCompactionLocked(spark, table, p)
+        return true
       }
-      finalizeCompaction(spark, table, p)
-      return true
+      if (!spark.catalog.tableExists(table)) return false
+      val (phys, v) = currentPhys(spark, table).getOrElse(return false)
+      val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+      val spec = meta.bucketSpec.getOrElse(return false)
+      if (!isManifest(meta)) return false // legacy layout: use the sync paths
+      val segs = segmentsOf(spark, phys)
+      val sizes = segs.map { case (n, loc) => (n, segmentBytes(spark, loc)) }
+      val hot = chooseHotSegments(sizes, maxSegments)
+      if (hot.isEmpty) return false
+      val hotSet = hot.toSet
+      val hotDirs = segs.collect { case (n, loc) if hotSet(n) => loc.toString }
+      val segName = newSegName()
+      val segDir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
+      val pc = new PendingCompaction(v, hotSet, segName, segDir.toString)
+      protectedSegs.put(segName, true)
+      pending.put(table, pc)
+      val bcol = spec.bucketColumnNames.head
+      val buckets = spec.numBuckets
+      // a fresh session for the background write: shared external
+      // catalog (its transient writer table is uniquely named),
+      // separate per-session state (no conf/cache races with the
+      // loop's micro-batch session). Capped-pool scheduling: the merge
+      // job's stages run in the low-share `graft_maintenance` pool so
+      // a FAIR-mode deployment's live batches take cores first (under
+      // default FIFO the property is inert).
+      val bg = spark.newSession()
+      bg.conf.set("spark.scheduler.pool", "graft_maintenance")
+      pc.future = maintenancePool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            writeSegmentFiles(bg, table, bg.read.parquet(hotDirs: _*),
+              bcol, buckets, segName)
+            ()
+          } catch { case t: Throwable => pc.failure = t }
+          finally {
+            pc.finished = true
+            // cancelled while running? then nobody will finalize or
+            // clean this output — self-clean (exactly-once via flag)
+            if ((pending.get(table) ne pc) &&
+                pc.cleaned.compareAndSet(false, true))
+              discardSegment(bg, table, pc)
+          }
+        }
+      })
+      false
     }
-    if (!spark.catalog.tableExists(table)) return false
-    val (phys, v) = currentPhys(spark, table).getOrElse(return false)
-    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
-    val spec = meta.bucketSpec.getOrElse(return false)
-    val files = listDataFiles(spark, meta.location)
-    val (hot, cold) = splitHotCold(files, maxFilesPerBucket)
-    if (hot.isEmpty) return false
-    val pc = new PendingCompaction(v, physName(table, v + 1),
-      files.map(_.getName).toSet)
-    pending.put(table, pc)
-    // a fresh session for the background write: shared external catalog
-    // (the flip is visible everywhere), separate per-session state (no
-    // conf/cache races with the loop's micro-batch session)
-    val bg = spark.newSession()
-    maintenancePool.submit(new Runnable {
-      def run(): Unit =
-        try writePartialCompaction(bg, table, spec, hot, cold, pc.nextPhys)
-        catch { case t: Throwable => pc.failure = t }
-        finally pc.finished = true
-    })
-    false
   }
 
-  /** Step 1 of [[maybeCompactBucketedAsync]]: carry the delta, flip,
-    * vacuum — under the table lock, with the CAS lost-update guard. */
-  private def finalizeCompaction(spark: SparkSession, table: String,
-      p: PendingCompaction): Unit = lockFor(table).synchronized {
+  /** Step 1 of [[maybeCompactBucketedAsync]]: build the next manifest
+    * (cold + delta by reference, plus the merged segment), flip,
+    * vacuum — under the table lock, with the CAS lost-update guard.
+    * Pure metadata: no data bytes move here. */
+  private def finalizeCompactionLocked(spark: SparkSession, table: String,
+      p: PendingCompaction): Unit = {
     val (phys, v) = currentPhys(spark, table).getOrElse(
       throw new IllegalStateException(s"$table vanished during compaction"))
     if (v != p.fromV) {
-      // a foreign writer advanced the table while the compaction ran —
-      // the compaction's output is stale. Drop it ONLY if the foreign
-      // version didn't land on the same name (it did if the foreign
-      // writer was a sync rewrite to v+1 — then our output is already
-      // gone, replaced by theirs, and phys IS that table).
-      if (phys != p.nextPhys) dropPhys(spark, p.nextPhys)
+      // a foreign writer advanced the table while the merge ran — the
+      // merge's output is stale (its hot segments may no longer be
+      // part of the current manifest). Discard and fail loudly.
+      if (p.cleaned.compareAndSet(false, true)) discardSegment(spark, table, p)
       throw new java.util.ConcurrentModificationException(
         s"$table advanced v${p.fromV} -> v$v during out-of-band compaction; " +
           "result discarded (single-writer contract violated)")
     }
     val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
-    val delta = listDataFiles(spark, meta.location)
-      .filterNot(f => p.snapshot.contains(f.getName))
-    if (delta.nonEmpty) copyInto(spark, delta,
-      catalogOf(spark).getTableMetadata(TableIdentifier(p.nextPhys)).location)
+    val spec = meta.bucketSpec.get
+    // cold + appends-since-snapshot: everything currently referenced
+    // that wasn't merged — carried into v+1 by reference
+    val carry = segmentsOf(spark, phys).filterNot { case (n, _) => p.hot(n) }
+      .map { case (n, loc) => (n, loc.toString) }
+    createVersionTable(spark, table, p.fromV + 1,
+      StructType(meta.schema.filterNot(_.name == SegCol)),
+      spec.bucketColumnNames.head, spec.numBuckets,
+      carry :+ ((p.segName, p.segDir)))
     flipView(spark, table, p.fromV + 1)
+    protectedSegs.remove(p.segName)
     vacuumVersions(spark, table, p.fromV + 1)
+  }
+
+  /**
+   * Finalize a finished out-of-band compaction NOW — the quiesce hook
+   * ([[graft.streaming.DocumentStreams]] &c. call it from their
+   * stream-stop path): a stopped ingest loop otherwise strands a
+   * finished background merge as a pending orphan until some future
+   * trigger runs. Waits for an in-flight background WRITE to finish
+   * (bounded by the merge itself), then runs the normal finalize.
+   * Returns true if a compaction flipped. No-op when nothing is
+   * pending.
+   */
+  def finalizeMaintenance(spark: SparkSession, table: String): Boolean = {
+    val p = pending.get(table)
+    if (p == null) return false
+    awaitMaintenance(table)
+    lockFor(table).synchronized {
+      val q = pending.remove(table)
+      if (q == null) return false
+      if (q.failure != null) {
+        if (q.cleaned.compareAndSet(false, true)) discardSegment(spark, table, q)
+        throw q.failure
+      }
+      finalizeCompactionLocked(spark, table, q)
+      true
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-table atomic EPOCHS — one commit point for multi-table
+  // indexes. The versioned views make each TABLE's flip atomic, but an
+  // index made of several tables (IVF-PQ: centroids + codebooks +
+  // codes; MinHash: bands + shingles) rebuilt table-by-table exposes a
+  // racing reader to a mixed state — new quantizer with old codes for
+  // one resolution. The epoch layer closes that: member tables of
+  // generation N are separate logical tables (`{base}_{member}_g{N}`),
+  // a rebuild writes the ENTIRE next generation first, and the commit
+  // is ONE atomic catalog op — the `{base}_epoch` view flip — done
+  // LAST. Readers resolve member names through the epoch before
+  // reading, so every query sees one generation throughout: all-old or
+  // all-new, never mixed. Generation N−1 is retained as the reader
+  // grace window (an in-flight query that resolved the old epoch still
+  // finds its tables); everything older sweeps at the next rebuild.
+  // Epoch 0 is the legacy flat layout (`{base}_{member}`) — indexes
+  // that never rebuild never pay the indirection.
+  // ------------------------------------------------------------------
+
+  private val EpochVer = """SELECT (\d+) AS epoch""".r
+
+  /** Current generation of the table group `base` (0 = flat legacy
+    * names; no epoch view yet). One catalog lookup, no Spark job. */
+  def currentEpoch(spark: SparkSession, base: String): Int = {
+    val id = TableIdentifier(s"${base}_epoch")
+    val cat = catalogOf(spark)
+    if (!cat.tableExists(id)) 0
+    else cat.getTableMetadata(id).viewText
+      .flatMap(t => EpochVer.findFirstMatchIn(t))
+      .map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Resolve a member table's logical name at the CURRENT epoch —
+    * every reader of a multi-table index goes through this once per
+    * query, so all member reads of that query share one generation. */
+  def epochMember(spark: SparkSession, base: String, member: String): String = {
+    val g = currentEpoch(spark, base)
+    if (g == 0) s"${base}_$member" else s"${base}_${member}_g$g"
+  }
+
+  /**
+   * Rebuild a multi-table index atomically: `build` receives a
+   * member→name resolver for generation g+1 and must write EVERY
+   * member table through it; only after all of them exist does the
+   * epoch view flip (the single atomic commit). Crash-safe: a crash
+   * mid-build leaves next-generation orphans the next rebuild drops
+   * and re-creates (the epoch still points at the old generation, so
+   * readers never see the half-built one). After the flip, the
+   * superseded generation is RETAINED (reader grace, one generation)
+   * and all older generations sweep.
+   */
+  def rebuildEpoch(spark: SparkSession, base: String, members: Seq[String])
+      (build: (String => String) => Unit): Unit =
+    lockFor(s"${base}_epoch").synchronized {
+      val g = currentEpoch(spark, base)
+      val next = g + 1
+      val nameOf = (m: String) => s"${base}_${m}_g$next"
+      members.foreach(m => dropLogical(spark, nameOf(m))) // crashed-rebuild orphans
+      build(nameOf)
+      val eview = s"${base}_epoch"
+      if (catalogOf(spark).tableExists(TableIdentifier(eview)))
+        spark.sql(s"ALTER VIEW $eview AS SELECT $next AS epoch")
+      else
+        spark.sql(s"CREATE VIEW $eview AS SELECT $next AS epoch")
+      // grace: generation g survives for in-flight readers that
+      // resolved the old epoch; everything older (including the flat
+      // epoch-0 layout once two rebuilds have passed) sweeps now
+      members.foreach { m =>
+        val db = spark.catalog.currentDatabase
+        catalogOf(spark).listTables(db, s"${base}_${m}_g*").foreach { id =>
+          val suffix = id.table.stripPrefix(s"${base}_${m}_g")
+          if (suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toInt < g)
+            dropLogical(spark, id.table)
+        }
+        if (g >= 1 && spark.catalog.tableExists(s"${base}_$m"))
+          dropLogical(spark, s"${base}_$m")
+      }
+    }
+
+  /** Drop an epoch-grouped index: every generation of every member,
+    * and the epoch pointer itself. */
+  def dropEpochGroup(spark: SparkSession, base: String,
+      members: Seq[String]): Unit = {
+    members.foreach { m =>
+      if (spark.catalog.tableExists(s"${base}_$m")) dropLogical(spark, s"${base}_$m")
+      val db = spark.catalog.currentDatabase
+      catalogOf(spark).listTables(db, s"${base}_${m}_g*").foreach { id =>
+        val suffix = id.table.stripPrefix(s"${base}_${m}_g")
+        if (suffix.nonEmpty && suffix.forall(_.isDigit))
+          dropLogical(spark, id.table)
+      }
+    }
+    if (spark.catalog.tableExists(s"${base}_epoch"))
+      spark.sql(s"DROP VIEW ${base}_epoch")
+    ()
   }
 
   /**

@@ -149,7 +149,8 @@ object DocumentStreams {
         graft.sources.Bucketing
           .maybeCompactBucketedAsync(b.sparkSession, indexTable, autoCompact); ()
       }
-      .start()
+      .start() match { case q => Maintenance.finalizeOnStop(q,
+        docStream.sparkSession, Seq(indexTable)) }
 
   /**
    * The exact-substring loop maintained under ingest — the span-level
@@ -175,7 +176,8 @@ object DocumentStreams {
         graft.sources.Bucketing
           .maybeCompactBucketedAsync(b.sparkSession, indexTable, autoCompact); ()
       }
-      .start()
+      .start() match { case q => Maintenance.finalizeOnStop(q,
+        docStream.sparkSession, Seq(indexTable)) }
 
   /**
    * [[streamingIndexIngest]] plus MAINTAINED cluster closure: each
@@ -235,14 +237,20 @@ object DocumentStreams {
         // and the cluster table (files + the broadcast relabel map,
         // folded by the same rewrite when the trigger fires; the fold
         // stays inline — see maybeCompactClusterIndex)
+        val mAt = graft.sources.Bucketing.epochMember(spark, indexTable, _: String)
         graft.sources.Bucketing
-          .maybeCompactBucketedAsync(spark, s"${indexTable}_bands", autoCompact)
+          .maybeCompactBucketedAsync(spark, mAt("bands"), autoCompact)
         graft.sources.Bucketing
-          .maybeCompactBucketedAsync(spark, s"${indexTable}_shingles", autoCompact)
+          .maybeCompactBucketedAsync(spark, mAt("shingles"), autoCompact)
         graft.operators.Dedup
           .maybeCompactClusterIndex(spark, clusterTable, autoCompact); ()
       }
-      .start()
+      .start() match { case q => Maintenance.finalizeOnStop(q,
+        docStream.sparkSession, {
+          val at = graft.sources.Bucketing
+            .epochMember(docStream.sparkSession, indexTable, _: String)
+          Seq(at("bands"), at("shingles"), clusterTable)
+        }) }
 
   def streamingIndexIngest(docStream: DataFrame, indexTable: String,
       outPath: String, checkpoint: String, threshold: Double = 0.7,
@@ -262,12 +270,18 @@ object DocumentStreams {
           Seq("doc_id"), "left_anti")
         graft.operators.Dedup.appendToMinhashIndex(novel, indexTable)
         val s = b.sparkSession
+        val mAt = graft.sources.Bucketing.epochMember(s, indexTable, _: String)
         graft.sources.Bucketing
-          .maybeCompactBucketedAsync(s, s"${indexTable}_bands", autoCompact)
+          .maybeCompactBucketedAsync(s, mAt("bands"), autoCompact)
         graft.sources.Bucketing
-          .maybeCompactBucketedAsync(s, s"${indexTable}_shingles", autoCompact); ()
+          .maybeCompactBucketedAsync(s, mAt("shingles"), autoCompact); ()
       }
-      .start()
+      .start() match { case q => Maintenance.finalizeOnStop(q,
+        docStream.sparkSession, {
+          val at = graft.sources.Bucketing
+            .epochMember(docStream.sparkSession, indexTable, _: String)
+          Seq(at("bands"), at("shingles"))
+        }) }
 
   /**
    * Naive-Bayes model maintained under ingest: each micro-batch's

@@ -198,44 +198,79 @@ class SkewAndSinkSpec extends AnyFunSuite {
     }
   }
 
-  test("compactBucketedPartial: only over-threshold buckets rewrite; cold files carry over untouched; content ≡ full compaction") {
+  test("compactBucketedPartial: small segments merge, the big cold segment carries BY REFERENCE (same physical path, zero bytes moved); content ≡ full compaction") {
     import graft.sources.Bucketing
-    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    // big base segment: the tier rule must keep it cold (3 tiny appends
+    // can't pay for merging a 100×-bigger segment)
+    val base = (0L until 40000L).map(i => (i, s"v$i")).toDF("k", "v")
     Bucketing.writeBucketed(base, "graft_partial_t", "k", 4)
     try {
-      // skewed appends: one repeated key → ONE bucket accumulates files
+      def manifest(): Map[String, String] = {
+        val (phys, _) = Bucketing.currentPhys(spark, "graft_partial_t").get
+        spark.sessionState.catalog
+          .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(phys))
+          .map(p => (p.spec("_graft_seg"), p.location.toString)).toMap
+      }
+      val baseSeg = manifest()
+      assert(baseSeg.size === 1)
+      val (baseName, baseLoc) = baseSeg.head
+      def dirBytes(loc: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).collect {
+          case s if s.isFile && !s.getPath.getName.startsWith("_") => s.getLen
+        }.sum
+      }
+      val baseModTime = {
+        val p = new org.apache.hadoop.fs.Path(baseLoc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(_.getModificationTime).max
+      }
+      // skewed appends: one repeated key → 3 tiny single-file segments
       (1 to 3).foreach { b =>
         Bucketing.appendBucketed(
           (0L until 20L).map(i => (42L, s"hot$b$i")).toDF("k", "v"),
           "graft_partial_t", "k")
       }
       val before = spark.table("graft_partial_t").collect().map(_.toString).sorted
+      assert(Bucketing.segmentCount(spark, "graft_partial_t") === 4)
       assert(Bucketing.dataFileCount(spark, "graft_partial_t") === 7L) // 4 + 3 hot
-      def files(): Set[String] = {
-        val (phys, _) = Bucketing.currentPhys(spark, "graft_partial_t").get
-        val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(phys)).location)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(loc).collect {
-          case s if s.isFile && !s.getPath.getName.startsWith("_") => s.getPath.getName
-        }.toSet
-      }
-      // identify the hot bucket's files as the names appearing >2 per bucket id
-      val byBucket = files().groupBy(n => n.replaceAll(""".*_(\d{5}).*""", "$1"))
-      val hotBucket = byBucket.find(_._2.size > 2).get._1
-      val coldNames = byBucket.filter(_._1 != hotBucket).values.flatten.toSet
-      assert(coldNames.size === 3)
-      // below-threshold → no-op; above → partial rewrite
+      // below-threshold → no-op; above → segment merge
       assert(!Bucketing.compactBucketedPartial(spark, "graft_partial_t", 8))
       assert(Bucketing.compactBucketedPartial(spark, "graft_partial_t", 2))
       val after = spark.table("graft_partial_t").collect().map(_.toString).sorted
       assert(after === before, "partial compaction must equal full compaction content")
-      assert(Bucketing.dataFileCount(spark, "graft_partial_t") === 4L)
-      assert(coldNames.subsetOf(files()),
-        "cold buckets' files must carry over byte-identical (same names), not rewrite")
+      // [base(4 files) by reference] + [merged appends (1 file, one key)]
+      assert(Bucketing.dataFileCount(spark, "graft_partial_t") === 5L)
+      val m2 = manifest()
+      assert(m2.size === 2)
+      // THE manifest pin: the cold segment is the SAME PHYSICAL PATH in
+      // the new version — referenced, not copied
+      assert(m2.get(baseName).contains(baseLoc),
+        s"cold segment must carry by reference: $m2")
+      val p2 = new org.apache.hadoop.fs.Path(baseLoc)
+      val fs2 = p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs2.listStatus(p2).map(_.getModificationTime).max === baseModTime,
+        "cold segment files must be untouched by the flip")
+      // bytes written by the flip ≈ the merged (tiny) segments only —
+      // the O(table) carry-over copy is gone
+      val mergedLoc = (m2 - baseName).values.head
+      assert(dirBytes(mergedLoc) < dirBytes(baseLoc) / 10,
+        s"merge wrote ${dirBytes(mergedLoc)}B vs cold ${dirBytes(baseLoc)}B — " +
+          "bytes-per-flip must track the hot segments, not the table")
       // bucketed-join contract survives a partial rewrite
       assert(Bucketing.bucketSpecOf(spark, "graft_partial_t")
         .exists(s => s.numBuckets == 4 && s.bucketColumnNames == Seq("k")))
+      // a THIRD version still shares the same cold path (≥3-version pin)
+      Bucketing.appendBucketed(
+        (0L until 20L).map(i => (43L, s"x$i")).toDF("k", "v"),
+        "graft_partial_t", "k")
+      Bucketing.appendBucketed(
+        (0L until 20L).map(i => (44L, s"y$i")).toDF("k", "v"),
+        "graft_partial_t", "k")
+      assert(Bucketing.compactBucketedPartial(spark, "graft_partial_t", 2))
+      assert(manifest().get(baseName).contains(baseLoc),
+        "cold segment must stay shared across ≥3 versions")
     } finally Bucketing.dropLogical(spark, "graft_partial_t")
   }
 

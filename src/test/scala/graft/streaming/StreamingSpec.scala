@@ -1081,6 +1081,70 @@ class StreamingSpec extends AnyFunSuite {
       s"the drifted batch must read high in the ledger: $led")
   }
 
+  test("streaming ANN auto-remediation: a drifted batch trips the threshold, requantize fires between batches with zero manual steps, escalating m when code resolution binds; replay does not re-fire") {
+    import graft.operators.Similarity
+    val s = spark; import s.implicits._
+    val mkVec = (i: Long, shift: Double) =>
+      (0 until 64).map(d => (shift + math.sin(i * 64 + d)).toFloat)
+    val corpus = (0L until 200L).map(i => (i, mkVec(i, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.writeAnnIndex(corpus, "graft_ann_auto", buckets = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annauto").toString
+    // the retrain provider: the corpus as the pipeline currently knows
+    // it — the standing corpus plus everything already streamed in
+    def allIngested() = corpus.unionByName(
+      scala.util.Try(spark.read.schema(corpus.schema).parquet(s"$dir/in"))
+        .getOrElse(corpus.limit(0)))
+    def loop(ckpt: String) = VectorStreams.streamingAnnIngest(
+      VectorStreams.readVectorStream(spark, s"$dir/in"), "graft_ann_auto",
+      s"$dir/nn", s"$dir/$ckpt", driftPath = s"$dir/drift",
+      driftThreshold = 0.1, retrainCorpus = () => allIngested(),
+      escalateM = 16, pqErrorThreshold = 1e-12)
+    // batch 0: in-distribution — below threshold, NO remediation
+    (6000L to 6019L).map(i => (i, mkVec(i, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q1 = loop("ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(graft.sources.Bucketing.currentEpoch(spark, "graft_ann_auto") === 0,
+      "an in-distribution batch must not trigger a requantize")
+    // batch 1: a region the quantizer never saw — crosses the
+    // threshold; the loop requantizes on its own thread, and the PQ
+    // reconstruction error (always above the planted 1e-12 bar) says
+    // code resolution binds → one more requantize at escalateM=16
+    (7000L to 7049L).map(i => (i, mkVec(i, 6.0), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = loop("ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.sources.Bucketing.currentEpoch(spark, "graft_ann_auto") >= 2,
+      "the drifted batch must auto-requantize (and escalate) with zero manual steps")
+    assert(Similarity.annIndexM(spark, "graft_ann_auto") === 16,
+      "code-resolution escalation must land m=16 codes")
+    // repaired: the very batch that tripped the threshold now reads low
+    val drifted = (7000L to 7049L).map(i => (i, mkVec(i, 6.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val post = Similarity.annAssignmentResidual(drifted, "graft_ann_auto")
+      .collect()(0).getDouble(1)
+    assert(post <= 0.1, s"auto-requantize must repair the residual, got $post")
+    // searches keep working against the escalated index (m inferred)
+    assert(Similarity.annIndexTopK(drifted.limit(5), "graft_ann_auto",
+      topk = 3, nprobe = 16).count() > 0)
+    // replay from a fresh checkpoint: the drifted batch re-measures
+    // against the ALREADY-REPAIRED quantizer, stays below threshold,
+    // and must NOT re-fire — epoch and codes stay put
+    val epochBefore = graft.sources.Bucketing.currentEpoch(spark, "graft_ann_auto")
+    val codesBefore = spark.table(graft.sources.Bucketing
+      .epochMember(spark, "graft_ann_auto", "codes")).count()
+    val q3 = loop("ckpt_replay")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.sources.Bucketing.currentEpoch(spark, "graft_ann_auto") === epochBefore,
+      "a replay over the repaired index must not re-requantize")
+    assert(spark.table(graft.sources.Bucketing
+      .epochMember(spark, "graft_ann_auto", "codes")).count() === codesBefore,
+      "a replay must not re-append codes")
+  }
+
   test("streaming PCA maintenance: merged moment ledger fits the batch model; batch replay is idempotent") {
     import graft.operators.Similarity
     val s = spark; import s.implicits._
