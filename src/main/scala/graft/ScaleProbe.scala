@@ -1392,15 +1392,16 @@ object ScaleProbe {
         require(l50 <= 1.3 * e50 + 0.2,
           f"per-batch latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
-        // out-of-band compaction pin (round 13): the trigger no longer
-        // stalls the tripping batch with a corpus-sized inline rewrite
-        // (r12 inline: p99 4.1x p50); what remains in p99 is bounded
-        // overlap-contention with the background maintenance thread.
-        // Pinned at the recorded config only — at 4 cores the
-        // background rewrite legitimately starves a concurrent batch
-        // (measured 6x), which is a capacity statement, not a stall
+        // out-of-band compaction pin, tightened per round: r12 inline
+        // rewrites spiked p99 to 4.1x p50; r13's out-of-band thread cut
+        // it to 2.7x (pinned 3x+1); r14's manifest merge (background
+        // job shrank from corpus-sized to delta-sized) plus the
+        // low-share FAIR maintenance pool recorded 1.98x — pinned at
+        // 2.5x+1 (margin for single-rep host noise). Recorded config
+        // only: at 4 cores the background job legitimately starves a
+        // concurrent batch (measured 6x), a capacity statement
         if (actualCores >= 16)
-          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+          require(p(lat.drop(5), 0.99) <= 2.5 * p(lat.drop(5), 0.5) + 1.0,
             f"ingest p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
@@ -1467,7 +1468,7 @@ object ScaleProbe {
           f"query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
         if (actualCores >= 16) // recorded-config pin, see ingestLatency
-          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+          require(p(lat.drop(5), 0.99) <= 2.5 * p(lat.drop(5), 0.5) + 1.0,
             f"read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }
@@ -1517,7 +1518,7 @@ object ScaleProbe {
           f"ANN query latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")
         if (actualCores >= 16) // recorded-config pin, see ingestLatency
-          require(p(lat.drop(5), 0.99) <= 3.0 * p(lat.drop(5), 0.5) + 1.0,
+          require(p(lat.drop(5), 0.99) <= 2.5 * p(lat.drop(5), 0.5) + 1.0,
             f"ANN read p99 spike: ${p(lat.drop(5), 0.99)}%.2f s vs p50 ${p(lat.drop(5), 0.5)}%.2f s")
         nB.toLong
       }

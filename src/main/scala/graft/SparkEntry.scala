@@ -2822,6 +2822,44 @@ object SparkEntry {
   }
 
   /**
+   * PQ reconstruction error of the stored index (Similarity
+   * .pqReconstructionResidual): mean asymmetric-ADC distance between
+   * each corpus vector and its OWN code under the stored codebooks —
+   * the code-resolution drift signal that decides whether the
+   * auto-remediation loop escalates m. Oracle replays the k=16
+   * per-dimension-mean codebooks, the per-sub-block nearest-codeword
+   * assignment, and the summed squared distance at the chosen codes.
+   */
+  private def annPqError(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    if (!s.catalog.tableExists("graft_ann_idxe_codes"))
+      Similarity.writeAnnIndex(embs, "graft_ann_idxe")
+    Similarity.pqReconstructionResidual(embs, "graft_ann_idxe")
+      .select(col("n_vectors"), round(col("mean_pq_error"), 4).as("mean_pq_error"))
+  }
+
+  /**
+   * TWO successive requantizes over the same corpus — the index
+   * crosses two EPOCH generations (flat → g1 → g2, the second flip
+   * sweeping the flat layout), and the query path must resolve the
+   * current generation's centroids/codebooks/codes as one snapshot.
+   * Retraining is deterministic, so both rebuilds land the same
+   * quantizer and the oracle stays the refined IVF-PQ replay — what
+   * this query adds to the gate is the epoch RESOLUTION machinery
+   * (generation naming, pointer flip, old-generation sweep) under the
+   * driver's rows+schema+hash bar.
+   */
+  private def annIndexEpoch(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    if (!s.catalog.tableExists("graft_ann_idxg_epoch")) {
+      Similarity.writeAnnIndex(embs, "graft_ann_idxg")
+      Similarity.requantizeAnnIndex(embs, "graft_ann_idxg")
+      Similarity.requantizeAnnIndex(embs, "graft_ann_idxg")
+    }
+    Similarity.annIndexTopK(embs.filter(col("vec_id") < 10), "graft_ann_idxg")
+  }
+
+  /**
    * Z-order-clustered sink round-trip: lineitem laid out by the
    * Morton interleave of (l_partkey, l_suppkey); the 2-D box probe
    * after re-read skips row-groups on both columns' stats.
@@ -4073,6 +4111,8 @@ object SparkEntry {
     "ann_index_append" -> (annIndexAppend _),
     "ann_drift_residual" -> (annDriftResidual _),
     "ann_index_requantize" -> (annIndexRequantize _),
+    "ann_pq_error" -> (annPqError _),
+    "ann_index_epoch" -> (annIndexEpoch _),
     "q_zorder_sink" -> (qZorderSink _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_mmr" -> (annMmr _),
@@ -5400,6 +5440,25 @@ object SparkEntry {
     // requantized index ≡ an index freshly trained on the full corpus
     // with 3 Lloyd rounds (deterministic) — the refined IVF-PQ replay
     "ann_index_requantize" -> ivfPqSql("", refineRounds = 3),
+    // mean summed squared distance at each vector's chosen PQ codes
+    // (k=16 per-dim-mean codebooks, subdim 8) — the ADC self-distance
+    "ann_pq_error" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pcent AS (SELECT vec_id % 16 AS b, i, avg(v[i]) AS c FROM v, " +
+        "generate_series(1, 64) t(i) GROUP BY 1, 2), " +
+        "pd AS (SELECT x.vec_id, (t.i - 1) // 8 AS j, ce.b, " +
+        "sum((x.v[t.i] - ce.c) * (x.v[t.i] - ce.c)) AS d2 " +
+        "FROM v x, generate_series(1, 64) t(i) JOIN pcent ce ON ce.i = t.i " +
+        "GROUP BY 1, 2, ce.b), " +
+        "pbest AS (SELECT vec_id, j, b, d2, row_number() OVER " +
+        "(PARTITION BY vec_id, j ORDER BY d2, b) AS rn FROM pd) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "round(avg(e), 4) AS mean_pq_error FROM (" +
+        "SELECT vec_id, sum(d2) AS e FROM pbest WHERE rn = 1 GROUP BY 1)"),
+    // two deterministic retrains land the same refined quantizer —
+    // same replay as ann_index_requantize; the Spark side crosses two
+    // epoch generations on the way
+    "ann_index_epoch" -> ivfPqSql("", refineRounds = 3),
     // replays the md5-plane LSH: ±1 weights from md5('lsh:t:b:i'),
     // 4 tables × 8-bit buckets, candidates ranked by exact cosine
     "ann_lsh" ->
