@@ -1542,24 +1542,60 @@ object Dedup {
       table: String, maxFilesPerBucket: Int = 8): Boolean = {
     if (maxFilesPerBucket <= 0) return false
     if (!spark.catalog.tableExists(table)) return false
+    // a pending background job (merge OR fold) finalizes regardless of
+    // the current file count — the trigger condition belonged to the
+    // call that enqueued it
+    if (graft.sources.Bucketing.pendingMaintenance(table))
+      return graft.sources.Bucketing
+        .maybeCompactBucketedAsync(spark, table, maxFilesPerBucket)
     val buckets = graft.sources.Bucketing.bucketSpecOf(spark, table) match {
       case Some(spec) => spec.numBuckets
       case None => return false
     }
     if (graft.sources.Bucketing.dataFileCount(spark, table) >
         buckets.toLong * maxFilesPerBucket) {
-      // the relabel FOLD stays inline: an out-of-band fold would clear
-      // the relabel map while rows appended during the background
-      // rewrite still carry unfolded cluster_ids (the delta carry-over
-      // copies bytes, it cannot re-apply the fold atomically with the
-      // map clear) — old representatives would resurface. The fold is
-      // relabel-map-sized in its join side and rarer than file-count
-      // compactions; the plain no-relabel case goes out of band.
+      // the relabel FOLD goes out of band too (r14 — the manifest
+      // layer's delta-exact finalize made it safe, removing the LAST
+      // inline corpus-sized job on the ingest thread): the relabel
+      // rows are PINNED at enqueue, the background job folds them
+      // through every pinned segment, the finalize folds the append
+      // delta through the SAME pinned rows inline (delta-sized), and
+      // only then are exactly those pinned (old_rep, new_rep) pairs
+      // cleared from the map — entries updated or added during the
+      // background run survive. Correctness of the composite read
+      // mapping is law-tested: applying a pinned fold twice is a
+      // no-op, and a row folded to `b` while a concurrent merge moved
+      // `b → c` still resolves through the surviving (b → c) entry.
       if (spark.catalog.tableExists(s"${table}_relabel")) {
-        compactClusterIndex(spark, table); true
+        val pinned = spark.table(s"${table}_relabel").localCheckpoint()
+        graft.sources.Bucketing.rewriteBucketedAsync(spark, table,
+          df => df.join(broadcast(pinned), df("cluster_id") === pinned("old_rep"),
+              "left_outer")
+            .select(df("doc_id"),
+              coalesce(pinned("new_rep"), df("cluster_id")).as("cluster_id")),
+          onFinalize = s => clearFoldedRelabel(s, table, pinned))
       } else graft.sources.Bucketing
         .maybeCompactBucketedAsync(spark, table, maxFilesPerBucket)
     } else false
+  }
+
+  /** Remove exactly the folded (old_rep, new_rep) pairs from the
+    * relabel map — entries path-compressed or added while the fold ran
+    * survive, which is what keeps concurrent merges correct. Runs at
+    * the finalize commit point; idempotent (a crash between flip and
+    * clear leaves rows that re-apply as no-ops at read). */
+  private def clearFoldedRelabel(spark: org.apache.spark.sql.SparkSession,
+      table: String, pinned: DataFrame): Unit = {
+    val t = s"${table}_relabel"
+    if (!spark.catalog.tableExists(t)) return
+    val keep = spark.table(t)
+      .join(pinned.withColumnRenamed("old_rep", "p_old")
+          .withColumnRenamed("new_rep", "p_new"),
+        col("old_rep") === col("p_old") && col("new_rep") === col("p_new"),
+        "left_anti")
+      .localCheckpoint() // materialize BEFORE the versioned overwrite
+    if (keep.isEmpty) graft.sources.Bucketing.dropLogical(spark, t)
+    else graft.sources.Bucketing.writeSmallTable(keep, t)
   }
 
   /**

@@ -416,11 +416,12 @@ object Bucketing {
     val dir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
     val tmp = s"${table}__segw_$segName"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    df.repartition(buckets, col(bucketCol))
-      .write.mode("overwrite").format("parquet").option("path", dir.toString)
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $tmp")
+    try {
+      df.repartition(buckets, col(bucketCol))
+        .write.mode("overwrite").format("parquet").option("path", dir.toString)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(tmp)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tmp") // even on a failed write
     dir
   }
 
@@ -440,10 +441,13 @@ object Bucketing {
          |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
          |INTO $buckets BUCKETS
          |LOCATION '$root'""".stripMargin)
-    segs.foreach { case (name, loc) =>
-      spark.sql(s"ALTER TABLE $phys ADD PARTITION (`$SegCol`='$name') " +
-        s"LOCATION '$loc'")
-    }
+    // ONE statement for the whole manifest, not one catalog round-trip
+    // per segment — a version of a long-running table references many
+    // segments, and at a real metastore each ALTER is an RPC
+    if (segs.nonEmpty) spark.sql(
+      s"ALTER TABLE $phys ADD " + segs.map { case (name, loc) =>
+        s"PARTITION (`$SegCol`='$name') LOCATION '$loc'"
+      }.mkString(" "))
     phys
   }
 
@@ -826,7 +830,17 @@ object Bucketing {
   }
 
   private final class PendingCompaction(val fromV: Int, val hot: Set[String],
-      val segName: String, val segDir: String) {
+      val segName: String, val segDir: String,
+      // non-null on a FOLD rewrite (rewriteBucketedAsync): applied by
+      // the background job to the pinned segments AND by the finalize
+      // step to the append delta, so the flipped version is f(every
+      // row) even though rows kept arriving during the background run
+      val transform: DataFrame => DataFrame = null,
+      // runs under the table lock right after the flip (the commit
+      // point) — the fold's companion state change (e.g. clearing the
+      // folded relabel rows); must be idempotent wrt a crash between
+      // flip and callback
+      val onFinalize: SparkSession => Unit = null) {
     @volatile var finished = false
     @volatile var failure: Throwable = null
     @volatile var future: java.util.concurrent.Future[_] = null
@@ -950,44 +964,107 @@ object Bucketing {
       val sizes = segs.map { case (n, loc) => (n, segmentBytes(spark, loc)) }
       val hot = chooseHotSegments(sizes, maxSegments)
       if (hot.isEmpty) return false
-      val hotSet = hot.toSet
-      val hotDirs = segs.collect { case (n, loc) if hotSet(n) => loc.toString }
-      val segName = newSegName()
-      val segDir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
-      val pc = new PendingCompaction(v, hotSet, segName, segDir.toString)
-      protectedSegs.put(segName, true)
-      pending.put(table, pc)
-      val bcol = spec.bucketColumnNames.head
-      val buckets = spec.numBuckets
-      // a fresh session for the background write: shared external
-      // catalog (its transient writer table is uniquely named),
-      // separate per-session state (no conf/cache races with the
-      // loop's micro-batch session). Capped-pool scheduling: the merge
-      // job's stages run in the low-share `graft_maintenance` pool so
-      // a FAIR-mode deployment's live batches take cores first (under
-      // default FIFO the property is inert).
-      val bg = spark.newSession()
-      bg.conf.set("spark.scheduler.pool", "graft_maintenance")
-      pc.future = maintenancePool.submit(new Runnable {
-        def run(): Unit = {
-          try {
-            writeSegmentFiles(bg, table, bg.read.parquet(hotDirs: _*),
-              bcol, buckets, segName)
-            ()
-          } catch { case t: Throwable => pc.failure = t }
-          finally {
-            pc.finished = true
-            // cancelled while running? then nobody will finalize or
-            // clean this output — self-clean (exactly-once via flag)
-            if ((pending.get(table) ne pc) &&
-                pc.cleaned.compareAndSet(false, true))
-              discardSegment(bg, table, pc)
-          }
-        }
-      })
+      enqueueAsync(spark, table, v, spec, segs.filter(p => hot.contains(p._1)),
+        transform = null, onFinalize = null)
       false
     }
   }
+
+  /** Register + submit a background segment write over `hotSegs`
+    * (merged plain, or through `transform` for a fold rewrite). Caller
+    * holds the table lock. */
+  private def enqueueAsync(spark: SparkSession, table: String, v: Int,
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
+      hotSegs: Seq[(String, java.net.URI)],
+      transform: DataFrame => DataFrame,
+      onFinalize: SparkSession => Unit): Unit = {
+    val hotDirs = hotSegs.map(_._2.toString)
+    val segName = newSegName()
+    val segDir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
+    val pc = new PendingCompaction(v, hotSegs.map(_._1).toSet, segName,
+      segDir.toString, transform, onFinalize)
+    protectedSegs.put(segName, true)
+    pending.put(table, pc)
+    val bcol = spec.bucketColumnNames.head
+    val buckets = spec.numBuckets
+    // a fresh session for the background write: shared external
+    // catalog (its transient writer table is uniquely named),
+    // separate per-session state (no conf/cache races with the
+    // loop's micro-batch session). Capped-pool scheduling: the merge
+    // job's stages run in the low-share `graft_maintenance` pool so
+    // a FAIR-mode deployment's live batches take cores first (under
+    // default FIFO the property is inert).
+    val bg = spark.newSession()
+    bg.conf.set("spark.scheduler.pool", "graft_maintenance")
+    pc.future = maintenancePool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          val in = bg.read.parquet(hotDirs: _*)
+          writeSegmentFiles(bg, table,
+            if (transform == null) in else transform(in),
+            bcol, buckets, segName)
+          ()
+        } catch { case t: Throwable => pc.failure = t }
+        finally {
+          pc.finished = true
+          // cancelled while running? then nobody will finalize or
+          // clean this output — self-clean (exactly-once via flag)
+          if ((pending.get(table) ne pc) &&
+              pc.cleaned.compareAndSet(false, true))
+            discardSegment(bg, table, pc)
+        }
+      }
+    })
+  }
+
+  /**
+   * OUT-OF-BAND WHOLE-TABLE REWRITE — [[rewriteBucketed]]'s async
+   * form, the machinery that takes the last inline corpus-sized
+   * maintenance job (the cluster-index relabel fold) off the ingest
+   * thread. Enqueues a background job that writes `f` of every
+   * CURRENT segment as one new segment; the NEXT trigger call (or
+   * [[finalizeMaintenance]]) finalizes by rewriting the append DELTA
+   * through the SAME `f` inline — delta-sized, never corpus-sized —
+   * so the flipped version is `f(every row)` even though rows kept
+   * arriving during the background run, then flips, runs
+   * `onFinalize` (the fold's companion state change, e.g. clearing
+   * the folded relabel rows — it runs after the flip, so it must be
+   * idempotent against a crash between the two), and vacuums.
+   *
+   * Returns like [[maybeCompactBucketedAsync]]: true only when a
+   * pending rewrite FLIPPED this call; the enqueueing call returns
+   * false. No-ops (returns false) while a rewrite is in flight.
+   * Legacy non-manifest tables fall back to the synchronous
+   * [[rewriteBucketed]] + `onFinalize` inline (returns true).
+   */
+  def rewriteBucketedAsync(spark: SparkSession, table: String,
+      f: DataFrame => DataFrame,
+      onFinalize: SparkSession => Unit = null): Boolean =
+    lockFor(table).synchronized {
+      val p = pending.get(table)
+      if (p != null) {
+        if (!p.finished) return false
+        pending.remove(table)
+        if (p.failure != null) {
+          if (p.cleaned.compareAndSet(false, true)) discardSegment(spark, table, p)
+          throw p.failure
+        }
+        finalizeCompactionLocked(spark, table, p)
+        return true
+      }
+      val (phys, v) = currentPhys(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"$table does not exist"))
+      val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+      val spec = meta.bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"$table is not bucketed"))
+      if (!isManifest(meta)) {
+        rewriteBucketedImpl(spark, table, f, None)
+        if (onFinalize != null) onFinalize(spark)
+        return true
+      }
+      enqueueAsync(spark, table, v, spec, segmentsOf(spark, phys), f, onFinalize)
+      false
+    }
 
   /** Step 1 of [[maybeCompactBucketedAsync]]: build the next manifest
     * (cold + delta by reference, plus the merged segment), flip,
@@ -1009,15 +1086,29 @@ object Bucketing {
     val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
     val spec = meta.bucketSpec.get
     // cold + appends-since-snapshot: everything currently referenced
-    // that wasn't merged — carried into v+1 by reference
-    val carry = segmentsOf(spark, phys).filterNot { case (n, _) => p.hot(n) }
-      .map { case (n, loc) => (n, loc.toString) }
+    // that wasn't pinned. A plain merge carries it into v+1 BY
+    // REFERENCE; a FOLD rewrite (transform != null) pinned the whole
+    // table, so what remains is exactly the append delta — rewritten
+    // through the same transform inline (delta-sized) so the flipped
+    // version is f(every row)
+    val remaining = segmentsOf(spark, phys).filterNot { case (n, _) => p.hot(n) }
+    val carry: Seq[(String, String)] =
+      if (p.transform == null || remaining.isEmpty)
+        remaining.map { case (n, loc) => (n, loc.toString) }
+      else {
+        val seg = newSegName()
+        val dir = writeSegmentFiles(spark, table,
+          p.transform(spark.read.parquet(remaining.map(_._2.toString): _*)),
+          spec.bucketColumnNames.head, spec.numBuckets, seg)
+        Seq((seg, dir.toString))
+      }
     createVersionTable(spark, table, p.fromV + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       spec.bucketColumnNames.head, spec.numBuckets,
       carry :+ ((p.segName, p.segDir)))
     flipView(spark, table, p.fromV + 1)
     protectedSegs.remove(p.segName)
+    if (p.onFinalize != null) p.onFinalize(spark)
     vacuumVersions(spark, table, p.fromV + 1)
   }
 

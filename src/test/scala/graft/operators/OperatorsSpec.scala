@@ -297,15 +297,69 @@ class OperatorsSpec extends AnyFunSuite {
       "fixture should have standing relabel state")
     val want = assignments()
     assert(want(403L) === 400L)
+    // the relabel fold is OUT OF BAND since r14: the tripping call
+    // enqueues (returns false), reads stay correct while the
+    // background fold runs, and the next call finalizes (returns true)
+    assert(!Dedup.maybeCompactClusterIndex(spark, "graft_test_clusters", 1),
+      "the tripping call enqueues the fold, it must not flip inline")
+    assert(graft.sources.Bucketing.pendingMaintenance("graft_test_clusters"))
+    assert(assignments() === want,
+      "reads during the background fold must resolve through the map")
+    graft.sources.Bucketing.awaitMaintenance("graft_test_clusters")
     assert(Dedup.maybeCompactClusterIndex(spark, "graft_test_clusters", 1),
-      "file trigger should fire at threshold 1 after the appends")
+      "the next call must finalize the background fold")
     assert(!spark.catalog.tableExists("graft_test_clusters_relabel"),
-      "auto-compaction must fold the relabel map")
+      "the fold's finalize must clear the folded relabel rows")
     assert(graft.sources.Bucketing.dataFileCount(spark, "graft_test_clusters") <= 2L,
       "compaction must restore ≤ one file per bucket")
     assert(assignments() === want, "auto-compaction must be invisible to reads")
     assert(!Dedup.maybeCompactClusterIndex(spark, "graft_test_clusters", 1),
       "freshly compacted table must not re-fire")
+  }
+
+  test("out-of-band relabel fold: appends and MERGES landing during the background fold survive — composite mapping preserved, post-pin relabel rows retained") {
+    def assignments(t: String): Map[Long, Long] =
+      Dedup.clusterAssignments(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = "graft_fold_clusters"
+    Dedup.writeClusterIndex(Seq((1L, 2L), (10L, 11L)).toDF("a_id", "b_id"), t,
+      buckets = 2)
+    try {
+      // a merge → standing relabel state (cluster 10 folds into 1)
+      Dedup.clusterAssignIncremental(Seq((2L, 10L)).toDF("a_id", "b_id"), t)
+      assert(spark.catalog.tableExists(s"${t}_relabel"))
+      // pad file count past the threshold so the trigger fires
+      (1 to 3).foreach { i =>
+        Dedup.clusterAssignIncremental(
+          Seq((100L * i, 100L * i + 1)).toDF("a_id", "b_id"), t)
+      }
+      assert(!Dedup.maybeCompactClusterIndex(spark, t, 1)) // enqueue fold
+      assert(graft.sources.Bucketing.pendingMaintenance(t))
+      // WHILE the fold runs: a new doc adopts a folded cluster (delta
+      // rows carrying an old_rep the pinned fold must still rewrite)
+      // and a NEW merge of two standing clusters lands (a relabel row
+      // the finalize must RETAIN — it was not in the pinned set)
+      Dedup.clusterAssignIncremental(Seq((50L, 11L)).toDF("a_id", "b_id"), t)
+      Dedup.clusterAssignIncremental(Seq((101L, 201L))
+        .toDF("a_id", "b_id"), t) // merges cluster 200 into 100
+      val want = assignments(t)
+      assert(want(50L) === 1L, s"adoption during fold: $want")
+      assert(want(201L) === 100L, s"merge during fold: $want")
+      graft.sources.Bucketing.awaitMaintenance(t)
+      assert(Dedup.maybeCompactClusterIndex(spark, t, 1), "finalize the fold")
+      assert(assignments(t) === want,
+        "the fold + delta-fold + selective map clear must preserve every assignment")
+      // the PINNED rows cleared; the mid-fold merge's row survives
+      // (unless the delta fold already materialized it — either way
+      // the composite mapping above is what matters); and reads need
+      // no fold for the pinned merge anymore
+      val folded = spark.table(t).filter(col("doc_id") === 11L)
+        .select("cluster_id").head().getLong(0)
+      assert(folded === 1L, "pinned relabel must be folded into the table")
+    } finally {
+      graft.sources.Bucketing.dropLogical(spark, t)
+      graft.sources.Bucketing.dropLogical(spark, s"${t}_relabel")
+    }
   }
 
   test("clusterAssignIncremental: giant batch routes distributed and equals the driver path") {
