@@ -763,7 +763,7 @@ object Bucketing {
     * accumulated bytes pay for the next tier (`2·merged ≥ next` — the
     * geometric rule that bounds lifetime re-merge cost). Empty when
     * the table is already within bounds. */
-  private def chooseHotSegments(segs: Seq[(String, Long)],
+  private[sources] def chooseHotSegments(segs: Seq[(String, Long)],
       maxSegments: Int): Seq[String] = {
     if (segs.size <= math.max(1, maxSegments)) return Nil
     val sorted = segs.sortBy(_._2)
