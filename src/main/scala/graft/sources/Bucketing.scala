@@ -80,11 +80,15 @@ import org.apache.spark.sql.types.StructType
  *
  * Readers are untouched: `spark.table(name)` resolves the view to the
  * current version's manifest — one bucketed scan over all referenced
- * segments. Only WRITERS are single (per-table lock + CAS flip makes
- * a violation fail loudly). Scope is this JVM/driver — a multi-driver
- * deployment needs the metastore-level commit protocols production
- * table formats use (Iceberg's atomic swap, Delta's log); same
- * boundary as before.
+ * segments. Only WRITERS are single, enforced at BOTH scopes: within
+ * a driver by the per-table lock + CAS flip, and ACROSS drivers by a
+ * per-table writer LEASE file in the warehouse (atomic create,
+ * owner + heartbeat in content) — a second driver's writer op, or a
+ * segment sweep by a non-owner, fails loudly instead of silently
+ * losing data. Full multi-driver CONCURRENT writes (optimistic commit
+ * with retry, Iceberg's swap / Delta's log) remain out of scope; the
+ * lease turns that boundary from a silent data-loss hole into a
+ * thrown exception.
  */
 object Bucketing {
 
@@ -122,6 +126,143 @@ object Bucketing {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
     writeLocks.computeIfAbsent(table, _ => new Object)
+
+  // -- cross-process writer LEASE -------------------------------------
+  // The in-JVM lock above cannot see a SECOND DRIVER pointed at the
+  // same warehouse — whose refcount sweep could delete a segment this
+  // process is still writing: silent data loss. The lease makes that
+  // fail LOUDLY, matching the reference's single-initiator ownership
+  // (an execution is owned by the shard that created it,
+  // src/mr.c:452-464) and its drop-don't-corrupt peer discipline
+  // (src/cluster.c:465-475).
+  //
+  // Protocol: the first writer operation on a table atomically creates
+  // `{warehouse}/{table}__lock` (create with overwrite=false — atomic
+  // on HDFS and conditional-put object stores; best-effort on a raw
+  // local FS) carrying `leaseUuid|pid@host|heartbeatMs`. The lease is
+  // held for the JVM's lifetime, heartbeat-refreshed by writer
+  // activity at most every staleMs/3, released by [[dropLogical]] and
+  // a JVM shutdown hook. A second process's writer op finds a foreign
+  // owner with a fresh heartbeat and THROWS
+  // [[java.util.ConcurrentModificationException]]. A CRASHED owner
+  // stops heartbeating: after `spark.graft.writerLock.staleMs`
+  // (default 60000; 0 = never expire — admin must
+  // [[breakWriterLease]]) the lease is takeable. [[sweepSegments]] —
+  // the one operation that deletes shared files — refuses to run
+  // unless this JVM holds the lease.
+  private val leaseUuid = java.util.UUID.randomUUID().toString
+  private final class LeaseState(val path: String) {
+    @volatile var lastBeat: Long = System.currentTimeMillis()
+  }
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
+  private val leaseHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def lockPath(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(warehouse(spark), s"${table}__lock")
+
+  private def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.writerLock.staleMs", "60000").toLong
+
+  private def writeLockFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, overwrite: Boolean): Unit = {
+    val who = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    val out = fs.create(path, overwrite)
+    try out.write(s"$leaseUuid|$who|${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Acquire (or heartbeat) this JVM's writer lease on `table`. Every
+    * writer entry point calls this; re-entry is free (one map read). */
+  private def ensureWriterLease(spark: SparkSession, table: String): Unit = {
+    val now = System.currentTimeMillis()
+    val stale = leaseStaleMs(spark)
+    val held = heldLeases.get(table)
+    if (held != null) {
+      if (stale > 0 && now - held.lastBeat > stale / 3) {
+        val p = new org.apache.hadoop.fs.Path(held.path)
+        writeLockFile(hadoopFs(spark, p), p, overwrite = true)
+        held.lastBeat = now
+      }
+      return
+    }
+    val path = lockPath(spark, table)
+    val fs = hadoopFs(spark, path)
+    var attempts = 0
+    while (!heldLeases.containsKey(table)) {
+      attempts += 1
+      try {
+        writeLockFile(fs, path, overwrite = false)
+        heldLeases.put(table, new LeaseState(path.toString))
+        if (leaseHookArmed.compareAndSet(false, true))
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            releaseAllLeases(spark), "graft-lease-release"))
+      } catch {
+        case _: java.io.IOException => // exists (or FS hiccup): adjudicate
+          val content =
+            try {
+              val in = fs.open(path)
+              try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            } catch { case _: java.io.IOException => null }
+          content match {
+            case null => // vanished between create and read — retry
+              if (attempts > 3) throw new java.io.IOException(
+                s"cannot adjudicate writer lock ${path} for $table")
+            case c =>
+              val parts = c.split('|')
+              val owner = parts.headOption.getOrElse("")
+              val ts = parts.lift(2).flatMap(s =>
+                scala.util.Try(s.toLong).toOption).getOrElse(0L)
+              if (owner == leaseUuid) // our own file (re-adopt)
+                heldLeases.put(table, new LeaseState(path.toString))
+              else if (stale > 0 && now - ts > stale) {
+                fs.delete(path, false) // expired: break and retry create
+                if (attempts > 5) throw new java.io.IOException(
+                  s"writer lock $path for $table keeps reappearing")
+              } else throw new java.util.ConcurrentModificationException(
+                s"$table is write-leased by ${parts.lift(1).getOrElse("?")} " +
+                  s"(lease $owner, heartbeat ${now - ts} ms ago): a second " +
+                  "driver writing the same warehouse violates the " +
+                  "single-writer contract — stop the owner, wait out " +
+                  "spark.graft.writerLock.staleMs, or call " +
+                  "Bucketing.breakWriterLease")
+          }
+      }
+    }
+  }
+
+  /** Ops/spec hook: does THIS JVM hold the writer lease on `table`? */
+  def holdsWriterLease(table: String): Boolean = heldLeases.containsKey(table)
+
+  /** Release this JVM's lease on `table` (deletes the lock file). */
+  def releaseWriterLease(spark: SparkSession, table: String): Unit = {
+    val st = heldLeases.remove(table)
+    if (st != null) {
+      val p = new org.apache.hadoop.fs.Path(st.path)
+      try { hadoopFs(spark, p).delete(p, false); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** ADMIN op: forcibly remove `table`'s writer lock file regardless of
+    * owner — for reclaiming a table whose leasing driver crashed with
+    * `staleMs=0` (never-expire). Running it while the owner is alive
+    * re-opens exactly the data race the lease exists to prevent. */
+  def breakWriterLease(spark: SparkSession, table: String): Unit = {
+    heldLeases.remove(table)
+    val p = lockPath(spark, table)
+    try { hadoopFs(spark, p).delete(p, false); () }
+    catch { case _: java.io.IOException => () }
+  }
+
+  private def releaseAllLeases(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    heldLeases.keySet().asScala.toSeq.foreach { t =>
+      try releaseWriterLease(spark, t)
+      catch { case _: Throwable => () } // best effort at shutdown
+    }
+  }
 
   private def tableType(spark: SparkSession, name: String)
       : Option[org.apache.spark.sql.catalyst.catalog.CatalogTableType] = {
@@ -256,6 +397,7 @@ object Bucketing {
   def dropLogical(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       cancelPending(spark, table) // a background write would re-create a segment
       tableType(spark, table) match {
         case Some(CatalogTableType.VIEW) => spark.sql(s"DROP VIEW $table"); ()
@@ -266,7 +408,7 @@ object Bucketing {
       val dd = dataDir(spark, table)
       val fs = hadoopFs(spark, dd)
       if (fs.exists(dd)) fs.delete(dd, true)
-      ()
+      releaseWriterLease(spark, table) // the table is gone; free the name
     }
   }
 
@@ -374,7 +516,11 @@ object Bucketing {
     * finished one awaiting finalize) are protected by
     * [[protectedSegs]]; crash orphans from dead processes have no
     * protection entry and are reclaimed here. */
-  private def sweepSegments(spark: SparkSession, table: String): Unit = {
+  private[sources] def sweepSegments(spark: SparkSession, table: String): Unit = {
+    if (!heldLeases.containsKey(table))
+      throw new IllegalStateException(
+        s"refusing to sweep segments of $table without the writer lease: " +
+          "a sweep by a non-owner can delete a foreign in-flight segment")
     val dd = dataDir(spark, table)
     val fs = hadoopFs(spark, dd)
     if (!fs.exists(dd)) return
@@ -460,6 +606,7 @@ object Bucketing {
       buckets: Int): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       cancelPending(spark, table)
       val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
       val seg = newSegName()
@@ -480,6 +627,7 @@ object Bucketing {
   def writeSmallTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       cancelPending(spark, table)
       val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
       val phys = physName(table, next)
@@ -509,6 +657,7 @@ object Bucketing {
   def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       val (phys, _) = currentPhys(spark, table).getOrElse(
         throw new IllegalArgumentException(s"$table does not exist"))
       val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
@@ -543,6 +692,7 @@ object Bucketing {
   def appendSmallTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       currentPhys(spark, table) match {
         case Some((phys, _)) =>
           df.coalesce(1).write.mode("append").format("parquet").saveAsTable(phys)
@@ -581,6 +731,7 @@ object Bucketing {
     val v0 = currentPhys(spark, table).map(_._2).getOrElse(
       throw new IllegalArgumentException(s"$table does not exist"))
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       cancelPending(spark, table)
       val (phys, v) = currentPhys(spark, table).getOrElse(
         throw new IllegalArgumentException(s"$table does not exist"))
@@ -801,6 +952,7 @@ object Bucketing {
    */
   def compactBucketedPartial(spark: SparkSession, table: String,
       maxSegments: Int = 8): Boolean = lockFor(table).synchronized {
+    ensureWriterLease(spark, table)
     cancelPending(spark, table)
     val (phys, v) = currentPhys(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table does not exist"))
@@ -944,6 +1096,7 @@ object Bucketing {
       maxSegments: Int = 8): Boolean = {
     if (maxSegments <= 0) return false
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       val p = pending.get(table)
       if (p != null) {
         if (!p.finished) return false
@@ -1041,6 +1194,7 @@ object Bucketing {
       f: DataFrame => DataFrame,
       onFinalize: SparkSession => Unit = null): Boolean =
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       val p = pending.get(table)
       if (p != null) {
         if (!p.finished) return false
@@ -1127,6 +1281,7 @@ object Bucketing {
     if (p == null) return false
     awaitMaintenance(table)
     lockFor(table).synchronized {
+      ensureWriterLease(spark, table)
       val q = pending.remove(table)
       if (q == null) return false
       if (q.failure != null) {
@@ -1192,6 +1347,7 @@ object Bucketing {
   def rebuildEpoch(spark: SparkSession, base: String, members: Seq[String])
       (build: (String => String) => Unit): Unit =
     lockFor(s"${base}_epoch").synchronized {
+      ensureWriterLease(spark, s"${base}_epoch")
       val g = currentEpoch(spark, base)
       val next = g + 1
       val nameOf = (m: String) => s"${base}_${m}_g$next"
@@ -1232,7 +1388,7 @@ object Bucketing {
     }
     if (spark.catalog.tableExists(s"${base}_epoch"))
       spark.sql(s"DROP VIEW ${base}_epoch")
-    ()
+    releaseWriterLease(spark, s"${base}_epoch")
   }
 
   /**
