@@ -1418,6 +1418,40 @@ object SparkEntry {
   }
 
   /**
+   * Manifest zone-stat segment pruning (sources.Bucketing): orders
+   * lands as three date-clustered segments — a base write plus two
+   * appends, the natural layout of time-keyed ingest — each recording
+   * min/max `o_orderdate` in the manifest at registration. The
+   * one-month query then reads ONLY the intersecting segment(s),
+   * judged from catalog metadata with zero data I/O for cold history
+   * (the Iceberg/Delta manifest-stats discipline, carried on the
+   * segment partitions). Result ≡ the plain filter over orders; the
+   * segment-count pin lives in ManifestStatsSpec.
+   */
+  private def qSegmentPruned(s: SparkSession, dir: String): DataFrame = {
+    val tn = s"g_segstats_${math.abs(dir.hashCode)}"
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    graft.sources.Bucketing.writeBucketed(
+      o.filter(col("o_orderdate") < "1997-01-01"), tn, "o_custkey", 4,
+      statsCols = Seq("o_orderdate"))
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"), tn, "o_custkey")
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1999-01-01"), tn, "o_custkey")
+    // prune bounds pad to day granularity (timestamps serialize with a
+    // time part, and pruning must stay a superset); the exact
+    // predicate re-applies below
+    graft.sources.Bucketing.readSegmentsPruned(s, tn, "o_orderdate",
+        Some("1996-06-01"), Some("1996-07-01"))
+      .filter(col("o_orderdate").between("1996-06-01", "1996-06-30"))
+      .groupBy("o_orderdate")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /**
    * Incremental corpus dedup: the last 10% of docs arrive as a "new
    * batch"; find their near-dups in the standing corpus without
    * re-pairing the corpus (Dedup.incrementalNearDupPairs — batch
@@ -4029,6 +4063,7 @@ object SparkEntry {
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_sorted_sink" -> (qSortedSink _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_segment_pruned" -> (qSegmentPruned _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
@@ -6373,6 +6408,13 @@ object SparkEntry {
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    // segment pruning is a layout/metadata property: result ≡ the
+    // plain range filter (pruning only skips segments the range
+    // cannot intersect; the predicate still applies)
+    "q_segment_pruned" ->
+      ("SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_orderdate BETWEEN '1996-06-01' AND '1996-06-30' " +
+        "GROUP BY o_orderdate"),
     "dedup_incremental" -> incrementalDedupSql,
     // the persistent-index path verifies candidates with the same
     // exact jaccard, and LSH recall at k=128/bands=32 is ≈1 at the

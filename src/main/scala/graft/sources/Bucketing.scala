@@ -345,18 +345,35 @@ object Bucketing {
   private def isManifest(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable) =
     meta.partitionColumnNames == Seq(SegCol)
 
-  /** The segment manifest of a version: (segmentName, location). For a
-    * non-manifest table, one pseudo-entry for its own location. */
-  private def segmentsOf(spark: SparkSession, phys: String)
-      : Seq[(String, java.net.URI)] = {
+  /**
+   * One segment reference in a manifest: name, physical dir, and the
+   * immutable metadata recorded at registration time —
+   * `graft.bytes` (the segment's data size, so maintenance triggers
+   * never re-list the FS for what the writer already knew) and
+   * optional `graft.min.{col}` / `graft.max.{col}` zone stats (the
+   * manifest-level skipping Iceberg/Delta carry per data file).
+   */
+  final case class SegRef(name: String, location: String,
+      params: Map[String, String])
+
+  /** The segment manifest of a version. For a non-manifest table, one
+    * pseudo-entry for its own location. Catalog-only — no FS listing. */
+  private def segmentsOf(spark: SparkSession, phys: String): Seq[SegRef] = {
     val cat = catalogOf(spark)
     val meta = cat.getTableMetadata(TableIdentifier(phys))
     if (isManifest(meta))
       cat.listPartitions(TableIdentifier(phys)).map { p =>
-        (p.spec(SegCol), p.location)
+        SegRef(p.spec(SegCol), p.location.toString, p.parameters)
       }
-    else Seq((phys, meta.location))
+    else Seq(SegRef(phys, meta.location.toString, Map.empty))
   }
+
+  /** The zone-stats columns a table tracks per segment (the
+    * `graft.statsCols` property riding every version table). */
+  private def statsColsOf(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Seq[String] =
+    meta.properties.get("graft.statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Number of segments in the CURRENT version's manifest — the cheap
     * (catalog-only, no FS listing) health metric the auto-compaction
@@ -368,13 +385,74 @@ object Bucketing {
       case None => 0
     }
 
+  /** Segment refs of the CURRENT version — names, locations, and the
+    * registration metadata (bytes + zone stats). Catalog-only. */
+  def currentSegments(spark: SparkSession, table: String): Seq[SegRef] =
+    currentPhys(spark, table) match {
+      case Some((phys, _)) => segmentsOf(spark, phys)
+      case None => Nil
+    }
+
+  /**
+   * The CURRENT segments a range `[lower, upper]` on `statsCol` can
+   * possibly intersect, judged by the manifest's per-segment zone
+   * stats — the segment-level analog of parquet row-group skipping,
+   * and what Iceberg/Delta manifests buy: an ingest-keyed query over
+   * a long-lived table (appends are naturally time-clustered) touches
+   * only the segments whose [min,max] overlaps the range, not the
+   * whole history. Bounds are inclusive and serialized as strings
+   * ([[segmentRegParams]]' encoding): numeric columns compare as
+   * decimals, everything else lexicographically. A segment with no
+   * recorded stats for the column is KEPT (pruning must be a
+   * superset), so the result is always safe to scan + re-filter.
+   */
+  def prunedSegments(spark: SparkSession, table: String, statsCol: String,
+      lower: Option[String], upper: Option[String]): Seq[SegRef] = {
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    val numeric = meta.schema.find(_.name == statsCol)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def cmp(a: String, b: String): Int =
+      if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      else a.compareTo(b)
+    segmentsOf(spark, phys).filter { r =>
+      val lo = r.params.get(s"graft.min.$statsCol")
+      val hi = r.params.get(s"graft.max.$statsCol")
+      upper.forall(u => lo.forall(l => cmp(l, u) <= 0)) &&
+        lower.forall(w => hi.forall(h => cmp(h, w) >= 0))
+    }
+  }
+
+  /**
+   * Scan of `table` restricted to the segments a `[lower, upper]`
+   * range on `statsCol` can intersect ([[prunedSegments]]) — same
+   * schema as `spark.table(table)`, a SUPERSET of the rows matching
+   * the range (callers still apply the predicate; parquet min/max
+   * then skips row groups within the surviving segments). Falls back
+   * to the plain view scan for non-manifest tables.
+   */
+  def readSegmentsPruned(spark: SparkSession, table: String, statsCol: String,
+      lower: Option[String], upper: Option[String]): DataFrame = {
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    if (!isManifest(meta)) return spark.table(table)
+    val cols = meta.schema.fieldNames.filterNot(_ == SegCol).map(col).toSeq
+    // empty segments carry no readable files (and no rows): skip them
+    val kept = prunedSegments(spark, table, statsCol, lower, upper)
+      .filterNot(_.params.get("graft.bytes").contains("0"))
+    if (kept.isEmpty) spark.table(table).limit(0)
+    else spark.read.parquet(kept.map(_.location): _*).select(cols: _*)
+  }
+
   /** The data directories of the CURRENT version (segment dirs for a
     * manifest table; the table location otherwise) — what a rewrite
     * reads as plain parquet so it scans exactly the current files. */
   private def currentDataDirs(spark: SparkSession, table: String): Seq[String] = {
     val (phys, _) = currentPhys(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table does not exist"))
-    segmentsOf(spark, phys).map(_._2.toString)
+    segmentsOf(spark, phys).map(_.location)
   }
 
   /** Drop a physical version table if present. Manifest tables are
@@ -573,37 +651,93 @@ object Bucketing {
 
   /** Create version table `table__v{next}` — the manifest: an external
     * partitioned+bucketed parquet table whose partitions reference the
-    * given segment dirs. Pure metadata; no data I/O. */
+    * given segment dirs, each carrying its registration-time metadata
+    * (bytes + zone stats) as partition parameters. Pure metadata; no
+    * data I/O. */
   private def createVersionTable(spark: SparkSession, table: String, next: Int,
       dataSchema: StructType, bucketCol: String, buckets: Int,
-      segs: Seq[(String, String)]): String = {
+      segs: Seq[SegRef], statsCols: Seq[String] = Nil): String = {
     val phys = physName(table, next)
     dropPhys(spark, phys) // orphan of a crashed writer
     val root = new org.apache.hadoop.fs.Path(warehouse(spark), phys)
     hadoopFs(spark, root).mkdirs(root) // empty root (data lives in segments)
+    val props = if (statsCols.isEmpty) ""
+      else s" TBLPROPERTIES ('graft.statsCols'='${statsCols.mkString(",")}')"
     spark.sql(
       s"""CREATE TABLE $phys (${dataSchema.toDDL}, `$SegCol` STRING)
          |USING parquet PARTITIONED BY (`$SegCol`)
          |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
          |INTO $buckets BUCKETS
-         |LOCATION '$root'""".stripMargin)
-    // ONE statement for the whole manifest, not one catalog round-trip
-    // per segment — a version of a long-running table references many
-    // segments, and at a real metastore each ALTER is an RPC
-    if (segs.nonEmpty) spark.sql(
-      s"ALTER TABLE $phys ADD " + segs.map { case (name, loc) =>
-        s"PARTITION (`$SegCol`='$name') LOCATION '$loc'"
-      }.mkString(" "))
+         |LOCATION '$root'$props""".stripMargin)
+    // ONE catalog call for the whole manifest, not one round-trip per
+    // segment — a version of a long-running table references many
+    // segments, and at a real metastore each call is an RPC. The
+    // programmatic API (not ADD PARTITION SQL) because partitions
+    // carry PARAMETERS: the per-segment bytes + zone stats.
+    if (segs.nonEmpty) registerSegments(spark, phys, segs)
     phys
+  }
+
+  /** Register segments as partitions of a version table, carrying
+    * their parameters (bytes + zone stats). One catalog call. */
+  private def registerSegments(spark: SparkSession, phys: String,
+      segs: Seq[SegRef]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogTablePartition
+    val cat = catalogOf(spark)
+    val storage = cat.getTableMetadata(TableIdentifier(phys)).storage
+    cat.createPartitions(TableIdentifier(phys), segs.map { s =>
+      CatalogTablePartition(
+        spec = Map(SegCol -> s.name),
+        storage = storage.copy(locationUri =
+          Some(new org.apache.hadoop.fs.Path(s.location).toUri)),
+        parameters = s.params)
+    }, ignoreIfExists = false)
+  }
+
+  /**
+   * The metadata recorded on a segment partition at registration:
+   * `graft.bytes` (one FS listing of the dir the writer just wrote —
+   * the last time anyone needs to list it) plus, when the table
+   * tracks zone stats, `graft.min/max.{col}` from one column-pruned
+   * aggregate over the new segment (segment-sized, parquet
+   * footer-friendly). Values serialize as strings; numeric columns
+   * compare as decimals at prune time, everything else
+   * lexicographically (safe for the string/date/ISO-timestamp types
+   * zone stats make sense for).
+   */
+  private def segmentRegParams(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Map[String, String] = {
+    val bytes = segmentBytes(spark, new org.apache.hadoop.fs.Path(dir).toUri)
+    val base = Map("graft.bytes" -> bytes.toString)
+    // an EMPTY segment (a write whose frame had no rows) has no files
+    // to read stats from — and no rows to prune against
+    if (statsCols.isEmpty || bytes == 0L) base
+    else {
+      import org.apache.spark.sql.functions.{min, max}
+      val df = spark.read.parquet(dir)
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      base ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = Option(row.getString(2 * i))
+        val hi = Option(row.getString(2 * i + 1))
+        lo.map(s"graft.min.$c" -> _).toSeq ++ hi.map(s"graft.max.$c" -> _)
+      }
+    }
   }
 
   /** Write df as a bucketed+sorted table (overwrite): one new segment,
     * a fresh version manifest referencing only it. Overwrite semantics
     * under concurrent writers are last-wins (serialized by the table
     * lock) — unlike [[rewriteBucketed]], which is read-modify-write
-    * and therefore CAS-fails a lost update. */
+    * and therefore CAS-fails a lost update. `statsCols` opts the table
+    * into per-segment zone stats: every segment written from here on
+    * records min/max of those columns in the manifest, and
+    * [[readSegmentsPruned]] skips segments a range predicate cannot
+    * touch — free skipping for ingest tables whose appends are
+    * naturally clustered (time, monotone ids). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit = {
+      buckets: Int, statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     lockFor(table).synchronized {
       ensureWriterLease(spark, table)
@@ -612,7 +746,9 @@ object Bucketing {
       val seg = newSegName()
       val dir = writeSegmentFiles(spark, table, df, bucketCol, buckets, seg)
       createVersionTable(spark, table, next,
-        df.schema, bucketCol, buckets, Seq((seg, dir.toString)))
+        df.schema, bucketCol, buckets,
+        Seq(SegRef(seg, dir.toString,
+          segmentRegParams(spark, dir.toString, statsCols))), statsCols)
       flipView(spark, table, next)
       vacuumVersions(spark, table, next)
     }
@@ -669,9 +805,8 @@ object Bucketing {
         val seg = newSegName()
         val dir = writeSegmentFiles(spark, table, df, bucketCol,
           spec.numBuckets, seg)
-        spark.sql(s"ALTER TABLE $phys ADD PARTITION (`$SegCol`='$seg') " +
-          s"LOCATION '$dir'")
-        ()
+        registerSegments(spark, phys, Seq(SegRef(seg, dir.toString,
+          segmentRegParams(spark, dir.toString, statsColsOf(meta)))))
       } else {
         // legacy plain bucketed table (pre-manifest layout / created
         // outside this module): in-place bucketed append, as before
@@ -743,14 +878,17 @@ object Bucketing {
         throw new IllegalArgumentException(s"$table is not bucketed"))
       val bcol = spec.bucketColumnNames.head
       val next = v + 1
-      val dirs = segmentsOf(spark, phys).map(_._2.toString)
+      val dirs = segmentsOf(spark, phys).map(_.location)
       val in = spark.read.parquet(dirs: _*)
       val seg = newSegName()
       val dir = writeSegmentFiles(spark, table, f(in), bcol,
         spec.numBuckets, seg)
+      val stats = statsColsOf(meta)
       createVersionTable(spark, table, next,
         StructType(meta.schema.filterNot(_.name == SegCol)),
-        bcol, spec.numBuckets, Seq((seg, dir.toString)))
+        bcol, spec.numBuckets,
+        Seq(SegRef(seg, dir.toString,
+          segmentRegParams(spark, dir.toString, stats))), stats)
       flipView(spark, table, next)
       vacuumVersions(spark, table, next, graceOverride)
     }
@@ -930,7 +1068,14 @@ object Bucketing {
     hot.toSeq
   }
 
+  /** Spec hook: FS listings paid by segment-size lookups. The common
+    * trigger path must not grow this — sizes ride the catalog as the
+    * `graft.bytes` partition parameter; a listing here means a legacy
+    * partition registered before the parameter existed. */
+  private[sources] val sizeListings = new java.util.concurrent.atomic.AtomicLong
+
   private def segmentBytes(spark: SparkSession, loc: java.net.URI): Long = {
+    sizeListings.incrementAndGet()
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = hadoopFs(spark, path)
     if (!fs.exists(path)) 0L
@@ -939,6 +1084,20 @@ object Bucketing {
           !s.getPath.getName.startsWith(".") => s.getLen
     }.sum
   }
+
+  /** (name, bytes) per segment — from the registration-time
+    * `graft.bytes` partition parameter (catalog-only, zero FS RPCs on
+    * the common path); falls back to one listing per legacy partition
+    * that predates the parameter. */
+  private def segmentSizes(spark: SparkSession,
+      segs: Seq[SegRef]): Seq[(String, Long)] =
+    segs.map { r =>
+      val b = r.params.get("graft.bytes")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(segmentBytes(spark,
+          new org.apache.hadoop.fs.Path(r.location).toUri))
+      (r.name, b)
+    }
 
   /**
    * Merge the smallest segments when the CURRENT version holds more
@@ -963,19 +1122,21 @@ object Bucketing {
       rewriteBucketedImpl(spark, table, identity, None); return true
     }
     val segs = segmentsOf(spark, phys)
-    val sizes = segs.map { case (n, loc) => (n, segmentBytes(spark, loc)) }
+    val sizes = segmentSizes(spark, segs)
     val hot = chooseHotSegments(sizes, maxSegments).toSet
     if (hot.isEmpty) return false
-    val cold = segs.filterNot { case (n, _) => hot(n) }
+    val cold = segs.filterNot(r => hot(r.name))
     val bcol = spec.bucketColumnNames.head
-    val hotDirs = segs.collect { case (n, loc) if hot(n) => loc.toString }
+    val hotDirs = segs.collect { case r if hot(r.name) => r.location }
     val seg = newSegName()
     val dir = writeSegmentFiles(spark, table,
       spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg)
+    val stats = statsColsOf(meta)
     createVersionTable(spark, table, v + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       bcol, spec.numBuckets,
-      cold.map { case (n, loc) => (n, loc.toString) } :+ ((seg, dir.toString)))
+      cold :+ SegRef(seg, dir.toString,
+        segmentRegParams(spark, dir.toString, stats)), stats)
     flipView(spark, table, v + 1)
     vacuumVersions(spark, table, v + 1)
     true
@@ -1114,10 +1275,10 @@ object Bucketing {
       val spec = meta.bucketSpec.getOrElse(return false)
       if (!isManifest(meta)) return false // legacy layout: use the sync paths
       val segs = segmentsOf(spark, phys)
-      val sizes = segs.map { case (n, loc) => (n, segmentBytes(spark, loc)) }
+      val sizes = segmentSizes(spark, segs)
       val hot = chooseHotSegments(sizes, maxSegments)
       if (hot.isEmpty) return false
-      enqueueAsync(spark, table, v, spec, segs.filter(p => hot.contains(p._1)),
+      enqueueAsync(spark, table, v, spec, segs.filter(r => hot.contains(r.name)),
         transform = null, onFinalize = null)
       false
     }
@@ -1128,13 +1289,13 @@ object Bucketing {
     * holds the table lock. */
   private def enqueueAsync(spark: SparkSession, table: String, v: Int,
       spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
-      hotSegs: Seq[(String, java.net.URI)],
+      hotSegs: Seq[SegRef],
       transform: DataFrame => DataFrame,
       onFinalize: SparkSession => Unit): Unit = {
-    val hotDirs = hotSegs.map(_._2.toString)
+    val hotDirs = hotSegs.map(_.location)
     val segName = newSegName()
     val segDir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
-    val pc = new PendingCompaction(v, hotSegs.map(_._1).toSet, segName,
+    val pc = new PendingCompaction(v, hotSegs.map(_.name).toSet, segName,
       segDir.toString, transform, onFinalize)
     protectedSegs.put(segName, true)
     pending.put(table, pc)
@@ -1245,21 +1406,24 @@ object Bucketing {
     // table, so what remains is exactly the append delta — rewritten
     // through the same transform inline (delta-sized) so the flipped
     // version is f(every row)
-    val remaining = segmentsOf(spark, phys).filterNot { case (n, _) => p.hot(n) }
-    val carry: Seq[(String, String)] =
+    val stats = statsColsOf(meta)
+    val remaining = segmentsOf(spark, phys).filterNot(r => p.hot(r.name))
+    val carry: Seq[SegRef] =
       if (p.transform == null || remaining.isEmpty)
-        remaining.map { case (n, loc) => (n, loc.toString) }
+        remaining // by reference, registration metadata included
       else {
         val seg = newSegName()
         val dir = writeSegmentFiles(spark, table,
-          p.transform(spark.read.parquet(remaining.map(_._2.toString): _*)),
+          p.transform(spark.read.parquet(remaining.map(_.location): _*)),
           spec.bucketColumnNames.head, spec.numBuckets, seg)
-        Seq((seg, dir.toString))
+        Seq(SegRef(seg, dir.toString,
+          segmentRegParams(spark, dir.toString, stats)))
       }
     createVersionTable(spark, table, p.fromV + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       spec.bucketColumnNames.head, spec.numBuckets,
-      carry :+ ((p.segName, p.segDir)))
+      carry :+ SegRef(p.segName, p.segDir,
+        segmentRegParams(spark, p.segDir, stats)), stats)
     flipView(spark, table, p.fromV + 1)
     protectedSegs.remove(p.segName)
     if (p.onFinalize != null) p.onFinalize(spark)
