@@ -54,6 +54,8 @@ object Graft {
    *  - `index`     — tombstone freshness per maintained index base
    *                  (counts are tombstone-table-sized — never a scan
    *                  of the index itself);
+   *  - `epoch`     — multi-table index groups: current generation,
+   *                  members, and crashed-rebuild orphans;
    *  - `stream`    — active structured-streaming queries.
    *
    * Everything is driver-side catalog metadata except the tombstone
@@ -123,6 +125,28 @@ object Graft {
           scala.util.Try(s"tombstones=${spark.table(n).count()}")
             .getOrElse(s"error=unreadable"))
     }
+    // epoch groups (the multi-table-index commit layer): current
+    // generation, the members present at it, and any orphaned
+    // NEWER-generation tables a crashed rebuild left behind (the next
+    // rebuild sweeps them; this row is how an operator sees one in
+    // between). Catalog-only, like the rest of the facade.
+    val epochs = allTables.map(_.name).filter(_.endsWith("_epoch"))
+      .sorted.map { ev =>
+        val base = ev.stripSuffix("_epoch")
+        val g = graft.sources.Bucketing.currentEpoch(spark, base)
+        val gen = ("^" + java.util.regex.Pattern.quote(base) +
+          "_(.+)_g(\\d+)$").r
+        val parsed = allTables.map(_.name).distinct.flatMap {
+          case gen(m, n) => Some((m, n.toInt))
+          case _ => None
+        }
+        val members = parsed.filter(_._2 == g).map(_._1).sorted
+        val orphans = parsed.filter(_._2 > g).sorted
+        val orphanStr = if (orphans.isEmpty) ""
+          else orphans.map { case (m, n) => s"${m}_g$n" }
+            .mkString("; orphans: ", ",", "")
+        ("epoch", base, s"g$g (members: ${members.mkString(",")}$orphanStr)")
+      }
     val streams = spark.streams.active.toSeq.sortBy(_.id.toString)
       .map(q => ("stream", Option(q.name).getOrElse(q.id.toString), "active"))
     // out-of-band compactions in flight or awaiting finalize — the ops
@@ -131,7 +155,8 @@ object Graft {
     // an operator sees one pending in between)
     val maint = graft.sources.Bucketing.pendingTables.sorted
       .map(t => ("maintenance", t, "pending"))
-    (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ streams ++ maint)
+    (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ epochs ++
+      streams ++ maint)
       .toDF("section", "key", "value")
   }
 }

@@ -1522,18 +1522,27 @@ object Bucketing {
         spark.sql(s"ALTER VIEW $eview AS SELECT $next AS epoch")
       else
         spark.sql(s"CREATE VIEW $eview AS SELECT $next AS epoch")
-      // grace: generation g survives for in-flight readers that
-      // resolved the old epoch; everything older (including the flat
-      // epoch-0 layout once two rebuilds have passed) sweeps now
+      // grace: the newest `spark.graft.epoch.graceGenerations`
+      // superseded generations (default 1 — the table layer's
+      // graceVersions twin) survive for in-flight readers that
+      // resolved an old epoch; everything older (including the flat
+      // epoch-0 layout once it falls out of the window) sweeps now.
+      // A reporting/batch reader slower than one rebuild cycle sets
+      // the knob ≥ its expected overlap in rebuilds — the same
+      // exposure knob the version layer's vacuum has, so neither
+      // layer hardwires how slow a reader may be.
+      val grace = math.max(1,
+        spark.conf.get("spark.graft.epoch.graceGenerations", "1").toInt)
       members.foreach { m =>
         val db = spark.catalog.currentDatabase
         catalogOf(spark).listTables(db, s"${base}_${m}_g*").foreach { id =>
           val suffix = id.table.stripPrefix(s"${base}_${m}_g")
-          if (suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toInt < g)
+          if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+              suffix.toInt < next - grace)
             dropLogical(spark, id.table)
         }
-        if (g >= 1 && spark.catalog.tableExists(s"${base}_$m"))
-          dropLogical(spark, s"${base}_$m")
+        if (next - grace > 0 && spark.catalog.tableExists(s"${base}_$m"))
+          dropLogical(spark, s"${base}_$m") // flat layout = generation 0
       }
     }
 

@@ -60,6 +60,57 @@ class EpochSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("graft_ep_t_epoch"))
   }
 
+  test("epoch.graceGenerations=2: a reader pinned to generation g keeps its tables through TWO rebuilds; the third sweeps it") {
+    import graft.sources.Bucketing
+    val members = Seq("a")
+    def writeGen(nameOf: String => String, tag: String): Unit = members.foreach {
+      m => Bucketing.writeSmallTable(Seq((1L, tag)).toDF("id", "v"), nameOf(m))
+    }
+    spark.conf.set("spark.graft.epoch.graceGenerations", "2")
+    try {
+      Bucketing.rebuildEpoch(spark, "graft_ep_gr", members)(writeGen(_, "g1"))
+      // a slow reader resolves its member names NOW (generation 1)
+      val pinned = Bucketing.epochMember(spark, "graft_ep_gr", "a")
+      assert(pinned === "graft_ep_gr_a_g1")
+      // two rebuilds pass while the reader is still running
+      Bucketing.rebuildEpoch(spark, "graft_ep_gr", members)(writeGen(_, "g2"))
+      Bucketing.rebuildEpoch(spark, "graft_ep_gr", members)(writeGen(_, "g3"))
+      assert(spark.catalog.tableExists(pinned),
+        "generation g must survive two rebuilds under graceGenerations=2")
+      assert(spark.table(pinned).collect()(0).getString(1) === "g1")
+      // the third rebuild pushes g1 out of the window
+      Bucketing.rebuildEpoch(spark, "graft_ep_gr", members)(writeGen(_, "g4"))
+      assert(!spark.catalog.tableExists(pinned))
+      assert(spark.catalog.tableExists("graft_ep_gr_a_g2"),
+        "g2 and g3 are the retained window at generation 4")
+    } finally {
+      spark.conf.unset("spark.graft.epoch.graceGenerations")
+      Bucketing.dropEpochGroup(spark, "graft_ep_gr", members)
+    }
+  }
+
+  test("Graft.info epoch section: base → generation + members; a crashed rebuild's next-generation orphan is reported") {
+    import graft.sources.Bucketing
+    val members = Seq("x", "y")
+    def writeGen(nameOf: String => String, tag: String): Unit = members.foreach {
+      m => Bucketing.writeSmallTable(Seq((1L, tag)).toDF("id", "v"), nameOf(m))
+    }
+    try {
+      Bucketing.rebuildEpoch(spark, "graft_ep_info", members)(writeGen(_, "g1"))
+      def epochRow(): String = graft.Graft.info(spark)
+        .filter(col("section") === "epoch" && col("key") === "graft_ep_info")
+        .collect()(0).getString(2)
+      assert(epochRow() === "g1 (members: x,y)")
+      // simulated crash: a rebuild wrote one g2 member, then died
+      // before the flip — info must report the orphan, not adopt it
+      Bucketing.writeSmallTable(Seq((1L, "halfg2")).toDF("id", "v"),
+        "graft_ep_info_x_g2")
+      assert(epochRow() === "g1 (members: x,y; orphans: x_g2)")
+      Bucketing.dropLogical(spark, "graft_ep_info_x_g2")
+      assert(epochRow() === "g1 (members: x,y)")
+    } finally Bucketing.dropEpochGroup(spark, "graft_ep_info", members)
+  }
+
   test("requantizeAnnIndex racing a reader: every resolution sees one generation — all-old or all-new, never a mixed quantizer/codes pair") {
     def mkEmbs(shift: Double, extra: Boolean) = {
       val base = (0L until 120L).map(i =>
