@@ -723,15 +723,43 @@ object Similarity {
     writeAnnIndexTo(corpus, annMembers(corpus.sparkSession, table),
       nlist, m, k, buckets, vecCol, idCol, metaCols, refineIters)
 
+  /**
+   * Deterministic md5-gated TRAINING sample (the corpus_sample
+   * discipline): keep the vectors whose low-14-bit hash of
+   * "rqs:"+id clears the rate gate. Reproducible across runs and
+   * engines, so a replayed remediation trigger retrains identically;
+   * uniform over ids, so the sample preserves region proportions —
+   * what Lloyd refinement needs to separate a drifted region.
+   */
+  def retrainSample(corpus: DataFrame, rate: Double,
+      idCol: String = "vec_id"): DataFrame =
+    if (rate >= 1.0) corpus
+    else corpus.filter(
+      graft.functions.TextFunctions.md5lo64(
+        concat(lit("rqs:"), col(idCol).cast("string")))
+        .bitwiseAND(lit(16383L)) < (lit(rate) * 16384).cast("long"))
+
   private def writeAnnIndexTo(corpus: DataFrame, nameOf: String => String,
       nlist: Int, m: Int, k: Int, buckets: Int,
       vecCol: String, idCol: String,
-      metaCols: Seq[String], refineIters: Int): Unit = {
+      metaCols: Seq[String], refineIters: Int,
+      trainSampleRate: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(Seq(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")) ++ metaCols.map(col): _*)
-    val cents = coarseCentroids(corpus, nlist, vecCol, idCol, refineIters)
+    // The COARSE quantizer may train on a deterministic sample: the
+    // Lloyd rounds are the corpus-sized MULTIPLIER of a retrain
+    // (refineIters+1 full scans), and centroid means from a uniform
+    // sample converge like any mean. The PQ codebooks and the encode
+    // pass stay full-corpus — each is ONE linear pass (the same cost
+    // class as the codes rewrite the operation IS), and codebook
+    // means starve on small samples long before centroid means do
+    // (measured: sub-sampled books collapse codes to ties).
+    val train =
+      if (trainSampleRate >= 1.0) corpus
+      else retrainSample(corpus, trainSampleRate, idCol).localCheckpoint()
+    val cents = coarseCentroids(train, nlist, vecCol, idCol, refineIters)
     val books = pqCodebooks(v.select("id", "v"), k)
     graft.sources.Bucketing.writeSmallTable(
       cents.toSeq.map { case (b, c) => (b, c.toSeq) }
@@ -950,16 +978,25 @@ object Similarity {
    * multi-regional by definition, and the single seeded step would
    * average the regions together instead of separating them (the
    * spec's planted-drift fixture demonstrates exactly that failure).
+   *
+   * `trainSampleRate < 1` bounds the retrain's Lloyd cost at scale:
+   * the quantizer trains on a deterministic md5-gated sample
+   * ([[retrainSample]]) while the encode pass still covers every
+   * vector. With 1.0 (default) the requantize ≡ fresh-build
+   * determinism law holds exactly; sampled training restores recall
+   * to within a spec-pinned band of the full retrain (OperatorsSpec
+   * "bounded retrain") at a training cost independent of corpus size.
    */
   def requantizeAnnIndex(corpus: DataFrame, table: String, nlist: Int = 32,
       m: Int = 8, k: Int = 16, buckets: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      metaCols: Seq[String] = Nil, refineIters: Int = 3): DataFrame = {
+      metaCols: Seq[String] = Nil, refineIters: Int = 3,
+      trainSampleRate: Double = 1.0): DataFrame = {
     val pre = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
     graft.sources.Bucketing.rebuildEpoch(corpus.sparkSession, table,
       Seq("centroids", "codebooks", "codes")) { nameOf =>
       writeAnnIndexTo(corpus, nameOf, nlist, m, k, buckets, vecCol, idCol,
-        metaCols, refineIters)
+        metaCols, refineIters, trainSampleRate)
     }
     val post = annAssignmentResidual(corpus, table, vecCol, idCol).collect()(0)
     val spark = corpus.sparkSession

@@ -69,7 +69,8 @@ object VectorStreams {
       driftThreshold: Double = 0.0,
       retrainCorpus: () => DataFrame = null,
       escalateM: Int = 0, pqErrorThreshold: Double = 0.0,
-      refineIters: Int = 3): StreamingQuery = {
+      refineIters: Int = 3,
+      retrainSampleRows: Long = 200000L): StreamingQuery = {
     // the index's live sub-quantizer count: starts from the param,
     // re-read from the stored codes on the first batch (a restarted
     // loop must not fall back to the pre-escalation default)
@@ -103,13 +104,31 @@ object VectorStreams {
         if (driftThreshold > 0 && retrainCorpus != null && resRow != null &&
             !resRow.isNullAt(1) && // empty micro-batch carries no signal
             resRow.getDouble(1) > driftThreshold) {
-          Similarity.requantizeAnnIndex(retrainCorpus(), table,
-            m = curM.get(), refineIters = refineIters)
+          // BOUNDED retrain: the Lloyd rounds are the corpus-sized
+          // multiplier (refineIters+1 scans every fire), so training
+          // input caps at `retrainSampleRows` via the deterministic
+          // md5-gated sample (Similarity.retrainSample — replay
+          // retrains identically); the encode pass still covers every
+          // vector, the one linear cost a rebuilt codes table IS.
+          // Small corpora train in full (rate 1), so remediation
+          // quality is unchanged until the cap binds; ≤0 opts into
+          // full-corpus training at any size. Recall-band law:
+          // OperatorsSpec "bounded retrain".
+          val corpus = retrainCorpus()
+          val rate = if (retrainSampleRows <= 0L) 1.0 else {
+            val n = corpus.count()
+            if (n <= retrainSampleRows) 1.0
+            else retrainSampleRows.toDouble / n
+          }
+          Similarity.requantizeAnnIndex(corpus, table,
+            m = curM.get(), refineIters = refineIters,
+            trainSampleRate = rate)
           if (escalateM > curM.get() && pqErrorThreshold > 0 &&
               Similarity.pqReconstructionResidual(b, table)
                 .collect()(0).getDouble(1) > pqErrorThreshold) {
             Similarity.requantizeAnnIndex(retrainCorpus(), table,
-              m = escalateM, refineIters = refineIters)
+              m = escalateM, refineIters = refineIters,
+              trainSampleRate = rate)
             curM.set(escalateM)
           }
         }

@@ -951,6 +951,57 @@ class OperatorsSpec extends AnyFunSuite {
         s"before $recallBefore, after $recallAfter, ceiling $ceiling")
   }
 
+  test("bounded retrain: trainSampleRate=0.5 restores recall@5 to within 0.1 of the full retrain; sample + retrain are deterministic") {
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      (i.toLong, (0 until 64).map(d => shift + math.sin(i * 64 + d)).toArray)
+    }
+    val full = (vecs(0 until 200, 0.0) ++ vecs(1000 until 1200, 6.0))
+      .toDF("vec_id", "embedding")
+    // the deterministic gate: two draws identical, size near the rate
+    val s1 = Similarity.retrainSample(full, 0.5)
+    val s2 = Similarity.retrainSample(full, 0.5)
+    val n1 = s1.count()
+    assert(s1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(n1 > 120 && n1 < 280, s"0.5 gate kept $n1 of 400")
+    val dq = full.filter(col("vec_id") >= 1000L && col("vec_id") < 1010L)
+    def recallAt5(table: String): Double = {
+      val exact = Similarity.bruteForceTopK(full, dq, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val approx = Similarity.annIndexTopK(dq, table, topk = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    try {
+      // both indexes start from the SAME pre-drift state, then one
+      // repairs with full-corpus training and one with the sample
+      Similarity.writeAnnIndex(full.filter(col("vec_id") < 500L),
+        "graft_rq_full", buckets = 8)
+      Similarity.writeAnnIndex(full.filter(col("vec_id") < 500L),
+        "graft_rq_samp", buckets = 8)
+      Similarity.requantizeAnnIndex(full, "graft_rq_full", refineIters = 3)
+      Similarity.requantizeAnnIndex(full, "graft_rq_samp", refineIters = 3,
+        trainSampleRate = 0.5)
+      val rFull = recallAt5("graft_rq_full")
+      val rSamp = recallAt5("graft_rq_samp")
+      assert(rSamp >= rFull - 0.1,
+        s"sampled retrain recall $rSamp must be within 0.1 of full $rFull")
+      // deterministic replay: a second sampled retrain answers identically
+      val a1 = Similarity.annIndexTopK(dq, "graft_rq_samp", topk = 5,
+        nprobe = 16).collect().map(_.toString).sorted.toSeq
+      Similarity.requantizeAnnIndex(full, "graft_rq_samp", refineIters = 3,
+        trainSampleRate = 0.5)
+      val a2 = Similarity.annIndexTopK(dq, "graft_rq_samp", topk = 5,
+        nprobe = 16).collect().map(_.toString).sorted.toSeq
+      assert(a1 === a2, "replayed sampled retrain must rebuild identically")
+    } finally {
+      graft.sources.Bucketing.dropEpochGroup(spark, "graft_rq_full",
+        Seq("centroids", "codebooks", "codes"))
+      graft.sources.Bucketing.dropEpochGroup(spark, "graft_rq_samp",
+        Seq("centroids", "codebooks", "codes"))
+    }
+  }
+
   test("bpeTrainIterative: re-counts between merges; equals one-round when pairs don't interact") {
     // genuinely non-interacting pairs: each repeated pair is isolated
     // by unique filler tokens, so merging one never changes another's
