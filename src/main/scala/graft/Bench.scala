@@ -25,6 +25,28 @@ object Bench {
     * work, so the gate scores it in rows/s. */
   val OutputBoundRows = 100000L
 
+  /** Pinned HOST-EPOCH controls: queries whose plans have been stable
+    * since round 1, so their ratio to the committed record estimates
+    * the host's speed delta, not the engine's. Two successive rounds
+    * read a uniform 1.1–1.2× median on plan-unchanged queries (the
+    * virtualized host drifts between epochs) and every adjudication
+    * was manual; the control median makes it mechanical. */
+  val ControlQueries: Seq[String] = Seq("lmr_count", "q_scalar_funcs", "text_quality")
+
+  /** The host-epoch factor: median current/baseline ratio over the
+    * controls, clamped to [1, 2] — it only ever RELAXES the gate (a
+    * faster host must not hide a regression), and never beyond the
+    * gate's own 2× wall so a real regression still trips at 4× on the
+    * slowest plausible epoch. 1.0 when no control has a baseline. */
+  private[graft] def hostFactor(results: Map[String, Double],
+      prior: Map[String, Double]): Double = {
+    val ratios = ControlQueries.flatMap(c =>
+      for { cur <- results.get(c); p <- prior.get(c) if p > 0 } yield cur / p)
+      .sorted
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, math.min(2.0, ratios(ratios.size / 2)))
+  }
+
   /**
    * The soft regression gate, pure so it is unit-testable: compare
    * this run's per-query minima against the last committed record.
@@ -39,13 +61,20 @@ object Bench {
    *    the host dipped, though its rows/s held) — row counts ride the
    *    committed record precisely so the gate can use the right unit.
    *
+   * Both rules normalize by `hf`, the host-epoch factor from the
+   * pinned controls ([[hostFactor]]): a 1.2× epoch relaxes the wall
+   * gate to 2.4× and the throughput gate to 0.5/1.2 — so host drift
+   * stops reading as regression without any manual adjudication,
+   * while a genuinely regressed query still trips (hf caps at 2).
+   *
    * Returns (name, (currentSec, baselineSec, note)) per regression.
    */
   private[graft] def gateEntries(
       results: Seq[(String, Double)],
       rowCounts: Map[String, Long],
       prior: Map[String, Double],
-      priorRows: Map[String, Long]): Seq[(String, (Double, Double, String))] =
+      priorRows: Map[String, Long],
+      hf: Double = 1.0): Seq[(String, (Double, Double, String))] =
     results.flatMap { case (name, sec) =>
       prior.get(name).filter(_ >= 0.5).flatMap { p =>
         val outputBound = rowCounts.get(name).exists(_ >= OutputBoundRows) &&
@@ -53,10 +82,10 @@ object Bench {
         if (outputBound) {
           val curTp = rowCounts(name) / math.max(sec, 1e-9)
           val oldTp = priorRows(name) / p
-          if (curTp < 0.5 * oldTp)
+          if (curTp < 0.5 / hf * oldTp)
             Some(name -> (sec, p, f"rows/s ${curTp}%.0f vs baseline ${oldTp}%.0f"))
           else None
-        } else if (sec > 2.0 * p) Some(name -> (sec, p, "wall"))
+        } else if (sec > 2.0 * hf * p) Some(name -> (sec, p, "wall"))
         else None
       }
     }
@@ -161,7 +190,11 @@ object Bench {
     val priorRows: Map[String, Long] =
       priorTxt.map(numBlock(_, "rows")).getOrElse(Map.empty)
         .map { case (k, v) => k -> v.toLong }
-    val gate = gateEntries(results, rowCounts.toMap, prior, priorRows)
+    val hf = hostFactor(results.toMap, prior)
+    if (hf != 1.0)
+      System.err.println(f"[bench] host-epoch factor $hf%.3f from controls " +
+        ControlQueries.mkString(","))
+    val gate = gateEntries(results, rowCounts.toMap, prior, priorRows, hf)
     gate.foreach { case (n, (cur, old, note)) =>
       System.err.println(f"[bench] GATE: $n regressed ${cur / old}%.2fx " +
         f"($old%.3f -> $cur%.3f s; $note)")
@@ -179,8 +212,13 @@ object Bench {
     val rowsJson = results.flatMap { case (k, _) =>
       rowCounts.get(k).map(n => "\"" + k + "\":" + n)
     }.mkString("{", ",", "}")
+    // the pinned control markers ride the record so the NEXT round's
+    // adjudication (and the gate itself, via hostFactor) is mechanical
+    val controlsJson = ControlQueries.flatMap(c =>
+      results.toMap.get(c).map(v => "\"" + c + "\":" + v))
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failedJson,"gate":$gateJson,"host_factor":${math.rint(hf * 1000) / 1000},"controls":$controlsJson,"sf":"$sfDir"}"""
     // the full per-query record (≈5 KB at 120 queries) exceeds the
     // driver's 2000-char stdout tail, so its json-parse of the last
     // line always failed. Persist the full record to a file (committed
@@ -203,7 +241,7 @@ object Bench {
     val bigRows = results.flatMap { case (k, _) =>
       rowCounts.get(k).filter(_ >= 100000L).map(n => "\"" + k + "\":" + n)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"rows":$bigRows,"failed":$failedJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"rows":$bigRows,"failed":$failedJson,"gate":$gateJson,"host_factor":${math.rint(hf * 1000) / 1000},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,43 @@ class BenchGateSpec extends AnyFunSuite {
       prior = Map("er" -> 1.1), priorRows = pr).isEmpty)
   }
 
+  test("host-epoch factor: median control ratio, clamped to [1,2], 1.0 without baselines") {
+    val cur = Map("lmr_count" -> 0.30, "q_scalar_funcs" -> 0.60,
+      "text_quality" -> 1.30, "other" -> 9.0)
+    // ratios 1.2, 1.2, 1.3 -> median 1.2
+    val prior = Map("lmr_count" -> 0.25, "q_scalar_funcs" -> 0.50,
+      "text_quality" -> 1.00)
+    assert(math.abs(Bench.hostFactor(cur, prior) - 1.2) < 1e-9)
+    // a FASTER host never tightens the gate (clamp at 1)
+    assert(Bench.hostFactor(
+      Map("lmr_count" -> 0.20, "q_scalar_funcs" -> 0.40, "text_quality" -> 0.8),
+      prior) === 1.0)
+    // an absurd control reading caps at 2 (the gate's own wall)
+    assert(Bench.hostFactor(
+      Map("lmr_count" -> 2.5, "q_scalar_funcs" -> 5.0, "text_quality" -> 10.0),
+      prior) === 2.0)
+    // no control baselines -> neutral
+    assert(Bench.hostFactor(cur, Map.empty) === 1.0)
+  }
+
+  test("gate normalizes by the host factor: a 1.2x epoch stops host drift reading as regression, a real regression still trips") {
+    // 2.3x wall at hf=1.2: inside the relaxed 2.4x wall -> no gate
+    assert(Bench.gateEntries(Seq("q" -> 2.3), Map.empty,
+      Map("q" -> 1.0), Map.empty, hf = 1.2).isEmpty)
+    // same reading at hf=1.0 gates (the pre-normalization behavior)
+    assert(Bench.gateEntries(Seq("q" -> 2.3), Map.empty,
+      Map("q" -> 1.0), Map.empty).nonEmpty)
+    // 2.5x trips even at hf=1.2 — normalization is not a blank check
+    assert(Bench.gateEntries(Seq("q" -> 2.5), Map.empty,
+      Map("q" -> 1.0), Map.empty, hf = 1.2).nonEmpty)
+    // output-bound: throughput bar relaxes by the same factor
+    val r = Map("er" -> 3000000L)
+    assert(Bench.gateEntries(Seq("er" -> 2.5), r, Map("er" -> 1.1), r,
+      hf = 1.2).isEmpty, "2.27x wall at constant rows inside 2.4x epoch bar")
+    assert(Bench.gateEntries(Seq("er" -> 2.9), r, Map("er" -> 1.1), r,
+      hf = 1.2).nonEmpty)
+  }
+
   test("the rows/s rule only engages when BOTH sides are output-bound") {
     // current run emits 100k+ but baseline had none recorded: falls
     // back to the wall rule (old records predate row counts)
