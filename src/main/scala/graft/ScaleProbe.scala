@@ -1601,6 +1601,104 @@ object ScaleProbe {
           f"post-repair residual $post%.4f")
         reads.get()
       }
+      // The maintained CLUSTER index under the same contention
+      // discipline (the r14 verdict #8 leg): a mid-stream out-of-band
+      // relabel FOLD (rewriteBucketedAsync through
+      // maybeCompactClusterIndex) runs while merge batches keep
+      // landing and a concurrent reader in a SEPARATE session reads
+      // assignments the whole time. Under SPARK_GRAFT_MASTER=
+      // local-cluster the reader's bucketed scans run in forked
+      // executor JVMs — a swept-underfoot segment, a torn view flip,
+      // or a fold/merge compose error surfaces as a reader error or a
+      // wrong assignment. Green = zero reader errors, every read of
+      // the untouched probe set exact, a fold genuinely flipped
+      // out-of-band, and the FINAL assignments equal the global
+      // dupClusters closure of every pair ever ingested.
+      def clusterFoldMidStream(): Long = {
+        import scala.jdk.CollectionConverters._
+        import spark.implicits._
+        val nonce = math.abs(System.nanoTime())
+        val idx = s"graft_probe_cfold_$nonce"
+        // 2000 chains of 4 (ids 0..7999): cluster root = 4k
+        val basePairs = spark.range(8000).filter(col("id") % 4 =!= 3)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+          .localCheckpoint()
+        Dedup.writeClusterIndex(basePairs, idx, buckets = 8)
+        // merge batch b: link 50 consecutive chains (k ≥ 100 — the
+        // probe set below stays untouched) plus 50 NEW 2-clusters
+        def batch(b: Int) = {
+          val merges = (0 until 50).map { j =>
+            val k = 100L + b * 50L + j
+            (4 * k + 3, 4 * k + 4)
+          }
+          val adds = (0 until 50).map { i =>
+            (100000L + b * 1000L + 2 * i, 100000L + b * 1000L + 2 * i + 1)
+          }
+          (merges ++ adds).toDF("a_id", "b_id").localCheckpoint()
+        }
+        val readerErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val reads = new java.util.concurrent.atomic.AtomicLong(0)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          val rs = spark.newSession() // a user session, not the writer's
+          while (!stop.get()) {
+            try {
+              val bad = Dedup.clusterAssignments(rs, idx)
+                .filter(col("doc_id") < 400)
+                .filter(col("cluster_id") =!=
+                  col("doc_id") - pmod(col("doc_id"), lit(4)))
+                .count()
+              require(bad == 0L, s"$bad wrong assignments in the probe set")
+              reads.incrementAndGet(); ()
+            } catch { case t: Throwable => readerErrs.add(t); () }
+          }
+        }, "graft-probe-cfold-reader")
+        reader.start()
+        var folded = false
+        val fed = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame](basePairs)
+        try {
+          (0 until 6).foreach { b =>
+            val p = batch(b)
+            fed += p
+            Dedup.clusterAssignIncremental(p, idx)
+            if (b == 1) {
+              // the relabel map now holds merges: trigger the
+              // OUT-OF-BAND fold; batches 2-3 land while it runs
+              require(!Dedup.maybeCompactClusterIndex(spark, idx, 1),
+                "the fold trigger must enqueue, not run inline")
+              require(graft.sources.Bucketing.pendingMaintenance(idx),
+                "a fold must be pending after the trigger")
+            }
+            if (b == 3) {
+              graft.sources.Bucketing.awaitMaintenance(idx)
+              folded = Dedup.maybeCompactClusterIndex(spark, idx, 1)
+              require(folded, "the finished fold must FLIP on this trigger")
+            }
+          }
+        } finally { stop.set(true); reader.join(60000) }
+        graft.sources.Bucketing.finalizeMaintenance(spark, idx)
+        require(readerErrs.isEmpty,
+          s"reader errors during mid-stream fold: " +
+            readerErrs.asScala.take(2).map(_.toString))
+        require(reads.get() > 0, "reader never completed a read")
+        // the final table must equal the global closure of EVERYTHING
+        val expected = Dedup.dupClusters(
+          fed.reduce(_ unionByName _)).localCheckpoint()
+        val actual = Dedup.clusterAssignments(spark, idx)
+        val nExp = expected.count()
+        require(actual.count() == nExp, "assignment count != closure count")
+        val mismatches = expected.as("e")
+          .join(actual.as("a"), col("e.doc_id") === col("a.doc_id"))
+          .filter(col("e.cluster_id") =!= col("a.cluster_id")).count()
+        require(mismatches == 0L,
+          s"$mismatches assignments differ from the global dupClusters closure")
+        System.err.println(s"==   cluster_fold_midstream: fold flipped " +
+          s"out-of-band, ${reads.get()} concurrent reads, 0 reader errors, " +
+          s"$nExp assignments == global closure")
+        graft.sources.Bucketing.dropLogical(spark, idx)
+        graft.sources.Bucketing.dropLogical(spark, s"${idx}_relabel")
+        reads.get()
+      }
       // THE r13 verdict #1 pin: a compaction flip's bytes-written must
       // track the merged (hot) segments, never the table — the
       // manifest layer carries cold segments BY REFERENCE (same
@@ -1665,7 +1763,8 @@ object ScaleProbe {
         time("stream_ingest_lat_para")(ingestLatency("para")),
         time("stream_ingest_read_lat")(readLatency()),
         time("stream_ann_read_lat")(annReadLatency()),
-        time("stream_ann_requantize")(annRequantizeMidStream()))
+        time("stream_ann_requantize")(annRequantizeMidStream()),
+        time("cluster_fold_midstream")(clusterFoldMidStream()))
     }
 
     val qs = results.map { case (k, v, rows) => s""""$k":{"sec":$v,"rows":$rows}""" }
