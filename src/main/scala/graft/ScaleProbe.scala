@@ -761,6 +761,57 @@ object ScaleProbe {
           f"finer-codes requantize must recover dense-region recall: $after%.3f -> $wide%.3f")
         (after * 1000).toLong
       },
+      // BOUNDED retrain at the probe tier (r14 verdict #5): the
+      // auto-remediation loop's requantize cost at billion-vector
+      // scale must not be Lloyd-rounds × corpus. Same drifted fixture
+      // as ann_drift_requantize; requantize once with full-corpus
+      // training and once with the md5-gated sample capped at ~20k
+      // training rows (the streamingAnnIngest retrainSampleRows
+      // discipline). Green = sampled recall within 0.05 of full,
+      // residual repaired, and the sampled retrain's wall at or below
+      // the full one (the training scans shrink ~6×; the shared
+      // full-corpus encode pass is the floor both pay).
+      time("ann_retrain_sampled") {
+        val nonce = math.abs(System.nanoTime())
+        val base = latentEmbs(spark, nVecs.toLong, cpus.toInt).localCheckpoint()
+        val drifted = latentEmbs(spark, 20000L, cpus.toInt)
+          .select((col("vec_id") + 50000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+          .localCheckpoint()
+        val full = base.unionByName(drifted).localCheckpoint()
+        val dq = drifted.filter(col("vec_id") < 50000200L).localCheckpoint()
+        val rate = 20000.0 / (nVecs.toLong + 20000L)
+        def recall5(idx: String): Double = {
+          val exact = Similarity.bruteForceTopK(full, dq, k = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          val approx = Similarity.annIndexTopK(dq, idx, topk = 5, nprobe = 16)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          (exact intersect approx).size.toDouble / exact.size
+        }
+        def leg(tag: String, r: Double): (Double, Double, Double) = {
+          val idx = s"graft_probe_rqs_${tag}_$nonce"
+          Similarity.writeAnnIndex(base, idx, nlist = 256, m = 8, k = 256,
+            refineIters = 2)
+          Similarity.appendToAnnIndex(drifted, idx)
+          val t0 = System.nanoTime()
+          val stats = Similarity.requantizeAnnIndex(full, idx,
+            nlist = 256, m = 8, k = 256, trainSampleRate = r).collect()(0)
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, recall5(idx), stats.getDouble(2))
+        }
+        val (fullSec, fullRec, fullRes) = leg("full", 1.0)
+        val (sampSec, sampRec, sampRes) = leg("samp", rate)
+        System.err.println(f"==   ann_retrain_sampled: full $fullSec%.1f s " +
+          f"recall $fullRec%.3f residual $fullRes%.4f; sampled (rate " +
+          f"$rate%.3f) $sampSec%.1f s recall $sampRec%.3f residual " +
+          f"$sampRes%.4f")
+        require(sampRec >= fullRec - 0.05,
+          f"sampled retrain recall $sampRec%.3f must be within 0.05 of full $fullRec%.3f")
+        require(sampRes <= fullRes + 0.01, "sampled retrain must repair the residual")
+        require(sampSec <= fullSec * 1.1,
+          f"sampled retrain ($sampSec%.1f s) must not cost more than full ($fullSec%.1f s)")
+        (sampRec * 1000).toLong
+      },
       // Lloyd's k-means: per round one k×dims aggregate + one
       // broadcast-matrix assignment scan; rounds are materialized
       time("kmeans")(Similarity.kmeansCensus(embs, k = 64, iters = 3).count()),
