@@ -636,17 +636,65 @@ object Bucketing {
    */
   private def writeSegmentFiles(spark: SparkSession, table: String,
       df: DataFrame, bucketCol: String, buckets: Int, segName: String)
-      : org.apache.hadoop.fs.Path = {
+      : org.apache.hadoop.fs.Path =
+    writeSegmentFilesWithStats(spark, table, df, bucketCol, buckets,
+      segName, Nil)._1
+
+  /**
+   * Write one immutable segment AND return its registration params.
+   * Zone stats ride the WRITE JOB itself via `Dataset.observe` (one
+   * CollectMetrics node over the rows being written) — no second
+   * read of the files the writer just produced, which would double
+   * append I/O for every stats-tracked ingest table. Falls back to a
+   * read-back ([[segmentRegParams]]) only if the observation yields
+   * nothing.
+   */
+  private def writeSegmentFilesWithStats(spark: SparkSession, table: String,
+      df: DataFrame, bucketCol: String, buckets: Int, segName: String,
+      statsCols: Seq[String])
+      : (org.apache.hadoop.fs.Path, Map[String, String]) = {
     val dir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
     val tmp = s"${table}__segw_$segName"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val obs = if (statsCols.isEmpty) null
+      else new org.apache.spark.sql.Observation(s"graft_stats_$segName")
     try {
-      df.repartition(buckets, col(bucketCol))
+      import org.apache.spark.sql.functions.{min, max}
+      val src = if (obs == null) df else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        df.observe(obs, aggs.head, aggs.tail: _*)
+      }
+      src.repartition(buckets, col(bucketCol))
         .write.mode("overwrite").format("parquet").option("path", dir.toString)
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(tmp)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tmp") // even on a failed write
-    dir
+    val bytes = segmentBytes(spark, dir.toUri)
+    val base = Map("graft.bytes" -> bytes.toString)
+    val params =
+      if (obs == null || bytes == 0L) base
+      else {
+        // the write action already completed, so the metrics are
+        // normally available immediately; the timeout guards against
+        // a lost-listener edge (then: read back, never hang a writer)
+        val m: Map[String, Any] = try
+          scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get)(
+              scala.concurrent.ExecutionContext.global),
+            scala.concurrent.duration.Duration(30, "s"))
+        catch { case _: Throwable => Map.empty }
+        if (m.isEmpty) // observation lost (shouldn't happen): read back
+          segmentRegParams(spark, dir.toString, statsCols)
+        else base ++ statsCols.flatMap { c =>
+          Option(m.getOrElse(s"min_$c", null)).map(v =>
+            s"graft.min.$c" -> String.valueOf(v)).toSeq ++
+            Option(m.getOrElse(s"max_$c", null)).map(v =>
+              s"graft.max.$c" -> String.valueOf(v))
+        }
+      }
+    (dir, params)
   }
 
   /** Create version table `table__v{next}` — the manifest: an external
@@ -705,12 +753,18 @@ object Bucketing {
    * lexicographically (safe for the string/date/ISO-timestamp types
    * zone stats make sense for).
    */
+  /** Spec hook: stats computed by READING BACK a just-written segment
+    * (the fallback path). The common path observes stats on the write
+    * job itself and must not grow this. */
+  private[sources] val statsReadbacks = new java.util.concurrent.atomic.AtomicLong
+
   private def segmentRegParams(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Map[String, String] = {
     val bytes = segmentBytes(spark, new org.apache.hadoop.fs.Path(dir).toUri)
     val base = Map("graft.bytes" -> bytes.toString)
     // an EMPTY segment (a write whose frame had no rows) has no files
     // to read stats from — and no rows to prune against
+    if (statsCols.nonEmpty && bytes > 0L) statsReadbacks.incrementAndGet()
     if (statsCols.isEmpty || bytes == 0L) base
     else {
       import org.apache.spark.sql.functions.{min, max}
@@ -744,11 +798,11 @@ object Bucketing {
       cancelPending(spark, table)
       val next = currentPhys(spark, table).map(_._2 + 1).getOrElse(1)
       val seg = newSegName()
-      val dir = writeSegmentFiles(spark, table, df, bucketCol, buckets, seg)
+      val (dir, params) = writeSegmentFilesWithStats(spark, table, df,
+        bucketCol, buckets, seg, statsCols)
       createVersionTable(spark, table, next,
         df.schema, bucketCol, buckets,
-        Seq(SegRef(seg, dir.toString,
-          segmentRegParams(spark, dir.toString, statsCols))), statsCols)
+        Seq(SegRef(seg, dir.toString, params)), statsCols)
       flipView(spark, table, next)
       vacuumVersions(spark, table, next)
     }
@@ -803,10 +857,9 @@ object Bucketing {
         s"$table is bucketed by ${spec.bucketColumnNames}, not $bucketCol")
       if (isManifest(meta)) {
         val seg = newSegName()
-        val dir = writeSegmentFiles(spark, table, df, bucketCol,
-          spec.numBuckets, seg)
-        registerSegments(spark, phys, Seq(SegRef(seg, dir.toString,
-          segmentRegParams(spark, dir.toString, statsColsOf(meta)))))
+        val (dir, params) = writeSegmentFilesWithStats(spark, table, df,
+          bucketCol, spec.numBuckets, seg, statsColsOf(meta))
+        registerSegments(spark, phys, Seq(SegRef(seg, dir.toString, params)))
       } else {
         // legacy plain bucketed table (pre-manifest layout / created
         // outside this module): in-place bucketed append, as before
@@ -881,14 +934,13 @@ object Bucketing {
       val dirs = segmentsOf(spark, phys).map(_.location)
       val in = spark.read.parquet(dirs: _*)
       val seg = newSegName()
-      val dir = writeSegmentFiles(spark, table, f(in), bcol,
-        spec.numBuckets, seg)
       val stats = statsColsOf(meta)
+      val (dir, params) = writeSegmentFilesWithStats(spark, table, f(in),
+        bcol, spec.numBuckets, seg, stats)
       createVersionTable(spark, table, next,
         StructType(meta.schema.filterNot(_.name == SegCol)),
         bcol, spec.numBuckets,
-        Seq(SegRef(seg, dir.toString,
-          segmentRegParams(spark, dir.toString, stats))), stats)
+        Seq(SegRef(seg, dir.toString, params)), stats)
       flipView(spark, table, next)
       vacuumVersions(spark, table, next, graceOverride)
     }
@@ -1129,14 +1181,13 @@ object Bucketing {
     val bcol = spec.bucketColumnNames.head
     val hotDirs = segs.collect { case r if hot(r.name) => r.location }
     val seg = newSegName()
-    val dir = writeSegmentFiles(spark, table,
-      spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg)
     val stats = statsColsOf(meta)
+    val (dir, params) = writeSegmentFilesWithStats(spark, table,
+      spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg, stats)
     createVersionTable(spark, table, v + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       bcol, spec.numBuckets,
-      cold :+ SegRef(seg, dir.toString,
-        segmentRegParams(spark, dir.toString, stats)), stats)
+      cold :+ SegRef(seg, dir.toString, params), stats)
     flipView(spark, table, v + 1)
     vacuumVersions(spark, table, v + 1)
     true
@@ -1157,6 +1208,9 @@ object Bucketing {
     @volatile var finished = false
     @volatile var failure: Throwable = null
     @volatile var future: java.util.concurrent.Future[_] = null
+    /** registration params (bytes + zone stats) the background write
+      * observed for its output segment — consumed at finalize */
+    @volatile var segParams: Map[String, String] = null
     /** exactly-one-cleaner guard between a cancel and the job's own
       * post-run check */
     val cleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -1301,6 +1355,8 @@ object Bucketing {
     pending.put(table, pc)
     val bcol = spec.bucketColumnNames.head
     val buckets = spec.numBuckets
+    val statsCols = statsColsOf(
+      catalogOf(spark).getTableMetadata(TableIdentifier(physName(table, v))))
     // a fresh session for the background write: shared external
     // catalog (its transient writer table is uniquely named),
     // separate per-session state (no conf/cache races with the
@@ -1314,10 +1370,9 @@ object Bucketing {
       def run(): Unit = {
         try {
           val in = bg.read.parquet(hotDirs: _*)
-          writeSegmentFiles(bg, table,
+          pc.segParams = writeSegmentFilesWithStats(bg, table,
             if (transform == null) in else transform(in),
-            bcol, buckets, segName)
-          ()
+            bcol, buckets, segName, statsCols)._2
         } catch { case t: Throwable => pc.failure = t }
         finally {
           pc.finished = true
@@ -1413,17 +1468,17 @@ object Bucketing {
         remaining // by reference, registration metadata included
       else {
         val seg = newSegName()
-        val dir = writeSegmentFiles(spark, table,
+        val (dir, params) = writeSegmentFilesWithStats(spark, table,
           p.transform(spark.read.parquet(remaining.map(_.location): _*)),
-          spec.bucketColumnNames.head, spec.numBuckets, seg)
-        Seq(SegRef(seg, dir.toString,
-          segmentRegParams(spark, dir.toString, stats)))
+          spec.bucketColumnNames.head, spec.numBuckets, seg, stats)
+        Seq(SegRef(seg, dir.toString, params))
       }
     createVersionTable(spark, table, p.fromV + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       spec.bucketColumnNames.head, spec.numBuckets,
       carry :+ SegRef(p.segName, p.segDir,
-        segmentRegParams(spark, p.segDir, stats)), stats)
+        Option(p.segParams).getOrElse(
+          segmentRegParams(spark, p.segDir, stats))), stats)
     flipView(spark, table, p.fromV + 1)
     protectedSegs.remove(p.segName)
     if (p.onFinalize != null) p.onFinalize(spark)

@@ -22,6 +22,7 @@ class ManifestStatsSpec extends AnyFunSuite {
 
   test("zone stats record at write AND append; range pruning keeps only intersecting segments; pruned read ≡ full read under the predicate") {
     val t = "graft_stats_t"
+    val rb0 = Bucketing.statsReadbacks.get()
     try {
       Bucketing.writeBucketed(mkRows(0, 100), t, "id", 2,
         statsCols = Seq("k"))
@@ -54,6 +55,8 @@ class ManifestStatsSpec extends AnyFunSuite {
       assert(pruned.collect().map(_.toString).sorted.toSeq ===
         full.collect().map(_.toString).sorted.toSeq)
       assert(pruned.count() === 31) // k = 1500,1510,...,1800
+      assert(Bucketing.statsReadbacks.get() === rb0,
+        "stats must ride the write job (Dataset.observe), never a read-back")
     } finally Bucketing.dropLogical(spark, t)
   }
 
