@@ -1552,8 +1552,16 @@ object Dedup {
       case Some(spec) => spec.numBuckets
       case None => return false
     }
-    if (graft.sources.Bucketing.dataFileCount(spark, table) >
-        buckets.toLong * maxFilesPerBucket) {
+    // trigger metric: CATALOG-ONLY for manifest tables (each segment
+    // holds ≤ 1 file per bucket, so segments bound files-per-bucket —
+    // the async policy's own metric; zero FS listings per micro-batch
+    // at deployment scale); the FS file count only for legacy layouts
+    val over =
+      if (graft.sources.Bucketing.isManifestTable(spark, table))
+        graft.sources.Bucketing.segmentCount(spark, table) > maxFilesPerBucket
+      else graft.sources.Bucketing.dataFileCount(spark, table) >
+        buckets.toLong * maxFilesPerBucket
+    if (over) {
       // the relabel FOLD goes out of band too (r14 — the manifest
       // layer's delta-exact finalize made it safe, removing the LAST
       // inline corpus-sized job on the ingest thread): the relabel

@@ -151,12 +151,42 @@ object Bucketing {
   // the one operation that deletes shared files — refuses to run
   // unless this JVM holds the lease.
   private val leaseUuid = java.util.UUID.randomUUID().toString
-  private final class LeaseState(val path: String) {
+  private final class LeaseState(val path: String,
+      val hadoopConf: org.apache.hadoop.conf.Configuration,
+      val staleMs: Long) {
     @volatile var lastBeat: Long = System.currentTimeMillis()
   }
   private val heldLeases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
   private val leaseHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  // A held lease must stay fresh while the OWNER IS ALIVE, not merely
+  // while it is writing — an ingest loop with a batch cadence longer
+  // than staleMs would otherwise have its lease expire mid-lifetime
+  // and a second driver could take it, re-opening exactly the race
+  // the lease closes. A single daemon thread re-stamps every held
+  // lease file when it approaches staleMs/3 of age; writer activity
+  // also refreshes opportunistically (covers the thread dying).
+  private lazy val leaseHeartbeat = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+      })
+    ex.scheduleWithFixedDelay(() => {
+      import scala.jdk.CollectionConverters._
+      heldLeases.asScala.foreach { case (_, st) =>
+        val now = System.currentTimeMillis()
+        if (st.staleMs > 0 && now - st.lastBeat > st.staleMs / 3) {
+          try {
+            val p = new org.apache.hadoop.fs.Path(st.path)
+            writeLockFile(p.getFileSystem(st.hadoopConf), p, overwrite = true)
+            st.lastBeat = now
+          } catch { case _: Throwable => () } // retried next tick
+        }
+      }
+    }, 5, 5, java.util.concurrent.TimeUnit.SECONDS)
+    ex
+  }
 
   private def lockPath(spark: SparkSession, table: String) =
     new org.apache.hadoop.fs.Path(warehouse(spark), s"${table}__lock")
@@ -193,7 +223,9 @@ object Bucketing {
       attempts += 1
       try {
         writeLockFile(fs, path, overwrite = false)
-        heldLeases.put(table, new LeaseState(path.toString))
+        heldLeases.put(table, new LeaseState(path.toString,
+          spark.sparkContext.hadoopConfiguration, stale))
+        leaseHeartbeat // arm the background refresher
         if (leaseHookArmed.compareAndSet(false, true))
           Runtime.getRuntime.addShutdownHook(new Thread(() =>
             releaseAllLeases(spark), "graft-lease-release"))
@@ -215,7 +247,8 @@ object Bucketing {
               val ts = parts.lift(2).flatMap(s =>
                 scala.util.Try(s.toLong).toOption).getOrElse(0L)
               if (owner == leaseUuid) // our own file (re-adopt)
-                heldLeases.put(table, new LeaseState(path.toString))
+                heldLeases.put(table, new LeaseState(path.toString,
+                  spark.sparkContext.hadoopConfiguration, stale))
               else if (stale > 0 && now - ts > stale) {
                 fs.delete(path, false) // expired: break and retry create
                 if (attempts > 5) throw new java.io.IOException(
@@ -383,6 +416,14 @@ object Bucketing {
     currentPhys(spark, table) match {
       case Some((phys, _)) => segmentsOf(spark, phys).size
       case None => 0
+    }
+
+  /** Whether the CURRENT version behind `table` is manifest-layout —
+    * i.e. [[segmentCount]] is the right (catalog-only) trigger metric;
+    * legacy in-place layouts need the FS file count. */
+  def isManifestTable(spark: SparkSession, table: String): Boolean =
+    currentPhys(spark, table).exists { case (phys, _) =>
+      isManifest(catalogOf(spark).getTableMetadata(TableIdentifier(phys)))
     }
 
   /** Segment refs of the CURRENT version — names, locations, and the
@@ -1030,11 +1071,18 @@ object Bucketing {
   def compactBucketed(spark: SparkSession, table: String): Unit =
     rewriteBucketed(spark, table, identity)
 
+  /** Spec hook: calls that paid per-segment directory listings for a
+    * FILE count. The manifest-table trigger paths must not grow this
+    * — `segmentCount` bounds files-per-bucket from the catalog alone;
+    * a count here is a legacy in-place layout. */
+  private[sources] val fileListings = new java.util.concurrent.atomic.AtomicLong
+
   /** Data-file count under the CURRENT version's segments — one
     * directory listing per segment, the same listings every scan of
     * the table pays. */
   def dataFileCount(spark: SparkSession, table: String): Long =
     currentDataDirs(spark, table).map { d =>
+      fileListings.incrementAndGet()
       val path = new org.apache.hadoop.fs.Path(d)
       val fs = hadoopFs(spark, path)
       if (!fs.exists(path)) 0L

@@ -101,6 +101,29 @@ class ManifestStatsSpec extends AnyFunSuite {
     } finally Bucketing.dropLogical(spark, t)
   }
 
+  test("cluster-index trigger is catalog-only on manifest tables: no per-segment FILE-count listings either") {
+    val t = "graft_stats_clustertrig"
+    try {
+      val mk = (lo: Long, hi: Long) => (lo until hi)
+        .map(i => (s"d$i", s"c${i % 7}")).toDF("doc_id", "cluster_id")
+      Bucketing.writeBucketed(mk(0, 40), t, "doc_id", 2)
+      (1 to 3).foreach(i => Bucketing.appendBucketed(
+        mk(i * 40L, i * 40L + 40L), t, "doc_id"))
+      val files = Bucketing.fileListings.get()
+      val sizes = Bucketing.sizeListings.get()
+      // below threshold: decides no-op from the manifest alone
+      assert(!graft.operators.Dedup.maybeCompactClusterIndex(spark, t, 8))
+      // above threshold: selects + enqueues, still catalog-only
+      assert(!graft.operators.Dedup.maybeCompactClusterIndex(spark, t, 2))
+      assert(Bucketing.fileListings.get() === files,
+        "manifest cluster trigger must not pay dataFileCount listings")
+      assert(Bucketing.sizeListings.get() === sizes)
+      Bucketing.awaitMaintenance(t)
+      assert(graft.operators.Dedup.maybeCompactClusterIndex(spark, t, 2))
+      assert(spark.table(t).count() === 160)
+    } finally Bucketing.dropLogical(spark, t)
+  }
+
   test("recorded graft.bytes equals the segment's actual on-disk data bytes") {
     val t = "graft_stats_bytes"
     try {

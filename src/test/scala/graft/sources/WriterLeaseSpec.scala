@@ -85,6 +85,30 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("an IDLE owner's lease stays fresh: the background heartbeat re-stamps the lock file without writer activity") {
+    val t = "graft_lease_idle"
+    spark.conf.set("spark.graft.writerLock.staleMs", "9000")
+    try {
+      Bucketing.writeBucketed(Seq((1L, "a")).toDF("id", "v"), t, "id", 2)
+      def ts(): Long = new String(java.nio.file.Files.readAllBytes(
+        lockFile(t).toPath), "UTF-8").split('|')(2).toLong
+      val t0 = ts()
+      // no writer activity at all; the daemon must refresh within
+      // ~(staleMs/3 + tick) — well inside staleMs
+      val deadline = System.currentTimeMillis() + 12000
+      var refreshed = false
+      while (!refreshed && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        refreshed = ts() > t0
+      }
+      assert(refreshed,
+        "idle lease was never re-stamped: a live owner would lose it to a second driver")
+    } finally {
+      spark.conf.unset("spark.graft.writerLock.staleMs")
+      Bucketing.dropLogical(spark, t)
+    }
+  }
+
   test("sweepSegments refuses to run without the writer lease") {
     val ex = intercept[IllegalStateException] {
       Bucketing.sweepSegments(spark, "graft_lease_nolease")
