@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // operator-optimization placement: pruning lands before scan
+    // planning, so segment skipping also feeds size estimates (join
+    // strategy, AQE) — the config-path advantage over ensure()
+    ext.injectOptimizerRule(s => graft.plans.SegmentPruneRule(s))
   }
 }
 
@@ -234,9 +238,11 @@ object GraftExtensions {
   }
 
   /** Register on an already-built session (alternative to spark.sql.extensions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, (_, builder)) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    graft.plans.SegmentPrune.ensure(spark)
+  }
 }

@@ -1089,6 +1089,78 @@ object ScaleProbe {
               spark.read.parquet(zmPath).schema, "o_orderkey", zmLo, zmHi)
             .agg(count(lit(1)), sum("o_totalprice")).collect().length.toLong))
     } ++ {
+      // AUTOMATIC manifest-segment pruning at ingest scale: 4M rows
+      // arrive as 32 key-ranged appends (the natural time-clustered
+      // shape of continuous ingest) into ONE manifest version — 128
+      // files. A fixed-width range then hits one segment; the probe
+      // compares the same plain `spark.table(t).filter(range)` with
+      // the optimizer rule off (opens every segment) vs on
+      // (catalog-decided single segment). The ratio is file-open
+      // bound locally; at a metastore + object store, the off leg is
+      // one round-trip per segment of history, the on leg is one
+      // catalog listing. Layout built outside the timings.
+      val wanted = only.forall(o => o.exists(_.startsWith("segprune")))
+      val spT = "graft_probe_segprune"
+      val nSeg = 32
+      val spRows = sys.env.getOrElse("SPARK_GRAFT_PROBE_SEG_ROWS", "4000000").toLong
+      if (wanted) {
+        val per = spRows / nSeg
+        val all = synthOrders(spark, spRows)
+        graft.sources.Bucketing.writeBucketed(
+          all.filter(col("o_orderkey") < per), spT, "o_custkey", 4,
+          statsCols = Seq("o_orderkey"))
+        (1 until nSeg).foreach { i =>
+          graft.sources.Bucketing.appendBucketed(
+            all.filter(col("o_orderkey") >= i * per &&
+              col("o_orderkey") < (i + 1) * per), spT, "o_custkey")
+        }
+        require(graft.sources.Bucketing.segmentCount(spark, spT) == nSeg)
+      }
+      val spLo = spRows / 2 + 1000L
+      val spHi = spLo + spRows / nSeg / 2 // well inside one segment
+      def spQuery() = spark.table(spT)
+        .filter(col("o_orderkey").between(spLo, spHi))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      def ruleOff[A](body: => A): A = {
+        val saved = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_.isInstanceOf[graft.plans.SegmentPruneRule])
+        try body finally spark.experimental.extraOptimizations = saved
+      }
+      if (wanted) graft.plans.SegmentPrune.ensure(spark)
+      var spAll: Seq[String] = Nil
+      Seq(
+        time("segprune_scan_all")(ruleOff {
+          val r = spQuery().collect(); spAll = r.map(_.toString).toSeq; r.length.toLong
+        }),
+        time("segprune_auto") {
+          val df = spQuery()
+          val r = df.collect()
+          // the engine's number must come from an actually-pruned scan;
+          // AQE wraps stages, so descend through adaptive/stage nodes
+          def scans(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+            val here = p match {
+              case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+              case _ => Nil
+            }
+            val kids = p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                Seq(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                Seq(q.plan)
+              case o => o.children
+            }
+            here ++ kids.flatMap(scans)
+          }
+          val parts = scans(df.queryExecution.executedPlan)
+            .map(_.metrics("numPartitions").value).sum
+          require(parts == 1L, s"auto leg read $parts segments, wanted 1")
+          require(spAll.isEmpty || r.map(_.toString).toSeq == spAll,
+            "pruned result diverged from full-scan result")
+          r.length.toLong
+        })
+    } ++ {
       // paragraph rewrite at probe-doc scale; the viral variant plants
       // ONE boilerplate unit in every 10th doc (nDocs/10 copies of a
       // single hash) — the min(struct) keep-first aggregate must not

@@ -1452,6 +1452,66 @@ object SparkEntry {
   }
 
   /**
+   * The AUTOMATIC form of [[qSegmentPruned]]: same date-clustered
+   * three-segment layout, but the query is a PLAIN
+   * `spark.table(t).filter(range)` — no pruning API in sight. The
+   * injected optimizer rule ([[graft.plans.SegmentPruneRule]], armed
+   * via [[GraftExtensions]]) reads the range off the filter, consults
+   * the manifest's zone stats, and ANDs the surviving-segment
+   * partition predicate into the plan, so Spark's own partition
+   * pruning skips cold history — what `spark.sql.extensions` buys
+   * every query against a stats-tracked table. Segment-count pins
+   * live in SegmentPruneSpec; here the oracle pins results unchanged.
+   */
+  private def qSegmentPrunedAuto(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SegmentPrune.ensure(s)
+    val tn = s"g_segauto_${math.abs(dir.hashCode)}"
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    graft.sources.Bucketing.writeBucketed(
+      o.filter(col("o_orderdate") < "1997-01-01"), tn, "o_custkey", 4,
+      statsCols = Seq("o_orderdate"))
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"), tn, "o_custkey")
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1999-01-01"), tn, "o_custkey")
+    s.table(tn)
+      .filter(col("o_orderdate").between("1996-06-01", "1996-06-30"))
+      .groupBy("o_orderdate")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /**
+   * Time travel on the version layer (sources.Bucketing): orders lands
+   * as a base write (< 1997) then an append (≥ 1997); the query reads
+   * the table AS OF an instant between the two — which must equal the
+   * filtered subset exactly. The as-of read resolves at APPEND
+   * granularity: each segment's registration instant rides its
+   * manifest entry (carried by reference through rewrites), so history
+   * costs metadata + unique segments, never copies. The
+   * `graceVersions`/`vacuumRetainMs` knobs are the retention policy;
+   * reads outside it throw rather than answer wrong (TimeTravelSpec).
+   */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tn = s"g_timetravel_${math.abs(dir.hashCode)}"
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    graft.sources.Bucketing.writeBucketed(
+      o.filter(col("o_orderdate") < "1997-01-01"), tn, "o_custkey", 4)
+    Thread.sleep(5)
+    val asOf = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1997-01-01"), tn, "o_custkey")
+    graft.sources.Bucketing.readAsOf(s, tn, asOf)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /**
    * Incremental corpus dedup: the last 10% of docs arrive as a "new
    * batch"; find their near-dups in the standing corpus without
    * re-pairing the corpus (Dedup.incrementalNearDupPairs — batch
@@ -4064,6 +4124,8 @@ object SparkEntry {
     "q_sorted_sink" -> (qSortedSink _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_segment_pruned" -> (qSegmentPruned _),
+    "q_segment_pruned_auto" -> (qSegmentPrunedAuto _),
+    "q_time_travel" -> (qTimeTravel _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
@@ -6415,6 +6477,18 @@ object SparkEntry {
       ("SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
         "FROM orders WHERE o_orderdate BETWEEN '1996-06-01' AND '1996-06-30' " +
         "GROUP BY o_orderdate"),
+    // the automatic (optimizer-rule) pruning path must be invisible
+    // in results: same oracle as the explicit-API query
+    "q_segment_pruned_auto" ->
+      ("SELECT o_orderdate, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_orderdate BETWEEN '1996-06-01' AND '1996-06-30' " +
+        "GROUP BY o_orderdate"),
+    // the pre-append version IS the filtered subset: time travel is a
+    // retention/layout property, invisible in results
+    "q_time_travel" ->
+      ("SELECT year(o_orderdate) AS yr, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_orderdate < '1997-01-01' GROUP BY 1"),
     "dedup_incremental" -> incrementalDedupSql,
     // the persistent-index path verifies candidates with the same
     // exact jaccard, and LSH recall at k=128/bands=32 is ≈1 at the

@@ -401,9 +401,13 @@ object Bucketing {
     else Seq(SegRef(phys, meta.location.toString, Map.empty))
   }
 
+  /** The manifest partition column, for plan-level consumers (the
+    * automatic prune rule matches relations partitioned by it). */
+  private[graft] def segColName: String = SegCol
+
   /** The zone-stats columns a table tracks per segment (the
     * `graft.statsCols` property riding every version table). */
-  private def statsColsOf(
+  private[graft] def statsColsOf(
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Seq[String] =
     meta.properties.get("graft.statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -452,17 +456,43 @@ object Bucketing {
     val (phys, _) = currentPhys(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table does not exist"))
     val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    segmentsOf(spark, phys).filter(
+      segIntersects(meta, _, statsCol, lower, upper))
+  }
+
+  /** Whether a segment's recorded zone stats can intersect an
+    * inclusive `[lower, upper]` range on `statsCol` — missing stats ⇒
+    * true (pruning must stay a superset). The shared core of
+    * [[prunedSegments]] and the automatic Catalyst rule
+    * ([[graft.plans.SegmentPruneRule]]). */
+  private def segIntersects(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable, r: SegRef,
+      statsCol: String, lower: Option[String], upper: Option[String]): Boolean = {
     val numeric = meta.schema.find(_.name == statsCol)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     def cmp(a: String, b: String): Int =
       if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       else a.compareTo(b)
-    segmentsOf(spark, phys).filter { r =>
-      val lo = r.params.get(s"graft.min.$statsCol")
-      val hi = r.params.get(s"graft.max.$statsCol")
-      upper.forall(u => lo.forall(l => cmp(l, u) <= 0)) &&
-        lower.forall(w => hi.forall(h => cmp(h, w) >= 0))
-    }
+    val lo = r.params.get(s"graft.min.$statsCol")
+    val hi = r.params.get(s"graft.max.$statsCol")
+    upper.forall(u => lo.forall(l => cmp(l, u) <= 0)) &&
+      lower.forall(w => hi.forall(h => cmp(h, w) >= 0))
+  }
+
+  /** Segment names of version table `phys` surviving EVERY bound in
+    * `bounds` (`(statsCol, lower, upper)`, inclusive, string-encoded
+    * as [[segmentRegParams]] serializes), plus the manifest's total
+    * segment count. Catalog-only. The hook the automatic
+    * plan-rewrite rule ([[graft.plans.SegmentPruneRule]]) calls with
+    * bounds extracted from a query's filter condition. */
+  private[graft] def pruneSegNamesForPhys(spark: SparkSession, phys: String,
+      bounds: Seq[(String, Option[String], Option[String])]): (Set[String], Int) = {
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    val segs = segmentsOf(spark, phys)
+    val kept = segs.filter(r => bounds.forall { case (c, lo, hi) =>
+      segIntersects(meta, r, c, lo, hi)
+    })
+    (kept.map(_.name).toSet, segs.size)
   }
 
   /**
@@ -484,6 +514,82 @@ object Bucketing {
     val kept = prunedSegments(spark, table, statsCol, lower, upper)
       .filterNot(_.params.get("graft.bytes").contains("0"))
     if (kept.isEmpty) spark.table(table).limit(0)
+    else spark.read.parquet(kept.map(_.location): _*).select(cols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Time travel — the grace knobs (`graceVersions`, `vacuumRetainMs`)
+  // don't just shield in-flight readers from the vacuum; every version
+  // they retain is QUERYABLE HISTORY. With manifests a retained
+  // version costs metadata plus only the segments unique to it (cold
+  // segments are shared by reference), so "keep a day of versions" is
+  // affordable at any table size — the Iceberg/Delta snapshot-read
+  // discipline on plain Spark catalog tables.
+  // ------------------------------------------------------------------
+
+  /** Retained versions of `table`, ascending, with each version's flip
+    * instant (epoch ms; `None` for a version that never flipped — a
+    * legacy layout or a crashed writer's orphan). Catalog-only. */
+  def versionHistory(spark: SparkSession, table: String): Seq[(Int, Option[Long])] =
+    listVersions(spark, table).sortBy(_._2).map { case (phys, v) =>
+      val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+      (v, meta.properties.get("graft.flippedAt").flatMap(s =>
+        scala.util.Try(s.toLong).toOption))
+    }
+
+  /** Read `table` AS OF version `version` — same schema and layout
+    * guarantees as `spark.table(table)` (bucketed scans, segment
+    * pruning, the lot). A version is a REWRITE-lineage snapshot: it
+    * accretes appends while current (an append registers one segment
+    * into the current manifest, no flip) and freezes once superseded —
+    * for an exact instant across appends use [[readAsOf]], which
+    * resolves at segment granularity. Throws with the retained range
+    * when the version fell outside the grace window: history depth is
+    * the `graceVersions`/`vacuumRetainMs` retention policy, not a
+    * separate log. */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val phys = physName(table, version)
+    if (!catalogOf(spark).tableExists(TableIdentifier(phys))) {
+      val have = versionHistory(spark, table).map(_._1)
+      throw new IllegalArgumentException(
+        s"$table has no retained version $version (retained: " +
+          s"${if (have.isEmpty) "none" else have.mkString(",")}); widen " +
+          "spark.graft.bucketing.graceVersions / vacuumRetainMs to keep more history")
+    }
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    val df = spark.table(phys)
+    if (isManifest(meta))
+      df.select(meta.schema.fieldNames.filterNot(_ == SegCol).map(col).toSeq: _*)
+    else df
+  }
+
+  /** Read `table` AS OF a wall-clock instant — what a query STARTING
+    * at `tsMillis` saw: the newest retained version flipped by then,
+    * restricted to the segments registered by then (each segment's
+    * `graft.appendedAt` rides its manifest entry, carried by
+    * reference through rewrites — so the instant resolves at APPEND
+    * granularity, not just rewrite granularity). A segment without
+    * the stamp (registered before this feature) is kept. Plain
+    * (small-table) versions resolve at version granularity. Throws
+    * when the instant predates all retained history. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val current = currentPhys(spark, table).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"$table does not exist"))
+    val eligible = versionHistory(spark, table)
+      .filter { case (v, at) => v <= current && at.exists(_ <= tsMillis) }
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"$table retains no version flipped at or before $tsMillis; widen " +
+        "spark.graft.bucketing.graceVersions / vacuumRetainMs to keep more history")
+    val v = eligible.map(_._1).max
+    val phys = physName(table, v)
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    if (!isManifest(meta)) return readVersion(spark, table, v)
+    val kept = segmentsOf(spark, phys).filter(
+      _.params.get("graft.appendedAt").forall(s =>
+        scala.util.Try(s.toLong).toOption.forall(_ <= tsMillis)))
+      .filterNot(_.params.get("graft.bytes").contains("0"))
+    val cols = meta.schema.fieldNames.filterNot(_ == SegCol).map(col).toSeq
+    if (kept.isEmpty) readVersion(spark, table, v).limit(0)
     else spark.read.parquet(kept.map(_.location): _*).select(cols: _*)
   }
 
@@ -713,7 +819,11 @@ object Bucketing {
         .saveAsTable(tmp)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tmp") // even on a failed write
     val bytes = segmentBytes(spark, dir.toUri)
-    val base = Map("graft.bytes" -> bytes.toString)
+    // the registration instant rides the segment (carried by reference
+    // through every later version) — the grain [[readAsOf]] resolves
+    // at, since appends land in the CURRENT version without a flip
+    val base = Map("graft.bytes" -> bytes.toString,
+      "graft.appendedAt" -> System.currentTimeMillis().toString)
     val params =
       if (obs == null || bytes == 0L) base
       else {
@@ -802,7 +912,8 @@ object Bucketing {
   private def segmentRegParams(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Map[String, String] = {
     val bytes = segmentBytes(spark, new org.apache.hadoop.fs.Path(dir).toUri)
-    val base = Map("graft.bytes" -> bytes.toString)
+    val base = Map("graft.bytes" -> bytes.toString,
+      "graft.appendedAt" -> System.currentTimeMillis().toString)
     // an EMPTY segment (a write whose frame had no rows) has no files
     // to read stats from — and no rows to prune against
     if (statsCols.nonEmpty && bytes > 0L) statsReadbacks.incrementAndGet()
