@@ -76,6 +76,11 @@ case class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (meta.partitionColumnNames != Seq(Bucketing.segColName)) return None
     val statsCols = Bucketing.statsColsOf(meta)
     if (statsCols.isEmpty) return None
+    // the manifest lookup below resolves by bare name in the session's
+    // current database — skip (never misread a same-named table) when
+    // the relation lives elsewhere
+    if (!meta.identifier.database.forall(_ == spark.catalog.currentDatabase))
+      return None
     if (!cond.deterministic) return None
     val segAttr = rel.output.find(_.name == Bucketing.segColName)
       .getOrElse(return None)

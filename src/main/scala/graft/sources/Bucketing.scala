@@ -462,9 +462,11 @@ object Bucketing {
 
   /** Whether a segment's recorded zone stats can intersect an
     * inclusive `[lower, upper]` range on `statsCol` — missing stats ⇒
-    * true (pruning must stay a superset). The shared core of
-    * [[prunedSegments]] and the automatic Catalyst rule
-    * ([[graft.plans.SegmentPruneRule]]). */
+    * true (pruning must stay a superset), and so do UNPARSEABLE
+    * stats (a float column whose min/max serialized as NaN/Infinity
+    * breaks the decimal compare — keep the segment, never drop on a
+    * parse edge). The shared core of [[prunedSegments]] and the
+    * automatic Catalyst rule ([[graft.plans.SegmentPruneRule]]). */
   private def segIntersects(
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable, r: SegRef,
       statsCol: String, lower: Option[String], upper: Option[String]): Boolean = {
@@ -475,8 +477,10 @@ object Bucketing {
       else a.compareTo(b)
     val lo = r.params.get(s"graft.min.$statsCol")
     val hi = r.params.get(s"graft.max.$statsCol")
-    upper.forall(u => lo.forall(l => cmp(l, u) <= 0)) &&
-      lower.forall(w => hi.forall(h => cmp(h, w) >= 0))
+    scala.util.Try {
+      upper.forall(u => lo.forall(l => cmp(l, u) <= 0)) &&
+        lower.forall(w => hi.forall(h => cmp(h, w) >= 0))
+    }.getOrElse(true)
   }
 
   /** Segment names of version table `phys` surviving EVERY bound in
