@@ -56,7 +56,9 @@ object Graft {
    *                  of the index itself);
    *  - `epoch`     — multi-table index groups: current generation,
    *                  members, and crashed-rebuild orphans;
-   *  - `stream`    — active structured-streaming queries.
+   *  - `stream`    — active structured-streaming queries;
+   *  - `lease`     — writer locks on the warehouse: owner (this
+   *                  driver or a foreign pid@host) + heartbeat age.
    *
    * Everything is driver-side catalog metadata except the tombstone
    * counts, which are bounded by [[graft.sources.Bucketing]]'s purge
@@ -155,8 +157,13 @@ object Graft {
     // an operator sees one pending in between)
     val maint = graft.sources.Bucketing.pendingTables.sorted
       .map(t => ("maintenance", t, "pending"))
+    // writer leases on the warehouse: who owns each table's lock and
+    // how fresh the heartbeat is — the first thing to look at when a
+    // write throws the single-writer violation
+    val leases = graft.sources.Bucketing.leaseInfo(spark)
+      .map { case (t, d) => ("lease", t, d) }
     (engine ++ fns ++ strat ++ tables ++ versioned ++ indexes ++ epochs ++
-      streams ++ maint)
+      streams ++ maint ++ leases)
       .toDF("section", "key", "value")
   }
 }

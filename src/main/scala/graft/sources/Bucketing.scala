@@ -268,6 +268,37 @@ object Bucketing {
   /** Ops/spec hook: does THIS JVM hold the writer lease on `table`? */
   def holdsWriterLease(table: String): Boolean = heldLeases.containsKey(table)
 
+  /** Ops view of writer leases: one `(table, description)` per lock
+    * file in the warehouse — who holds it (this JVM or a foreign
+    * owner's pid@host) and how fresh its heartbeat is. One directory
+    * listing; an unreadable lock degrades its own row, never the
+    * report ([[graft.Graft.info]]'s `lease` section). */
+  def leaseInfo(spark: SparkSession): Seq[(String, String)] = {
+    val wh = new org.apache.hadoop.fs.Path(warehouse(spark))
+    val fs = hadoopFs(spark, wh)
+    if (!fs.exists(wh)) return Nil
+    val now = System.currentTimeMillis()
+    fs.listStatus(wh).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith("__lock"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val table = s.getPath.getName.stripSuffix("__lock")
+        val desc = try {
+          val in = fs.open(s.getPath)
+          val c = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          val parts = c.split('|')
+          val owner = parts.headOption.getOrElse("")
+          val who = parts.lift(1).getOrElse("?")
+          val age = parts.lift(2).flatMap(x =>
+            scala.util.Try(x.toLong).toOption).map(now - _)
+          (if (owner == leaseUuid) "held by this driver"
+           else s"held by $who") +
+            age.map(a => s", heartbeat ${a} ms ago").getOrElse("")
+        } catch { case _: Exception => "unreadable" }
+        (table, desc)
+      }
+  }
+
   /** Release this JVM's lease on `table` (deletes the lock file). */
   def releaseWriterLease(spark: SparkSession, table: String): Unit = {
     val st = heldLeases.remove(table)

@@ -132,6 +132,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows2.exists(r => r._1 == "table" && r._2 == "graft_info_idx_bands"))
   }
 
+  test("Graft.info: writer leases surface with owner and heartbeat age") {
+    val s = Graft.attach(SparkTestSession.spark)
+    import s.implicits._
+    graft.sources.Bucketing.writeBucketed(
+      Seq((1L, "a")).toDF("id", "v"), "graft_info_lease", "id", 2)
+    try {
+      val rows = Graft.info(s).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val lease = rows.filter(r => r._1 == "lease" && r._2 == "graft_info_lease")
+      assert(lease.length === 1, rows.filter(_._1 == "lease").mkString(","))
+      assert(lease.head._3.contains("this driver"), lease.head._3)
+      assert(lease.head._3.contains("heartbeat"), lease.head._3)
+    } finally graft.sources.Bucketing.dropLogical(s, "graft_info_lease")
+  }
+
   test("Graft.info: a corrupt tombstone table degrades its row, not the facade") {
     val s = Graft.attach(SparkTestSession.spark)
     s.sql("CREATE TABLE graft_sick_tombstones USING parquet AS SELECT 1L AS doc_id")
