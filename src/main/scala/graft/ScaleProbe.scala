@@ -1480,8 +1480,14 @@ object ScaleProbe {
           z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
           z ^ (z >>> 31)
         }
-        // 1000 novel docs per batch, 100 tokens each, corpus-shaped vocab
-        def oneBatch(b: Int): Double = {
+        // 1000 novel docs per batch, 100 tokens each, corpus-shaped
+        // vocab. Each batch also times a FIXED tiny control job: the
+        // per-batch analog of the bench gate's host-epoch controls —
+        // a virtualized-host stall inflates the control exactly when
+        // it inflates the batch, so contaminated batches can be
+        // excluded from the pins instead of tripping them (an ENGINE
+        // regression leaves the control flat and still trips).
+        def oneBatch(b: Int): (Double, Double) = {
           val rows = (0 until 1000).map { i =>
             val id = 10000000L + b * 1000L + i
             (id, (0 until 100).map(j =>
@@ -1491,7 +1497,10 @@ object ScaleProbe {
           ms.addData(rows)
           val t0 = System.nanoTime()
           q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          spark.range(4000000L).selectExpr("sum(id)").collect()
+          val t2 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         }
         // LSM-style maintenance is now AUTOMATIC (round 12): the loops
         // run the files-per-bucket trigger between batches, so the
@@ -1500,9 +1509,33 @@ object ScaleProbe {
         // that fire the trigger pay the (amortized) rewrite inline;
         // p50 is robust to those spikes, and the flat-latency bar
         // tightens from the manual-era 2.5× to 1.3×.
-        val lat = try (0 until nB).map(oneBatch) finally q.stop()
+        val timed = try (0 until nB).map(oneBatch) finally q.stop()
+        val latAll = timed.map(_._1)
+        val ctl = timed.map(_._2)
+        // full per-batch traces: adjudicating a tripped pin needs the
+        // SHAPE (drift vs spike vs step) and the host's own reading
+        System.err.println(s"==   ${kind}_batches " +
+          latAll.map(x => f"$x%.2f").mkString(" "))
+        System.err.println(s"==   ${kind}_hostctl " +
+          ctl.map(x => f"$x%.2f").mkString(" "))
         def p(xs: Seq[Double], q: Double) = xs.sorted.apply(
           math.min(xs.size - 1, (q * xs.size).toInt))
+        // HOST-CONTAMINATION filter (the r14 bench-gate lesson applied
+        // per batch): a batch whose fixed control ran >3x the median
+        // control was stalled by the host, not the engine — excluded
+        // from the pins (kept in the trace). An engine regression
+        // cannot hide here: it inflates the batch, never the control.
+        val ctlMed = p(ctl, 0.5)
+        val clean = latAll.zip(ctl).collect {
+          case (l, c) if c <= 3.0 * ctlMed => l
+        }
+        val dropped = nB - clean.size
+        if (dropped > 0) System.err.println(
+          s"==   ${kind}_hostdrop $dropped/$nB batches host-contaminated " +
+            f"(ctl median $ctlMed%.3f s)")
+        require(clean.size >= (nB * 3) / 5,
+          s"host too noisy to adjudicate: $dropped of $nB batches contaminated")
+        val lat = clean
         // skip the first 5 batches (JIT + first-touch of the sink);
         // early = the next 15, late = the last 15 — flat means the
         // per-batch cost tracks the batch, not the grown index
@@ -1511,7 +1544,7 @@ object ScaleProbe {
         val (e50, l50) = (p(early, 0.5), p(late, 0.5))
         System.err.println(f"==   stream_${kind}%s: p50 early $e50%.2f s, " +
           f"p50 late $l50%.2f s, p99 ${p(lat.drop(5), 0.99)}%.2f s over $nB batches " +
-          f"(index +${nB}k docs, auto-compaction on)")
+          f"($dropped host-dropped; index +${nB}k docs, auto-compaction on)")
         require(l50 <= 1.3 * e50 + 0.2,
           f"per-batch latency grew with the index despite auto-compaction: " +
             f"p50 $e50%.2f -> $l50%.2f s")

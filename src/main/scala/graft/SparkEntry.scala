@@ -1512,6 +1512,34 @@ object SparkEntry {
   }
 
   /**
+   * The append feed (sources.Bucketing.segmentFeed): a consumer polls
+   * the base write (taking its watermark), two appends land, and the
+   * next poll must deliver EXACTLY the appended rows — each ingested
+   * segment exactly once, keyed by strictly-monotonic registration
+   * stamps, maintenance segments never fed. Pull-based CDC with one
+   * catalog listing per poll; the retention knobs bound how far a
+   * consumer may lag (SegmentFeedSpec pins the merge interactions).
+   */
+  private def qSegmentFeed(s: SparkSession, dir: String): DataFrame = {
+    val tn = s"g_segfeed_${math.abs(dir.hashCode)}"
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    graft.sources.Bucketing.writeBucketed(
+      o.filter(col("o_orderdate") < "1997-01-01"), tn, "o_custkey", 4)
+    val (_, w) = graft.sources.Bucketing.segmentFeed(s, tn, 0L)
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"), tn, "o_custkey")
+    graft.sources.Bucketing.appendBucketed(
+      o.filter(col("o_orderdate") >= "1999-01-01"), tn, "o_custkey")
+    val (segs, _) = graft.sources.Bucketing.segmentFeed(s, tn, w)
+    graft.sources.Bucketing.readSegments(s, tn, segs)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /**
    * Incremental corpus dedup: the last 10% of docs arrive as a "new
    * batch"; find their near-dups in the standing corpus without
    * re-pairing the corpus (Dedup.incrementalNearDupPairs — batch
@@ -4126,6 +4154,7 @@ object SparkEntry {
     "q_segment_pruned" -> (qSegmentPruned _),
     "q_segment_pruned_auto" -> (qSegmentPrunedAuto _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_segment_feed" -> (qSegmentFeed _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
     "q_partitioned_sink" -> (qPartitionedSink _),
@@ -6489,6 +6518,11 @@ object SparkEntry {
       ("SELECT year(o_orderdate) AS yr, count(*) AS n, " +
         "round(sum(o_totalprice), 2) AS sum_price " +
         "FROM orders WHERE o_orderdate < '1997-01-01' GROUP BY 1"),
+    // the feed after the base write's watermark IS the appended rows
+    "q_segment_feed" ->
+      ("SELECT year(o_orderdate) AS yr, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY 1"),
     "dedup_incremental" -> incrementalDedupSql,
     // the persistent-index path verifies candidates with the same
     // exact jaccard, and LSH recall at k=128/bands=32 is ≈1 at the

@@ -628,6 +628,61 @@ object Bucketing {
     else spark.read.parquet(kept.map(_.location): _*).select(cols: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Append feed — pull-based CDC over a manifest table. Each INGEST
+  // segment (a write/append batch) is immutable and stamped with its
+  // registration instant, so a downstream consumer gets exactly-once
+  // delivery of every ingested row by polling `segmentFeed` with its
+  // last watermark and reading the returned segments. MAINTENANCE
+  // segments (compaction merges, fold/purge rewrites) re-package rows
+  // already delivered and are excluded by their `graft.origin` stamp.
+  // The feed window is the retention window: segments merged away
+  // stay visible through the retained predecessor versions, so set
+  // `graceVersions`/`vacuumRetainMs` to cover the slowest consumer's
+  // polling interval — the same knob that bounds time travel. (Note
+  // the feed is an APPEND feed: rewrites that change rows in place —
+  // tombstone purge, relabel folds — are not re-delivered.)
+  // ------------------------------------------------------------------
+
+  /** The ingest segments of `table` registered strictly after
+    * `sinceMs`, oldest-first, unioned across ALL retained versions
+    * (deduped by name — a segment merged away in the current version
+    * is still fed from its retained predecessor), plus the new
+    * watermark (max registration instant seen, or `sinceMs` when the
+    * feed is empty). Catalog-only. Read the refs with
+    * [[readSegments]]. */
+  def segmentFeed(spark: SparkSession, table: String, sinceMs: Long)
+      : (Seq[SegRef], Long) = {
+    val segs = listVersions(spark, table)
+      .flatMap { case (phys, _) => segmentsOf(spark, phys) }
+      .groupBy(_.name).map(_._2.head).toSeq
+    val fresh = segs.flatMap { r =>
+      val at = r.params.get("graft.appendedAt").flatMap(s =>
+        scala.util.Try(s.toLong).toOption)
+      val ingest = r.params.get("graft.origin").forall(_ == "ingest")
+      at match {
+        case Some(ts) if ingest && ts > sinceMs => Some((ts, r))
+        case _ => None
+      }
+    }.sortBy { case (ts, r) => (ts, r.name) }
+    val wm = (sinceMs +: fresh.map(_._1)).max
+    (fresh.map(_._2), wm)
+  }
+
+  /** Read specific fed segments of `table` — same schema as
+    * `spark.table(table)`. A consumer lagging past the retention
+    * window fails loudly here (missing files), never silently skips. */
+  def readSegments(spark: SparkSession, table: String,
+      segs: Seq[SegRef]): DataFrame = {
+    val (phys, _) = currentPhys(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table does not exist"))
+    val meta = catalogOf(spark).getTableMetadata(TableIdentifier(phys))
+    val cols = meta.schema.fieldNames.filterNot(_ == SegCol).map(col).toSeq
+    val kept = segs.filterNot(_.params.get("graft.bytes").contains("0"))
+    if (kept.isEmpty) spark.table(table).limit(0)
+    else spark.read.parquet(kept.map(_.location): _*).select(cols: _*)
+  }
+
   /** The data directories of the CURRENT version (segment dirs for a
     * manifest table; the table location otherwise) — what a rewrite
     * reads as plain parquet so it scans exactly the current files. */
@@ -833,7 +888,7 @@ object Bucketing {
    */
   private def writeSegmentFilesWithStats(spark: SparkSession, table: String,
       df: DataFrame, bucketCol: String, buckets: Int, segName: String,
-      statsCols: Seq[String])
+      statsCols: Seq[String], origin: String = "ingest")
       : (org.apache.hadoop.fs.Path, Map[String, String]) = {
     val dir = new org.apache.hadoop.fs.Path(dataDir(spark, table), segName)
     val tmp = s"${table}__segw_$segName"
@@ -856,9 +911,14 @@ object Bucketing {
     val bytes = segmentBytes(spark, dir.toUri)
     // the registration instant rides the segment (carried by reference
     // through every later version) — the grain [[readAsOf]] resolves
-    // at, since appends land in the CURRENT version without a flip
+    // at, since appends land in the CURRENT version without a flip.
+    // `graft.origin` separates INGEST segments (new rows arriving)
+    // from MAINTENANCE ones (merges/rewrites of rows already
+    // delivered) — what [[segmentFeed]] keys exactly-once delivery on
+    val at = nextStamp(table)
     val base = Map("graft.bytes" -> bytes.toString,
-      "graft.appendedAt" -> System.currentTimeMillis().toString)
+      "graft.appendedAt" -> at.toString,
+      "graft.origin" -> origin)
     val params =
       if (obs == null || bytes == 0L) base
       else {
@@ -872,7 +932,7 @@ object Bucketing {
             scala.concurrent.duration.Duration(30, "s"))
         catch { case _: Throwable => Map.empty }
         if (m.isEmpty) // observation lost (shouldn't happen): read back
-          segmentRegParams(spark, dir.toString, statsCols)
+          segmentRegParams(spark, dir.toString, statsCols, origin, at)
         else base ++ statsCols.flatMap { c =>
           Option(m.getOrElse(s"min_$c", null)).map(v =>
             s"graft.min.$c" -> String.valueOf(v)).toSeq ++
@@ -944,11 +1004,26 @@ object Bucketing {
     * job itself and must not grow this. */
   private[sources] val statsReadbacks = new java.util.concurrent.atomic.AtomicLong
 
+  /** Strictly-monotonic per-table registration stamps: two appends
+    * inside the same millisecond must not share an instant, or a feed
+    * consumer polling between them could miss the second forever. The
+    * single-writer lease makes this in-JVM counter authoritative. */
+  private val lastStamp =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nextStamp(table: String): Long =
+    lastStamp.compute(table, (_, prev) => {
+      val now = System.currentTimeMillis()
+      if (prev == null || now > prev) now else prev + 1L
+    })
+
   private def segmentRegParams(spark: SparkSession, dir: String,
-      statsCols: Seq[String]): Map[String, String] = {
+      statsCols: Seq[String], origin: String = "ingest",
+      at: Long = -1L): Map[String, String] = {
     val bytes = segmentBytes(spark, new org.apache.hadoop.fs.Path(dir).toUri)
     val base = Map("graft.bytes" -> bytes.toString,
-      "graft.appendedAt" -> System.currentTimeMillis().toString)
+      "graft.appendedAt" ->
+        (if (at >= 0) at else System.currentTimeMillis()).toString,
+      "graft.origin" -> origin)
     // an EMPTY segment (a write whose frame had no rows) has no files
     // to read stats from — and no rows to prune against
     if (statsCols.nonEmpty && bytes > 0L) statsReadbacks.incrementAndGet()
@@ -1123,7 +1198,7 @@ object Bucketing {
       val seg = newSegName()
       val stats = statsColsOf(meta)
       val (dir, params) = writeSegmentFilesWithStats(spark, table, f(in),
-        bcol, spec.numBuckets, seg, stats)
+        bcol, spec.numBuckets, seg, stats, origin = "maintenance")
       createVersionTable(spark, table, next,
         StructType(meta.schema.filterNot(_.name == SegCol)),
         bcol, spec.numBuckets,
@@ -1377,7 +1452,8 @@ object Bucketing {
     val seg = newSegName()
     val stats = statsColsOf(meta)
     val (dir, params) = writeSegmentFilesWithStats(spark, table,
-      spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg, stats)
+      spark.read.parquet(hotDirs: _*), bcol, spec.numBuckets, seg, stats,
+      origin = "maintenance")
     createVersionTable(spark, table, v + 1,
       StructType(meta.schema.filterNot(_.name == SegCol)),
       bcol, spec.numBuckets,
@@ -1566,7 +1642,7 @@ object Bucketing {
           val in = bg.read.parquet(hotDirs: _*)
           pc.segParams = writeSegmentFilesWithStats(bg, table,
             if (transform == null) in else transform(in),
-            bcol, buckets, segName, statsCols)._2
+            bcol, buckets, segName, statsCols, origin = "maintenance")._2
         } catch { case t: Throwable => pc.failure = t }
         finally {
           pc.finished = true
@@ -1664,7 +1740,8 @@ object Bucketing {
         val seg = newSegName()
         val (dir, params) = writeSegmentFilesWithStats(spark, table,
           p.transform(spark.read.parquet(remaining.map(_.location): _*)),
-          spec.bucketColumnNames.head, spec.numBuckets, seg, stats)
+          spec.bucketColumnNames.head, spec.numBuckets, seg, stats,
+          origin = "maintenance")
         Seq(SegRef(seg, dir.toString, params))
       }
     createVersionTable(spark, table, p.fromV + 1,
@@ -1672,7 +1749,8 @@ object Bucketing {
       spec.bucketColumnNames.head, spec.numBuckets,
       carry :+ SegRef(p.segName, p.segDir,
         Option(p.segParams).getOrElse(
-          segmentRegParams(spark, p.segDir, stats))), stats)
+          segmentRegParams(spark, p.segDir, stats,
+            origin = "maintenance"))), stats)
     flipView(spark, table, p.fromV + 1)
     protectedSegs.remove(p.segName)
     if (p.onFinalize != null) p.onFinalize(spark)
