@@ -267,8 +267,13 @@ object Graph {
    * Consumed by [[triangleCount]], [[kTruss]] (per peel round), and
    * [[clusteringCoefficient]] — one kernel, no drift.
    */
-  def orientedTriangles(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  def orientedTriangles(edges: DataFrame, bcastDeg: Boolean = false): DataFrame = {
+    // bcastDeg: callers that KNOW the measured edge count (kTruss's
+    // per-round observe) set it so the node-sized degree table
+    // broadcasts instead of shuffling the edge side twice; the
+    // default stays shuffle-safe for unknown sizes.
+    val deg0 = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = if (bcastDeg) broadcast(deg0) else deg0
     val oriented = edges
       .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
@@ -307,16 +312,27 @@ object Graph {
    */
   def kTruss(edges0: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 3, s"k-truss is defined for k >= 3, got $k")
+    // seed materialization carries the canonical edge count, so every
+    // round's join strategy is chosen from the MEASURED surviving-edge
+    // count (same discipline as [[kCore]]): under the threshold the
+    // node-sized degree table and the (≤ edge-sized) support table
+    // broadcast — a peel round's only exchanges are its aggregates —
+    // and above it everything falls back to shuffled joins.
+    val obs0 = org.apache.spark.sql.Observation()
     var canon = edges0.select(col("src"), col("dst"))
-      .filter(col("src") < col("dst")).distinct().materializeRound
+      .filter(col("src") < col("dst")).distinct()
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    var prevEdges = obs0.get("n").asInstanceOf[Long]
+    val bcastMax = edges0.sparkSession.conf
+      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
     var lastSupport: DataFrame = null
-    var prevEdges = -1L
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val small = prevEdges <= bcastMax
       val sym = canon.unionByName(
         canon.select(col("dst").as("src"), col("src").as("dst")))
-      val tris = orientedTriangles(sym)
+      val tris = orientedTriangles(sym, bcastDeg = small)
       val support = tris.select(explode(array(
           struct(least(col("u"), col("w1")).as("src"),
             greatest(col("u"), col("w1")).as("dst")),
@@ -327,9 +343,10 @@ object Graph {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("support"))
       lastSupport = support
+      val strong = support.filter(col("support") >= k - 2)
       val obs = org.apache.spark.sql.Observation()
       val next = canon
-        .join(support.filter(col("support") >= k - 2), Seq("src", "dst"), "left_semi")
+        .join(if (small) broadcast(strong) else strong, Seq("src", "dst"), "left_semi")
         .observe(obs, count(lit(1)).as("n"))
         .materializeRound
       val n = obs.get("n").asInstanceOf[Long]
@@ -364,13 +381,28 @@ object Graph {
    * peels would report a too-large core.
    */
   def kCore(edges0: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
-    var edges = edges0.select(col("src"), col("dst")).materializeRound
-    var prevEdges = -1L
+    // the seed materialization (needed anyway) carries the edge count,
+    // so (a) a graph that is already its own core converges in ONE
+    // round (no edge dropped from a known starting count ⇒ no node
+    // was under-degree ⇒ fixpoint), and (b) every round's join
+    // strategy is chosen from the MEASURED surviving-edge count, not
+    // an estimate: `keep` (≤ distinct src ≤ current edges) broadcasts
+    // under the threshold — a peel round is then one degree aggregate
+    // with zero edge-row exchange — and falls back to shuffled
+    // semi-joins above it (the billion-edge regime), same discipline
+    // as [[coreness]]'s measured-size gate.
+    val obs0 = org.apache.spark.sql.Observation()
+    var edges = edges0.select(col("src"), col("dst"))
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    var prevEdges = obs0.get("n").asInstanceOf[Long]
+    val bcastMax = edges0.sparkSession.conf
+      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
+      val keep = if (prevEdges <= bcastMax) broadcast(keep0) else keep0
       val obs = org.apache.spark.sql.Observation()
       val next = edges
         .join(keep, Seq("src"), "left_semi")
@@ -451,6 +483,23 @@ object Graph {
     val useFrontier = frontier ||
       (adaptive && m0("low").asInstanceOf[Long] * 10L >= n0 * 3L)
 
+    // the observe carries the EXACT node count up front, so the join
+    // strategy is chosen from measured size, not an estimate: a value
+    // table under the threshold pins the edge side in place — zero
+    // edge-row movement per round; above it (the billion-node regime)
+    // every application falls back to the shuffled hash join. Default
+    // 2M rows: a hashed broadcast relation costs ~3-4× the raw
+    // 16 B/row (UnsafeRow + map), so 2M ≈ 100-200 MB on the driver and
+    // on every executor — conservative for a default driver;
+    // `spark.graft.coreness.broadcastNodes` raises it on big-memory
+    // clusters. Value tables only ever SHRINK from n0 (h-index output
+    // groups ≤ nodes), so one threshold covers every round in BOTH
+    // modes — frontier rounds broadcast their (≤ node-sized) dirty
+    // sets and recomputed deltas under the same gate.
+    val bcast = n0 <= edges.sparkSession.conf
+      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    def gated(d: DataFrame): DataFrame = if (bcast) broadcast(d) else d
+
     // MID-RUN ESCAPE HATCH: the seed-time predictor above is a
     // one-shot static threshold, and graphs in the untested middle
     // band (long pendant chains at 20-29% degree-≤2 mass — below the
@@ -476,6 +525,14 @@ object Graph {
       // non-increasing, so the composed step's observe-carried sum
       // matches the previous one iff NO sub-round changed anything;
       // fixpoint detection stays sound at half the driver cadence.
+      // Two is the measured sweet spot, not a leftover: each
+      // application under the broadcast gate is itself a driver
+      // barrier (the value side collects to the driver to build the
+      // broadcast relation), so fusing deeper does NOT amortize
+      // dispatch the way it does for shuffle-only rounds — an
+      // escalating 2/4/8 schedule measured 7.9 s vs 3.8 s on this
+      // fixture's 18-round fixpoint (nested broadcast exchanges
+      // serialize, and the deeper plan recompiles per block).
       // Fastest when per-round stage overhead dominates (this
       // fixture's 242k edges at local[32]) — see the frontier mode
       // below for the billion-edge regime.
@@ -488,22 +545,6 @@ object Graph {
       }
       var vals = degMat
       var cur = (n0, s0)
-      // the observe carries the EXACT node count every round, so the
-      // join strategy is chosen from measured size, not an estimate:
-      // a value table under the threshold pins the edge side in place
-      // — zero edge-row movement per round; above it (the
-      // billion-node regime) both applications fall back to the
-      // shuffled hash join. Default 2M rows: a hashed broadcast
-      // relation costs ~3-4× the raw 16 B/row (UnsafeRow + map), so
-      // 2M ≈ 100-200 MB on the driver and on every executor —
-      // conservative
-      // for a default driver; `spark.graft.coreness.broadcastNodes`
-      // raises it on big-memory clusters. The composed second
-      // application's input is the first's output, whose row count
-      // can only SHRINK to the first's group count ≤ n, so one
-      // threshold covers both.
-      val bcast = cur._1 <= edges.sparkSession.conf
-        .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
       var converged = false
       var i = 0
       val budget = if (adaptive) math.min(maxIters, escapeBudget) else maxIters
@@ -543,16 +584,21 @@ object Graph {
     var converged = false
     var i = roundsUsed
     while (!converged && i < maxIters) {
-      // no distinct on dirty: it is only ever a semi-join right side
+      // no distinct on dirty: it is only ever a semi-join right side.
+      // Every node-sized side (changed, dirty, the recomputed delta,
+      // and the value join inside hIndexRound) rides the measured-size
+      // broadcast gate computed at seed time — under the threshold a
+      // frontier round's only exchange is the h-index aggregate; above
+      // it everything falls back to shuffled joins as before.
       val dirty = edges
-        .join(changed.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(gated(changed.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
         .select(col("src"))
       val recomputed = hIndexRound(
-        vals, edgesBySrc.join(dirty, Seq("src"), "left_semi"))
+        vals, edgesBySrc.join(gated(dirty), Seq("src"), "left_semi"), bcast)
         .withColumnRenamed("c", "c_new")
       val obs = org.apache.spark.sql.Observation()
       val mat = vals.withColumnRenamed("c", "c_old")
-        .join(recomputed, Seq("node"), "left_outer")
+        .join(gated(recomputed), Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("c_new"), col("c_old")).as("c"),
           (col("c_new").isNotNull && col("c_new") =!= col("c_old"))
             .cast("long").as("moved"))

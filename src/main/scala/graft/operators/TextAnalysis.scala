@@ -1288,8 +1288,13 @@ object TextAnalysis {
     val scoredHit = tokenScores.join(broadcast(priors), Seq("label"))
       .select(col(idCol), col("label"),
         round(col("s") + col("log_prior"), 6).as("score"))
-    val vocabDocs = toks.join(broadcast(m.select("token").distinct()), Seq("token"))
-      .select(col(idCol)).distinct()
+    // docs with ≥1 in-vocab token are EXACTLY tokenScores' doc ids
+    // (the grid is dense, so any in-vocab hit scores every label) —
+    // derive the anti-join side from the aggregate already computed
+    // instead of re-scanning + re-exploding the corpus against a
+    // second broadcast of the vocab (one full corpus pass saved; the
+    // shared tokenScores exchange is reused at runtime)
+    val vocabDocs = tokenScores.select(col(idCol)).distinct()
     val scoredOov = docs.select(col(idCol))
       .join(vocabDocs, Seq(idCol), "left_anti")
       .crossJoin(broadcast(priors))
