@@ -59,7 +59,13 @@ object Graph {
       materializeEvery: Int = 5): DataFrame = {
     // one edge exchange total: pre-partition on src, then checkpoint —
     // every round's join reads the co-located edges (same reasoning as
-    // pagerank's edgesDeg repartition, pinned in PlanAuditSpec)
+    // pagerank's edgesDeg repartition, pinned in PlanAuditSpec).
+    // NOT broadcast-gated like the BFS/SSSP frontiers: LPA's rounds
+    // chain LAZILY (no per-round materialization at small `iters`),
+    // so gating would nest one broadcast per round — measured 15%
+    // slower at sf0.1 (1.56 → 1.91 s same-JVM A/B; each mid-plan
+    // broadcast is a driver barrier). The frontier loops only gate
+    // frames already materialized by their own round jobs.
     val edges = edges0.repartition(col("src")).materializeRound
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -128,6 +134,23 @@ object Graph {
       if (m.startsWith("local") && !m.startsWith("local-cluster")) 1 else 2
     }
 
+  /** Shared measured-size broadcast threshold for node-sized sides of
+    * the iterative loops (frontiers, distance tables, keep sets) —
+    * one knob, documented at [[coreness]]: ~3-4× 16 B/row hashed, so
+    * the 2M default is 100-200 MB of driver/executor memory. */
+  private def broadcastMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+
+  /** Broadcast `side` when the measured row count cleared the gate.
+    * Only MATERIALIZED frames ride this (a broadcast is itself a
+    * driver barrier, so broadcasting a lazy mid-block aggregate
+    * serializes the fused job — measured counterproductive on the
+    * coreness fixture); the frontier loops pass the count observed on
+    * the previous round's own materialization job. */
+  private def gateBcast(side: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= broadcastMaxRows(side)) broadcast(side) else side
+
   /**
    * Bounded BFS: exact shortest-hop distances (≤ `maxDepth`) from the
    * `source` node set over a symmetric edge list — the reachability /
@@ -149,21 +172,34 @@ object Graph {
       maxDepth: Int = 3, fuse: Int = AutoFuse): DataFrame = {
     val fz = resolveFuse(edges0, fuse)
     val edges = edges0.repartition(col("src")).materializeRound
-    var dist = source.select(col("node"), lit(0L).as("dist")).materializeRound
+    val obs0 = org.apache.spark.sql.Observation()
+    var dist = source.select(col("node"), lit(0L).as("dist"))
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    // the distance-table row count rides each round's own
+    // materialization job, so the relax join picks its strategy from
+    // MEASURED size: a node-sized frontier under the gate broadcasts
+    // (the pre-partitioned edge side never moves and pays no sort);
+    // only the first sub-round of a fused block is gated — inner
+    // frontiers are lazy aggregates, and broadcasting those would
+    // serialize the fused job on mid-plan driver barriers.
+    var lastN = obs0.get("n").asInstanceOf[Long]
     var done = 0
     while (done < maxDepth) {
       val k = math.max(1, math.min(fz, maxDepth - done))
       var d = dist
-      for (_ <- 1 to k) {
+      for (j <- 1 to k) {
         // name-based join: the fused plan joins `edges` against a
         // subplan that already CONTAINS `edges`; USING-resolution
         // stays unambiguous under Spark's relation deduplication
-        val frontier = d.select(col("node").as("src"), col("dist"))
+        val frontier0 = d.select(col("node").as("src"), col("dist"))
+        val frontier = if (j == 1) gateBcast(frontier0, lastN) else frontier0
         val next = edges.join(frontier, Seq("src"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
         d = d.unionAll(next).groupBy("node").agg(min("dist").as("dist"))
       }
-      dist = d.materializeRound
+      val obs = org.apache.spark.sql.Observation()
+      dist = d.observe(obs, count(lit(1)).as("n")).materializeRound
+      lastN = obs.get("n").asInstanceOf[Long]
       done += k
     }
     dist
@@ -184,20 +220,28 @@ object Graph {
       maxDepth: Int = 3, fuse: Int = AutoFuse): DataFrame = {
     val fz = resolveFuse(edges0, fuse)
     val edges = edges0.repartition(col("src")).materializeRound
+    val obs0 = org.apache.spark.sql.Observation()
     var dist = sources
       .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
-      .materializeRound
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    // measured-size broadcast gate on the (source, node, dist) state —
+    // same discipline and caveats as bfsDistances (state rows ≤
+    // |sources| × reach, so the same row-count threshold applies)
+    var lastN = obs0.get("n").asInstanceOf[Long]
     var done = 0
     while (done < maxDepth) { // k rounds per job — see bfsDistances
       val k = math.max(1, math.min(fz, maxDepth - done))
       var d = dist
-      for (_ <- 1 to k) {
-        val frontier = d.select(col("s"), col("node").as("src"), col("dist"))
+      for (j <- 1 to k) {
+        val frontier0 = d.select(col("s"), col("node").as("src"), col("dist"))
+        val frontier = if (j == 1) gateBcast(frontier0, lastN) else frontier0
         val next = edges.join(frontier, Seq("src"))
           .select(col("s"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
         d = d.unionByName(next).groupBy("s", "node").agg(min("dist").as("dist"))
       }
-      dist = d.materializeRound
+      val obs = org.apache.spark.sql.Observation()
+      dist = d.observe(obs, count(lit(1)).as("n")).materializeRound
+      lastN = obs.get("n").asInstanceOf[Long]
       done += k
     }
     dist.filter(col("dist") > 0)
@@ -671,17 +715,24 @@ object Graph {
     // so no round re-shuffles it — only dist-sized rows move per round
     val edges = wEdges.repartition(col("src")).materializeRound
     var dist = source.select(col("node"), lit(0.0).as("dist"))
+    // first block's frontier is the (tiny) source set; later blocks
+    // gate on the count observed at the previous materialization —
+    // the bfsDistances broadcast discipline
+    var lastN = 0L
     var done = 0
     while (done < rounds) { // k relax rounds per job — see bfsDistances
       val k = math.max(1, math.min(fz, rounds - done))
       var d = dist
-      for (_ <- 1 to k) {
-        val frontier = d.select(col("node").as("src"), col("dist"))
+      for (j <- 1 to k) {
+        val frontier0 = d.select(col("node").as("src"), col("dist"))
+        val frontier = if (j == 1) gateBcast(frontier0, lastN) else frontier0
         val relax = edges.join(frontier, Seq("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
       }
-      dist = d.materializeRound
+      val obs = org.apache.spark.sql.Observation()
+      dist = d.observe(obs, count(lit(1)).as("n")).materializeRound
+      lastN = obs.get("n").asInstanceOf[Long]
       done += k
     }
     dist.select(col("node"), round(col("dist"), 6).as("dist"))
@@ -738,8 +789,11 @@ object Graph {
     while (!converged && i < maxRounds) {
       val k = math.max(1, math.min(fz, maxRounds - i))
       var d = dist
-      for (_ <- 1 to k) {
-        val frontier = d.select(col("node").as("src"), col("dist"))
+      for (j <- 1 to k) {
+        // measured-size broadcast gate on the materialized frontier
+        // (count rides the checksum observe) — bfsDistances discipline
+        val frontier0 = d.select(col("node").as("src"), col("dist"))
+        val frontier = if (j == 1) gateBcast(frontier0, cur._1) else frontier0
         val relax = edges.join(frontier, Seq("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))

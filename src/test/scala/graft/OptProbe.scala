@@ -56,6 +56,77 @@ object OptProbe {
       spark.stop(); return
     }
 
+    // special mode: LPA old-vs-new in one JVM
+    if (names.sameElements(Array("lpa_ab"))) {
+      import graft.operators.Graph
+      import graft.core.Materialize.MaterializeOps
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges0 = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint()
+      def oldLpa(iters: Int): org.apache.spark.sql.DataFrame = {
+        val edges = edges0.repartition(col("src")).materializeRound
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        for (i <- 1 to iters) {
+          labels = edges.join(labels, edges("src") === labels("node"))
+            .groupBy(col("dst").as("node2"))
+            .agg(mode(col("label"), deterministic = true).as("label"))
+            .select(col("node2").as("node"), col("label"))
+        }
+        labels
+      }
+      time("lpa_old")(oldLpa(3).groupBy("label").agg(count(lit(1))).count())
+      time("lpa_new")(Graph.labelPropagation(edges0, iters = 3)
+        .groupBy("label").agg(count(lit(1))).count())
+      time("lpa_old2")(oldLpa(3).groupBy("label").agg(count(lit(1))).count())
+      time("lpa_new2")(Graph.labelPropagation(edges0, iters = 3)
+        .groupBy("label").agg(count(lit(1))).count())
+      spark.stop(); return
+    }
+
+    // special mode: sssp phases
+    if (names.sameElements(Array("sssp_phases"))) {
+      import graft.operators.Graph
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey").distinct()
+      val g = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 1000)).select("l_orderkey")
+      val li2 = li.join(g, "l_orderkey")
+      def wEdgesSelfJoin = li2.as("a").join(li2.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), round(lit(1.0) / col("cnt"), 6).as("w"))
+      def wEdgesPosting = li2.groupBy("l_orderkey")
+        .agg(collect_list(col("l_partkey")).as("items"))
+        .select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), round(lit(1.0) / col("cnt"), 6).as("w"))
+      time("wedges_selfjoin")(wEdgesSelfJoin.count())
+      time("wedges_posting")(wEdgesPosting.count())
+      val we = wEdgesSelfJoin.localCheckpoint()
+      val source = we.agg(min("src").as("node"))
+      time("sssp_rounds4")(Graph.weightedShortestPaths(we, source, rounds = 4).count())
+      time("sssp_converged")(Graph.weightedShortestPathsConverged(we, source).count())
+      spark.stop(); return
+    }
+
     // special mode: coreness round-count search / mode timing
     if (names.sameElements(Array("coreness_modes"))) {
       import graft.operators.Graph
