@@ -111,27 +111,33 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shinglesHashed(docs, n, textCol, idCol)
-    // set sizes come from the scan (size of the distinct-shingle array)
-    // — no groupBy shuffle
-    val sizes = docs.select(col(idCol).as("id"),
-      size(shingle_hashes(col(textCol), n)).cast("long").as("n_sh"))
+    // ONE scan, ONE shingle evaluation: the set size rides each
+    // exploded (id, sh) row as scan-stage metadata, so no second
+    // corpus pass computes sizes and no join reattaches them — the
+    // sizes travel the posting lists (8 extra bytes/row on
+    // near-singleton lists) and fall out of the pair aggregate's key
+    // (guide §2.3: shuffle small metadata instead of re-joining).
+    val sh = docs
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("sh"))
     // posting lists instead of a self-join: ONE shuffle of the
-    // (id, sh) rows builds per-shingle id lists; pairs explode from
-    // lists with ≥2 docs. With n≥5 shingles are near-unique, so lists
-    // are near-singleton and the pair explosion is ~linear in true
-    // near-dups — where a sort-merge self-join would sort both
+    // (id, n_sh, sh) rows builds per-shingle lists; pairs explode
+    // from lists with ≥2 docs. With n≥5 shingles are near-unique, so
+    // lists are near-singleton and the pair explosion is ~linear in
+    // true near-dups — where a sort-merge self-join would sort both
     // 19M-row sides at the 200k-doc probe scale.
-    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+    sh.groupBy("sh")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // n_sh is a function of the id, so widening the grouping key
+      // with (na, nb) changes no group boundaries
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count("*").as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
@@ -150,19 +156,20 @@ object Dedup {
   def ngramContainmentPairs(docs: DataFrame, n: Int = 5,
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sh = shinglesHashed(docs, n, textCol, idCol)
-    val sizes = docs.select(col(idCol).as("id"),
-      size(shingle_hashes(col(textCol), n)).cast("long").as("n_sh"))
-    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+    // same one-scan metadata-carrying shape as [[ngramJaccardPairs]]
+    val sh = docs
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("sh"))
+    sh.groupBy("sh")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count("*").as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("c_ab", col("n_inter") / col("na"))
       .withColumn("c_ba", col("n_inter") / col("nb"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
@@ -1214,7 +1221,18 @@ object Dedup {
    * their minimum without ever pointing a smaller node at a larger
    * one (monotone — labels only decrease).
    */
-  private def largeStar(e: DataFrame): DataFrame = {
+  /** Measured-size broadcast gate for the star rounds' node-sized
+    * min-label tables: the loop's checksum observe carries the exact
+    * edge count, and min-labels ≤ nodes ≤ edges, so under the
+    * threshold the m-join broadcasts (the edge side never exchanges
+    * or sorts for it) and above it (the billion-edge regime) the
+    * shuffled join stands. ~3-4× 16 B/row hashed ⇒ the 2M default is
+    * 100-200 MB of driver/executor memory. */
+  private def ccBroadcastMax(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.cc.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+
+  private def largeStar(e: DataFrame, measuredEdges: Long = Long.MaxValue): DataFrame = {
     // explode, not self-union: one scan of the round's (materialized)
     // edge frame instead of two, and no alias-swapped Union for
     // Spark's constraint rewrite to trip over at the next checkpoint
@@ -1222,8 +1240,9 @@ object Dedup {
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-    val m = sym.groupBy("u").agg(min("v").as("mn"))
+    val m0 = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val m = if (measuredEdges <= ccBroadcastMax(e)) broadcast(m0) else m0
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -1236,11 +1255,12 @@ object Dedup {
    * re-points its smaller neighbors — and itself — at
    * m = min(N<(u) ∪ {u}), flattening two-level trees into stars.
    */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private def smallStar(e: DataFrame, measuredEdges: Long = Long.MaxValue): DataFrame = {
     val or = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val m = or.groupBy("u").agg(min("v").as("m"))
+    val m0 = or.groupBy("u").agg(min("v").as("m"))
+    val m = if (measuredEdges <= ccBroadcastMax(e)) broadcast(m0) else m0
     or.join(m, "u")
       .select(explode(array(
         struct(col("v").as("a"), col("m").as("b")),
@@ -1298,7 +1318,8 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val (next, nextSum) = materializeWithChecksum(smallStar(largeStar(cur)))
+      val (next, nextSum) = materializeWithChecksum(
+        smallStar(largeStar(cur, curSum._1), curSum._1))
       converged = nextSum == curSum &&
         next.except(cur).limit(1).count() == 0 &&
         cur.except(next).limit(1).count() == 0

@@ -356,27 +356,58 @@ object Graph {
    */
   def kTruss(edges0: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 3, s"k-truss is defined for k >= 3, got $k")
-    // seed materialization carries the canonical edge count, so every
-    // round's join strategy is chosen from the MEASURED surviving-edge
-    // count (same discipline as [[kCore]]): under the threshold the
-    // node-sized degree table and the (≤ edge-sized) support table
-    // broadcast — a peel round's only exchanges are its aggregates —
-    // and above it everything falls back to shuffled joins.
-    val obs0 = org.apache.spark.sql.Observation()
-    var canon = edges0.select(col("src"), col("dst"))
-      .filter(col("src") < col("dst")).distinct()
-      .observe(obs0, count(lit(1)).as("n")).materializeRound
-    var prevEdges = obs0.get("n").asInstanceOf[Long]
     val bcastMax = edges0.sparkSession.conf
       .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    // FROZEN orientation: the (initial degree, id) total order is
+    // attached to the canonical edges ONCE and carried through every
+    // peel round — triangle single-enumeration only needs SOME fixed
+    // total order on vertices (each triangle has exactly one apex
+    // under it), and the initial-degree order keeps the hub-fanout
+    // bound the [[orientedTriangles]] kernel gets from live degrees.
+    // Re-deriving the order from peeled degrees each round (the
+    // kernel's behavior) costs a degree aggregate + two node joins +
+    // a materialization PER ROUND and changes no output: support
+    // counts and survivors are enumeration-order-independent. At
+    // sf0.1's 3-round fixpoint the same-JVM A/B is a wash (the seed
+    // rank join offsets 3 rounds of savings); the win is structural —
+    // one edge-sized exchange and one checkpoint fewer per round,
+    // which compounds on deep peels and at scale. Seed materialization
+    // carries the edge count, so each round's semi-join picks its
+    // strategy from the MEASURED surviving count (kCore discipline).
+    // seed rank joins are unhinted (input size unknown here; the
+    // planner/AQE picks) — they run ONCE, not per round
+    val sym0 = edges0.select(col("src"), col("dst"))
+    val deg0 = sym0.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val obs0 = org.apache.spark.sql.Observation()
+    var canon = sym0
+      .filter(col("src") < col("dst")).distinct()
+      .join(deg0.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg0.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+      .select(col("src"), col("dst"), col("dsrc"), col("ddst"))
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    var prevEdges = obs0.get("n").asInstanceOf[Long]
     var lastSupport: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val small = prevEdges <= bcastMax
-      val sym = canon.unionByName(
-        canon.select(col("dst").as("src"), col("src").as("dst")))
-      val tris = orientedTriangles(sym, bcastDeg = small)
+      // orientation is a FILTER over the carried ranks — no per-round
+      // degree work; the wedge key (rank struct) rides each oriented
+      // edge so wedge pairs order by the same total order
+      val oriented = canon.select(explode(array(
+          struct(col("src"), col("dst"), col("dsrc"), col("ddst")),
+          struct(col("dst").as("src"), col("src").as("dst"),
+            col("ddst").as("dsrc"), col("dsrc").as("ddst")))).as("e"))
+        .select(col("e.src").as("u"), col("e.dst").as("v"),
+          col("e.dsrc").as("du"), col("e.ddst").as("dv"))
+        .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+        .select(col("u"), col("v"), col("dv"))
+      val tris = oriented.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
+        .join(oriented.select(col("u"), col("v").as("w2"), col("dv").as("d2")), "u")
+        .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+        .join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+          Seq("w1", "w2"), "left_semi")
+        .select(col("u"), col("w1"), col("w2"))
       val support = tris.select(explode(array(
           struct(least(col("u"), col("w1")).as("src"),
             greatest(col("u"), col("w1")).as("dst")),
@@ -401,8 +432,9 @@ object Graph {
     }
     require(converged, s"kTruss: no fixpoint after $maxIters peel rounds")
     // at fixpoint the last support was computed over the final edge
-    // set itself, so it IS the in-truss support
-    canon.join(lastSupport, Seq("src", "dst"))
+    // set itself, so it IS the in-truss support (carried rank columns
+    // are internal — the output contract stays (src, dst, support))
+    canon.select(col("src"), col("dst")).join(lastSupport, Seq("src", "dst"))
   }
 
   /**

@@ -56,6 +56,222 @@ object OptProbe {
       spark.stop(); return
     }
 
+    // special mode: kTruss old-vs-new in one JVM
+    if (names.sameElements(Array("ktruss_ab"))) {
+      import graft.operators.Graph
+      import graft.core.Materialize.MaterializeOps
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges0 = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint()
+      def kTrussOld(k: Int): Long = {
+        val obs0 = org.apache.spark.sql.Observation()
+        var canon = edges0.select(col("src"), col("dst"))
+          .filter(col("src") < col("dst")).distinct()
+          .observe(obs0, count(lit(1)).as("n")).materializeRound
+        var prevEdges = obs0.get("n").asInstanceOf[Long]
+        val bcastMax = 2L * 1024 * 1024
+        var lastSupport: org.apache.spark.sql.DataFrame = null
+        var converged = false
+        var i = 0
+        while (!converged && i < 30) {
+          val small = prevEdges <= bcastMax
+          val sym = canon.unionByName(
+            canon.select(col("dst").as("src"), col("src").as("dst")))
+          val tris = Graph.orientedTriangles(sym, bcastDeg = small)
+          val support = tris.select(explode(array(
+              struct(least(col("u"), col("w1")).as("src"),
+                greatest(col("u"), col("w1")).as("dst")),
+              struct(least(col("u"), col("w2")).as("src"),
+                greatest(col("u"), col("w2")).as("dst")),
+              struct(least(col("w1"), col("w2")).as("src"),
+                greatest(col("w1"), col("w2")).as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+            .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+          lastSupport = support
+          val strong = support.filter(col("support") >= k - 2)
+          val obs = org.apache.spark.sql.Observation()
+          val next = canon
+            .join(if (small) broadcast(strong) else strong, Seq("src", "dst"), "left_semi")
+            .observe(obs, count(lit(1)).as("n"))
+            .materializeRound
+          val n = obs.get("n").asInstanceOf[Long]
+          if (n == prevEdges) converged = true
+          prevEdges = n
+          canon = next
+          i += 1
+        }
+        println(s"[optprobe] ktruss_old rounds=$i")
+        canon.join(lastSupport, Seq("src", "dst")).count()
+      }
+      def kTrussNew(k: Int): Long = Graph.kTruss(edges0, k).count()
+      time("ktruss_old")(kTrussOld(5)); time("ktruss_new")(kTrussNew(5))
+      time("ktruss_old2")(kTrussOld(5)); time("ktruss_new2")(kTrussNew(5))
+      spark.stop(); return
+    }
+
+    // special mode: kCore old-vs-new in one JVM
+    if (names.sameElements(Array("kcore_ab"))) {
+      import graft.operators.Graph
+      import graft.core.Materialize.MaterializeOps
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges0 = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint()
+      def kCoreOld(k: Int): Long = {
+        var edges = edges0.select(col("src"), col("dst")).materializeRound
+        var prevEdges = -1L
+        var converged = false
+        var i = 0
+        while (!converged && i < 50) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k).select("src")
+          val obs = org.apache.spark.sql.Observation()
+          val next = edges
+            .join(keep, Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+            .observe(obs, count(lit(1)).as("n"))
+            .materializeRound
+          val n = obs.get("n").asInstanceOf[Long]
+          if (n == prevEdges) converged = true
+          prevEdges = n
+          edges = next
+          i += 1
+        }
+        println(s"[optprobe] kcore_old rounds=$i")
+        edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).count()
+      }
+      def kCoreNew(k: Int): Long = Graph.kCore(edges0, k).count()
+      time("kcore_old")(kCoreOld(8)); time("kcore_new")(kCoreNew(8))
+      time("kcore_old2")(kCoreOld(8)); time("kcore_new2")(kCoreNew(8))
+      spark.stop(); return
+    }
+
+    // special mode: ngramJaccardPairs old-vs-new in one JVM
+    if (names.sameElements(Array("jp_ab"))) {
+      import graft.operators.Dedup
+      import graft.functions.TextFunctions.shingle_hashes
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val docs = Tables.t(spark, sfDir, "documents")
+      def oldJp(threshold: Double): Long = {
+        val n = 5
+        val sh = docs.select(col("doc_id").as("id"),
+          explode(shingle_hashes(col("text"), n)).as("sh"))
+        val sizes = docs.select(col("doc_id").as("id"),
+          size(shingle_hashes(col("text"), n)).cast("long").as("n_sh"))
+        val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(col("ids")).as("a_id"), col("ids"))
+          .select(col("a_id"), explode(col("ids")).as("b_id"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count("*").as("n_inter"))
+        inter
+          .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+          .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+          .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .count()
+      }
+      def newJp(threshold: Double): Long =
+        Dedup.ngramJaccardPairs(docs, n = 5, threshold = threshold).count()
+      time("jp_old")(oldJp(0.7)); time("jp_new")(newJp(0.7))
+      time("jp_old2")(oldJp(0.7)); time("jp_new2")(newJp(0.7))
+      time("jp_old_t0")(oldJp(0.0)); time("jp_new_t0")(newJp(0.0))
+      spark.stop(); return
+    }
+
+    // special mode: connected-components star loop old-vs-new in one JVM
+    if (names.sameElements(Array("cc_ab"))) {
+      import graft.operators.Dedup
+      import graft.core.Materialize.MaterializeOps
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.t(spark, sfDir, "documents"), n = 5, threshold = 0.7).localCheckpoint()
+      def largeStarOld(e: org.apache.spark.sql.DataFrame) = {
+        val sym = e.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+        val m = sym.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      def smallStarOld(e: org.apache.spark.sql.DataFrame) = {
+        val or = e.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        val m = or.groupBy("u").agg(min("v").as("m"))
+        or.join(m, "u")
+          .select(explode(array(
+            struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("p"))
+          .select(col("p.a").as("u"), col("p.b").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      def ccOld(): Long = {
+        def mwc(e: org.apache.spark.sql.DataFrame) = {
+          val obs = org.apache.spark.sql.Observation()
+          val mat = e.observe(obs, count(lit(1)).as("n"),
+            coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+            .materializeRound
+          val m = obs.get
+          (mat, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+        }
+        val edges = pairs.select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
+        var (cur, curSum) = mwc(edges.filter(col("u") =!= col("v")).distinct())
+        var converged = false
+        var i = 0
+        while (!converged && i < 30) {
+          val (next, nextSum) = mwc(smallStarOld(largeStarOld(cur)))
+          converged = nextSum == curSum &&
+            next.except(cur).limit(1).count() == 0 &&
+            cur.except(next).limit(1).count() == 0
+          cur = next; curSum = nextSum; i += 1
+        }
+        cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+          .union(cur.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .groupBy("cluster_id").agg(count(lit(1))).count()
+      }
+      def ccNew(): Long =
+        Dedup.dupClusters(pairs, smallGraphEdges = 0L)
+          .groupBy("cluster_id").agg(count(lit(1))).count()
+      time("cc_old")(ccOld())
+      time("cc_new")(ccNew())
+      time("cc_old2")(ccOld())
+      time("cc_new2")(ccNew())
+      spark.stop(); return
+    }
+
     // special mode: LPA old-vs-new in one JVM
     if (names.sameElements(Array("lpa_ab"))) {
       import graft.operators.Graph
