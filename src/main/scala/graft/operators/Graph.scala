@@ -593,6 +593,7 @@ object Graph {
     val escapeBudget = edges.sparkSession.conf
       .get("spark.graft.coreness.escapeRounds", "16").toInt
     var escVals: DataFrame = degMat
+    var escChanged: DataFrame = null // null ⇒ all nodes dirty
     var roundsUsed = 0
 
     if (!useFrontier) {
@@ -620,6 +621,7 @@ object Graph {
         (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
       }
       var vals = degMat
+      var prevVals = degMat
       var cur = (n0, s0)
       var converged = false
       var i = 0
@@ -628,16 +630,28 @@ object Graph {
         val (next, nextSum) = materializeWithSum(
           hIndexRound(hIndexRound(vals, edges, bcast), edges, bcast))
         converged = nextSum == cur
+        prevVals = vals
         vals = next
         cur = nextSum
         i += 2
       }
       if (converged) return vals.select(col("node"), col("c").as("coreness"))
       require(adaptive, s"coreness: no fixpoint after $maxIters h-index rounds")
-      // budget exhausted: escape to frontier mode from the current
-      // state (all nodes start dirty; the first frontier round is one
-      // full recompute, every later one is frontier-sized)
+      // budget exhausted: escape to frontier mode from the CURRENT
+      // state, seeding the dirty set with the nodes that changed over
+      // the LAST default block instead of marking the whole graph
+      // dirty. Sound and exact: values are monotone non-increasing,
+      // so a node unchanged across the block end-to-end was unchanged
+      // in both sub-rounds (no transient dips to rebound from), and
+      // every node was recomputed from its neighbors at the block's
+      // final sub-round — only block-changers can invalidate a
+      // neighbor. The first frontier round then touches the changed
+      // neighborhood, not the graph (previously one full recompute).
       escVals = vals
+      escChanged = vals.select(col("node"), col("c"))
+        .join(gated(prevVals.select(col("node"), col("c").as("c_prev"))), "node")
+        .filter(col("c") =!= col("c_prev"))
+        .select("node")
       roundsUsed = i
     }
 
@@ -656,7 +670,7 @@ object Graph {
     // equal to the default mode.
     val edgesBySrc = edges.repartition(col("src")).materializeRound
     var vals = escVals
-    var changed = vals.select("node")
+    var changed = if (escChanged != null) escChanged else vals.select("node")
     var converged = false
     var i = roundsUsed
     while (!converged && i < maxIters) {
