@@ -142,12 +142,16 @@ object Bench {
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     val passes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       val pass = selected.map { case (name, fn) =>
+        // label the jobs (guide §1.5) so the UI/event log attributes
+        // stages to queries; thread-local, zero timing effect
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val t0 = System.nanoTime()
         try { rowCounts(name) = fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
+        spark.sparkContext.setJobDescription(null)
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
       // drop prior pass's shuffle files before re-timing (ContextCleaner)
