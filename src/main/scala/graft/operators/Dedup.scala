@@ -1867,19 +1867,31 @@ object Dedup {
       .join(sz, "id")
     val prefix = ordered.filter(
       col("r") <= col("n") - ceil(lit(threshold * threshold) * col("n")) + 1)
-    val cand = pairsFromBuckets(prefix, Seq("tok"), maxBucket = maxBucket)
+    // candidate pairs CARRY both members' set sizes (n rides the
+    // prefix rows already, is a function of the id, and survives the
+    // pair dedup unchanged), so the final cosine needs no join back
+    // to a size table — behind a multi-million-pair candidate set
+    // those were two more joins of pair-sized rows, and at corpus
+    // scale the size table itself is corpus-sized (guide §2.3).
+    val cand = prefix.select(col("id"), col("n"), col("tok"))
+      .groupBy("tok")
+      .agg(collect_list(struct(col("id"), col("n"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("a_id", "b_id")
     // verification: pair×token explode-join-regroup. The tempting
     // alternative — join each pair to both members' collected feature
     // ARRAYS and size(array_intersect) — measured 1.8× SLOWER at
     // sf0.1: every pair row then carries two string arrays through
     // the shuffle, far heavier than the exploded (pair, token) rows.
-    val inter = cand
+    cand
       .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
         round(col("inter") / sqrt(col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)

@@ -56,6 +56,57 @@ object OptProbe {
       spark.stop(); return
     }
 
+    // special mode: tokenCosinePairs old-vs-new in one JVM
+    if (names.sameElements(Array("tc_ab"))) {
+      import graft.operators.Dedup
+      import graft.functions.TextFunctions.shingle_strings
+      def time(tag: String)(f: => Any): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        println(f"[optprobe] $tag min=${ts.map(_._1).min}%.3f " +
+          f"all=${ts.map(t => f"${t._1}%.3f").mkString(",")} last=${ts.last._2}")
+      }
+      val part = Tables.t(spark, sfDir, "part").select(col("p_partkey"), col("p_name"))
+      val typo = part.filter(col("p_partkey") % 100 === 0)
+        .select((col("p_partkey") + 1000000L).as("p_partkey"),
+          concat(substring(col("p_name"), lit(1), length(col("p_name")) - 1), lit("x"))
+            .as("p_name"))
+      val items = part.unionAll(typo).localCheckpoint()
+      def oldTc(threshold: Double): Long = {
+        val feats = shingle_strings(lower(col("p_name")), 2)
+        val toks = items.select(col("p_partkey").as("id"),
+          explode(array_distinct(feats)).as("tok"))
+        val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val ordered = toks.join(dfreq, "tok")
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id")
+              .orderBy(col("df").asc, col("tok").asc)))
+          .join(sz, "id")
+        val prefix = ordered.filter(
+          col("r") <= col("n") - ceil(lit(threshold * threshold) * col("n")) + 1)
+        val cand = Dedup.pairsFromBuckets(prefix, Seq("tok"), maxBucket = 10000)
+        val inter = cand
+          .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
+          .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(col("inter") / sqrt(col("na") * col("nb")), 4).as("cos"))
+          .filter(col("cos") >= threshold)
+          .count()
+      }
+      def newTc(threshold: Double): Long =
+        Dedup.tokenCosinePairs(items, "p_name", "p_partkey",
+          threshold = threshold, shingle = 2).count()
+      time("tc_old")(oldTc(0.7)); time("tc_new")(newTc(0.7))
+      time("tc_old2")(oldTc(0.7)); time("tc_new2")(newTc(0.7))
+      spark.stop(); return
+    }
+
     // special mode: kTruss old-vs-new in one JVM
     if (names.sameElements(Array("ktruss_ab"))) {
       import graft.operators.Graph
