@@ -2502,9 +2502,20 @@ object SparkEntry {
   private def ssspEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
       .select("l_orderkey", "l_partkey").distinct()
-    li.groupBy("l_orderkey")
+    // pre-filter the 2..1000 band on a COUNTED size, then collect only
+    // surviving groups (guide §5): the previous collect-then-filter
+    // buffered each order's full part list before dropping oversize
+    // groups — a pathological million-item group would hold ~8 MB in
+    // one aggregation buffer. The count aggregate ships (key, partial
+    // count) rows only, and the semi-join + collect reuse one
+    // hash-partitioning by l_orderkey. Same (src, dst, cnt) multiset
+    // (law-tested: only which groups SURVIVE ever mattered).
+    val sized = li.groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items").between(2, 1000))
+      .select("l_orderkey")
+    li.join(sized, Seq("l_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("items"))
-      .filter(size(col("items")).between(2, 1000))
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))

@@ -108,9 +108,20 @@ object Dedup {
    * n≥5 shingles are near-unique, so posting lists stay short and the
    * candidate set is ~linear in the number of true near-dups. All
    * join/group keys are 8-byte shingle hashes (see [[shinglesHashed]]).
+   *
+   * `maxPosting` caps the posting lists (guide §2.5 skew): a
+   * stop-shingle shared by millions of docs would otherwise buffer
+   * one collect_list of millions of structs and explode m²/2 pairs
+   * from a single group — the [[pairsFromBuckets]] guard, applied
+   * here. Dropping an over-cap shingle removes its contribution to
+   * |∩| (the CCNet/Gopher stop-gram convention for web-scale dedup);
+   * with n≥5 the cap never binds on natural text — the fixture-scale
+   * maximum list is orders of magnitude below the default, so
+   * results are identical to the uncapped form (law-tested).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPosting: Int = 10000): DataFrame = {
     // ONE scan, ONE shingle evaluation: the set size rides each
     // exploded (id, sh) row as scan-stage metadata, so no second
     // corpus pass computes sizes and no join reattaches them — the
@@ -129,7 +140,7 @@ object Dedup {
     // 19M-row sides at the 200k-doc probe scale.
     sh.groupBy("sh")
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, maxPosting))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.id") < col("b.id"))
@@ -152,10 +163,12 @@ object Dedup {
    * detector. Same ONE-shuffle posting-list machinery as
    * [[ngramJaccardPairs]]; a pair surfaces when EITHER direction
    * clears the threshold, with both directional scores reported.
+   * `maxPosting` caps the posting lists — the same §2.5 skew guard
+   * and stop-gram semantics documented at [[ngramJaccardPairs]].
    */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 5,
       threshold: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxPosting: Int = 10000): DataFrame = {
     // same one-scan metadata-carrying shape as [[ngramJaccardPairs]]
     val sh = docs
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), n).as("arr"))
@@ -163,7 +176,7 @@ object Dedup {
         explode(col("arr")).as("sh"))
     sh.groupBy("sh")
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, maxPosting))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.id") < col("b.id"))
@@ -1223,14 +1236,23 @@ object Dedup {
    */
   /** Measured-size broadcast gate for the star rounds' node-sized
     * min-label tables: the loop's checksum observe carries the exact
-    * edge count, and min-labels ≤ nodes ≤ edges, so under the
-    * threshold the m-join broadcasts (the edge side never exchanges
-    * or sorts for it) and above it (the billion-edge regime) the
-    * shuffled join stands. ~3-4× 16 B/row hashed ⇒ the 2M default is
-    * 100-200 MB of driver/executor memory. */
-  private def ccBroadcastMax(df: DataFrame): Long =
-    df.sparkSession.conf
-      .get("spark.graft.cc.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    * edge count E of the round's input, and the broadcast sides are
+    * bounded by it — largeStar's min-label table has one row per
+    * NODE (≤ 2·E), smallStar's one row per distinct oriented edge
+    * head of its input (≤ E rows: largeStar emits at most one row
+    * per unordered input pair). Each call site gates its own bound
+    * against the threshold, so the built relation never exceeds
+    * ~3-4× 16 B × threshold ⇒ the 2M default is 100-200 MB of
+    * driver/executor memory; above it (the billion-edge regime) the
+    * shuffled join stands. Operator-neutral key
+    * `spark.graft.broadcastNodes`, with the historical
+    * `spark.graft.cc.broadcastNodes` honored as a fallback. */
+  private def ccBroadcastMax(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.broadcastNodes")
+      .orElse(conf.getOption("spark.graft.cc.broadcastNodes"))
+      .getOrElse((2L * 1024 * 1024).toString).toLong
+  }
 
   private def largeStar(e: DataFrame, measuredEdges: Long = Long.MaxValue): DataFrame = {
     // explode, not self-union: one scan of the round's (materialized)
@@ -1242,7 +1264,8 @@ object Dedup {
       .select(col("p.u").as("u"), col("p.v").as("v"))
     val m0 = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
-    val m = if (measuredEdges <= ccBroadcastMax(e)) broadcast(m0) else m0
+    // m0 has one row per node; nodes ≤ 2·edges, so gate on 2·E
+    val m = if (measuredEdges <= ccBroadcastMax(e) / 2) broadcast(m0) else m0
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -1260,6 +1283,8 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val m0 = or.groupBy("u").agg(min("v").as("m"))
+    // m0 ≤ |e| rows, and |largeStar(cur)| ≤ |cur| = measuredEdges —
+    // so the loop's pre-largeStar count is a sound bound here too
     val m = if (measuredEdges <= ccBroadcastMax(e)) broadcast(m0) else m0
     or.join(m, "u")
       .select(explode(array(
@@ -1320,9 +1345,14 @@ object Dedup {
     while (!converged && i < maxIters) {
       val (next, nextSum) = materializeWithChecksum(
         smallStar(largeStar(cur, curSum._1), curSum._1))
+      // one-sided exact check: both frames are distinct row sets and
+      // the matched checksum already proved equal counts, so
+      // next ⊆ cur at equal cardinality ⟹ set equality — the second
+      // (cur \ next) job proved nothing and is dropped. The except
+      // runs only on checksum match (short-circuit &&): once at the
+      // fixpoint, never per round.
       converged = nextSum == curSum &&
-        next.except(cur).limit(1).count() == 0 &&
-        cur.except(next).limit(1).count() == 0
+        next.except(cur).limit(1).count() == 0
       cur = next
       curSum = nextSum
       i += 1

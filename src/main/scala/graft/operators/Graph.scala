@@ -137,10 +137,17 @@ object Graph {
   /** Shared measured-size broadcast threshold for node-sized sides of
     * the iterative loops (frontiers, distance tables, keep sets) —
     * one knob, documented at [[coreness]]: ~3-4× 16 B/row hashed, so
-    * the 2M default is 100-200 MB of driver/executor memory. */
-  private def broadcastMaxRows(df: DataFrame): Long =
-    df.sparkSession.conf
-      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    * the 2M default is 100-200 MB of driver/executor memory.
+    * Operator-neutral key `spark.graft.broadcastNodes`; the
+    * historical `spark.graft.coreness.broadcastNodes` (which kCore /
+    * kTruss / BFS / SSSP all read before the rename) stays honored
+    * as a fallback so existing deployments keep their tuning. */
+  private[operators] def broadcastMaxRows(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.broadcastNodes")
+      .orElse(conf.getOption("spark.graft.coreness.broadcastNodes"))
+      .getOrElse((2L * 1024 * 1024).toString).toLong
+  }
 
   /** Broadcast `side` when the measured row count cleared the gate.
     * Only MATERIALIZED frames ride this (a broadcast is itself a
@@ -353,11 +360,18 @@ object Graph {
    * the fixpoint proof, and it rides each round's own materialization
    * via `observe` (the [[kCore]] discipline). Loud failure on
    * iteration-cap exit.
+   *
+   * Input contract: `edges0` must be a SYMMETRIC edge list (both
+   * (u,v) and (v,u) present), like every other operator in this
+   * family — the seed degrees are aggregated over the src column
+   * only, and the canonical edges inner-join them on both endpoints,
+   * so a one-directional list would drop every edge whose dst never
+   * appears as src. All graft callers build edges through
+   * [[coOccurrenceEdges]], which emits both directions.
    */
   def kTruss(edges0: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 3, s"k-truss is defined for k >= 3, got $k")
-    val bcastMax = edges0.sparkSession.conf
-      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    val bcastMax = broadcastMaxRows(edges0)
     // FROZEN orientation: the (initial degree, id) total order is
     // attached to the canonical edges ONCE and carried through every
     // peel round — triangle single-enumeration only needs SOME fixed
@@ -471,8 +485,7 @@ object Graph {
     var edges = edges0.select(col("src"), col("dst"))
       .observe(obs0, count(lit(1)).as("n")).materializeRound
     var prevEdges = obs0.get("n").asInstanceOf[Long]
-    val bcastMax = edges0.sparkSession.conf
-      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    val bcastMax = broadcastMaxRows(edges0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -572,8 +585,7 @@ object Graph {
     // groups ≤ nodes), so one threshold covers every round in BOTH
     // modes — frontier rounds broadcast their (≤ node-sized) dirty
     // sets and recomputed deltas under the same gate.
-    val bcast = n0 <= edges.sparkSession.conf
-      .get("spark.graft.coreness.broadcastNodes", (2L * 1024 * 1024).toString).toLong
+    val bcast = n0 <= broadcastMaxRows(edges)
     def gated(d: DataFrame): DataFrame = if (bcast) broadcast(d) else d
 
     // MID-RUN ESCAPE HATCH: the seed-time predictor above is a
@@ -647,8 +659,13 @@ object Graph {
       // final sub-round — only block-changers can invalidate a
       // neighbor. The first frontier round then touches the changed
       // neighborhood, not the graph (previously one full recompute).
+      // The delta seed is only valid when at least one block actually
+      // RAN: with escapeRounds=0 the loop never executes, prevVals ==
+      // vals == the degree seed, and an empty dirty set would read as
+      // instant convergence — emitting raw degrees as coreness. Leave
+      // escChanged null (⇒ all nodes dirty) in that case.
       escVals = vals
-      escChanged = vals.select(col("node"), col("c"))
+      if (i > 0) escChanged = vals.select(col("node"), col("c"))
         .join(gated(prevVals.select(col("node"), col("c").as("c_prev"))), "node")
         .filter(col("c") =!= col("c_prev"))
         .select("node")
@@ -760,11 +777,15 @@ object Graph {
     // edge side is pre-partitioned on the join key and materialized,
     // so no round re-shuffles it — only dist-sized rows move per round
     val edges = wEdges.repartition(col("src")).materializeRound
+    // materialize the seed with an observed count (the bfsDistances
+    // discipline) BEFORE the first gate: gating a lazy source frame
+    // would run its whole upstream build inside a BroadcastExchange —
+    // a driver barrier subject to spark.sql.broadcastTimeout — which
+    // is exactly what gateBcast's materialized-frames-only rule bans
+    val obs0 = org.apache.spark.sql.Observation()
     var dist = source.select(col("node"), lit(0.0).as("dist"))
-    // first block's frontier is the (tiny) source set; later blocks
-    // gate on the count observed at the previous materialization —
-    // the bfsDistances broadcast discipline
-    var lastN = 0L
+      .observe(obs0, count(lit(1)).as("n")).materializeRound
+    var lastN = obs0.get("n").asInstanceOf[Long]
     var done = 0
     while (done < rounds) { // k relax rounds per job — see bfsDistances
       val k = math.max(1, math.min(fz, rounds - done))
@@ -845,9 +866,11 @@ object Graph {
         d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
       }
       val (next, nextSum) = materializeWithChecksum(d)
+      // one-sided exact check (the dupClustersBigGraph argument):
+      // both frames are unique-by-node aggregates and the matched
+      // checksum proved equal counts, so one empty difference ⟹ equal
       converged = nextSum == cur &&
-        next.except(dist).limit(1).count() == 0 &&
-        dist.except(next).limit(1).count() == 0
+        next.except(dist).limit(1).count() == 0
       dist = next
       cur = nextSum
       i += k

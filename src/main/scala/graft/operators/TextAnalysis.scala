@@ -244,8 +244,14 @@ object TextAnalysis {
     // moves the entire token stream through a shuffle twice; measured
     // 41 s vs 9 s at 1M docs × 100 tokens.)
     val spark = train.sparkSession
+    // ONE corpus tokenize+aggregate pass: the frequency table feeds
+    // two driver actions (the total/vocab stats and the top-K vocab
+    // collect), and without a materialization each action re-scans
+    // and re-tokenizes the whole corpus — the checkpointed table is
+    // vocabulary-sized (types, not tokens), far below the corpus
     val freq = train.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count("*").as("cnt"))
+      .localCheckpoint()
     val statsRow = freq.agg(sum("cnt"), count(lit(1))).collect()(0)
     val totalL = statsRow.getLong(0)
     val total = totalL.toDouble
@@ -294,8 +300,16 @@ object TextAnalysis {
       idCol: String = "doc_id", langCol: String = "lang",
       minCount: Long = 2, maxVocab: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the per-doc scores ONCE: both the threshold build
+    // (lang × nll counts) and the final bucket join read them, and
+    // without this each pass re-tokenizes and re-scores the corpus —
+    // including any carried computed lang column (pipeline_ccnet's
+    // pred_lang evaluates the marker scan per reference). The
+    // checkpointed frame is one NARROW row per doc (id, lang,
+    // n_tokens, nll ≈ tens of bytes), not the corpus text.
     val scored = unigramLmScoreOn(docs, docs, textCol, idCol, minCount,
       maxVocab, carry = Seq(langCol))
+      .localCheckpoint()
     val counts = scored.groupBy(col(langCol), col("nll"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col(langCol)).orderBy(col("nll"))
@@ -333,8 +347,11 @@ object TextAnalysis {
     // FULL distributed vocabulary count so the smoothing constant is
     // cap-independent. Scoring is one shuffle-free pass per doc.
     val spark = docs.sparkSession
+    // one corpus pass for the two frequency actions — see
+    // [[unigramLmScoreOn]]; the table is vocabulary-sized
     val cFreqDf = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count("*").as("cnt"))
+      .localCheckpoint()
     val statsRow = cFreqDf.agg(sum("cnt"), count(lit(1))).collect()(0)
     val cTotalL = statsRow.getLong(0)
     val cTotal = cTotalL.toDouble
@@ -1268,8 +1285,15 @@ object TextAnalysis {
   def naiveBayesClassify(docs: DataFrame, model: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = model.filter(col("token") =!= "")
-    val priors = model.filter(col("token") === "")
+    // materialize the model ONCE: the scoring plan reads it three
+    // times (token grid + two prior broadcasts), and without this the
+    // dense-grid build (vocab aggregate, count joins, cross joins)
+    // recompiles and re-executes per reference — the table is bounded
+    // (vocab × labels, broadcastable by contract), so the checkpoint
+    // is small and the plan collapses to three scans of one RDD
+    val mat = model.localCheckpoint()
+    val m = mat.filter(col("token") =!= "")
+    val priors = mat.filter(col("token") === "")
       .select(col("label"), col("log_prob").as("log_prior"))
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("token"))

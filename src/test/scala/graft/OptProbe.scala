@@ -33,6 +33,41 @@ object OptProbe {
     confs.foreach { case (k, v) => spark.conf.set(k, v); println(s"[optprobe] conf $k=$v") }
     Tables.t(spark, sfDir, "lineitem").count() // warm-up
 
+    // special mode: per-JOB breakdown of one coreness run (guide §1:
+    // measure the driver cadence before touching the round structure)
+    if (names.sameElements(Array("coreness_jobs"))) {
+      import graft.operators.Graph
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graph.coreness(edges).count() // warm the path once
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, js.time); ()
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.getOrDefault(je.jobId, je.time)
+          jobs.add((je.jobId, s, je.time - s)); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      Graph.coreness(edges).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.asScala.toSeq.sortBy(_._1)
+      val gaps = js.sliding(2).collect {
+        case Seq((_, s1, d1), (_, s2, _)) => s2 - (s1 + d1)
+      }.toSeq
+      println(f"[optprobe] coreness wall=$wall%.3f jobs=${js.size} " +
+        f"jobTime=${js.map(_._3).sum / 1e3}%.3f gapTime=${gaps.sum / 1e3}%.3f")
+      js.foreach { case (id, _, d) => println(f"[optprobe] job $id%3d ${d / 1e3}%.3f s") }
+      spark.stop(); return
+    }
+
     // special mode: co-occurrence edge build + kcore/ktruss phases
     if (names.sameElements(Array("graph_phases"))) {
       import graft.operators.Graph
