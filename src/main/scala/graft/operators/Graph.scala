@@ -541,13 +541,29 @@ object Graph {
     // measured-size broadcast below takes the round to 5.5 s).
     val hIndexAgg = org.apache.spark.sql.functions.udaf(
       graft.functions.Aggregators.HIndex)
+    // A/B alternative (spark.graft.coreness.hofHindex): collect_list
+    // + sort + higher-order filter — h = #{i : arr_desc[i] ≥ i+1}.
+    // Same value for every multiset (classic h-index identity); the
+    // buffer is O(group degree) values vs the histogram's O(distinct
+    // values), so the UDAF stays the default for hub-heavy graphs.
+    val useHof = edges.sparkSession.conf
+      .get("spark.graft.coreness.hofHindex", "false").toBoolean
+    def hofHIndex(cd: org.apache.spark.sql.Column) =
+      size(filter(sort_array(collect_list(cd), asc = false),
+        (x, i) => x >= i.cast("long") + lit(1L))).cast("long")
     def hIndexRound(vals: DataFrame, edgeSide: DataFrame,
         bcastVals: Boolean = false): DataFrame = {
       val v = vals.select(col("node").as("dst"), col("c").as("cd"))
+      // non-broadcast applications: SHUFFLE_HASH, not sort-merge —
+      // the edge side is already hash-partitioned on dst, so SHJ
+      // builds a per-partition map of the node-sized value side and
+      // never sorts (or moves) an edge row; the build side has ONE
+      // unique row per node, so per-partition build memory is
+      // nodes/partitions and skew-free (guide §3.1)
       edgeSide
-        .join(if (bcastVals) broadcast(v) else v, "dst")
+        .join(if (bcastVals) broadcast(v) else v.hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(hIndexAgg(col("cd")).as("c"))
+        .agg((if (useHof) hofHIndex(col("cd")) else hIndexAgg(col("cd"))).as("c"))
     }
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
 
@@ -609,29 +625,34 @@ object Graph {
     var roundsUsed = 0
 
     if (!useFrontier) {
-      // DEFAULT: full recompute, TWO h-index applications composed
-      // lazily per materialization — values are per-node monotone
-      // non-increasing, so the composed step's observe-carried sum
-      // matches the previous one iff NO sub-round changed anything;
-      // fixpoint detection stays sound at half the driver cadence.
-      // Two is the measured sweet spot, not a leftover: each
-      // application under the broadcast gate is itself a driver
-      // barrier (the value side collects to the driver to build the
-      // broadcast relation), so fusing deeper does NOT amortize
-      // dispatch the way it does for shuffle-only rounds — an
-      // escalating 2/4/8 schedule measured 7.9 s vs 3.8 s on this
-      // fixture's 18-round fixpoint (nested broadcast exchanges
-      // serialize, and the deeper plan recompiles per block).
-      // Fastest when per-round stage overhead dominates (this
-      // fixture's 242k edges at local[32]) — see the frontier mode
-      // below for the billion-edge regime.
-      def materializeWithSum(d: DataFrame): (DataFrame, (Long, Long)) = {
-        val obs = org.apache.spark.sql.Observation()
-        val mat = d.observe(obs, count(lit(1)).as("n"),
-          coalesce(sum(col("c")), lit(0L)).as("s")).materializeRound
-        val m = obs.get
-        (mat, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
-      }
+      // DEFAULT: full recompute, `fuseRounds` h-index applications
+      // composed lazily per materialization — values are per-node
+      // monotone non-increasing, so the composed block's
+      // observe-carried (count, sum) matches the previous one iff NO
+      // sub-round changed anything; fixpoint detection stays sound at
+      // 1/k the driver cadence for any block depth k. Only the FIRST
+      // application of a block rides the broadcast gate (its value
+      // side is the block's materialized input): broadcasting the
+      // mid-block LAZY aggregates made each a serialized driver
+      // barrier — the r15 shape paid ~5 jobs per 2-round block
+      // (measured: 57 jobs, 1.9 s of inter-job driver gaps on the
+      // 18-round sf0.1 fixpoint) and an escalating 2/4/8 schedule
+      // collapsed to 7.9 s vs 3.8 because its nested broadcast
+      // exchanges serialize. Mid-block applications instead SHUFFLE
+      // the node-sized value aggregate to the dst-pre-partitioned
+      // edge side (localCheckpoint preserves the edge partitioning,
+      // so no edge row ever moves — the LPA/pagerank pin), which
+      // keeps the whole block one multi-stage job; that is also the
+      // only shape that is safe at any scale (no driver barrier, no
+      // broadcastTimeout on a mid-plan aggregate). With the barriers
+      // gone, deeper fusion amortizes dispatch: same-JVM interleaved
+      // min-of-4 at sf0.1 read fuse=1/2/4/6/8 = 4.70/4.26/3.85/3.71/
+      // 3.66 s vs the r15 shape's 5.3-5.7 (57 jobs → 36 at fuse=4).
+      // The cost of depth is up to k−1 real no-op rounds inside the
+      // final block at scale, so the default stays modest (4) and
+      // the deeper local-regime values are a knob, not a default.
+      val fuseRounds = math.max(1, edges.sparkSession.conf
+        .get("spark.graft.coreness.fuseRounds", "4").toInt)
       var vals = degMat
       var prevVals = degMat
       var cur = (n0, s0)
@@ -639,13 +660,40 @@ object Graph {
       var i = 0
       val budget = if (adaptive) math.min(maxIters, escapeBudget) else maxIters
       while (!converged && i < budget) {
-        val (next, nextSum) = materializeWithSum(
-          hIndexRound(hIndexRound(vals, edges, bcast), edges, bcast))
-        converged = nextSum == cur
+        val k = math.max(1, math.min(fuseRounds, budget - i))
+        // EVERY sub-round's (count, sum) rides the block job as its
+        // own mid-plan observe (CollectMetrics passes rows through —
+        // zero extra jobs), so convergence is detected at ROUND
+        // granularity even though dispatch is block-granular: values
+        // are per-node monotone non-increasing, so the FIRST
+        // sub-round whose sum matches its predecessor's proves the
+        // fixpoint, and every later sub-round in the block is a
+        // provable no-op (the block output IS the fixpoint). A deep
+        // block therefore never needs a follow-up block just to
+        // confirm — the at-scale overshoot is bounded by the rounds
+        // already inside the committed job, not by k plus a
+        // confirmation block.
+        var d = vals
+        val subObs = (1 to k).map { j =>
+          val o = org.apache.spark.sql.Observation()
+          d = hIndexRound(d, edges, bcastVals = bcast && j == 1)
+            .observe(o, count(lit(1)).as("n"),
+              coalesce(sum(col("c")), lit(0L)).as("s"))
+          o
+        }
+        val mat = d.materializeRound
+        val sums = subObs.map { o =>
+          val m = o.get
+          (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
+        }
+        converged = (cur +: sums).sliding(2).exists {
+          case Seq(a, b) => a == b
+          case _ => false
+        }
         prevVals = vals
-        vals = next
-        cur = nextSum
-        i += 2
+        vals = mat
+        cur = sums.last
+        i += k
       }
       if (converged) return vals.select(col("node"), col("c").as("coreness"))
       require(adaptive, s"coreness: no fixpoint after $maxIters h-index rounds")

@@ -55,7 +55,7 @@ object OptProbe {
       val t0 = System.nanoTime()
       Graph.coreness(edges).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      Thread.sleep(500) // let the listener bus drain the final JobEnd
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val js = jobs.asScala.toSeq.sortBy(_._1)
@@ -65,6 +65,59 @@ object OptProbe {
       println(f"[optprobe] coreness wall=$wall%.3f jobs=${js.size} " +
         f"jobTime=${js.map(_._3).sum / 1e3}%.3f gapTime=${gaps.sum / 1e3}%.3f")
       js.foreach { case (id, _, d) => println(f"[optprobe] job $id%3d ${d / 1e3}%.3f s") }
+      spark.stop(); return
+    }
+
+    // special mode: same-JVM interleaved A/B of the coreness block
+    // depth (spark.graft.coreness.fuseRounds)
+    if (names.sameElements(Array("coreness_fuse"))) {
+      import graft.operators.Graph
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint()
+      println(s"[optprobe] edges=${edges.count()}")
+      val depths = Seq(1, 2, 4, 6, 8)
+      Graph.coreness(edges).count() // warm the path
+      val times = scala.collection.mutable.Map.empty[Int, List[Double]]
+        .withDefaultValue(Nil)
+      for (_ <- 1 to reps; d <- depths) {
+        spark.conf.set("spark.graft.coreness.fuseRounds", d.toString)
+        val t0 = System.nanoTime()
+        val n = Graph.coreness(edges).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        times(d) = t :: times(d)
+        if (times(d).size == 1) println(s"[optprobe] fuse=$d rows=$n")
+      }
+      depths.foreach { d =>
+        val ts = times(d)
+        println(f"[optprobe] fuse=$d min=${ts.min}%.3f " +
+          f"all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")
+      }
+      spark.stop(); return
+    }
+
+    // special mode: same-JVM interleaved A/B of the h-index aggregate
+    // (histogram UDAF vs collect_list + higher-order filter)
+    if (names.sameElements(Array("coreness_hof"))) {
+      import graft.operators.Graph
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint()
+      println(s"[optprobe] edges=${edges.count()}")
+      Graph.coreness(edges).count() // warm
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (_ <- 1 to reps; hof <- Seq("false", "true")) {
+        spark.conf.set("spark.graft.coreness.hofHindex", hof)
+        val t0 = System.nanoTime()
+        val n = Graph.coreness(edges).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        times(hof) = t :: times(hof)
+        if (times(hof).size == 1) println(s"[optprobe] hof=$hof rows=$n")
+      }
+      Seq("false", "true").foreach { h =>
+        val ts = times(h)
+        println(f"[optprobe] hof=$h min=${ts.min}%.3f " +
+          f"all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")
+      }
       spark.stop(); return
     }
 

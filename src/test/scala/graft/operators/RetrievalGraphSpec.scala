@@ -203,6 +203,16 @@ class RetrievalGraphSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(escaped === pureDefault)
     } finally spark2.conf.unset("spark.graft.coreness.escapeRounds")
+    // escapeRounds=0 law (regression): with a zero budget the default
+    // loop never runs, so the escape MUST seed the frontier all-dirty
+    // — a block-delta seed off an unrun block read as instant
+    // convergence and emitted raw degrees as coreness
+    spark2.conf.set("spark.graft.coreness.escapeRounds", "0")
+    try {
+      val zeroBudget = Graph.coreness(mix).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(zeroBudget === pureDefault)
+    } finally spark2.conf.unset("spark.graft.coreness.escapeRounds")
     // k-truss on K4 + a lone triangle hanging off node 3 (3-4-5
     // closed): K4 edges each close 2 triangles (support 2), the
     // triangle's edges close 1 — the 4-truss is exactly K4 (the
