@@ -469,43 +469,88 @@ object Graph {
    * Fails loudly if `maxIters` is exhausted before the fixpoint
    * (the [[Dedup.dupClustersBigGraph]] discipline): silent partial
    * peels would report a too-large core.
+   *
+   * Contract: `edges0` must be SYMMETRIC (both directions present, as
+   * [[coOccurrenceEdges]] emits) — the maintained degree counts edge
+   * rows by src, which equals the undirected degree only then (same
+   * contract as [[kTruss]]).
    */
   def kCore(edges0: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
-    // the seed materialization (needed anyway) carries the edge count,
-    // so (a) a graph that is already its own core converges in ONE
-    // round (no edge dropped from a known starting count ⇒ no node
-    // was under-degree ⇒ fixpoint), and (b) every round's join
-    // strategy is chosen from the MEASURED surviving-edge count, not
-    // an estimate: `keep` (≤ distinct src ≤ current edges) broadcasts
-    // under the threshold — a peel round is then one degree aggregate
-    // with zero edge-row exchange — and falls back to shuffled
-    // semi-joins above it (the billion-edge regime), same discipline
-    // as [[coreness]]'s measured-size gate.
+    // DECREMENT form of the peel (Matula–Beck with maintained
+    // degrees): the loop state is the node-sized (node, deg) table
+    // where deg is the node's degree in the subgraph induced by the
+    // still-alive nodes — an invariant each round preserves by
+    // dropping under-k nodes and subtracting, per surviving node, its
+    // edges into the newly-dropped set. Round-by-round it drops
+    // exactly the node sets the recompute-the-degrees form dropped
+    // (the maintained degree IS the induced-subgraph degree), so the
+    // fixpoint, the surviving nodes, and their in-core degrees are
+    // identical (law-tested). The shape is the point: the edge table
+    // is hash-partitioned on dst ONCE and every round probes it with
+    // a SHUFFLE_HASH join against the node-sized newly-dropped set —
+    // no edge row ever moves again, no per-round sort, and no
+    // broadcast barrier (the previous form built one keep-set
+    // broadcast per round: measured 54 jobs / 1.6 s of inter-job
+    // driver gaps on the ~13-round sf0.1 peel; this form runs
+    // `fuseRounds` peel rounds per job with per-sub-round observes —
+    // the [[coreness]] discipline — and reads 14 jobs / 0.5 s gaps).
+    // Above any broadcast threshold nothing changes: the plan never
+    // depended on a broadcast in the first place (the billion-edge
+    // regime runs the identical shape).
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("dst")).materializeRound
+    val fuseRounds = math.max(1, edges0.sparkSession.conf
+      .get("spark.graft.kcore.fuseRounds", "4").toInt)
+    // A block observe's count, read after the block's materialization
+    // completed. A missing metrics key is not an error: when a
+    // sub-round's frame is runtime-empty, AQE's empty-relation
+    // propagation folds the observed subtree into a LocalRelation and
+    // the CollectMetrics node never runs — which can only happen when
+    // the observed frame had zero rows, so the count IS 0 (pinned by
+    // the under-k-graph law test, which peels everything away).
+    def observedCount(o: org.apache.spark.sql.Observation): Long =
+      o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val obs0 = org.apache.spark.sql.Observation()
-    var edges = edges0.select(col("src"), col("dst"))
+    var state = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .observe(obs0, count(lit(1)).as("n")).materializeRound
-    var prevEdges = obs0.get("n").asInstanceOf[Long]
-    val bcastMax = broadcastMaxRows(edges0)
+    var lastN = observedCount(obs0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val keep0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      val keep = if (prevEdges <= bcastMax) broadcast(keep0) else keep0
-      val obs = org.apache.spark.sql.Observation()
-      val next = edges
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .observe(obs, count(lit(1)).as("n"))
-        .materializeRound
-      val n = obs.get("n").asInstanceOf[Long]
-      if (n == prevEdges) converged = true
-      prevEdges = n
-      edges = next
-      i += 1
+      val kk = math.max(1, math.min(fuseRounds, maxIters - i))
+      // each sub-round's surviving-node count rides the block job as
+      // a mid-plan observe; counts are monotone non-increasing and an
+      // unchanged count proves nothing dropped ⇒ degrees unchanged ⇒
+      // fixpoint — detection at round granularity, dispatch at block
+      // granularity (see coreness). Sub-round state is referenced
+      // twice (drop filter + degree update), but both references sit
+      // on reused exchanges, so the duplicated segment re-reads
+      // node-sized shuffle output instead of recomputing the chain.
+      var d = state
+      val subObs = (1 to kk).map { j =>
+        val o = org.apache.spark.sql.Observation()
+        val newly = d.filter(col("deg") < k).select(col("node").as("dst"))
+        val dec = edges.join(newly.hint("shuffle_hash"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec"))
+        d = d.filter(col("deg") >= k)
+          .join(dec.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+          .observe(o, count(lit(1)).as("n"))
+        o
+      }
+      val mat = d.materializeRound
+      val counts = subObs.map(observedCount)
+      converged = (lastN +: counts).sliding(2).exists {
+        case Seq(a, b) => a == b
+        case _ => false
+      }
+      state = mat
+      lastN = counts.last
+      i += kk
     }
     require(converged, s"kCore: no fixpoint after $maxIters peel rounds")
-    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    state.select(col("node"), col("deg"))
   }
 
   /**

@@ -33,13 +33,45 @@ object OptProbe {
     confs.foreach { case (k, v) => spark.conf.set(k, v); println(s"[optprobe] conf $k=$v") }
     Tables.t(spark, sfDir, "lineitem").count() // warm-up
 
-    // special mode: per-JOB breakdown of one coreness run (guide §1:
-    // measure the driver cadence before touching the round structure)
-    if (names.sameElements(Array("coreness_jobs"))) {
+    // special mode: dump the physical plan of one fused kCore block
+    // (state materialized first, as in the real loop) to count the
+    // per-sub-round exchanges.
+    if (names.sameElements(Array("kcore_plan"))) {
+      import graft.core.Materialize.MaterializeOps
+      val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val edges = graft.operators.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .select(col("src"), col("dst")).repartition(col("dst")).materializeRound
+      val k = 8
+      var d = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .materializeRound
+      (1 to 4).foreach { _ =>
+        val newly = d.filter(col("deg") < k).select(col("node").as("dst"))
+        val dec = edges.join(newly.hint("shuffle_hash"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec"))
+        d = d.filter(col("deg") >= k)
+          .join(dec.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+      }
+      println(d.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
+
+    // special mode: per-JOB breakdown of one iterative-operator run
+    // (guide §1: measure the driver cadence before touching the round
+    // structure). <op>_jobs for op in coreness/kcore/ktruss.
+    if (names.length == 1 && names(0).endsWith("_jobs")) {
       import graft.operators.Graph
       val li = Tables.t(spark, sfDir, "lineitem").filter(col("l_orderkey") % 10 === 0)
       val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-      Graph.coreness(edges).count() // warm the path once
+      def run(): Long = names(0).stripSuffix("_jobs") match {
+        case "coreness" => Graph.coreness(edges).count()
+        case "kcore" => Graph.kCore(edges, k = 8).count()
+        case "ktruss" => Graph.kTruss(edges, k = 5).count()
+        case other => sys.error(s"unknown op: $other")
+      }
+      run() // warm the path once
       val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -53,7 +85,7 @@ object OptProbe {
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      Graph.coreness(edges).count()
+      run()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the listener bus drain the final JobEnd
       spark.sparkContext.removeSparkListener(listener)
@@ -62,7 +94,7 @@ object OptProbe {
       val gaps = js.sliding(2).collect {
         case Seq((_, s1, d1), (_, s2, _)) => s2 - (s1 + d1)
       }.toSeq
-      println(f"[optprobe] coreness wall=$wall%.3f jobs=${js.size} " +
+      println(f"[optprobe] ${names(0)} wall=$wall%.3f jobs=${js.size} " +
         f"jobTime=${js.map(_._3).sum / 1e3}%.3f gapTime=${gaps.sum / 1e3}%.3f")
       js.foreach { case (id, _, d) => println(f"[optprobe] job $id%3d ${d / 1e3}%.3f s") }
       spark.stop(); return
@@ -291,8 +323,105 @@ object OptProbe {
         edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).count()
       }
       def kCoreNew(k: Int): Long = Graph.kCore(edges0, k).count()
+      // union-agg decrement form: each sub-round ends in ONE exchange
+      // (the union groupBy), which is the AQE reuse point — the two
+      // consumers of a sub-round's state (drop filter, survivor
+      // filter) re-read that shuffle instead of re-executing the chain
+      def kCoreUA(k: Int, fuse: Int): Long = {
+        val edges = edges0.select(col("src"), col("dst"))
+          .repartition(col("dst")).materializeRound
+        def obsN(o: org.apache.spark.sql.Observation): Long =
+          o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val obs0 = org.apache.spark.sql.Observation()
+        var state = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .observe(obs0, count(lit(1)).as("n")).materializeRound
+        var lastN = obsN(obs0)
+        var converged = false
+        var i = 0
+        while (!converged && i < 50) {
+          val kk = math.max(1, math.min(fuse, 50 - i))
+          var d = state
+          val subObs = (1 to kk).map { _ =>
+            val o = org.apache.spark.sql.Observation()
+            val newly = d.filter(col("deg") < k).select(col("node").as("dst"))
+            val hits = edges.join(newly.hint("shuffle_hash"), Seq("dst"))
+              .select(col("src").as("node"), lit(-1L).as("delta"), lit(0).as("base"))
+            d = d.filter(col("deg") >= k)
+              .select(col("node"), col("deg").as("delta"), lit(1).as("base"))
+              .unionAll(hits)
+              .groupBy("node").agg(sum("delta").as("deg"), max("base").as("base"))
+              .filter(col("base") === 1)
+              .select(col("node"), col("deg"))
+              .observe(o, count(lit(1)).as("n"))
+            o
+          }
+          val mat = d.materializeRound
+          val counts = subObs.map(obsN)
+          converged = (lastN +: counts).sliding(2).exists {
+            case Seq(a, b) => a == b
+            case _ => false
+          }
+          state = mat
+          lastN = counts.last
+          i += kk
+        }
+        require(converged)
+        state.count()
+      }
+      // UAR: union-agg + explicit repartition(node) at each sub-round
+      // top, so the two consumers re-read ONE reused shuffle instead
+      // of re-executing the final agg (duplication doubles per level
+      // without it: ua8 measured 12-13 s vs ua4's 2.2-2.4)
+      def kCoreUAR(k: Int, fuse: Int): Long = {
+        val edges = edges0.select(col("src"), col("dst"))
+          .repartition(col("dst")).materializeRound
+        def obsN(o: org.apache.spark.sql.Observation): Long =
+          o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val obs0 = org.apache.spark.sql.Observation()
+        var state = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .observe(obs0, count(lit(1)).as("n")).materializeRound
+        var lastN = obsN(obs0)
+        var converged = false
+        var i = 0
+        while (!converged && i < 50) {
+          val kk = math.max(1, math.min(fuse, 50 - i))
+          var d = state
+          val subObs = (1 to kk).map { _ =>
+            val o = org.apache.spark.sql.Observation()
+            val newly = d.filter(col("deg") < k).select(col("node").as("dst"))
+            val hits = edges.join(newly.hint("shuffle_hash"), Seq("dst"))
+              .select(col("src").as("node"), lit(-1L).as("delta"), lit(0).as("base"))
+            d = d.filter(col("deg") >= k)
+              .select(col("node"), col("deg").as("delta"), lit(1).as("base"))
+              .unionAll(hits)
+              .groupBy("node").agg(sum("delta").as("deg"), max("base").as("base"))
+              .filter(col("base") === 1)
+              .select(col("node"), col("deg"))
+              .observe(o, count(lit(1)).as("n"))
+              .repartition(col("node"))
+            o
+          }
+          val mat = d.materializeRound
+          val counts = subObs.map(obsN)
+          converged = (lastN +: counts).sliding(2).exists {
+            case Seq(a, b) => a == b
+            case _ => false
+          }
+          state = mat
+          lastN = counts.last
+          i += kk
+        }
+        require(converged)
+        state.count()
+      }
       time("kcore_old")(kCoreOld(8)); time("kcore_new")(kCoreNew(8))
+      time("kcore_ua4")(kCoreUA(8, 4)); time("kcore_ua8")(kCoreUA(8, 8))
+      time("kcore_uar4")(kCoreUAR(8, 4)); time("kcore_uar8")(kCoreUAR(8, 8))
+      time("kcore_uar12")(kCoreUAR(8, 12))
       time("kcore_old2")(kCoreOld(8)); time("kcore_new2")(kCoreNew(8))
+      time("kcore_ua4b")(kCoreUA(8, 4)); time("kcore_ua8b")(kCoreUA(8, 8))
+      time("kcore_uar4b")(kCoreUAR(8, 4)); time("kcore_uar8b")(kCoreUAR(8, 8))
+      time("kcore_uar12b")(kCoreUAR(8, 12))
       spark.stop(); return
     }
 
